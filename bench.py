@@ -1,0 +1,69 @@
+"""Benchmark runner: executes the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is collected (fully materialized) so the measured time includes
+the whole plan, not just lazy construction.  A warm-up run of the flagship
+absorbs JVM/session startup so per-query numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from sales_telegram_bot_data_pipeline_spark import queries as q
+from sales_telegram_bot_data_pipeline_spark.session import get_spark
+
+# Headline set: one per operator family (join/agg/window/pivot/setop/text/…).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_unshipped_revenue",
+    "q5_revenue_by_nation",
+    "broadcast_lookup_join",
+    "semi_join_active_customers",
+    "topk_orders_per_segment",
+    "window_running_total",
+    "rollup_returnflag_status",
+    "pivot_last_event_value",
+    "nested_collect_event_types",
+    "json_extract_props",
+    "set_ops_customer_cohorts",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="sales_telegram_bot_data_pipeline_spark-bench")
+    names = [n for n in HEADLINE if n in q.REGISTRY]
+    extra = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if extra:
+        names = [n for n in extra.split(",") if n in q.REGISTRY]
+
+    # warm-up: JVM classloading + parquet footer caches
+    q.REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        q.REGISTRY[name].fn(spark, sf_dir).collect()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_query_wall_clock_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,661 @@
+"""Relational core: scans, filters, joins (broadcast/semi/anti), aggregations
+(incl. rollup/cube/pivot/nesting), windows, sorts/limits/top-k, set ops.
+
+The reference's relational surface is tiny (point lookups, a class-keyed
+pivot, include/exclude set logic — SURVEY.md §2 ops 4, 13, 41, 47–49); the
+engine generalizes each into the full Spark operator family and exercises it
+over the driver's TPC-H-ish testdata.
+
+Scale notes (100 TB):
+- dims (region/nation/customer/supplier/part) are broadcast — no shuffle of
+  the fact side for lookup joins (reference does one RPC per probe,
+  s3_dynamodb_utils.py:22-24; here one broadcast hash table per executor);
+- every groupBy is a partial (map-side) aggregation first — Catalyst does
+  this automatically for sum/count/min/max;
+- top-k uses orderBy+limit which Spark executes as per-partition TakeOrdered
+  (no global sort/shuffle of the full data);
+- window functions partition by high-cardinality keys (custkey), so state
+  per key is tiny and the shuffle is well-spread.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..sources.tables import load_table
+
+
+def _dec(col: str, prec: int = 18, scale: int = 2) -> F.Column:
+    """Exact-decimal view of a double column (hash-stable aggregation)."""
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+# ---------------------------------------------------------------------------
+# Q1 — flagship pricing summary (TPC-H Q1 shape).
+# Scan → filter (pushed to parquet) → groupBy low-cardinality keys → exact
+# decimal partial aggregation.  One shuffle of ~6 groups; trivially scales.
+# ---------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    oracle="""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,2))) * (1 + CAST(l_tax AS DECIMAL(8,2)))) AS DOUBLE) AS sum_charge,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    doc="Flagship: filtered scan + multi-measure exact-decimal aggregation "
+    "(generalizes the reference's per-shop price summarization surface).",
+    tags=("agg", "filter", "flagship"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # l_discount/l_tax are 2-decimal by construction; scale-2 casts keep the
+    # double products exact under DuckDB's precision-18 multiply cap.
+    disc = _dec("l_discount", 8, 2)
+    tax = _dec("l_tax", 8, 2)
+    ext = _dec("l_extendedprice", 12, 2)
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(ext * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(ext * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("double").alias("sum_charge"),
+            F.round(F.sum(_dec("l_quantity")).cast("double") / F.count("*"), 6).alias("avg_qty"),
+            F.round(F.sum(_dec("l_extendedprice")).cast("double") / F.count("*"), 6).alias("avg_price"),
+            F.round(F.sum(disc).cast("double") / F.count("*"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3 shape — join fact to two dims, aggregate, top-k by measure.
+# customer is broadcast; orders⋈lineitem shuffles on orderkey (co-partitioned).
+# ---------------------------------------------------------------------------
+@register(
+    "q3_top_unshipped_revenue",
+    oracle="""
+SELECT
+  l_orderkey,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue,
+  o_orderdate,
+  o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    doc="Join + agg + top-k (TPC-H Q3 shape); dims broadcast, deterministic "
+    "tie-break on orderkey.",
+    tags=("join", "agg", "topk"),
+)
+def q3_top_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    revenue = _dec("l_extendedprice", 12, 2) * (F.lit(1) - _dec("l_discount", 8, 4))
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5 shape — multi-way join through the star schema, revenue per nation.
+# All four dims broadcast; the only shuffle is lineitem⋈orders + final agg.
+# ---------------------------------------------------------------------------
+@register(
+    "q5_revenue_by_nation",
+    oracle="""
+SELECT
+  n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+    doc="Star-schema multi-join (local-supplier revenue, TPC-H Q5 shape); "
+    "nation/region/supplier/customer all broadcast.",
+    tags=("join", "agg"),
+)
+def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    revenue = _dec("l_extendedprice", 12, 2) * (F.lit(1) - _dec("l_discount", 8, 4))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# op 4 — DynamoDB point-lookup generalized to a broadcast hash lookup join.
+# Reference does one RPC per probe key (s3_dynamodb_utils.py:22-24); here the
+# dim ships once per executor and probes are hash lookups.
+# ---------------------------------------------------------------------------
+@register(
+    "broadcast_lookup_join",
+    oracle="""
+SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+WHERE o_orderpriority = '1-URGENT' AND o_orderdate >= TIMESTAMP '1998-01-01'
+ORDER BY o_orderkey
+""",
+    doc="Point-lookup join (reference op 4: DynamoDB get_item per key) as a "
+    "broadcast hash equi-join.",
+    tags=("join", "broadcast"),
+)
+def broadcast_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# op 48 — include-set membership as LEFT SEMI join.
+# ---------------------------------------------------------------------------
+@register(
+    "semi_join_active_customers",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey IN (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+)
+ORDER BY c_custkey
+""",
+    doc="Include-shops preference (reference op 48) as left-semi join.",
+    tags=("join", "semi"),
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# op 48 — exclude-set membership as LEFT ANTI join.
+# ---------------------------------------------------------------------------
+@register(
+    "anti_join_dormant_customers",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2001-01-01' AND o_custkey IS NOT NULL
+)
+ORDER BY c_custkey
+""",
+    doc="Exclude-shops preference (reference op 48) as left-anti join.",
+    tags=("join", "anti"),
+)
+def anti_join_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global top-k: Spark executes orderBy+limit as TakeOrdered (per-partition
+# heap + driver merge of k rows), never a full sort at scale.
+# ---------------------------------------------------------------------------
+@register(
+    "topk_orders_global",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 15
+""",
+    doc="Global top-k with deterministic tie-break (reference op 30 min/max "
+    "pairing generalized).",
+    tags=("sort", "topk"),
+)
+def topk_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group via ranking window (reference op 41 last-wins generalized).
+# ---------------------------------------------------------------------------
+@register(
+    "topk_orders_per_segment",
+    oracle="""
+SELECT c_mktsegment, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) t
+WHERE rn <= 3
+ORDER BY c_mktsegment, rn
+""",
+    doc="Per-group top-k via row_number ranking window.",
+    tags=("window", "topk"),
+)
+def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic window: running total per customer (exact decimal, deterministic
+# frame order).
+# ---------------------------------------------------------------------------
+@register(
+    "window_running_total",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+FROM orders
+WHERE o_custkey < 50
+ORDER BY o_custkey, o_orderkey
+""",
+    doc="Cumulative-frame analytic window (running spend per customer).",
+    tags=("window",),
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# lag/lead analytics: order-over-order delta per customer.
+# ---------------------------------------------------------------------------
+@register(
+    "window_lag_lead_delta",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) -
+            LAG(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS delta_prev,
+       LEAD(o_orderkey) OVER w AS next_orderkey
+FROM orders
+WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+""",
+    doc="lag/lead analytic windows (order-over-order spend delta).",
+    tags=("window",),
+)
+def window_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price = _dec("o_totalprice")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            (price - F.lag(price).over(w)).cast("double").alias("delta_prev"),
+            F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP — subtotal hierarchy (engine-side extension; reference has only flat
+# groupBy).  NULL group keys are coalesced to 'ALL' for hash stability.
+# ---------------------------------------------------------------------------
+@register(
+    "rollup_returnflag_status",
+    oracle="""
+SELECT
+  COALESCE(l_returnflag, 'ALL') AS returnflag,
+  COALESCE(l_linestatus, 'ALL') AS linestatus,
+  COUNT(*) AS n_rows,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+""",
+    doc="Hierarchical subtotals via ROLLUP.",
+    tags=("agg", "rollup"),
+)
+def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"), F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE — all grouping combinations.
+# ---------------------------------------------------------------------------
+@register(
+    "cube_status_priority",
+    oracle="""
+SELECT
+  COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+  COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+ORDER BY orderstatus, orderpriority
+""",
+    doc="Full grouping-combination aggregation via CUBE.",
+    tags=("agg", "cube"),
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n_orders",
+            "sum_price",
+        )
+        .orderBy("orderstatus", "orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations: UNION / INTERSECT / EXCEPT over customer key sets.
+# ---------------------------------------------------------------------------
+@register(
+    "set_ops_customer_cohorts",
+    oracle="""
+WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+     rich     AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+     urgent   AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+SELECT 'building_and_rich' AS cohort, c_custkey FROM (SELECT * FROM building INTERSECT SELECT * FROM rich)
+UNION ALL
+SELECT 'building_not_urgent' AS cohort, c_custkey FROM (SELECT * FROM building EXCEPT SELECT * FROM urgent)
+UNION ALL
+SELECT 'rich_or_urgent' AS cohort, c_custkey FROM (SELECT * FROM rich UNION SELECT * FROM urgent)
+ORDER BY cohort, c_custkey
+""",
+    doc="UNION/INTERSECT/EXCEPT cohort algebra (reference op 48 include/"
+    "exclude sets generalized).",
+    tags=("setop",),
+)
+def set_ops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = cust.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    urgent = (
+        orders.where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    out = (
+        building.intersect(rich).select(F.lit("building_and_rich").alias("cohort"), "c_custkey")
+        .unionAll(
+            building.exceptAll(urgent)
+            .distinct()
+            .select(F.lit("building_not_urgent").alias("cohort"), "c_custkey")
+        )
+        .unionAll(rich.union(urgent).distinct().select(F.lit("rich_or_urgent").alias("cohort"), "c_custkey"))
+    )
+    return out.orderBy("cohort", "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Projection + distinct.
+# ---------------------------------------------------------------------------
+@register(
+    "distinct_segment_nation",
+    oracle="""
+SELECT DISTINCT c_mktsegment, n_name
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+ORDER BY c_mktsegment, n_name
+""",
+    doc="Column-pruned projection + distinct (dedup-exact shape on relational "
+    "columns).",
+    tags=("distinct",),
+)
+def distinct_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("c_mktsegment", "n_name")
+        .distinct()
+        .orderBy("c_mktsegment", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# op 41 — class-keyed pivot with deterministic last-wins (max_by over event
+# time), the exact shape of the reference's detection→wide-record fold
+# (data_pipeline.py:104-144: multiple detections of one class → last wins).
+# ---------------------------------------------------------------------------
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "pivot_last_event_value",
+    oracle="""
+SELECT user_id,
+  ARG_MAX(CASE WHEN event_type='click'    THEN value END, ts) FILTER (WHERE event_type='click')    AS click,
+  ARG_MAX(CASE WHEN event_type='error'    THEN value END, ts) FILTER (WHERE event_type='error')    AS error,
+  ARG_MAX(CASE WHEN event_type='purchase' THEN value END, ts) FILTER (WHERE event_type='purchase') AS purchase,
+  ARG_MAX(CASE WHEN event_type='signup'   THEN value END, ts) FILTER (WHERE event_type='signup')   AS signup,
+  ARG_MAX(CASE WHEN event_type='view'     THEN value END, ts) FILTER (WHERE event_type='view')     AS view
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+    doc="Reference op 41: per-image class pivot with last-wins semantics, as "
+    "groupBy().pivot().agg(max_by(value, ts)) — deterministic, unlike the "
+    "reference's loop-order dependence.",
+    tags=("pivot", "agg"),
+)
+def pivot_last_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.expr("max_by(value, ts)"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "pivot_event_type_counts",
+    oracle="""
+SELECT user_id,
+  COUNT(*) FILTER (WHERE event_type='click')    AS click,
+  COUNT(*) FILTER (WHERE event_type='error')    AS error,
+  COUNT(*) FILTER (WHERE event_type='purchase') AS purchase,
+  COUNT(*) FILTER (WHERE event_type='signup')   AS signup,
+  COUNT(*) FILTER (WHERE event_type='view')     AS view
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+    doc="Pivot to per-class counts (detection-count-by-class shape).",
+    tags=("pivot", "agg"),
+)
+def pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# op 13 — nesting aggregation (collect per-group lists).  The reference folds
+# detections into map<class, list<struct>> (yolo_ocr_utils.py:108-167); here
+# the list is canonicalized (sorted, joined) so the oracle hash is stable.
+# ---------------------------------------------------------------------------
+@register(
+    "nested_collect_event_types",
+    oracle="""
+SELECT user_id,
+       ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT event_type)), ',') AS event_types,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+    doc="Reference op 13 nesting agg: collect_set(struct)-style fold, "
+    "canonicalized for oracle comparison.",
+    tags=("agg", "nested"),
+)
+def nested_collect_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("event_types"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction over events.props (the reference's XCom/to_json edge,
+# op 6, done natively).
+# ---------------------------------------------------------------------------
+@register(
+    "json_extract_props",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       COUNT(*) FILTER (WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL) AS n_null_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="JSON path extraction from the props column (reference op 6 "
+    "to_json/from_json edges done natively).",
+    tags=("json",),
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("try_cast(get_json_object(props, '$.k') as bigint)")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.count(F.when(k.isNull(), 1)).alias("n_null_k"),
+        )
+        .orderBy("event_type")
+    )

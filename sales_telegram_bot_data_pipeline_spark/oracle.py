@@ -1,0 +1,117 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs a registered Spark query and its DuckDB oracle SQL over the same parquet
+tables and compares row count, sorted column names, and order-insensitive
+values.  Stricter than a hash: exact equality after canonicalization, so any
+driver-side hash scheme over the same values must also match.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass
+
+import duckdb
+from pyspark.sql import SparkSession
+
+from .registry import REGISTRY
+from .sources.tables import TABLE_NAMES
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    detail: str
+    spark_rows: int = -1
+    oracle_rows: int = -1
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _canon_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # exact float repr — both engines must agree bit-for-bit
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon_cell(x) for x in v)
+    return v
+
+
+def _canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_canon_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
+    return out
+
+
+def compare_query(
+    spark: SparkSession, con: duckdb.DuckDBPyConnection, name: str, sf_dir: str
+) -> CompareResult:
+    q = REGISTRY[name]
+    sdf = q.fn(spark, sf_dir)
+    s_cols = list(sdf.columns)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    if q.oracle is None:
+        return CompareResult(name, True, f"rows-only: {len(s_rows)} rows", len(s_rows), -1)
+    res = con.execute(q.oracle)
+    o_cols = [d[0] for d in res.description]
+    o_rows = [tuple(r) for r in res.fetchall()]
+    if sorted(s_cols) != sorted(o_cols):
+        return CompareResult(
+            name, False, f"column mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}",
+            len(s_rows), len(o_rows),
+        )
+    if len(s_rows) != len(o_rows):
+        return CompareResult(
+            name, False, f"row count mismatch: spark={len(s_rows)} oracle={len(o_rows)}",
+            len(s_rows), len(o_rows),
+        )
+    cs, co = _canon_rows(s_cols, s_rows), _canon_rows(o_cols, o_rows)
+    if cs != co:
+        diff = next((i, a, b) for i, (a, b) in enumerate(zip(cs, co)) if a != b)
+        return CompareResult(
+            name, False, f"value mismatch at sorted row {diff[0]}:\n  spark : {diff[1]}\n  oracle: {diff[2]}",
+            len(s_rows), len(o_rows),
+        )
+    return CompareResult(name, True, f"match: {len(s_rows)} rows", len(s_rows), len(o_rows))
+
+
+def compare_all(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> list[CompareResult]:
+    import sales_telegram_bot_data_pipeline_spark.queries  # noqa: F401  (populate registry)
+
+    con = duckdb_connection(sf_dir)
+    results = []
+    for name in names or list(REGISTRY):
+        try:
+            results.append(compare_query(spark, con, name, sf_dir))
+        except Exception as e:  # surface per-query failures without stopping the sweep
+            results.append(CompareResult(name, False, f"EXCEPTION: {type(e).__name__}: {e}"))
+    return results
+
+
+if __name__ == "__main__":
+    import sys
+
+    from .session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or None
+    spark = get_spark(cpus=8)
+    ok = True
+    for r in compare_all(spark, sf_dir, names):
+        print(("PASS " if r.ok else "FAIL ") + r.name + " — " + r.detail)
+        ok = ok and r.ok
+    spark.stop()
+    sys.exit(0 if ok else 1)

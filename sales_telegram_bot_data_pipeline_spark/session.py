@@ -1,0 +1,44 @@
+"""SparkSession construction with scale-oriented defaults.
+
+The driver passes its own session to ``queries()`` callables, so nothing in
+the engine may *depend* on these configs (all expressions are written
+ANSI-mode-safe with try_cast / try_divide etc.).  This builder is what tests
+and bench.py use locally.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "sales_telegram_bot_data_pipeline_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build a local session tuned like a well-configured cluster job.
+
+    AQE on (runtime re-plan, skew-join splitting, partition coalescing),
+    Arrow on (vectorized pandas_udf transfer), broadcast threshold left at
+    default 10 MB so small dims broadcast automatically.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 32)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,53 @@
+"""Parquet table sources for the driver's TPC-H-ish testdata.
+
+The reference reads blobs + key-value items (S3 / DynamoDB,
+reference: dags/utils/s3_dynamodb_utils.py:14-32); this engine's canonical
+source is columnar parquet scanned declaratively so Catalyst gets predicate
+pushdown + column pruning for free.  At cluster scale the same call reads
+``s3a://bucket/path`` unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Plain ``spark.read.parquet`` keeps the scan a
+    FileSourceScanExec with PushedFilters/ReadSchema intact.
+
+    ``events.parquet`` stores TIMESTAMP(NANOS), which the Spark parquet reader
+    rejects; it is read with ``nanosAsLong`` and converted to a microsecond
+    timestamp (integer division — matches DuckDB's truncating read of the
+    same file, and stays a native column expression).
+    """
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}

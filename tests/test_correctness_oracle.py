@@ -1,0 +1,44 @@
+"""Replicates the driver's DuckDB-oracle gate at sf0.001 for every registered
+query (fast); the full sf0.01 sweep runs via ``python -m
+sales_telegram_bot_data_pipeline_spark.oracle``.  Any failure here would fail the driver's
+CORRECTNESS check too.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import sales_telegram_bot_data_pipeline_spark.queries as q
+from sales_telegram_bot_data_pipeline_spark.oracle import compare_query, duckdb_connection
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_connection(SF_SMOKE)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(q.REGISTRY))
+def test_query_matches_oracle(spark, con, name):
+    r = compare_query(spark, con, name, SF_SMOKE)
+    assert r.ok, r.detail
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema) > 0
+
+
+def test_registry_contract():
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 18
