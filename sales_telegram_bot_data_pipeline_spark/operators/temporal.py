@@ -1,0 +1,385 @@
+"""Temporal operators: interval (range) joins, as-of joins, validity
+revalidation, and time-window aggregations (tumbling / sliding / session).
+
+The reference's temporal surface is DAG #2's validity model
+(README.md:70-82): recompute ``valid := valid_from <= today <= valid_to``
+over pdf_metadata, diff against the stored flag, cascade the flip to
+detected_data.  That model is an interval join at scale; the engine ships the
+general forms and exercises them over orders/lineitem/events.
+
+Scale notes (100 TB):
+- the range join is implemented as a *bucketed equi-join* (explode the
+  interval side to fixed-width time buckets, equi-join on bucket, refine with
+  the precise predicate).  A naive ``a.ts BETWEEN b.lo AND b.hi`` join is a
+  broadcast-nested-loop — O(n·m) — and is exactly what we avoid;
+- the as-of join is the union+last(ignore nulls) window pattern: one shuffle
+  by key, zero join blow-up, linear state;
+- window aggregations map 1:1 onto Structured Streaming's windowing (same
+  ``F.window``/``F.session_window`` calls work under readStream with a
+  watermark — see streaming/), so the batch forms here double as the
+  oracle-checkable parity surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..sources.tables import load_table
+
+
+def _dec(col: str, prec: int = 18, scale: int = 2) -> F.Column:
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+# ---------------------------------------------------------------------------
+# Interval (range) join — reference op 46's validity model generalized:
+# lineitems shipped within [o_orderdate, o_orderdate + 7 days).
+# ---------------------------------------------------------------------------
+@register(
+    "interval_join_shipments",
+    oracle="""
+SELECT o_orderkey,
+       COUNT(*) AS n_shipped,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM orders
+JOIN lineitem
+  ON l_shipdate >= o_orderdate
+ AND l_shipdate <  o_orderdate + INTERVAL 7 DAY
+WHERE o_orderpriority = '1-URGENT'
+  AND o_orderdate >= TIMESTAMP '1997-03-01'
+  AND o_orderdate <  TIMESTAMP '1997-04-01'
+GROUP BY o_orderkey
+ORDER BY o_orderkey
+""",
+    doc="Range join via bucketed equi-join: interval side explodes to 7-day "
+    "buckets, point side computes its bucket, equi-join + precise refine. "
+    "Scales as O(n+m) shuffle instead of the nested-loop O(n*m).",
+    tags=("join", "range", "temporal"),
+)
+def interval_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket_days = 7  # bucket width == interval length → each interval spans exactly 2 buckets
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.lit("1997-03-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderdate")
+    )
+    day = F.unix_date(F.to_date("o_orderdate"))
+    orders_b = orders.withColumn(
+        "bucket",
+        F.explode(F.array(F.floor(day / bucket_days), F.floor(day / bucket_days) + 1)),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate", "l_quantity")
+    li_b = li.withColumn("bucket", F.floor(F.unix_date(F.to_date("l_shipdate")) / bucket_days))
+    joined = li_b.join(F.broadcast(orders_b), "bucket").where(
+        (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS"))
+    )
+    return (
+        joined.groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_shipped"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join — for each purchase, the most recent signup (same user) at or
+# before it.  Union + last(ignore nulls) over an event-time window: one
+# shuffle by user_id, no join explosion.
+# ---------------------------------------------------------------------------
+@register(
+    "asof_join_purchase_signup",
+    oracle="""
+SELECT p.event_id,
+       p.user_id,
+       p.ts,
+       p.value AS purchase_value,
+       s.ts    AS signup_ts,
+       s.value AS signup_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+ORDER BY p.event_id
+""",
+    doc="As-of join via the union + last(ignore nulls) window pattern "
+    "(DuckDB oracle uses its native ASOF JOIN). At-or-before semantics; "
+    "purchases with no prior signup keep NULLs (left as-of).",
+    tags=("join", "asof", "temporal", "window"),
+)
+def asof_join_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    # at equal ts the signup must be visible to the purchase → signup sorts first
+    rank = F.when(F.col("event_type") == "signup", F.lit(0)).otherwise(F.lit(1))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), rank, F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sig = F.when(F.col("event_type") == "signup", F.struct("ts", "value"))
+    enriched = ev.withColumn("last_signup", F.last(sig, ignorenulls=True).over(w))
+    return (
+        enriched.where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("value").alias("purchase_value"),
+            F.col("last_signup.ts").alias("signup_ts"),
+            F.col("last_signup.value").alias("signup_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# op 46 — temporal validity revalidation (DAG #2's core: README.md:70-75).
+# Recompute valid from the window, emit only rows whose flag flipped.
+# ---------------------------------------------------------------------------
+@register(
+    "validity_revalidation",
+    oracle="""
+SELECT o_orderkey,
+       (o_orderkey % 2 = 0) AS stored_valid,
+       (TIMESTAMP '1997-06-01' >= o_orderdate AND
+        TIMESTAMP '1997-06-01' <= o_orderdate + INTERVAL 90 DAY) AS now_valid
+FROM orders
+WHERE (o_orderkey % 2 = 0) <>
+      (TIMESTAMP '1997-06-01' >= o_orderdate AND
+       TIMESTAMP '1997-06-01' <= o_orderdate + INTERVAL 90 DAY)
+ORDER BY o_orderkey
+""",
+    doc="Reference op 46: scan metadata, recompute valid_from<=today<="
+    "valid_to, emit the changed-set only (incremental revalidation). "
+    "valid_from/valid_to/stored flag derived deterministically from orders.",
+    tags=("temporal", "incremental"),
+)
+def validity_revalidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    today = F.lit("1997-06-01").cast("timestamp")
+    orders = load_table(spark, sf_dir, "orders")
+    meta = orders.select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 2 == 0).alias("stored_valid"),
+        F.col("o_orderdate").alias("valid_from"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("valid_to"),
+    )
+    now_valid = (today >= F.col("valid_from")) & (today <= F.col("valid_to"))
+    return (
+        meta.withColumn("now_valid", now_valid)
+        .where(F.col("now_valid") != F.col("stored_valid"))
+        .select("o_orderkey", "stored_valid", "now_valid")
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# op 47 — cascade the validity flip to the detail table ("only the relevant
+# detected items", README.md:77-82): changed-set ⋈ lineitem, incremental.
+# ---------------------------------------------------------------------------
+@register(
+    "cascade_validity_update",
+    oracle="""
+WITH changed AS (
+  SELECT o_orderkey,
+         (TIMESTAMP '1997-06-01' >= o_orderdate AND
+          TIMESTAMP '1997-06-01' <= o_orderdate + INTERVAL 90 DAY) AS now_valid
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    AND (o_orderkey % 2 = 0) <>
+        (TIMESTAMP '1997-06-01' >= o_orderdate AND
+         TIMESTAMP '1997-06-01' <= o_orderdate + INTERVAL 90 DAY)
+)
+SELECT l_orderkey, l_linenumber, now_valid
+FROM changed JOIN lineitem ON l_orderkey = o_orderkey
+ORDER BY l_orderkey, l_linenumber
+""",
+    doc="Reference op 47: cascade update of detail rows for flipped parents "
+    "only — equi-join of the changed-set against the detail table (the "
+    "MERGE-shaped incremental write path).",
+    tags=("temporal", "incremental", "join"),
+)
+def cascade_validity_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    today = F.lit("1997-06-01").cast("timestamp")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    now_valid = (today >= F.col("o_orderdate")) & (
+        today <= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    changed = (
+        orders.withColumn("now_valid", now_valid)
+        .where((F.col("o_orderkey") % 2 == 0) != F.col("now_valid"))
+        .select("o_orderkey", "now_valid")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    return (
+        li.join(F.broadcast(changed), li.l_orderkey == changed.o_orderkey)
+        .select("l_orderkey", "l_linenumber", "now_valid")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tumbling window aggregation (streaming parity form — same F.window works
+# under readStream + watermark).
+# ---------------------------------------------------------------------------
+@register(
+    "tumbling_window_stats",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+""",
+    doc="Tumbling 1-hour event-time windows (Structured Streaming window "
+    "shape, oracle-checked in batch).",
+    tags=("temporal", "streaming-parity", "agg"),
+)
+def tumbling_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding windows: 1-hour length, 30-minute slide (each event in 2 windows).
+# ---------------------------------------------------------------------------
+@register(
+    "sliding_window_stats",
+    oracle="""
+SELECT window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM (
+  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS window_start,
+         value
+  FROM events
+) t
+GROUP BY window_start
+ORDER BY window_start
+""",
+    doc="Sliding windows (1h length / 30m slide) — overlap factor 2; oracle "
+    "expands each row to its two member windows.",
+    tags=("temporal", "streaming-parity", "agg"),
+)
+def sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+        .orderBy("window_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session windows: 15-minute inactivity gap per user.  Spark's
+# session_window end == last event + gap; the oracle reproduces that with
+# gaps-and-islands SQL.
+# ---------------------------------------------------------------------------
+@register(
+    "session_window_stats",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL '15 minutes'
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '15 minutes' AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+    doc="Session windows with 15-minute gap (applyInPandasWithState-free: "
+    "native session_window). Session end = last event + gap, matching the "
+    "oracle's islands construction.",
+    tags=("temporal", "streaming-parity", "agg", "session"),
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "15 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Watermark semantics, batch-parity form: drop events older than
+# max(event_time) - 10 minutes, then window-aggregate the survivors —
+# the batch equivalent of a 10-minute watermark's final state.
+# ---------------------------------------------------------------------------
+@register(
+    "watermark_tail_stats",
+    oracle="""
+WITH wm AS (SELECT MAX(ts) - INTERVAL '10 minutes' AS cutoff FROM events)
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+       COUNT(*) AS n_events
+FROM events, wm
+WHERE ts >= wm.cutoff
+GROUP BY 1
+ORDER BY window_start
+""",
+    doc="Watermark late-data semantics in batch-parity form: events behind "
+    "max(ts)-10min are dropped before windowing (what a streaming watermark "
+    "converges to).",
+    tags=("temporal", "streaming-parity"),
+)
+def watermark_tail_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = ev.agg((F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("cutoff"))
+    return (
+        ev.join(F.broadcast(cutoff))
+        .where(F.col("ts") >= F.col("cutoff"))
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+        .orderBy("window_start")
+    )
