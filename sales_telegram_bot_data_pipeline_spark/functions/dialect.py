@@ -1,0 +1,113 @@
+"""Two-dialect SQL fragment builders (Spark SQL + DuckDB).
+
+The price-parser suite (functions/prices.py) is written ONCE as SQL templates
+over these shims and instantiated for both engines, so the driver-facing
+Spark query and its DuckDB oracle are structurally the same expression —
+correctness parity by construction, and the Spark side stays fully JVM-native
+(whole-stage codegen, no Python UDFs).
+
+Differences handled here:
+- regex string literals: Spark SQL processes backslash escapes in string
+  literals, DuckDB does not;
+- ``regexp_extract_all`` arity, partial/full regex match names;
+- lambda higher-order functions: ``transform/filter`` vs ``list_transform/
+  list_filter``;
+- 1-based list indexing: ``try_element_at`` vs ``list_extract`` (both NULL
+  out of bounds);
+- array length / literal / split names, integer division.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class Dialect:
+    name: str
+
+    # --- regex -----------------------------------------------------------
+    def rlit(self, pattern: str) -> str:
+        """A regex as a string literal with dialect-correct escaping."""
+        if self.name == "spark":
+            return "'" + pattern.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        return "'" + pattern.replace("'", "''") + "'"
+
+    def re_all(self, x: str, pattern: str, rep: str) -> str:
+        """Replace ALL matches (DuckDB needs the 'g' flag)."""
+        if self.name == "spark":
+            return f"regexp_replace({x}, {self.rlit(pattern)}, '{rep}')"
+        return f"regexp_replace({x}, {self.rlit(pattern)}, '{rep}', 'g')"
+
+    def re_search(self, x: str, pattern: str) -> str:
+        if self.name == "spark":
+            return f"({x} rlike {self.rlit(pattern)})"
+        return f"regexp_matches({x}, {self.rlit(pattern)})"
+
+    def fullmatch(self, x: str, pattern: str) -> str:
+        if self.name == "spark":
+            return f"({x} rlike {self.rlit('^(' + pattern + ')$')})"
+        return f"regexp_full_match({x}, {self.rlit(pattern)})"
+
+    def tokens(self, x: str) -> str:
+        """``re.findall(r'\\d+[.,]?\\d*', x)`` — the reference's number
+        tokenizer (price_processing.py:31 et al.)."""
+        pat = self.rlit(r"\d+[.,]?\d*")
+        if self.name == "spark":
+            return f"regexp_extract_all({x}, {pat}, 0)"
+        return f"regexp_extract_all({x}, {pat})"
+
+    def re_extract(self, x: str, pattern: str, group: int) -> str:
+        return f"regexp_extract({x}, {self.rlit(pattern)}, {group})"
+
+    # --- arrays ----------------------------------------------------------
+    def transform(self, arr: str, lam: str) -> str:
+        fn = "transform" if self.name == "spark" else "list_transform"
+        return f"{fn}({arr}, {lam})"
+
+    def filter(self, arr: str, lam: str) -> str:
+        fn = "filter" if self.name == "spark" else "list_filter"
+        return f"{fn}({arr}, {lam})"
+
+    def alen(self, arr: str) -> str:
+        fn = "size" if self.name == "spark" else "len"
+        return f"{fn}({arr})"
+
+    def get1(self, arr: str, i) -> str:
+        """1-based element access, NULL when out of bounds."""
+        if self.name == "spark":
+            return f"try_element_at({arr}, {i})"
+        return f"list_extract({arr}, {i})"
+
+    def array_lit(self, items: list[str]) -> str:
+        quoted = ", ".join("'" + s.replace("'", "''") + "'" for s in items)
+        if self.name == "spark":
+            return f"array({quoted})"
+        return f"[{quoted}]"
+
+    def splitws(self, x: str) -> str:
+        """Python ``str.split()``: split on whitespace runs, drop empties."""
+        if self.name == "spark":
+            arr = f"split({x}, {self.rlit(chr(92) + 's+')})"
+        else:
+            arr = f"regexp_split_to_array({x}, {self.rlit(chr(92) + 's+')})"
+        return self.filter(arr, "t -> t <> ''")
+
+    def split_char(self, x: str, ch: str) -> str:
+        if self.name == "spark":
+            return f"split({x}, {self.rlit(ch)})"
+        return f"string_split({x}, '{ch}')"
+
+    # --- scalars ---------------------------------------------------------
+    def strcast(self, x: str) -> str:
+        t = "string" if self.name == "spark" else "varchar"
+        return f"cast({x} as {t})"
+
+    def idiv(self, a: str, b: str) -> str:
+        if self.name == "spark":
+            return f"({a} div {b})"
+        return f"({a} // {b})"
+
+
+SPARK = Dialect("spark")
+DUCKDB = Dialect("duckdb")

@@ -1,0 +1,435 @@
+"""Price-parsing scalar suite: ``parse_price`` + 17 shop parsers + dispatcher
+(reference ops 21-40, dags/utils/price_processing.py:5-389).
+
+Each parser is defined ONCE as a SQL template over the dialect shims
+(functions/dialect.py) and instantiated for Spark SQL (the engine) and DuckDB
+(the oracle) — parity by construction.  Everything is native column
+expressions: regexp/CASE/array lambdas inside whole-stage codegen, no Python
+in the hot path.
+
+The reference's ragged returns (float | dict with varying keys | None) are
+normalized into one nullable struct::
+
+    STRUCT<item_price DOUBLE, initial_price DOUBLE, member_price DOUBLE,
+           member_price_note STRING, volume STRING, packaging STRING,
+           price_ex_vat DOUBLE>
+
+Faithfulness notes (each verified against the reference by execution):
+- implied-cents rule: no decimal point and len>2 ⇒ last 2 digits are cents
+  ('890'→8.90, '1990'→19.90); len<=2 ⇒ integer ('25'→25.0)
+  (price_processing.py:12-18);
+- bare-float parsers (EsoMarket/Lidl/CBA*/Bene/Lidl Shop) route the value to
+  the requested price_type's field — the reference stringifies the float into
+  that class's column (data_pipeline.py:126-140);
+- EsoMarket drops falsy prices including 0.0 (price_processing.py:26);
+- Penny: 3 numbers ⇒ int(p0).int(p1) merged + p2 initial; 2 ⇒ merge only on
+  common cents {90,99}; >=4 numbers ⇒ None (the reference comment's own
+  example returns None) (price_processing.py:29-56);
+- Kaufland returns (price=last, initial=first) — reversed — and rejects
+  adjacent decimal pairs (price_processing.py:166-177);
+- Travel Free sorts the pair: price=min, initial=max (price_processing.py:202-205);
+- Albert rejects when the first parsed price < 5 (price_processing.py:114-116);
+- Billa 'bodi/bodu' yields the literal member note '75bodi'
+  (price_processing.py:70-71) — kept in member_price_note;
+- Globus/Tamda accept only item/member price types; unknown class_id or shop
+  ⇒ NULL struct (price_processing.py:302-334, 338-389).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .dialect import DUCKDB, SPARK, Dialect
+
+FIELDS = (
+    "item_price",
+    "initial_price",
+    "member_price",
+    "member_price_note",
+    "volume",
+    "packaging",
+    "price_ex_vat",
+)
+
+# dispatcher literals, price_processing.py:352-387
+SHOPS = (
+    "EsoMarket",
+    "Penny",
+    "Billa",
+    "Albert Hypermarket",
+    "Albert Supermarket",
+    "Tesco Supermarket",
+    "Tesco Hypermarket",
+    "Lidl",
+    "Kaufland",
+    "Flop Top",
+    "Flop",
+    "Travel Free",
+    "CBA Potraviny",
+    "Bene",
+    "CBA Premium",
+    "Lidl Shop",
+    "CBA Market",
+    "Makro",
+    "Globus",
+    "Tamda Foods",
+    "Ratio",
+)
+
+CLASS_IDS = ("item_price", "item_member_price", "item_initial_price")
+
+
+# --------------------------------------------------------------------------
+# core fragments
+# --------------------------------------------------------------------------
+def _clean(d: Dialect, x: str) -> str:
+    """strip non-[0-9.,] then ','→'.' (price_processing.py:7-8)."""
+    return f"replace({d.re_all(x, '[^0-9.,]', '')}, ',', '.')"
+
+
+def _pp(c: str) -> str:
+    """parse_price on an already-cleaned string (only [0-9.] left)."""
+    return (
+        f"CASE WHEN {c} IS NULL OR {c} = '' THEN NULL "
+        f"WHEN contains({c}, '.') THEN try_cast({c} AS DOUBLE) "
+        f"WHEN length({c}) > 2 THEN try_cast(substr({c}, 1, length({c})-2) || '.' || substr({c}, length({c})-1, 2) AS DOUBLE) "
+        f"ELSE try_cast({c} AS DOUBLE) END"
+    )
+
+
+def parse_price_sql(d: Dialect, x: str) -> str:
+    return _pp(_clean(d, x))
+
+
+def _parsed(d: Dialect, x: str) -> str:
+    """findall number tokens → parse each → drop NULLs."""
+    per_token = _pp("replace(t, ',', '.')")
+    return d.filter(d.transform(d.tokens(x), f"t -> {per_token}"), "p -> p IS NOT NULL")
+
+
+def _floorb(x: str) -> str:
+    return f"cast(floor({x}) as bigint)"
+
+
+def _merged(d: Dialect, a: str, b: str) -> str:
+    """float(f"{int(a)}.{int(b)}") — Penny's merged decimal (:42, :49)."""
+    return f"try_cast({d.strcast(_floorb(a))} || '.' || {d.strcast(_floorb(b))} AS DOUBLE)"
+
+
+def _null_fields() -> dict[str, str]:
+    return {f: "NULL" for f in FIELDS}
+
+
+def _route(val: str, cls: str, member: bool = True, initial: bool = True) -> dict[str, str]:
+    """Key a single value by price_type (the Albert/Tesco/Globus/Tamda shape
+    and our normalization of bare-float parsers)."""
+    out = _null_fields()
+    out["item_price"] = f"CASE WHEN {cls} = 'item_price' THEN {val} END"
+    if member:
+        out["member_price"] = f"CASE WHEN {cls} = 'item_member_price' THEN {val} END"
+    if initial:
+        out["initial_price"] = f"CASE WHEN {cls} = 'item_initial_price' THEN {val} END"
+    return out
+
+
+# --------------------------------------------------------------------------
+# shop parsers (each returns {field: sql})
+# --------------------------------------------------------------------------
+def esomarket(d: Dialect, x: str, cls: str) -> dict[str, str]:
+    p = parse_price_sql(d, x)
+    val = f"nullif({p}, 0.0)"  # falsy 0.0 dropped (:26)
+    return _route(val, cls)
+
+
+def passthrough(d: Dialect, x: str, cls: str) -> dict[str, str]:
+    """Lidl / CBA Potraviny / Bene / CBA Premium / Lidl Shop / CBA Market."""
+    return _route(parse_price_sql(d, x), cls)
+
+
+def penny(d: Dialect, x: str, cls: str) -> dict[str, str]:
+    P = _parsed(d, x)
+    n = d.alen(P)
+    g1, g2, g3 = d.get1(P, 1), d.get1(P, 2), d.get1(P, 3)
+    out = _null_fields()
+    out["item_price"] = (
+        f"CASE WHEN {n} = 3 THEN {_merged(d, g1, g2)} "
+        f"WHEN {n} = 2 THEN (CASE WHEN {g2} IN (90, 99) THEN {_merged(d, g1, g2)} ELSE {g1} END) "
+        f"WHEN {n} = 1 THEN {g1} END"
+    )
+    out["initial_price"] = (
+        f"CASE WHEN {n} = 3 THEN {g3} "
+        f"WHEN {n} = 2 AND NOT ({g2} IN (90, 99)) THEN {g2} END"
+    )
+    return out
+
+
+def billa(d: Dialect, x: str, cls: str) -> dict[str, str]:
+    note = f"(contains(lower({x}), 'bodi') OR contains(lower({x}), 'bodu'))"
+    P = _parsed(d, x)
+    n = d.alen(P)
+    g1, g2 = d.get1(P, 1), d.get1(P, 2)
+    is_vol = f"({g2} < 5 AND {g2} = floor({g2}))"
+    out = _null_fields()
+    out["member_price_note"] = f"CASE WHEN {note} THEN '75bodi' END"
+    out["item_price"] = f"CASE WHEN NOT {note} AND {n} IN (1, 2) THEN {g1} END"
+    out["initial_price"] = f"CASE WHEN NOT {note} AND {n} = 2 AND NOT {is_vol} THEN {g2} END"
+    out["volume"] = f"CASE WHEN NOT {note} AND {n} = 2 AND {is_vol} THEN {d.strcast(_floorb(g2))} END"
+    return out
+
+
+def albert(d: Dialect, x: str, cls: str) -> dict[str, str]:
+    cleaned = d.re_all(x, r"[^0-9\s.,'\-:]", "")
+    toks = d.splitws(cleaned)
+    parts = d.split_char("t", "''")
+    p1, p2 = d.get1(parts, 1), d.get1(parts, 2)
+    two_digit_parts = (
+        f"({d.alen(parts)} = 2 AND {d.fullmatch(p1, '[0-9]+')} AND {d.fullmatch(p2, '[0-9]+')})"
+    )
+    joined = f"{p1} || '.' || {p2}"
+    per_token = (
+        f"CASE WHEN t LIKE '%-' OR t LIKE '%:' THEN {_pp(_clean(d, 'substr(t, 1, length(t)-1)'))} "
+        f"WHEN contains(t, '''') THEN (CASE WHEN {two_digit_parts} THEN {_pp(joined)} ELSE {_pp(_clean(d, 't'))} END) "
+        f"ELSE {_pp(_clean(d, 't'))} END"
+    )
+    P = d.filter(d.transform(toks, f"t -> {per_token}"), "p -> p IS NOT NULL")
+    first = d.get1(P, 1)
+    ok = f"({first} IS NOT NULL AND {first} >= 5)"
+    out = _null_fields()
+    out["item_price"] = f"CASE WHEN {cls} = 'item_price' AND {ok} THEN {first} END"
+    out["member_price"] = f"CASE WHEN {cls} = 'item_member_price' AND {ok} THEN {first} END"
+    out["initial_price"] = f"CASE WHEN {cls} = 'item_initial_price' AND {ok} THEN {first} END"
+    return out
+
+
+def tesco(d: Dialect, x: str, cls: str) -> dict[str, str]:
+    cleaned = d.re_all(x, r"\d{1,2}\.\d{1,2}\.\s*-\s*\d{1,2}\.\d{1,2}\.", "")
+    reject = f"(contains({cleaned}, '%') OR contains({cleaned}, 'HOP'))"
+    first = d.get1(_parsed(d, cleaned), 1)
+    ok = f"(NOT {reject} AND {first} IS NOT NULL)"
+    out = _null_fields()
+    out["item_price"] = f"CASE WHEN {cls} = 'item_price' AND {ok} THEN {first} END"
+    out["member_price"] = f"CASE WHEN {cls} = 'item_member_price' AND {ok} THEN {first} END"
+    out["initial_price"] = f"CASE WHEN {cls} = 'item_initial_price' AND {ok} THEN {first} END"
+    return out
+
+
+def kaufland(d: Dialect, x: str, cls: str) -> dict[str, str]:
+    reject = d.re_search(x, r"(\d+[.,]\d+)\s+(\d+[.,]\d+)")
+    P = _parsed(d, x)
+    n = d.alen(P)
+    g1, g2 = d.get1(P, 1), d.get1(P, 2)
+    out = _null_fields()
+    out["item_price"] = (
+        f"CASE WHEN {reject} THEN NULL WHEN {n} = 2 THEN {g2} WHEN {n} = 1 THEN {g1} END"
+    )
+    out["initial_price"] = f"CASE WHEN NOT {reject} AND {n} = 2 THEN {g1} END"
+    return out
+
+
+def flop(d: Dialect, x: str, cls: str) -> dict[str, str]:
+    P = _parsed(d, x)
+    n = d.alen(P)
+    g1, g2 = d.get1(P, 1), d.get1(P, 2)
+    out = _null_fields()
+    out["item_price"] = f"CASE WHEN {n} IN (1, 2) THEN {g1} END"
+    out["initial_price"] = f"CASE WHEN {n} = 2 THEN {g2} END"
+    return out
+
+
+def travel_free(d: Dialect, x: str, cls: str) -> dict[str, str]:
+    P = _parsed(d, x)
+    n = d.alen(P)
+    g1, g2 = d.get1(P, 1), d.get1(P, 2)
+    out = _null_fields()
+    out["item_price"] = f"CASE WHEN {n} = 2 THEN least({g1}, {g2}) WHEN {n} = 1 THEN {g1} END"
+    out["initial_price"] = f"CASE WHEN {n} = 2 THEN greatest({g1}, {g2}) END"
+    return out
+
+
+def makro(d: Dialect, x: str, cls: str) -> dict[str, str]:
+    pkg = d.re_extract(x, r"^(\d+-?\d?\s*(BAL|ks|A VICE|AViCE))", 1)
+    rest = f"(CASE WHEN {pkg} <> '' THEN trim(substr({x}, length({pkg}) + 1)) ELSE {x} END)"
+    P = _parsed(d, rest)
+    n = d.alen(P)
+    g1, g2 = d.get1(P, 1), d.get1(P, 2)
+    out = _null_fields()
+    out["item_price"] = f"CASE WHEN {n} >= 1 THEN {g1} END"
+    out["initial_price"] = f"CASE WHEN {n} >= 2 THEN {g2} END"
+    out["packaging"] = f"CASE WHEN {n} >= 1 THEN nullif({pkg}, '') END"
+    return out
+
+
+def ratio(d: Dialect, x: str, cls: str) -> dict[str, str]:
+    P = _parsed(d, x)
+    n = d.alen(P)
+    out = _null_fields()
+    out["price_ex_vat"] = f"CASE WHEN {n} = 2 THEN {d.get1(P, 1)} END"
+    out["item_price"] = f"CASE WHEN {n} = 2 THEN {d.get1(P, 2)} END"
+    return out
+
+
+def globus(d: Dialect, x: str, cls: str) -> dict[str, str]:
+    # reject '%' or any char outside [0-9.,'whitespace-] (:288)
+    reject = f"(contains({x}, '%') OR {d.re_search(x, r_globus_cls())})"
+    y = f"replace({x}, '''', '.')"
+    space_pair = r"\d+\s+\d{2}"  # "17 90" → join with '.' (:295-296)
+    z = f"(CASE WHEN {d.re_search(y, space_pair)} THEN replace({y}, ' ', '.') ELSE {y} END)"
+    P = _parsed(d, z)
+    n = d.alen(P)
+    g1 = d.get1(P, 1)
+    ok = f"(NOT {reject} AND {n} = 1)"
+    out = _null_fields()
+    out["item_price"] = f"CASE WHEN {cls} = 'item_price' AND {ok} THEN {g1} END"
+    out["member_price"] = f"CASE WHEN {cls} = 'item_member_price' AND {ok} THEN {g1} END"
+    return out
+
+
+def r_globus_cls() -> str:
+    """chars outside [0-9.,'whitespace-] reject the Globus string (:288)."""
+    return r"[^0-9.,'\s\-]"
+
+
+def tamda(d: Dialect, x: str, cls: str) -> dict[str, str]:
+    reject = f"(contains({x}, '%') OR contains({x}, '('))"
+    y = f"trim({d.re_all(x, '[KCkc]+', '')})"
+    P = _parsed(d, y)
+    n = d.alen(P)
+    g1 = d.get1(P, 1)
+    ok = f"(NOT {reject} AND {n} = 1)"
+    out = _null_fields()
+    out["item_price"] = f"CASE WHEN {cls} = 'item_price' AND {ok} THEN {g1} END"
+    out["member_price"] = f"CASE WHEN {cls} = 'item_member_price' AND {ok} THEN {g1} END"
+    return out
+
+
+_PARSERS: list[tuple[tuple[str, ...], object]] = [
+    (("EsoMarket",), esomarket),
+    (("Penny",), penny),
+    (("Billa",), billa),
+    (("Albert Hypermarket", "Albert Supermarket"), albert),
+    (("Tesco Supermarket", "Tesco Hypermarket"), tesco),
+    (("Lidl", "CBA Potraviny", "Bene", "CBA Premium", "Lidl Shop", "CBA Market"), passthrough),
+    (("Kaufland",), kaufland),
+    (("Flop Top", "Flop"), flop),
+    (("Travel Free",), travel_free),
+    (("Makro",), makro),
+    (("Globus",), globus),
+    (("Tamda Foods",), tamda),
+    (("Ratio",), ratio),
+]
+
+
+def dispatcher_fields(d: Dialect, shop: str, x: str, cls: str) -> dict[str, str]:
+    """op 40: per-field CASE over shop_name, gated on a valid class_id
+    (price_processing.py:338-389)."""
+    valid_cls = f"{cls} IN ('item_price', 'item_member_price', 'item_initial_price')"
+    out = {}
+    for field in FIELDS:
+        branches = []
+        for shops, fn in _PARSERS:
+            shop_cond = (
+                f"{shop} = '{shops[0]}'"
+                if len(shops) == 1
+                else f"{shop} IN ({', '.join(repr(s) for s in shops)})"
+            )
+            branches.append(f"WHEN {shop_cond} THEN {fn(d, x, cls)[field]}")
+        out[field] = f"CASE WHEN NOT ({valid_cls}) THEN NULL " + " ".join(branches) + " END"
+    return out
+
+
+def price_struct_col(shop: str = "shop_name", text: str = "ocr_text", cls: str = "class_id") -> Column:
+    """DataFrame-API entry: the normalized price struct as a Column."""
+    fields = dispatcher_fields(SPARK, shop, text, cls)
+    return F.struct(*[F.expr(sql).alias(name) for name, sql in fields.items()])
+
+
+# --------------------------------------------------------------------------
+# driver-facing queries: deterministic OCR-ish samples synthesized from the
+# part table (integer-only string math so both engines build identical text),
+# then the full dispatcher applied.
+# --------------------------------------------------------------------------
+def _samples_sql(d: Dialect, part_table: str) -> str:
+    pk = "p_partkey"
+    cents = "cast(round(p_retailprice * 100) as bigint)"
+    whole = d.idiv(cents, 100)
+    frac = f"lpad({d.strcast(f'({cents} % 100)')}, 2, '0')"
+    p1 = f"{d.strcast(whole)} || '.' || {frac}"
+    p2 = d.strcast(cents)
+    w2 = d.strcast(f"({whole} + 5)")
+    shops_arr = d.array_lit(list(SHOPS) + ["UnknownShop"])
+    cls_arr = d.array_lit(list(CLASS_IDS) + ["other_class"])
+    if d.name == "spark":
+        shop_pick = f"element_at({shops_arr}, cast({pk} % 22 as int) + 1)"
+        cls_pick = f"element_at({cls_arr}, cast({pk} % 4 as int) + 1)"
+    else:
+        shop_pick = f"({shops_arr})[{pk} % 22 + 1]"
+        cls_pick = f"({cls_arr})[{pk} % 4 + 1]"
+    text = (
+        f"CASE {pk} % 13 "
+        f"WHEN 0 THEN {p1} "
+        f"WHEN 1 THEN {p2} "
+        f"WHEN 2 THEN {p2} || ' Kc' "
+        f"WHEN 3 THEN {p1} || ' ' || {w2} || '.90' "
+        f"WHEN 4 THEN replace({p1}, '.', ',') "
+        f"WHEN 5 THEN {d.strcast(whole)} || '''' || {frac} "
+        f"WHEN 6 THEN {d.strcast(whole)} || '-' "
+        f"WHEN 7 THEN '-30%' "
+        f"WHEN 8 THEN '12.7. - 14.7. ' || {p2} "
+        f"WHEN 9 THEN '2BAL ' || {p1} || ' ' || {w2} || '.90' "
+        f"WHEN 10 THEN '75 bodu' "
+        f"WHEN 11 THEN '€' || {p1} || ' ' || '€' || {w2} || '.99' "
+        f"ELSE {d.strcast(whole)} || ' 90' END"
+    )
+    return (
+        f"SELECT {pk} AS sample_id, {shop_pick} AS shop_name, "
+        f"{cls_pick} AS class_id, {text} AS ocr_text FROM {part_table}"
+    )
+
+
+def build_dispatcher_query_sql(d: Dialect, part_table: str) -> str:
+    fields = dispatcher_fields(d, "shop_name", "ocr_text", "class_id")
+    cols = ", ".join(f"{sql} AS {name}" for name, sql in fields.items())
+    return (
+        f"WITH samples AS ({_samples_sql(d, part_table)}) "
+        f"SELECT sample_id, shop_name, class_id, {cols} FROM samples ORDER BY sample_id"
+    )
+
+
+def build_parse_price_query_sql(d: Dialect, part_table: str) -> str:
+    """op 21 alone: the core parser over the raw sample strings."""
+    return (
+        f"WITH samples AS ({_samples_sql(d, part_table)}) "
+        f"SELECT sample_id, ocr_text, {parse_price_sql(d, 'ocr_text')} AS parsed_price "
+        f"FROM samples ORDER BY sample_id"
+    )
+
+
+# --- registry entries ------------------------------------------------------
+from ..registry import register  # noqa: E402
+from ..sources.tables import load_table  # noqa: E402
+
+
+@register(
+    "parse_price_core",
+    oracle=build_parse_price_query_sql(DUCKDB, "part"),
+    doc="Reference op 21 parse_price: strip/normalize separators + "
+    "implied-cents rule, as a native expression over synthesized OCR text.",
+    tags=("scalar", "prices"),
+)
+def parse_price_core(spark, sf_dir):
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("sales_telegram_bot_data_pipeline_part")
+    return spark.sql(build_parse_price_query_sql(SPARK, "sales_telegram_bot_data_pipeline_part"))
+
+
+@register(
+    "price_dispatcher_suite",
+    oracle=build_dispatcher_query_sql(DUCKDB, "part"),
+    doc="Reference ops 22-40: all 17 shop parsers + class_id dispatcher over "
+    "synthesized per-shop OCR samples, returning the normalized price struct "
+    "as columns.",
+    tags=("scalar", "prices", "dispatcher"),
+)
+def price_dispatcher_suite(spark, sf_dir):
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("sales_telegram_bot_data_pipeline_part")
+    return spark.sql(build_dispatcher_query_sql(SPARK, "sales_telegram_bot_data_pipeline_part"))
