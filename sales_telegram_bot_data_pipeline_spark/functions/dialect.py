@@ -98,7 +98,47 @@ class Dialect:
             return f"split({x}, {self.rlit(ch)})"
         return f"string_split({x}, '{ch}')"
 
+    def asum_int(self, arr: str) -> str:
+        """Sum of an integer array, as BIGINT."""
+        if self.name == "spark":
+            return f"aggregate({arr}, cast(0 as bigint), (a, x) -> a + x)"
+        return f"cast(list_sum({arr}) as bigint)"
+
+    def adistinct(self, arr: str) -> str:
+        fn = "array_distinct" if self.name == "spark" else "list_distinct"
+        return f"{fn}({arr})"
+
+    def contains_arr(self, arr: str, item: str) -> str:
+        fn = "array_contains" if self.name == "spark" else "list_contains"
+        return f"{fn}({arr}, {item})"
+
     # --- scalars ---------------------------------------------------------
+    def shr(self, x: str, n) -> str:
+        if self.name == "spark":
+            return f"shiftright({x}, {n})"
+        return f"({x} >> {n})"
+
+    def hex2int(self, hex15: str) -> str:
+        """15 hex chars → BIGINT (60 bits, always positive). Verified to
+        produce identical values in both engines."""
+        if self.name == "spark":
+            return f"cast(conv({hex15}, 16, 10) as bigint)"
+        return f"cast(('0x' || {hex15}) as bigint)"
+
+    def md5_prefix_int(self, x: str) -> str:
+        """Portable 60-bit content hash: first 15 hex chars of md5."""
+        return self.hex2int(f"substr(md5({x}), 1, 15)")
+
+    def translate_map(self, x: str, frm: str, to: str) -> str:
+        """Char-by-char mapping (len(frm) == len(to)); DuckDB lacks
+        translate → nested replace chain."""
+        if self.name == "spark":
+            return f"translate({x}, '{frm}', '{to}')"
+        out = x
+        for a, b in zip(frm, to):
+            out = f"replace({out}, '{a}', '{b}')"
+        return out
+
     def strcast(self, x: str) -> str:
         t = "string" if self.name == "spark" else "varchar"
         return f"cast({x} as {t})"

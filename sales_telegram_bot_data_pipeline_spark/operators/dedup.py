@@ -1,0 +1,200 @@
+"""Deduplication suite over documents: exact, n-gram Jaccard near-dup,
+MinHash+LSH banding, and SimHash fingerprints.
+
+Scale design (100 TB):
+- exact dedup = hash-groupBy on a 60-bit content hash: map-side partial agg,
+  one shuffle of (hash, min_id, count) — never the text itself;
+- n-gram Jaccard goes through an inverted shingle index (explode → self-join
+  on shingle → count) — the standard candidate-pair generation; the shingle
+  join key is the shuffle key, so hot shingles are the skew risk (AQE skew
+  join or a stop-shingle filter handles it at scale);
+- MinHash+LSH: 8 portable hash functions → per-doc signature → 4 bands of 2
+  → band-bucket equi-join.  Only docs sharing a band collide; join input is
+  4 rows/doc regardless of doc length — the classic sub-quadratic near-dup
+  path;
+- SimHash: 16-bit majority fingerprint over word hashes; Hamming-adjacent
+  buckets can then be compared (fingerprint alone here, oracle-checked).
+
+All hashes are the portable md5-prefix hash (identical in Spark and DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.dialect import DUCKDB, SPARK, Dialect
+from ..registry import register
+from ..sources.tables import load_table
+
+N_HASHES = 8
+BAND_SIZE = 2  # → 4 bands
+JACCARD_THRESHOLD = 0.4
+
+
+def _doc_view(spark: SparkSession, sf_dir: str, name: str = "sales_telegram_bot_data_pipeline_docs") -> str:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(name)
+    return name
+
+
+# --------------------------------------------------------------------------
+# exact dedup (hash-groupBy)
+# --------------------------------------------------------------------------
+def _exact_sql(d: Dialect, table: str) -> str:
+    h = d.md5_prefix_int("text")
+    return (
+        f"SELECT {h} AS content_hash, MIN(doc_id) AS keep_doc_id, "
+        f"COUNT(*) AS n_copies "
+        f"FROM {table} GROUP BY 1 ORDER BY keep_doc_id"
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle=_exact_sql(DUCKDB, "documents"),
+    doc="Exact dedup: 60-bit content hash groupBy, keep min doc_id per "
+    "group. Map-side combine; text never shuffles.",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_exact_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# word 3-gram shingles (shared by jaccard / minhash)
+# --------------------------------------------------------------------------
+def _shingles_sql(d: Dialect, table: str) -> str:
+    """(doc_id, shingle) pairs, distinct — word 3-grams."""
+    w = d.splitws("lower(text)")
+    if d.name == "spark":
+        shingle_arr = (
+            f"transform(sequence(1, size({w}) - 2), "
+            f"i -> array_join(slice({w}, i, 3), ' '))"
+        )
+        return (
+            f"SELECT DISTINCT doc_id, shingle "
+            f"FROM {table} "
+            f"LATERAL VIEW explode({shingle_arr}) t AS shingle "
+            f"WHERE size({w}) >= 3"
+        )
+    shingle_arr = (
+        f"list_transform(generate_series(1, len({w}) - 2), "
+        f"i -> array_to_string(list_slice({w}, i, i + 2), ' '))"
+    )
+    return (
+        f"SELECT DISTINCT doc_id, unnest({shingle_arr}) AS shingle "
+        f"FROM {table} WHERE len({w}) >= 3"
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs via inverted shingle index
+# --------------------------------------------------------------------------
+def _jaccard_sql(d: Dialect, table: str) -> str:
+    sh = _shingles_sql(d, table)
+    return f"""
+WITH shingles AS ({sh}),
+counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(ROUND(n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common), 6) AS DOUBLE) AS jaccard
+FROM common
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_jaccard_sql(DUCKDB, "documents"),
+    doc="Near-dup pairs by word-3-gram Jaccard >= 0.4 via inverted shingle "
+    "index self-join (candidate generation is per-shingle, sub-quadratic).",
+    tags=("dedup", "join"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_jaccard_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# --------------------------------------------------------------------------
+def _minhash_sig_sql(d: Dialect, table: str) -> str:
+    sh = _shingles_sql(d, table)
+    parts = []
+    for i in range(N_HASHES):
+        seeded = f"('{i}|' || shingle)"  # seed i-th hash family by prefixing
+        parts.append(f"MIN({d.md5_prefix_int(seeded)}) AS h{i}")
+    return f"SELECT doc_id, {', '.join(parts)} FROM ({sh}) s GROUP BY doc_id"
+
+
+def _lsh_pairs_sql(d: Dialect, table: str) -> str:
+    sig = _minhash_sig_sql(d, table)
+    n_bands = N_HASHES // BAND_SIZE
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || '_' || ".join(
+            d.strcast(f"h{b * BAND_SIZE + r}") for r in range(BAND_SIZE)
+        )
+        + " AS band_key FROM sig"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH sig AS ({sig}),
+bands AS ({band_rows})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_lsh_pairs_sql(DUCKDB, "documents"),
+    doc="MinHash (8 portable hash fns over 3-gram shingles) + LSH banding "
+    "(4 bands x 2): candidate near-dup pairs from band-bucket equi-join — "
+    "4 rows/doc join input regardless of document size.",
+    tags=("dedup", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_lsh_pairs_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# SimHash fingerprints (16-bit majority over distinct word hashes)
+# --------------------------------------------------------------------------
+def _simhash_sql(d: Dialect, table: str) -> str:
+    w = d.adistinct(d.splitws("lower(text)"))
+    words_rel = (
+        f"SELECT doc_id, unnest({w}) AS word FROM {table}"
+        if d.name == "duckdb"
+        else f"SELECT doc_id, word FROM {table} LATERAL VIEW explode({w}) t AS word"
+    )
+    h = d.md5_prefix_int("word")
+    bit_sum = " + ".join(
+        f"(CASE WHEN 2 * SUM(({d.shr('h', b)}) & 1) > COUNT(*) THEN {1 << b} ELSE 0 END)"
+        for b in range(16)
+    )
+    return f"""
+WITH words AS ({words_rel}),
+hashed AS (SELECT doc_id, {h} AS h FROM words)
+SELECT doc_id, CAST({bit_sum} AS BIGINT) AS simhash
+FROM hashed GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=_simhash_sql(DUCKDB, "documents"),
+    doc="SimHash: 16-bit majority fingerprint over portable word hashes; "
+    "near-dups land in Hamming-adjacent fingerprints.",
+    tags=("dedup", "hash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_simhash_sql(SPARK, _doc_view(spark, sf_dir)))
