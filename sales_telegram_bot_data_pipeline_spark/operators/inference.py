@@ -1,0 +1,243 @@
+"""External-inference pipeline operators (reference ops 3, 8-14, 41, 43-45):
+the whole of DAG #1 (dags/data_pipeline.py:35-150) as ONE declarative Spark
+job — page rows → model-1 detections → pad/clamp → nested detections table →
+model-2 + OCR → class pivot (last-wins) → price/name processing → wide
+``detected_data`` records.
+
+The reference runs this as 4 Airflow tasks with stringly-typed XCom
+boundaries, a serial per-image loop, and one HTTP round-trip per image per
+model (yolo_ocr_utils.py:82-103).  Here each model pass is a ``mapInPandas``
+over Arrow batches — at scale the UDF batches requests to the inference
+service per partition (connection reuse, in-flight pipelining), and
+partitioning gives per-image parallelism for free.
+
+The model server is STUBBED with a deterministic md5-driven fake (this
+container has no YOLO/OCR service); the Spark-side plumbing — schemas, batch
+shapes, explode, error isolation — is real.  Swap ``_stub_infer_batch`` for
+an HTTP client to run against a live endpoint.
+
+Error isolation (op 45): per-row try/except inside the UDF emits an ``error``
+column (dead-letter pattern) instead of the reference's per-image log-and-
+continue (and fixes its unbound ``whole_image_text`` NameError on OCR
+failure, data_pipeline.py:101-130).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.prices import SHOPS
+from ..registry import register
+from ..sources.tables import load_table
+
+MODEL2_CLASSES = ("item_name", "item_price", "item_member_price", "item_initial_price")
+
+DETECTION_SCHEMA = (
+    "image_id string, shop_name string, width int, height int, det_idx int, "
+    "class_name string, x1 int, y1 int, x2 int, y2 int, "
+    "confidence double, ocr_text string, error string"
+)
+
+
+def _h(s: str) -> int:
+    """Stable 60-bit content hash (NOT Python hash(), which is seeded)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _fake_ocr(seed: int, class_name: str) -> str:
+    """Deterministic OCR-ish text per class — price classes produce strings
+    the parser suite handles; names produce vocabulary-ish words."""
+    if class_name == "item_name":
+        words = ["mleko", "jogurt", "cerstve", "smetanovy", "florian", "sparkline"]
+        return " ".join(words[(seed >> k) % len(words)] for k in (0, 5, 9))
+    n = seed % 5
+    whole, cents = 5 + seed % 495, seed % 100
+    if n == 0:
+        return f"{whole}.{cents:02d}"
+    if n == 1:
+        return f"{whole}{cents:02d}"  # implied cents
+    if n == 2:
+        return f"{whole},{cents:02d}"
+    if n == 3:
+        return f"{whole}.{cents:02d} {whole + 5}.90"
+    return f"{whole} {90 if seed % 2 else 99}"
+
+
+def synthesize_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op 3 output shape: one row per rasterized page with lineage as REAL
+    columns (reference encodes it in filenames, pdf_utils.py:50)."""
+    part = load_table(spark, sf_dir, "part")
+    shop_arr = F.array(*[F.lit(s) for s in SHOPS])
+    return part.select(
+        F.concat(F.lit("pages/valid/part_"), "p_partkey", F.lit("_page_1.png")).alias("image_id"),
+        F.element_at(shop_arr, (F.col("p_partkey") % len(SHOPS)).cast("int") + 1).alias("shop_name"),
+        (F.lit(640) + F.col("p_partkey") % 640).cast("int").alias("width"),
+        (F.lit(480) + F.col("p_partkey") % 480).cast("int").alias("height"),
+    )
+
+
+def stub_detect(df: DataFrame, model: str, include_ocr: bool = False) -> DataFrame:
+    """ops 8/11/12: one engine operator, parameterized (model1 vs model2 +
+    OCR) — the reference's run_yolo_on_pages config surface (§3.3), with the
+    ``padding`` parameter actually honored downstream (the reference ignores
+    it, yolo_ocr_utils.py:61,124-126)."""
+    classes = ("shop_item",) if model == "model1" else MODEL2_CLASSES
+
+    def _stub_infer_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                try:
+                    det_idx = 0
+                    for cls in classes:
+                        seed = _h(f"{rec.image_id}|{model}|{cls}")
+                        for k in range(seed % 3):  # 0-2 detections per class
+                            s2 = _h(f"{rec.image_id}|{cls}|{k}")
+                            x1 = s2 % max(rec.width - 40, 1)
+                            y1 = (s2 >> 8) % max(rec.height - 40, 1)
+                            rows.append(
+                                {
+                                    "image_id": rec.image_id,
+                                    "shop_name": rec.shop_name,
+                                    "width": rec.width,
+                                    "height": rec.height,
+                                    "det_idx": det_idx,
+                                    "class_name": cls,
+                                    "x1": x1,
+                                    "y1": y1,
+                                    "x2": min(x1 + 40 + s2 % 200, rec.width),
+                                    "y2": min(y1 + 40 + (s2 >> 4) % 120, rec.height),
+                                    "confidence": 0.5 + (s2 % 50) / 100.0,
+                                    "ocr_text": _fake_ocr(s2, cls) if include_ocr else None,
+                                    "error": None,
+                                }
+                            )
+                            det_idx += 1
+                except Exception as e:  # op 45: dead-letter, don't kill the batch
+                    rows.append(
+                        {
+                            "image_id": getattr(rec, "image_id", None),
+                            "shop_name": getattr(rec, "shop_name", None),
+                            "width": None, "height": None, "det_idx": None,
+                            "class_name": None, "x1": None, "y1": None,
+                            "x2": None, "y2": None, "confidence": None,
+                            "ocr_text": None, "error": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[c.split(" ")[0] for c in DETECTION_SCHEMA.split(", ")])
+
+    return df.mapInPandas(_stub_infer_batch, schema=DETECTION_SCHEMA)
+
+
+def pad_clamp(df: DataFrame, padding: float = 0.10) -> DataFrame:
+    """op 9: grow the box by ``padding`` per side, clamp to image bounds —
+    pure column arithmetic (reference hardcodes 10%, yolo_ocr_utils.py:124-132)."""
+    pw = ((F.col("x2") - F.col("x1")) * padding).cast("int")
+    ph = ((F.col("y2") - F.col("y1")) * padding).cast("int")
+    return (
+        df.withColumn("px1", F.greatest(F.lit(0), F.col("x1") - pw))
+        .withColumn("py1", F.greatest(F.lit(0), F.col("y1") - ph))
+        .withColumn("px2", F.least(F.col("width"), F.col("x2") + pw))
+        .withColumn("py2", F.least(F.col("height"), F.col("y2") + ph))
+    )
+
+
+def group_detections(df: DataFrame) -> DataFrame:
+    """op 13: fold per-image detections into map<class, list<struct>> (the
+    item_detection_data / item_processing_data shape, README.md:124-183)."""
+    det = F.struct(
+        F.struct("px1", "py1", "px2", "py2").alias("bounding_box"),
+        F.col("class_name"),
+        F.col("confidence"),
+        F.col("ocr_text"),
+    )
+    per_class = (
+        df.groupBy("image_id", "class_name")
+        .agg(F.sort_array(F.collect_list(F.struct(F.col("det_idx"), det.alias("d")))).alias("ds"))
+        .select("image_id", "class_name", F.col("ds.d").alias("dets"))
+    )
+    return (
+        per_class.groupBy("image_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("class_name", "dets"))).alias("detections"))
+    )
+
+
+def pivot_last_wins(df: DataFrame) -> DataFrame:
+    """op 41: class-keyed fold to a wide row; deterministic last-wins via
+    max_by(ocr_text, det_idx) (the reference's loop makes 'last' an
+    iteration-order accident, data_pipeline.py:109-123)."""
+    return (
+        df.groupBy("image_id", "shop_name")
+        .pivot("class_name", list(MODEL2_CLASSES))
+        .agg(F.expr("max_by(ocr_text, det_idx)"))
+    )
+
+
+def detected_data(spark: SparkSession, sf_dir: str, padding: float = 0.10) -> DataFrame:
+    """The full DAG #1 tail: wide detected_data records (FIXTURES.md §B5
+    shape, typed NULLs instead of the reference's str(None) — op 42 not
+    reproduced)."""
+    pages = synthesize_pages(spark, sf_dir)
+    det2 = stub_detect(pages, model="model2", include_ocr=True)
+    det2 = pad_clamp(det2.where(F.col("error").isNull()), padding)
+    wide = pivot_last_wins(det2)
+    # route each class column through the dispatcher with a literal class_id
+    from ..functions.dialect import SPARK
+    from ..functions.prices import dispatcher_fields
+
+    def processed(cls_col: str, cls_name: str, field: str):
+        fields = dispatcher_fields(SPARK, "shop_name", cls_col, f"'{cls_name}'")
+        return F.expr(fields[field])
+
+    return wide.select(
+        "image_id",
+        "shop_name",
+        F.col("item_name"),
+        F.lower(F.col("item_name")).alias("processed_item_name"),
+        F.col("item_price"),
+        processed("item_price", "item_price", "item_price").alias("processed_item_price"),
+        F.col("item_member_price"),
+        processed("item_member_price", "item_member_price", "member_price").alias(
+            "processed_item_member_price"
+        ),
+        F.col("item_initial_price"),
+        processed("item_initial_price", "item_initial_price", "initial_price").alias(
+            "processed_item_initial_price"
+        ),
+        F.lit(True).alias("valid"),  # op 43: code sets True (README disagrees; code wins)
+    )
+
+
+@register(
+    "detected_data_pipeline",
+    oracle=None,  # mapInPandas inference stubs → rows-only driver check
+    doc="Reference DAG #1 end-to-end (ops 3, 8-14, 41, 43-45): synthesized "
+    "pages → stubbed model2+OCR mapInPandas → pad/clamp → last-wins pivot → "
+    "price dispatcher → wide detected_data records with typed NULLs.",
+    tags=("udf", "pipeline", "inference"),
+)
+def detected_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return detected_data(spark, sf_dir).orderBy("image_id")
+
+
+@register(
+    "nested_detections_table",
+    oracle=None,  # map<class, list<struct>> shape → rows-only driver check
+    doc="Reference op 13 nesting agg end-to-end: stubbed model1 detections "
+    "folded to map<class_name, list<struct<bounding_box, class_name, "
+    "confidence, ocr_text>>> (item_detection_data shape).",
+    tags=("udf", "nested", "inference"),
+)
+def nested_detections_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = synthesize_pages(spark, sf_dir)
+    det1 = pad_clamp(stub_detect(pages, model="model1").where(F.col("error").isNull()))
+    return (
+        group_detections(det1)
+        .select("image_id", F.map_keys("detections").alias("classes"), "detections")
+        .orderBy("image_id")
+    )

@@ -1,0 +1,182 @@
+"""Name-correction / word-segmentation suite (reference ops 16-20,
+dags/utils/correct_names.py:24-143): OCR-confusion-aware trie + DP word
+segmentation, as a broadcast structure consumed by an Arrow-batched UDF.
+
+This is the engine's canonical "broadcast side-input + pandas UDF" operator:
+the trie (built once from the vocabulary, ~MBs) ships to every executor via
+``SparkContext.broadcast``; segmentation runs vectorized per Arrow batch.
+Not SQL-expressible → the registry entry is a rows-only check; semantics are
+pinned by golden tests against FIXTURES.md §B8.
+
+Reference semantics preserved (verified by execution):
+- variants substitute within confusion classes {i,l,1}, {r,j}, {e,o} at every
+  occurrence (cartesian product) and are accepted VERBATIM — 'm1eko' stays
+  'm1eko', the mechanism buys segmentation robustness, not spelling
+  correction (correct_names.py:24-48, 139-140);
+- scoring: len<=3 ⇒ -10 else +len; forward DP over (start, end) word matches
+  in generation order with strict-> relaxation; text not fully covered by
+  matches ⇒ empty result (correct_names.py:99-114);
+- hunspell fallback (correct_names.py:127-138) is environment-dependent →
+  behind a flag, default OFF, import-gated.
+
+Deviation (documented): variant expansion is capped at
+``MAX_VARIANT_POSITIONS`` substitutable positions per word — the reference's
+uncapped cartesian product is exponential (a 20-confusion-char word would
+generate 3^20 variants); capped words keep their literal spelling only.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_col
+from ..registry import register
+from ..sources.tables import load_table
+
+MAX_VARIANT_POSITIONS = 8
+
+_CONFUSIONS = {
+    "i": ("i", "l", "1"),
+    "l": ("i", "l", "1"),
+    "1": ("i", "l", "1"),
+    "r": ("r", "j"),
+    "j": ("r", "j"),
+    "e": ("e", "o"),
+    "o": ("e", "o"),
+}
+
+
+def confusion_variants(word: str) -> list[str]:
+    """All spellings of ``word`` under the OCR confusion classes (op 16)."""
+    slots = [i for i, ch in enumerate(word) if ch in _CONFUSIONS]
+    if not slots:
+        return [word]
+    if len(slots) > MAX_VARIANT_POSITIONS:  # cap (deviation, see module doc)
+        return [word]
+    results = []
+    stack = [(0, list(word))]
+    while stack:
+        k, chars = stack.pop()
+        if k == len(slots):
+            results.append("".join(chars))
+            continue
+        pos = slots[k]
+        for sub in _CONFUSIONS[chars[pos]] if chars[pos] in _CONFUSIONS else (chars[pos],):
+            nxt = list(chars)
+            nxt[pos] = sub
+            stack.append((k + 1, nxt))
+    return results
+
+
+class Trie:
+    """Minimal dict-node trie with the reference's three operations."""
+
+    __slots__ = ("root",)
+
+    def __init__(self):
+        self.root: dict = {}
+
+    def insert(self, word: str, expand: bool = True) -> None:
+        for variant in confusion_variants(word) if expand else (word,):
+            node = self.root
+            for ch in variant:
+                node = node.setdefault(ch, {})
+            node["$"] = True
+
+    def search(self, word: str) -> bool:
+        node = self.root
+        for ch in word:
+            node = node.get(ch)
+            if node is None:
+                return False
+        return "$" in node
+
+    def find_all_words(self, text: str) -> list[tuple[str, int, int]]:
+        """Every (word, start, end) substring accepted by the trie — the
+        O(n²) scan the DP consumes (correct_names.py:81-96)."""
+        found = []
+        n = len(text)
+        for start in range(n):
+            node = self.root
+            for end in range(start, n):
+                node = node.get(text[end])
+                if node is None:
+                    break
+                if "$" in node:
+                    found.append((text[start : end + 1], start, end + 1))
+        return found
+
+
+def _score(word: str) -> int:
+    return -10 if len(word) <= 3 else len(word)
+
+
+def best_segmentation(trie: Trie, text: str) -> list[str]:
+    """Forward DP over matches in (start, end) generation order with
+    strict-> relaxation; uncovered text ⇒ [] (correct_names.py:105-114)."""
+    matches = trie.find_all_words(text)
+    neg = float("-inf")
+    dp: list[tuple[float, list[str]]] = [(neg, [])] * (len(text) + 1)
+    dp[0] = (0, [])
+    for word, start, end in matches:
+        cand = dp[start][0] + _score(word)
+        if cand > dp[end][0]:
+            dp[end] = (cand, dp[start][1] + [word])
+    return dp[len(text)][1]
+
+
+def build_vocab_trie(words, expand: bool = True) -> Trie:
+    trie = Trie()
+    for w in words:
+        if w:
+            trie.insert(w, expand=expand)
+    return trie
+
+
+def segment_column(spark: SparkSession, df: DataFrame, text_col: str, out_col: str, vocab: list[str]) -> DataFrame:
+    """Attach ``out_col`` = space-joined best segmentation of the
+    concatenated (space-stripped) ``text_col`` (op 20 process_single_word,
+    hunspell off)."""
+    trie = build_vocab_trie(vocab)
+    bc = spark.sparkContext.broadcast(trie)
+
+    @F.pandas_udf("string")
+    def seg(texts: pd.Series) -> pd.Series:
+        t = bc.value
+        out = []
+        for s in texts:
+            if s is None:
+                out.append(None)
+                continue
+            concatenated = "".join(s.split())
+            out.append(" ".join(best_segmentation(t, concatenated)))
+        return pd.Series(out, dtype="object")
+
+    return df.withColumn(out_col, seg(F.col(text_col)))
+
+
+@register(
+    "word_segmentation",
+    oracle=None,  # trie+DP is not SQL-expressible → rows-only driver check
+    doc="Reference ops 16-20: broadcast confusion-variant trie + DP word "
+    "segmentation over normalized document text (vocabulary = most frequent "
+    "document words). Arrow-batched pandas UDF; hunspell off.",
+    tags=("udf", "text", "segmentation"),
+)
+def word_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # deterministic vocabulary: all distinct words of the corpus (small here;
+    # at scale: top-N by frequency, still collected once and broadcast)
+    vocab = [
+        r[0]
+        for r in docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .where(F.length("w") > 0)
+        .distinct()
+        .orderBy("w")
+        .collect()
+    ]
+    prepared = docs.select("doc_id", normalize_col("text").alias("norm"))
+    out = segment_column(spark, prepared, "norm", "segmented", vocab)
+    return out.select("doc_id", "segmented").orderBy("doc_id")

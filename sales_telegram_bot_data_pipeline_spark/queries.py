@@ -39,6 +39,14 @@ try:
     from .operators import inference  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:
+    from .sources import binary  # noqa: F401  (multimodal_features)
+except ImportError:  # pragma: no cover
+    pass
+try:
+    from .streaming import revalidate  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
 
 
 def queries():

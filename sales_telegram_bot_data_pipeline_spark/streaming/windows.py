@@ -1,0 +1,86 @@
+"""Structured Streaming window jobs over the events stream.
+
+The batch-parity forms (oracle-checked) live in operators/temporal.py —
+SAME ``F.window``/``F.session_window`` expressions; these builders wire them
+to ``readStream`` with watermarks.  Tests stream the events parquet through
+a file source and assert streaming output == the batch form (SURVEY.md §5.4:
+batch parity, not oracle, validates streaming state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source stream of micro-batched events parquet (one file = one
+    micro-batch with maxFilesPerTrigger=1)."""
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+
+def tumbling_counts(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """1-hour tumbling count/sum with late-data watermark — the streaming
+    twin of operators/temporal.tumbling_window_stats."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def session_sums(stream: DataFrame, gap: str = "15 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """Per-user session windows (gap-based) under watermark — streaming twin
+    of operators/temporal.session_window_stats."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_to_completion(stream_df: DataFrame, query_name: str, output_mode: str = "complete") -> DataFrame:
+    """Drain all available input (Trigger.AvailableNow) into a memory sink
+    and return the result table."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)

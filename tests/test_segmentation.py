@@ -1,0 +1,72 @@
+"""Golden tests for the trie+DP segmentation suite (reference ops 16-20),
+pinned to FIXTURES.md §B8 (execution-verified against the reference;
+hunspell stubbed/off)."""
+
+from __future__ import annotations
+
+from sales_telegram_bot_data_pipeline_spark.functions.text import normalize_col  # noqa: F401 (smoke import)
+from sales_telegram_bot_data_pipeline_spark.operators.segmentation import (
+    Trie,
+    best_segmentation,
+    build_vocab_trie,
+    confusion_variants,
+    segment_column,
+)
+
+VOCAB = ["florian", "smetanovy", "jogurt", "mleko", "cerstve"]
+
+
+def _seg(text: str, vocab=VOCAB) -> str:
+    trie = build_vocab_trie(vocab)
+    return " ".join(best_segmentation(trie, "".join(text.split())))
+
+
+def test_confusion_variant_count():
+    # 'mleko': l→3, e→2, e→... chars: m,l,e,k,o → slots l,e,o → 3*2*2 = 12
+    assert len(confusion_variants("mleko")) == 12
+    assert "m1eko" in confusion_variants("mleko")
+    assert confusion_variants("xyz") == ["xyz"]
+
+
+def test_variants_accepted_verbatim_not_canonicalized():
+    trie = build_vocab_trie(["mleko"])
+    assert trie.search("m1eko")  # corrupted spelling IS in the trie
+    assert _seg("m1eko", ["mleko"]) == "m1eko"  # and kept as-is (B8 row 3)
+
+
+def test_b8_fixtures():
+    assert _seg("florianjogurt") == "florian jogurt"
+    assert _seg("cerstvem1eko") == "cerstve m1eko"
+    assert _seg("xyzqq") == ""  # uncovered text ⇒ empty (B8 row 5)
+
+
+def test_short_word_penalty():
+    # 'ab' (len<=3 ⇒ -10) never beats leaving text uncovered? The DP only
+    # emits full covers; a cover of all-short words still wins over nothing.
+    trie = build_vocab_trie(["ab", "cd", "abcd"])
+    assert best_segmentation(trie, "abcd") == ["abcd"]  # +4 beats -20
+
+
+def test_find_all_words_positions():
+    trie = Trie()
+    trie.insert("ab", expand=False)
+    trie.insert("abc", expand=False)
+    assert trie.find_all_words("abc") == [("ab", 0, 2), ("abc", 0, 3)]
+
+
+def test_variant_cap_keeps_literal():
+    word = "ileoileoileoileoil"  # > 8 substitutable positions
+    assert confusion_variants(word) == [word]
+
+
+def test_segment_column_spark(spark):
+    df = spark.createDataFrame(
+        [(1, "Florian Smetanový jogurt"), (2, "cerstvem1eko"), (3, None)],
+        "id long, raw string",
+    )
+    prepared = df.select("id", normalize_col("raw").alias("norm"))
+    out = {r["id"]: r["seg"] for r in
+           segment_column(spark, prepared, "norm", "seg", VOCAB).select("id", "seg").collect()}
+    assert out[1] == "florian smetanovy jogurt"
+    assert out[2] == "cerstve m1eko"
+    assert out[3] is None

@@ -1,0 +1,159 @@
+"""Streaming correctness via batch parity (SURVEY.md §5.4): the same window
+expressions run (a) as a real Structured Streaming job over a file-source
+stream of the events table, and (b) in batch; results must match exactly.
+Also exercises the incremental revalidation job end-to-end through the
+idempotent KV sink and webhook batcher (ops 5, 46-47, 50).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from sales_telegram_bot_data_pipeline_spark.sinks.kv import InMemoryKVStore, write_kv_upsert
+from sales_telegram_bot_data_pipeline_spark.sinks.webhook import WebhookBatcher
+from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
+from sales_telegram_bot_data_pipeline_spark.streaming.revalidate import run_revalidation_batch
+from sales_telegram_bot_data_pipeline_spark.streaming.windows import (
+    read_events_stream,
+    run_to_completion,
+    session_sums,
+    tumbling_counts,
+)
+
+from conftest import SF_SMOKE
+
+TMP = os.path.join(os.path.dirname(__file__), ".tmp")
+
+
+@pytest.fixture()
+def scratch():
+    path = os.path.join(TMP, uuid.uuid4().hex)
+    os.makedirs(path, exist_ok=True)
+    yield path
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def _events_as_stream_source(spark, scratch: str, n_files: int = 4) -> str:
+    """Split events into n parquet files of CONTIGUOUS time ranges so the
+    file source replays them as in-order micro-batches — arrival never lags
+    the watermark, so streaming state converges to the batch answer (late
+    arrivals beyond the watermark are legitimately dropped by streaming and
+    are covered by the watermark_tail_stats batch query instead)."""
+    from pyspark.sql.window import Window
+
+    src = os.path.join(scratch, "events_src")
+    ev = load_table(spark, SF_SMOKE, "events")
+    n = ev.count()
+    ev.withColumn("rn", F.row_number().over(Window.orderBy("ts"))) \
+      .withColumn("bucket", (F.col("rn") * n_files / (n + 1)).cast("int")) \
+      .drop("rn") \
+      .repartition("bucket").write.partitionBy("bucket").parquet(src)
+    # file source needs files directly under the path with a fixed schema →
+    # flatten the partition dirs
+    flat = os.path.join(scratch, "flat")
+    os.makedirs(flat, exist_ok=True)
+    i = 0
+    for root, _dirs, files in sorted(os.walk(src)):  # bucket=0,1,2,… in time order
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(root, f), os.path.join(flat, f"{i:03d}.parquet"))
+                i += 1
+    return flat
+
+
+def test_tumbling_stream_matches_batch(spark, scratch):
+    flat = _events_as_stream_source(spark, scratch)
+    # streaming pass (complete mode; watermark can't drop rows then)
+    stream = read_events_stream(spark, flat)
+    got = run_to_completion(tumbling_counts(stream), f"tumb_{uuid.uuid4().hex[:8]}")
+    # batch pass over the SAME files
+    batch = spark.read.parquet(flat)
+    want = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_session_stream_matches_batch(spark, scratch):
+    flat = _events_as_stream_source(spark, scratch)
+    stream = read_events_stream(spark, flat)
+    got = run_to_completion(session_sums(stream), f"sess_{uuid.uuid4().hex[:8]}")
+    batch = spark.read.parquet(flat)
+    want = (
+        batch.groupBy(F.session_window("ts", "15 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n_events")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_kv_sink_idempotent(spark, scratch):
+    kv_path = os.path.join(scratch, "kv.jsonl")
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (1, "a")], "k int, v string")
+    write_kv_upsert(df, ["k"], kv_path)
+    first = InMemoryKVStore(kv_path).snapshot()
+    write_kv_upsert(df, ["k"], kv_path)  # re-run: must converge, not duplicate
+    second = InMemoryKVStore(kv_path).snapshot()
+    assert first == second
+    assert set(first) == {"1", "2"}
+
+
+def test_revalidation_job_end_to_end(spark, scratch):
+    kv_path = os.path.join(scratch, "kv.jsonl")
+    hook = os.path.join(scratch, "webhook.jsonl")
+    meta = spark.createDataFrame(
+        [
+            # (key, from, to, stored) around today=1997-06-01
+            (1, "1997-05-01", "1997-07-01", False),  # actually valid → flips
+            (2, "1997-01-01", "1997-02-01", True),   # expired → flips
+            (3, "1997-05-01", "1997-07-01", True),   # correct → untouched
+        ],
+        "meta_key int, valid_from string, valid_to string, stored_valid boolean",
+    ).select(
+        "meta_key",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+        "stored_valid",
+    )
+    details = spark.createDataFrame(
+        [(10, 1), (11, 1), (20, 2), (30, 3)], "detail_key int, detail_fk int"
+    )
+    stats = run_revalidation_batch(spark, meta, details, "1997-06-01", kv_path, hook)
+    assert stats == {"changed": 2, "details_flipped": 3, "notified": 1}
+    snap = InMemoryKVStore(kv_path).snapshot()
+    assert snap["1"]["now_valid"] is True and snap["2"]["now_valid"] is False
+    assert snap["10"]["now_valid"] is True and snap["20"]["now_valid"] is False
+    assert "30" not in snap  # untouched parent's details not rewritten
+    batches = WebhookBatcher(hook).sent_batches()
+    sent = [m for b in batches for m in b]
+    assert len(sent) == 1 and sent[0]["user_ref"] == 1 and "idempotency_key" in sent[0]
+    # re-run converges (idempotent sinks)
+    stats2 = run_revalidation_batch(spark, meta, details, "1997-06-01", kv_path, hook)
+    assert InMemoryKVStore(kv_path).snapshot() == snap
+    assert stats2["changed"] == 2
+
+
+def test_multimodal_features_shape(spark):
+    from sales_telegram_bot_data_pipeline_spark.sources.binary import multimodal_features
+
+    df = multimodal_features(spark, SF_SMOKE)
+    rows = df.limit(5).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["byte_len"] > 0
+        assert len(r["features"]) == 8
+        assert all(0.0 <= f <= 1.0 for f in r["features"])
+    # determinism: same content → same features
+    again = multimodal_features(spark, SF_SMOKE).limit(5).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
