@@ -63,26 +63,29 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # word 3-gram shingles (shared by jaccard / minhash)
 # --------------------------------------------------------------------------
 def _shingles_sql(d: Dialect, table: str) -> str:
-    """(doc_id, shingle) pairs, distinct — word 3-grams."""
+    """(doc_id, shingle) pairs, distinct — word 3-grams.
+
+    The words array is hoisted into a subquery column: inlining the split
+    expression into the per-position slice lambda re-tokenizes the whole
+    document for every shingle — O(words²) per doc (measured 5.5s → 0.5s at
+    sf0.1)."""
     w = d.splitws("lower(text)")
+    words_rel = f"(SELECT doc_id, {w} AS w FROM {table}) src"
     if d.name == "spark":
-        shingle_arr = (
-            f"transform(sequence(1, size({w}) - 2), "
-            f"i -> array_join(slice({w}, i, 3), ' '))"
-        )
+        shingle_arr = "transform(sequence(1, size(w) - 2), i -> array_join(slice(w, i, 3), ' '))"
         return (
             f"SELECT DISTINCT doc_id, shingle "
-            f"FROM {table} "
+            f"FROM {words_rel} "
             f"LATERAL VIEW explode({shingle_arr}) t AS shingle "
-            f"WHERE size({w}) >= 3"
+            f"WHERE size(w) >= 3"
         )
     shingle_arr = (
-        f"list_transform(generate_series(1, len({w}) - 2), "
-        f"i -> array_to_string(list_slice({w}, i, i + 2), ' '))"
+        "list_transform(generate_series(1, len(w) - 2), "
+        "i -> array_to_string(list_slice(w, i, i + 2), ' '))"
     )
     return (
         f"SELECT DISTINCT doc_id, unnest({shingle_arr}) AS shingle "
-        f"FROM {table} WHERE len({w}) >= 3"
+        f"FROM {words_rel} WHERE len(w) >= 3"
     )
 
 
@@ -134,19 +137,35 @@ def _minhash_sig_sql(d: Dialect, table: str) -> str:
 
 
 def _lsh_pairs_sql(d: Dialect, table: str) -> str:
+    # Bands expand via a single explode over the signature row (NOT a
+    # UNION ALL of per-band selects — that made Spark recompute the whole
+    # shingle+minhash CTE once per band per join side, 8x; with one explode
+    # the self-join's two identical sides also hit exchange reuse).
     sig = _minhash_sig_sql(d, table)
     n_bands = N_HASHES // BAND_SIZE
-    band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, "
-        + " || '_' || ".join(
-            d.strcast(f"h{b * BAND_SIZE + r}") for r in range(BAND_SIZE)
+
+    def band_key(b: int) -> str:
+        return " || '_' || ".join(d.strcast(f"h{b * BAND_SIZE + r}") for r in range(BAND_SIZE))
+
+    if d.name == "spark":
+        entries = ", ".join(
+            f"named_struct('band', {b}, 'band_key', {band_key(b)})" for b in range(n_bands)
         )
-        + " AS band_key FROM sig"
-        for b in range(n_bands)
-    )
+        bands = (
+            f"SELECT doc_id, e.band AS band, e.band_key AS band_key "
+            f"FROM sig LATERAL VIEW explode(array({entries})) t AS e"
+        )
+    else:
+        entries = ", ".join(
+            f"{{'band': {b}, 'band_key': {band_key(b)}}}" for b in range(n_bands)
+        )
+        bands = (
+            f"SELECT doc_id, u.band AS band, u.band_key AS band_key "
+            f"FROM (SELECT doc_id, unnest([{entries}]) AS u FROM sig) s"
+        )
     return f"""
 WITH sig AS ({sig}),
-bands AS ({band_rows})
+bands AS ({bands})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id

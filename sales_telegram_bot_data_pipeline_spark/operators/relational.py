@@ -469,6 +469,104 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Explicit GROUPING SETS (beyond rollup/cube): chosen subtotal combinations.
+# ---------------------------------------------------------------------------
+@register(
+    "grouping_sets_flag_priority",
+    oracle="""
+SELECT
+  COALESCE(l_returnflag, 'ALL') AS returnflag,
+  COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+  COUNT(*) AS n_rows,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY GROUPING SETS ((l_returnflag), (o_orderpriority))
+ORDER BY returnflag, orderpriority
+""",
+    doc="Explicit GROUPING SETS: two independent subtotal dimensions in one "
+    "pass over the join.",
+    tags=("agg", "grouping-sets"),
+)
+def grouping_sets_flag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("sales_telegram_bot_data_pipeline_li")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sales_telegram_bot_data_pipeline_ord")
+    return spark.sql("""
+SELECT
+  COALESCE(l_returnflag, 'ALL') AS returnflag,
+  COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+  COUNT(*) AS n_rows,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM sales_telegram_bot_data_pipeline_li JOIN sales_telegram_bot_data_pipeline_ord ON l_orderkey = o_orderkey
+GROUP BY GROUPING SETS ((l_returnflag), (o_orderpriority))
+ORDER BY returnflag, orderpriority
+""")
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery (optimizer surface: decorrelation to join).
+# ---------------------------------------------------------------------------
+@register(
+    "correlated_max_order",
+    oracle="""
+SELECT c_custkey, c_name,
+       (SELECT CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        FROM orders WHERE o_custkey = c_custkey) AS max_order_price
+FROM customer
+WHERE c_custkey < 100
+ORDER BY c_custkey
+""",
+    doc="Correlated scalar subquery (Catalyst decorrelates it into an "
+    "aggregate + left join — same shape the reference's per-key point "
+    "lookups collapse into at scale).",
+    tags=("subquery", "join"),
+)
+def correlated_max_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("sales_telegram_bot_data_pipeline_cust")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sales_telegram_bot_data_pipeline_ord2")
+    return spark.sql("""
+SELECT c_custkey, c_name,
+       (SELECT CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        FROM sales_telegram_bot_data_pipeline_ord2 WHERE o_custkey = c_custkey) AS max_order_price
+FROM sales_telegram_bot_data_pipeline_cust
+WHERE c_custkey < 100
+ORDER BY c_custkey
+""")
+
+
+# ---------------------------------------------------------------------------
+# Distribution analytics: ntile / percent_rank / cume_dist.
+# ---------------------------------------------------------------------------
+@register(
+    "window_distribution_ranks",
+    oracle="""
+SELECT o_orderkey,
+       NTILE(4) OVER w AS quartile,
+       CAST(ROUND(PERCENT_RANK() OVER w, 6) AS DOUBLE) AS pct_rank,
+       CAST(ROUND(CUME_DIST() OVER w, 6) AS DOUBLE) AS cume
+FROM orders
+WHERE o_custkey < 30
+WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderkey
+""",
+    doc="Distribution window functions (ntile/percent_rank/cume_dist) with "
+    "a deterministic total order.",
+    tags=("window",),
+)
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 30)
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).cast("double").alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).cast("double").alias("cume"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Set operations: UNION / INTERSECT / EXCEPT over customer key sets.
 # ---------------------------------------------------------------------------
 @register(
@@ -532,6 +630,134 @@ def distinct_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_mktsegment", "n_name")
         .distinct()
         .orderBy("c_mktsegment", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# HAVING — post-aggregation predicate (TPC-H Q18 shape).
+# ---------------------------------------------------------------------------
+@register(
+    "having_large_orders",
+    oracle="""
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM lineitem
+GROUP BY l_orderkey
+HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+ORDER BY l_orderkey
+""",
+    doc="Aggregate + HAVING filter (large-volume orders, TPC-H Q18 shape).",
+    tags=("agg", "having"),
+)
+def having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("q"))
+        .where(F.col("q") > 250)
+        .select("l_orderkey", F.col("q").cast("double").alias("total_qty"))
+        .orderBy("l_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Disjunctive multi-clause predicates (TPC-H Q19 shape).
+# ---------------------------------------------------------------------------
+@register(
+    "disjunctive_predicates",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10)
+   OR (p_type LIKE '%BRASS%' AND l_quantity < 3)
+""",
+    doc="Disjunctive predicate evaluation over a join (TPC-H Q19 shape).",
+    tags=("filter", "join"),
+)
+def disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & (F.col("l_quantity") >= 5))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & (F.col("l_quantity") >= 10))
+        | (F.col("p_type").like("%BRASS%") & (F.col("l_quantity") < 3))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global-average subquery filter (TPC-H Q22 shape).
+# ---------------------------------------------------------------------------
+@register(
+    "above_avg_balance_customers",
+    oracle="""
+SELECT c_custkey, c_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+ORDER BY c_custkey
+""",
+    doc="Uncorrelated scalar-subquery filter (above-average balances, "
+    "TPC-H Q22 shape) — one tiny broadcast of the aggregate.",
+    tags=("subquery", "filter"),
+)
+def above_avg_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("sales_telegram_bot_data_pipeline_cust2")
+    return spark.sql("""
+SELECT c_custkey, c_acctbal
+FROM sales_telegram_bot_data_pipeline_cust2
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM sales_telegram_bot_data_pipeline_cust2 WHERE c_acctbal > 0)
+ORDER BY c_custkey
+""")
+
+
+# ---------------------------------------------------------------------------
+# Date / math scalar-function suite (checklist: date + math functions).
+# ---------------------------------------------------------------------------
+@register(
+    "date_math_functions",
+    oracle="""
+SELECT
+  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+  CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS order_month,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+  CAST(ROUND(SQRT(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)), 6) AS DOUBLE) AS sqrt_avg_price,
+  CAST(MIN(DATE_TRUNC('month', o_orderdate)) AS TIMESTAMP) AS month_start
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY 1, 2
+ORDER BY order_year, order_month
+""",
+    doc="Date (extract/date_trunc) + math (sqrt/round) scalar functions in "
+    "one aggregate pass.",
+    tags=("scalar", "date", "math"),
+)
+def date_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+            F.month("o_orderdate").cast("bigint").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+            F.round(F.sqrt(F.sum(_dec("o_totalprice")).cast("double") / F.count(F.lit(1))), 6).cast("double").alias("sqrt_avg_price"),
+            F.min(F.date_trunc("month", "o_orderdate")).alias("month_start"),
+        )
+        .orderBy("order_year", "order_month")
     )
 
 
@@ -632,6 +858,27 @@ def nested_collect_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 # JSON extraction over events.props (the reference's XCom/to_json edge,
 # op 6, done natively).
 # ---------------------------------------------------------------------------
+@register(
+    "approx_distinct_users",
+    oracle=None,  # HLL sketch estimates aren't oracle-reproducible; the
+    # companion exact query distinct-counts are (see test_relational_extras)
+    doc="Sketch aggregation: approx_count_distinct (HyperLogLog++) per "
+    "event_type — constant memory per group at any scale; rows-only check, "
+    "accuracy pinned by a tolerance test against the exact count.",
+    tags=("agg", "sketch"),
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @register(
     "json_extract_props",
     oracle="""

@@ -85,6 +85,56 @@ ORDER BY vec_a, vec_b
 """
 
 
+def _sign_bucket(d: Dialect, emb: str, bits: int = 8) -> str:
+    """Random-hyperplane-style LSH bucket from the signs of the first
+    ``bits`` dimensions — portable (pure element comparisons), and the
+    partition key of the scale path: candidates shuffle by bucket, so each
+    query probes one bucket instead of the whole corpus."""
+    terms = " + ".join(
+        f"(CASE WHEN cast({d.get1(emb, i + 1)} as double) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"({terms})"
+
+
+def _knn_lsh_sql(d: Dialect, table: str) -> str:
+    dot = _dots(d, "q.embedding", "c.embedding")
+    qq = _dots(d, "q.embedding", "q.embedding")
+    cc = _dots(d, "c.embedding", "c.embedding")
+    cosine = f"round(({dot}) / (sqrt({qq}) * sqrt({cc})), 6)"
+    qb = _sign_bucket(d, "q.embedding")
+    cb = _sign_bucket(d, "c.embedding")
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cosine} AS cosine
+  FROM {table} q JOIN {table} c
+    ON {qb} = {cb} AND q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) t
+WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "knn_cosine_lsh_bucketed",
+    oracle=_knn_lsh_sql(DUCKDB, "embeddings"),
+    doc="ANN scale path: sign-sketch LSH bucketing (8 hyperplane bits) — "
+    "the corpus partitions by bucket, each query probes only its bucket "
+    "(≈1/256 of the data), then exact cosine ranks the candidates. "
+    "Approximate by construction; oracle runs the same approximation.",
+    tags=("similarity", "lsh", "topk"),
+)
+def knn_cosine_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_knn_lsh_sql(SPARK, _emb_view(spark, sf_dir)))
+
+
 @register(
     "embedding_cosine_neardup",
     oracle=_pair_sim_sql(DUCKDB, "embeddings"),

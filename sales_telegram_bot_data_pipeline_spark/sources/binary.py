@@ -87,6 +87,43 @@ def decode_stub(df: DataFrame, real_decode: bool = False) -> DataFrame:
     return df.mapInPandas(_decode, schema=DECODED_SCHEMA)
 
 
+CROP_SCHEMA = "image_id string, det_idx int, class_name string, crop binary, crop_len long"
+
+
+def crop_regions(df: DataFrame) -> DataFrame:
+    """op 10 (ROI crop, yolo_ocr_utils.py:174-196): slice the detection box
+    out of the image bytes and emit one binary crop per detection row.
+
+    Real image slicing needs a decoder (not in this container); the stub
+    slices the RAW byte range proportional to the box so partitioning,
+    row-explosion and binary-output plumbing are real.  The reference crops
+    the UNPADDED box while storing the padded one (asymmetry documented,
+    SURVEY.md op 10); this operator crops what it is given — pass padded or
+    unpadded columns explicitly."""
+
+    def _crop(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rec in pdf.itertuples(index=False):
+                content = bytes(rec.content) if rec.content is not None else b""
+                w = max(int(rec.width), 1)
+                lo = min(len(content) * int(rec.x1) // w, len(content))
+                hi = min(len(content) * int(rec.x2) // w, len(content))
+                crop = content[lo:hi]
+                out.append(
+                    {
+                        "image_id": rec.image_id,
+                        "det_idx": rec.det_idx,
+                        "class_name": rec.class_name,
+                        "crop": crop,
+                        "crop_len": len(crop),
+                    }
+                )
+            yield pd.DataFrame(out, columns=[c.split(" ")[0] for c in CROP_SCHEMA.split(", ")])
+
+    return df.mapInPandas(_crop, schema=CROP_SCHEMA)
+
+
 @register(
     "multimodal_features",
     oracle=None,  # mapInPandas decode stub → rows-only driver check

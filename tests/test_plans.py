@@ -1,0 +1,94 @@
+"""Physical-plan assertions: the optimizations the engine is designed around
+must actually appear in the executed plans (SURVEY.md §4).
+
+These guard against regressions that would silently keep results correct but
+destroy the 100 TB story: a broadcast join decaying to sort-merge, a filter
+not reaching the parquet scan, a range join planning as nested-loop over the
+full input, Python appearing in a native-expression pipeline.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sales_telegram_bot_data_pipeline_spark import queries as q
+
+from conftest import SF_SMOKE
+
+
+def _plan(spark, name: str) -> str:
+    df = q.REGISTRY[name].fn(spark, SF_SMOKE)
+    df.collect()  # finalize the AQE plan so codegen spans are visible
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 7 needed columns in ReadSchema
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_comment" not in read and "l_partkey" not in read
+
+
+def test_dim_joins_are_broadcast(spark):
+    for name in ("q5_revenue_by_nation", "broadcast_lookup_join", "topk_orders_per_segment"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast join"
+        assert "SortMergeJoin" not in plan, f"{name} unexpectedly sort-merge joins"
+
+
+def test_semi_anti_join_types(spark):
+    assert "LeftSemi" in _plan(spark, "semi_join_active_customers")
+    assert "LeftAnti" in _plan(spark, "anti_join_dormant_customers")
+
+
+def test_interval_join_is_not_nested_loop(spark):
+    plan = _plan(spark, "interval_join_shipments")
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "range join must stay a bucketed equi-join, not O(n*m) nested loop"
+    )
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_topk_is_take_ordered(spark):
+    plan = _plan(spark, "topk_orders_global")
+    assert "TakeOrderedAndProject" in plan, "global top-k must not global-sort"
+
+
+def test_native_pipelines_have_no_python(spark):
+    # scalar suites must stay JVM-side (whole-stage codegen, no Python UDFs)
+    for name in ("price_dispatcher_suite", "preprocess_text_normalize", "dedup_simhash"):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+            f"{name} fell off the JVM into Python"
+        )
+        assert "codegen id" in plan, f"{name} has no whole-stage-codegen span"
+
+
+def test_q1_uses_whole_stage_codegen_and_partial_agg(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "codegen id" in plan
+    # partial (map-side) aggregation before the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_sort_merge_join_available_when_broadcast_disabled(spark):
+    # the engine exposes the full join-strategy surface: with broadcast off,
+    # the same logical plan must execute as a shuffle join and stay correct
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q.REGISTRY["broadcast_lookup_join"].fn(spark, SF_SMOKE)
+        # q builds with explicit F.broadcast hint → still broadcast; strip by re-joining
+        from pyspark.sql import functions as F
+
+        from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
+
+        orders = load_table(spark, SF_SMOKE, "orders")
+        cust = load_table(spark, SF_SMOKE, "customer")
+        j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+        plan = j._sc._jvm.PythonSQLUtils.explainString(j._jdf.queryExecution(), "formatted")
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert j.count() > 0
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))

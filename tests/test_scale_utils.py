@@ -1,0 +1,39 @@
+"""Salted-join equivalence and MERGE-upsert semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sales_telegram_bot_data_pipeline_spark.operators.scale import merge_upsert, salted_join
+from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
+
+from conftest import SF_SMOKE
+
+
+def test_salted_join_equals_plain_join(spark):
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    # a deliberately skewed dim: nation-sized key domain
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    plain = orders.join(cust, on="o_custkey").groupBy("c_nationkey").count()
+    salted = salted_join(orders, cust, key="o_custkey").groupBy("c_nationkey").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left_outer(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    right = spark.createDataFrame([(1, "X")], "k int, w string")
+    out = salted_join(left, right, key="k", how="left").collect()
+    by_k = {r["k"]: r["w"] for r in out}
+    assert len(out) == 3 and by_k[1] == "X" and by_k[2] is None
+
+
+def test_merge_upsert(spark):
+    base = spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0)], "k int, s string, x double")
+    updates = spark.createDataFrame([(2, "B", 99.0), (3, "c", 30.0)], "k int, s string, x double")
+    out = {r["k"]: (r["s"], r["x"]) for r in merge_upsert(base, updates, "k").collect()}
+    assert out == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0)}
+    # idempotent: merging the same batch again changes nothing
+    twice = merge_upsert(merge_upsert(base, updates, "k"), updates, "k")
+    assert {r["k"]: (r["s"], r["x"]) for r in twice.collect()} == out

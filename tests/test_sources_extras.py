@@ -1,0 +1,63 @@
+"""Tests for the vocabulary source (op 7), ROI crop (op 10), and the HLL
+sketch query's accuracy bound."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from sales_telegram_bot_data_pipeline_spark.operators.inference import pad_clamp, stub_detect, synthesize_pages
+from sales_telegram_bot_data_pipeline_spark.sources.binary import crop_regions
+from sales_telegram_bot_data_pipeline_spark.sources.vocab import (
+    broadcast_vocab_trie,
+    load_vocabulary_from_text,
+)
+
+from conftest import SF_SMOKE
+
+TMP = os.path.join(os.path.dirname(__file__), ".tmp")
+
+
+def test_vocab_text_source(spark):
+    os.makedirs(TMP, exist_ok=True)
+    path = os.path.join(TMP, "vocab.txt")
+    with open(path, "w") as f:
+        f.write("Florian Smetanový\njogurt\nJOGURT\nmléko | mleko\n\n")
+    words = load_vocabulary_from_text(spark, path)
+    # normalized (op 15 applied), deduped, sorted; '|' deleted merges tokens
+    assert words == ["florian", "jogurt", "mleko", "smetanovy"]
+    bc = broadcast_vocab_trie(spark, words)
+    assert bc.value.search("jogurt") and bc.value.search("m1eko")  # variant in trie
+    bc.unpersist()
+
+
+def test_crop_regions_shape(spark):
+    pages = synthesize_pages(spark, SF_SMOKE).limit(20)
+    det = pad_clamp(stub_detect(pages, model="model1").where(F.col("error").isNull()))
+    with_bytes = det.withColumn("content", F.encode("image_id", "utf-8"))
+    crops = crop_regions(
+        with_bytes.select("image_id", "det_idx", "class_name", "content", "width",
+                          F.col("px1").alias("x1"), F.col("px2").alias("x2"))
+    ).collect()
+    assert len(crops) > 0
+    for r in crops:
+        assert r["crop_len"] == len(r["crop"] or b"")
+        assert r["crop_len"] >= 0
+
+
+def test_approx_distinct_within_tolerance(spark):
+    from sales_telegram_bot_data_pipeline_spark.operators.relational import approx_distinct_users
+
+    got = {r["event_type"]: r["approx_users"] for r in approx_distinct_users(spark, SF_SMOKE).collect()}
+    from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
+
+    exact = {
+        r["event_type"]: r["exact"]
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    for k, approx in got.items():
+        assert abs(approx - exact[k]) <= max(2, 0.05 * exact[k]), (k, approx, exact[k])

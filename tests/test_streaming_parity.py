@@ -58,10 +58,16 @@ def _events_as_stream_source(spark, scratch: str, n_files: int = 4) -> str:
     flat = os.path.join(scratch, "flat")
     os.makedirs(flat, exist_ok=True)
     i = 0
+    base = 1_700_000_000
     for root, _dirs, files in sorted(os.walk(src)):  # bucket=0,1,2,… in time order
         for f in sorted(files):
             if f.endswith(".parquet"):
-                shutil.copy(os.path.join(root, f), os.path.join(flat, f"{i:03d}.parquet"))
+                dst = os.path.join(flat, f"{i:03d}.parquet")
+                shutil.copy(os.path.join(root, f), dst)
+                # FileStreamSource orders micro-batches by modification time;
+                # copies can tie within a millisecond → pin strictly
+                # increasing mtimes so arrival order is deterministic
+                os.utime(dst, (base + i, base + i))
                 i += 1
     return flat
 
