@@ -366,7 +366,7 @@ def _samples_sql(d: Dialect, part_table: str) -> str:
         shop_pick = f"({shops_arr})[{pk} % 22 + 1]"
         cls_pick = f"({cls_arr})[{pk} % 4 + 1]"
     text = (
-        f"CASE {pk} % 13 "
+        f"CASE {pk} % 17 "
         f"WHEN 0 THEN {p1} "
         f"WHEN 1 THEN {p2} "
         f"WHEN 2 THEN {p2} || ' Kc' "
@@ -379,7 +379,11 @@ def _samples_sql(d: Dialect, part_table: str) -> str:
         f"WHEN 9 THEN '2BAL ' || {p1} || ' ' || {w2} || '.90' "
         f"WHEN 10 THEN '75 bodu' "
         f"WHEN 11 THEN '€' || {p1} || ' ' || '€' || {w2} || '.99' "
-        f"ELSE {d.strcast(whole)} || ' 90' END"
+        f"WHEN 12 THEN {d.strcast(whole)} || ' 90' "
+        f"WHEN 13 THEN {p1} || ' 2' "
+        f"WHEN 14 THEN {d.strcast(whole)} || ' 90 ' || {w2} || '.90' "
+        f"WHEN 15 THEN 'bezDPH ' || {p1} || ' ' || {w2} || '.95' "
+        f"ELSE {p1} || ' ' || {w2} || ',90 ' || {w2} || '.90' END"
     )
     return (
         f"SELECT {pk} AS sample_id, {shop_pick} AS shop_name, "

@@ -1,0 +1,130 @@
+"""detected_data, fully native and oracle-checked end-to-end.
+
+operators/inference.py runs the DAG #1 tail with mapInPandas stubs (the real
+deployment shape — external model calls live in Python).  This module is the
+same pipeline expressed 100% in native SQL with portable hash math, so the
+ENTIRE chain — detection synthesis → deterministic last-wins pivot → price
+dispatcher → wide record — is hash-compared against DuckDB.  Together they
+give: the plumbing is exercised with real Python batching, AND the
+relational semantics of the tail are oracle-proven.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.dialect import DUCKDB, SPARK, Dialect
+from ..functions.prices import SHOPS, dispatcher_fields
+from ..registry import register
+from ..sources.tables import load_table
+
+CLASSES = ("item_name", "item_price", "item_member_price", "item_initial_price")
+NAME_WORDS = ("mleko", "jogurt", "cerstve", "smetanovy", "florian", "maslo")
+
+
+def _detections_sql(d: Dialect, part_table: str) -> str:
+    """Deterministic per-image detections: class x slot combos, kept when
+    slot < (seed %% 3), with portable md5-based seeds — the relational twin
+    of inference._stub_infer_batch."""
+    image_id = "('pages/valid/part_' || " + d.strcast("p_partkey") + " || '_page_1.png')"
+    shops_arr = d.array_lit(list(SHOPS))
+    if d.name == "spark":
+        shop = f"element_at({shops_arr}, cast(p_partkey % {len(SHOPS)} as int) + 1)"
+        combos = ", ".join(
+            f"named_struct('cls', '{c}', 'slot', {s}, 'cidx', {ci})"
+            for ci, c in enumerate(CLASSES)
+            for s in (0, 1)
+        )
+        explode_rel = (
+            f"SELECT {image_id} AS image_id, {shop} AS shop_name, "
+            f"e.cls AS class_name, e.slot AS slot, e.cidx AS cidx "
+            f"FROM {part_table} LATERAL VIEW explode(array({combos})) t AS e"
+        )
+    else:
+        shop = f"({shops_arr})[p_partkey % {len(SHOPS)} + 1]"
+        combos = ", ".join(
+            f"{{'cls': '{c}', 'slot': {s}, 'cidx': {ci}}}"
+            for ci, c in enumerate(CLASSES)
+            for s in (0, 1)
+        )
+        explode_rel = (
+            f"SELECT image_id, shop_name, u.cls AS class_name, u.slot AS slot, u.cidx AS cidx "
+            f"FROM (SELECT {image_id} AS image_id, {shop} AS shop_name, "
+            f"unnest([{combos}]) AS u FROM {part_table}) s"
+        )
+    count_seed = d.md5_prefix_int("(image_id || '|' || class_name)")
+    s2 = d.md5_prefix_int("(image_id || '|' || class_name || '|' || " + d.strcast("slot") + ")")
+    words = d.array_lit(list(NAME_WORDS))
+    if d.name == "spark":
+        word = lambda sh: f"element_at({words}, cast(({d.shr('s2', sh)}) % {len(NAME_WORDS)} as int) + 1)"
+    else:
+        word = lambda sh: f"({words})[({d.shr('s2', sh)}) % {len(NAME_WORDS)} + 1]"
+    whole = "(5 + s2 % 495)"
+    cents = f"lpad({d.strcast('(s2 % 100)')}, 2, '0')"
+    w_s = d.strcast(whole)
+    w5_s = d.strcast(f"({whole} + 5)")
+    ocr = (
+        f"CASE WHEN class_name = 'item_name' THEN "
+        f"{word(0)} || ' ' || {word(5)} || ' ' || {word(9)} "
+        f"ELSE CASE s2 % 5 "
+        f"WHEN 0 THEN {w_s} || '.' || {cents} "
+        f"WHEN 1 THEN {w_s} || {cents} "
+        f"WHEN 2 THEN {w_s} || ',' || {cents} "
+        f"WHEN 3 THEN {w_s} || '.' || {cents} || ' ' || {w5_s} || '.90' "
+        f"ELSE {w_s} || ' ' || (CASE WHEN s2 % 2 = 1 THEN '90' ELSE '99' END) END END"
+    )
+    return f"""
+SELECT image_id, shop_name, class_name, (cidx * 2 + slot) AS det_idx, {ocr} AS ocr_text
+FROM (
+  SELECT *, {s2} AS s2 FROM (
+    SELECT * FROM ({explode_rel}) raw WHERE slot < ({count_seed}) % 3
+  ) kept
+) seeded
+"""
+
+
+def _wide_sql(d: Dialect, part_table: str) -> str:
+    det = _detections_sql(d, part_table)
+    picks = ", ".join(
+        f"ARG_MAX(CASE WHEN class_name = '{c}' THEN ocr_text END, det_idx) "
+        f"FILTER (WHERE class_name = '{c}') AS {c}"
+        if d.name == "duckdb"
+        else f"max_by(CASE WHEN class_name = '{c}' THEN ocr_text END, "
+        f"CASE WHEN class_name = '{c}' THEN det_idx END) AS {c}"
+        for c in CLASSES
+    )
+    price_cols = []
+    for cls, field in (
+        ("item_price", "item_price"),
+        ("item_member_price", "member_price"),
+        ("item_initial_price", "initial_price"),
+    ):
+        expr = dispatcher_fields(d, "shop_name", cls, f"'{cls}'")[field]
+        price_cols.append(f"{expr} AS processed_{cls}")
+    return f"""
+WITH detections AS ({det}),
+wide AS (
+  SELECT image_id, shop_name, {picks}
+  FROM detections GROUP BY image_id, shop_name
+)
+SELECT image_id, shop_name,
+       item_name, lower(item_name) AS processed_item_name,
+       item_price, item_member_price, item_initial_price,
+       {', '.join(price_cols)},
+       true AS valid
+FROM wide ORDER BY image_id
+"""
+
+
+@register(
+    "detected_data_native",
+    oracle=_wide_sql(DUCKDB, "part"),
+    doc="The DAG #1 tail (detections → last-wins pivot → price dispatcher → "
+    "wide detected_data) as pure native SQL with portable hash synthesis — "
+    "the END-TO-END oracle check of the pipeline's relational semantics "
+    "(the mapInPandas twin is detected_data_pipeline).",
+    tags=("pipeline", "pivot", "prices"),
+)
+def detected_data_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("sales_telegram_bot_data_pipeline_part_n")
+    return spark.sql(_wide_sql(SPARK, "sales_telegram_bot_data_pipeline_part_n"))

@@ -80,7 +80,7 @@ def _pair_sim_sql(d: Dialect, table: str) -> str:
     return f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cosine} AS cosine
 FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id
-WHERE a.vec_id < 40 AND b.vec_id < 40 AND ({cosine}) >= 0.8
+WHERE a.vec_id < 40 AND b.vec_id < 40 AND ({cosine}) >= 0.3
 ORDER BY vec_a, vec_b
 """
 
@@ -138,7 +138,8 @@ def knn_cosine_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_cosine_neardup",
     oracle=_pair_sim_sql(DUCKDB, "embeddings"),
-    doc="Embedding-cosine near-duplicate pairs (cosine >= 0.8) over a "
+    doc="Embedding-cosine near-duplicate pairs (cosine >= 0.3 — threshold "
+    "chosen so the synthetic embeddings yield non-trivial output) over a "
     "bounded slice — the embedding-space variant of the dedup family.",
     tags=("similarity", "dedup"),
 )
