@@ -37,6 +37,7 @@ Faithfulness notes (each verified against the reference by execution):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -437,3 +438,31 @@ def parse_price_core(spark, sf_dir):
 def price_dispatcher_suite(spark, sf_dir):
     load_table(spark, sf_dir, "part").createOrReplaceTempView("sales_telegram_bot_data_pipeline_part")
     return spark.sql(build_dispatcher_query_sql(SPARK, "sales_telegram_bot_data_pipeline_part"))
+
+
+# --------------------------------------------------------------------------
+# pandas-UDF fallback of parse_price (SURVEY §2.D: kept for cross-checking
+# the native expression; NOT the hot path)
+# --------------------------------------------------------------------------
+def parse_price_udf():
+    """Arrow-batched scalar UDF computing the same implied-cents semantics
+    in plain Python — used in tests to cross-check the native expression,
+    and available as an escape hatch for exotic inputs."""
+    def _one(s):
+        if s is None:
+            return None
+        c = "".join(ch for ch in s if ch in "0123456789.,").replace(",", ".")
+        if not c:
+            return None
+        if "." in c:
+            try:
+                return float(c)
+            except ValueError:
+                return None
+        return int(c) / 100.0 if len(c) > 2 else float(c)
+
+    @F.pandas_udf("double")
+    def _udf(texts: pd.Series) -> pd.Series:
+        return texts.map(_one)
+
+    return _udf

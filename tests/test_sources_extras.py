@@ -61,3 +61,39 @@ def test_approx_distinct_within_tolerance(spark):
     }
     for k, approx in got.items():
         assert abs(approx - exact[k]) <= max(2, 0.05 * exact[k]), (k, approx, exact[k])
+
+
+def test_parse_price_udf_matches_native(spark):
+    """SURVEY §2.D: the pandas-UDF fallback must agree with the native
+    expression on a mixed corpus."""
+    from pyspark.sql import functions as F
+
+    from sales_telegram_bot_data_pipeline_spark.functions.dialect import SPARK
+    from sales_telegram_bot_data_pipeline_spark.functions.prices import parse_price_sql, parse_price_udf
+
+    corpus = ["890", "25", "19.90", "19,90", "1990 Kc", "", "abc", None, "12.",
+              "1.2.3", "€9.99", "0", "000", "31'90"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)], "id int, t string")
+    out = df.select(
+        "id",
+        F.expr(parse_price_sql(SPARK, "t")).alias("native"),
+        parse_price_udf()(F.col("t")).alias("udf"),
+    ).collect()
+    for r in out:
+        assert r["native"] == r["udf"], (r["id"], corpus[r["id"]], r["native"], r["udf"])
+
+
+def test_empty_relation_short_circuit(spark):
+    """Reference op 44 (manual empty-input early return) is free in Spark:
+    Catalyst propagates empty relations — a filter that eliminates all rows
+    collapses the downstream join/agg into LocalTableScan (no scan work)."""
+    from pyspark.sql import functions as F
+
+    from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders").where(F.lit(False))
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy("o_orderkey").count()
+    assert joined.count() == 0
+    plan = joined._sc._jvm.PythonSQLUtils.explainString(joined._jdf.queryExecution(), "simple")
+    assert "LocalTableScan" in plan or "Empty" in plan
