@@ -1,0 +1,195 @@
+"""Extra scalar/aggregate coverage: string-function suite, ordered-set
+percentiles, and moment statistics computed from exact decimal sums.
+
+Moment stats (stddev/corr) are normally order-dependent double
+aggregations — different partition orders give different last-ulp results,
+which breaks hash comparison.  Here the raw moments (Σx, Σx², Σxy …)
+accumulate as exact decimals, and the final formulas run on the resulting
+(identical) doubles — deterministic in BOTH engines, and still a single
+map-side-combinable aggregation pass at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load_table
+
+
+@register(
+    "string_functions_suite",
+    oracle="""
+SELECT c_custkey,
+       upper(c_name) AS up_name,
+       lower(c_mktsegment) AS low_seg,
+       substr(c_name, 1, 8) AS name_prefix,
+       reverse(c_mktsegment) AS rev_seg,
+       lpad(cast(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+       replace(c_name, '#', '-') AS dashed,
+       length(c_name) AS name_len,
+       concat(c_mktsegment, ':', cast(c_nationkey AS VARCHAR)) AS seg_nation
+FROM customer
+WHERE c_custkey <= 200
+ORDER BY c_custkey
+""",
+    doc="String scalar suite: case, substr, reverse, pad, replace, length, "
+    "concat — all whole-stage-codegen expressions.",
+    tags=("scalar", "string"),
+)
+def string_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 200)
+    return (
+        cust.select(
+            "c_custkey",
+            F.upper("c_name").alias("up_name"),
+            F.lower("c_mktsegment").alias("low_seg"),
+            F.substring("c_name", 1, 8).alias("name_prefix"),
+            F.reverse("c_mktsegment").alias("rev_seg"),
+            F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+            F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("dashed"),
+            F.length("c_name").cast("bigint").alias("name_len"),
+            F.concat_ws(":", "c_mktsegment", F.col("c_nationkey").cast("string")).alias("seg_nation"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "percentile_prices",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 6) AS DOUBLE) AS median_price,
+       CAST(ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 6) AS DOUBLE) AS p90_price,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    doc="Ordered-set aggregates: exact linear-interpolation percentiles "
+    "(median / p90) per group.",
+    tags=("agg", "percentile"),
+)
+def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sales_telegram_bot_data_pipeline_ord3")
+    return spark.sql("""
+SELECT o_orderpriority,
+       CAST(ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 6) AS DOUBLE) AS median_price,
+       CAST(ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 6) AS DOUBLE) AS p90_price,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+FROM sales_telegram_bot_data_pipeline_ord3
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""")
+
+
+_MOMENTS_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       CAST(ROUND(sqrt((sxx - sx*sx/n) / (n - 1)), 6) AS DOUBLE) AS qty_stddev,
+       CAST(ROUND((sxy - sx*sy/n) / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n)), 6) AS DOUBLE) AS qty_price_corr
+FROM m ORDER BY l_returnflag
+"""
+
+
+@register(
+    "moment_statistics",
+    oracle=_MOMENTS_ORACLE,
+    doc="stddev + Pearson correlation from EXACT decimal moment sums — "
+    "order-independent (hash-stable) where built-in double stddev/corr "
+    "aren't; still one partial-aggregable pass.",
+    tags=("agg", "stats"),
+)
+def moment_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("sales_telegram_bot_data_pipeline_li2")
+    return spark.sql(_MOMENTS_ORACLE.replace("FROM lineitem", "FROM sales_telegram_bot_data_pipeline_li2"))
+
+
+@register(
+    "map_functions_suite",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       array_to_string(list_sort(list(event_type || '=' || cast(n AS VARCHAR))), ',') AS type_counts,
+       len(list(event_type)) AS n_keys
+FROM per_user
+GROUP BY user_id
+ORDER BY user_id
+""",
+    doc="Map construction + canonicalization (reference op 13's "
+    "map<class,count> shape): map_from_entries built per user, compared as "
+    "sorted 'k=v' strings so the hash is order-insensitive.",
+    tags=("map", "agg"),
+)
+def map_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = per_user.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("m")
+    )
+    return (
+        m.select(
+            "user_id",
+            F.array_join(
+                F.array_sort(
+                    F.transform(
+                        F.map_entries("m"),  # entries are struct<key, value>
+                        lambda e: F.concat(e["key"], F.lit("="), e["value"].cast("string")),
+                    )
+                ),
+                ",",
+            ).alias("type_counts"),
+            F.size(F.map_keys("m")).cast("bigint").alias("n_keys"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "window_first_last_value",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       FIRST_VALUE(o_totalprice) OVER w AS first_price,
+       LAST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+       NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+FROM orders
+WHERE o_custkey < 40
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+""",
+    doc="first/last/nth_value frame windows (full-partition frame for "
+    "last_value, running frame for first/nth).",
+    tags=("window",),
+)
+def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 40)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_totalprice").over(w).alias("first_price"),
+            F.last("o_totalprice").over(w_full).alias("last_price"),
+            F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
