@@ -8,6 +8,7 @@ driver-side hash scheme over the same values must also match.
 
 from __future__ import annotations
 
+import decimal
 import math
 import os
 from dataclasses import dataclass
@@ -37,13 +38,25 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon_cell(v):
+    # Type-tagged canonicalization: the driver hashes TYPED values, so a
+    # Spark BIGINT vs DuckDB HUGEINT/DECIMAL(38,0) must FAIL here even though
+    # Python's == would call Decimal(5) == 5 equal.  Tag each scalar with a
+    # coarse type class so cross-class "equal" values compare unequal.
     if v is None:
         return None
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, decimal.Decimal):
+        # keep scale: DECIMAL(22,2) 5.00 vs BIGINT 5 must differ, but equal
+        # scale across engines stringifies identically
+        return ("d", str(v))
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return ("f", "NaN")
         # exact float repr — both engines must agree bit-for-bit
-        return repr(v)
+        return ("f", repr(v))
     if isinstance(v, (list, tuple)):
         return tuple(_canon_cell(x) for x in v)
     return v
