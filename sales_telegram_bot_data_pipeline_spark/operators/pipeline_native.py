@@ -128,3 +128,39 @@ FROM wide ORDER BY image_id
 def detected_data_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "part").createOrReplaceTempView("sales_telegram_bot_data_pipeline_part_n")
     return spark.sql(_wide_sql(SPARK, "sales_telegram_bot_data_pipeline_part_n"))
+
+
+def _shop_valid_files_sql(d: Dialect, part_table: str) -> str:
+    """Reference op 49 (README.md:98 regroup_shop_to_valid_file) literal
+    shape: filter(valid) -> groupBy(shop) -> collect_list(file).  Validity =
+    the stored flag AND a successful price parse (a file whose dispatcher
+    output is NULL has nothing to notify about).  The file list is sorted and
+    joined for order-insensitive hashing."""
+    wide = _wide_sql(d, part_table)
+    if d.name == "spark":
+        files = "array_join(array_sort(collect_list(image_id)), ',')"
+    else:
+        files = "array_to_string(list_sort(list(image_id)), ',')"
+    return f"""
+WITH wide_rel AS ({wide})
+SELECT shop_name,
+       COUNT(*) AS n_valid_files,
+       {files} AS files
+FROM wide_rel
+WHERE valid AND processed_item_price IS NOT NULL
+GROUP BY shop_name
+ORDER BY shop_name
+"""
+
+
+@register(
+    "shop_valid_files",
+    oracle=_shop_valid_files_sql(DUCKDB, "part"),
+    doc="Reference op 49 regroup_shop_to_valid_file (README.md:98) in its "
+    "literal form: valid detected records regrouped into a per-shop sorted "
+    "file list — one shuffle on shop_name, list bounded by files-per-shop.",
+    tags=("pipeline", "agg", "nesting"),
+)
+def shop_valid_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("sales_telegram_bot_data_pipeline_part_v")
+    return spark.sql(_shop_valid_files_sql(SPARK, "sales_telegram_bot_data_pipeline_part_v"))

@@ -36,6 +36,7 @@ from ..registry import register
 from ..sources.tables import load_table
 
 MAX_VARIANT_POSITIONS = 8
+VOCAB_LIMIT = 50_000  # top-N-by-frequency bound on the broadcast vocabulary
 
 _CONFUSIONS = {
     "i": ("i", "l", "1"),
@@ -135,23 +136,89 @@ def build_vocab_trie(words, expand: bool = True) -> Trie:
     return trie
 
 
-def segment_column(spark: SparkSession, df: DataFrame, text_col: str, out_col: str, vocab: list[str]) -> DataFrame:
+class DictSpeller:
+    """Duck-typed, picklable dictionary speller (the test/offline double for
+    op 19).  Any object with ``.spell(word)`` and ``.suggest(word)`` works —
+    a real ``hunspell.HunSpell`` has the same surface."""
+
+    def __init__(self, known=(), suggestions=None):
+        self.known = set(known)
+        self.suggestions = dict(suggestions or {})
+
+    def spell(self, word: str) -> bool:
+        return word in self.known
+
+    def suggest(self, word: str) -> list[str]:
+        return self.suggestions.get(word, [])
+
+
+def _load_hunspell():
+    """Import-gated hunspell loader (op 19).  The library isn't in this
+    environment; callers that flip ``spell_fallback=True`` without injecting
+    a speller get a clear error, not a silent no-op."""
+    try:
+        import hunspell  # type: ignore[import-not-found]
+    except ImportError as e:  # pragma: no cover - env without hunspell
+        raise NotImplementedError(
+            "spell_fallback=True requires the 'hunspell' package (not "
+            "installed here) or an injected speller=... object with "
+            ".spell(word) and .suggest(word)"
+        ) from e
+    return hunspell.HunSpell("/usr/share/hunspell/en_US.dic", "/usr/share/hunspell/en_US.aff")  # pragma: no cover
+
+
+def apply_spell_fallback(trie: Trie, words: list[str], speller) -> list[str]:
+    """Reference op 19 (correct_names.py:127-138): for each segmented word
+    not accepted by the trie, keep it if the dictionary accepts it, else take
+    the first suggestion, else keep it verbatim."""
+    out = []
+    for w in words:
+        if trie.search(w):
+            out.append(w)
+        elif speller.spell(w):
+            out.append(w)
+        else:
+            sugg = speller.suggest(w)
+            out.append(sugg[0] if sugg else w)
+    return out
+
+
+def segment_column(
+    spark: SparkSession,
+    df: DataFrame,
+    text_col: str,
+    out_col: str,
+    vocab: list[str],
+    spell_fallback: bool = False,
+    speller=None,
+) -> DataFrame:
     """Attach ``out_col`` = space-joined best segmentation of the
-    concatenated (space-stripped) ``text_col`` (op 20 process_single_word,
-    hunspell off)."""
+    concatenated (space-stripped) ``text_col`` (op 20 process_single_word).
+
+    ``spell_fallback`` (op 19, default OFF) post-checks each segmented word
+    against a hunspell-style dictionary — env-dependent, so the import is
+    gated and a duck-typed ``speller`` (``.spell``/``.suggest``) can be
+    injected for tests."""
     trie = build_vocab_trie(vocab)
     bc = spark.sparkContext.broadcast(trie)
+    if spell_fallback and speller is None:
+        speller = _load_hunspell()
+    bc_speller = spark.sparkContext.broadcast(speller) if spell_fallback else None
 
     @F.pandas_udf("string")
     def seg(texts: pd.Series) -> pd.Series:
         t = bc.value
+        sp = bc_speller.value if bc_speller is not None else None
         out = []
         for s in texts:
             if s is None:
                 out.append(None)
                 continue
             concatenated = "".join(s.split())
-            out.append(" ".join(best_segmentation(t, concatenated)))
+            words = best_segmentation(t, concatenated)
+            if sp is not None:
+                words = apply_spell_fallback(t, words, sp)
+            out.append(" ".join(words))
         return pd.Series(out, dtype="object")
 
     return df.withColumn(out_col, seg(F.col(text_col)))
@@ -167,14 +234,20 @@ def segment_column(spark: SparkSession, df: DataFrame, text_col: str, out_col: s
 )
 def word_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # deterministic vocabulary: all distinct words of the corpus (small here;
-    # at scale: top-N by frequency, still collected once and broadcast)
+    # Bounded vocabulary: top-VOCAB_LIMIT words by corpus frequency (ties
+    # broken by word for determinism), aggregated distributively before the
+    # single driver collect.  The collect is O(VOCAB_LIMIT) regardless of
+    # corpus size — at 100 TB the distinct-token set is unbounded, the
+    # broadcast vocab is not.  Mirrors the reference's bounded vocabulary
+    # file model (data_pipeline.py:25-33).
     vocab = [
         r[0]
         for r in docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
         .where(F.length("w") > 0)
-        .distinct()
-        .orderBy("w")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "w")
+        .limit(VOCAB_LIMIT)
         .collect()
     ]
     prepared = docs.select("doc_id", normalize_col("text").alias("norm"))

@@ -77,7 +77,10 @@ def interval_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate", "l_quantity")
     li_b = li.withColumn("bucket", F.floor(F.unix_date(F.to_date("l_shipdate")) / bucket_days))
-    joined = li_b.join(F.broadcast(orders_b), "bucket").where(
+    # no broadcast hint: the filtered interval side is small TODAY, but a
+    # forced broadcast is an executor OOM if the filter widens 100x — let AQE
+    # pick broadcast vs shuffle at runtime from actual sizes
+    joined = li_b.join(orders_b, "bucket").where(
         (F.col("l_shipdate") >= F.col("o_orderdate"))
         & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS"))
     )

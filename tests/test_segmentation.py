@@ -70,3 +70,74 @@ def test_segment_column_spark(spark):
     assert out[1] == "florian smetanovy jogurt"
     assert out[2] == "cerstve m1eko"
     assert out[3] is None
+
+
+from sales_telegram_bot_data_pipeline_spark.operators.segmentation import DictSpeller as StubSpeller
+
+
+def test_spell_fallback_stub_speller():
+    # op 19 (correct_names.py:127-138): trie-accepted words pass through;
+    # unknown words keep if the dictionary accepts, else first suggestion,
+    # else verbatim.
+    from sales_telegram_bot_data_pipeline_spark.operators.segmentation import apply_spell_fallback
+
+    trie = build_vocab_trie(["mleko"])
+    sp = StubSpeller(known={"jogurtt"}, suggestions={"xqz": ["xyz"]})
+    assert apply_spell_fallback(trie, ["mleko", "jogurtt", "xqz", "qqq"], sp) == [
+        "mleko",   # in trie
+        "jogurtt", # dictionary-accepted
+        "xyz",     # first suggestion
+        "qqq",     # no suggestion -> verbatim
+    ]
+
+
+def test_segment_column_spell_fallback_spark(spark):
+    # flag ON with an injected stub: trie-covered segmentations are unchanged
+    # (every DP word is trie-accepted, so the speller is never consulted —
+    # same as the reference, where the fallback only fires for non-trie words)
+    df = spark.createDataFrame([(1, "cerstvem1eko")], "id long, raw string")
+    prepared = df.select("id", normalize_col("raw").alias("norm"))
+    out = segment_column(
+        spark, prepared, "norm", "seg", VOCAB,
+        spell_fallback=True, speller=StubSpeller(),
+    ).select("seg").collect()
+    assert out[0]["seg"] == "cerstve m1eko"
+
+
+def test_spell_fallback_without_speller_requires_hunspell(spark):
+    # import-gated: no injected speller and no hunspell package -> clear error
+    import pytest
+
+    df = spark.createDataFrame([(1, "x")], "id long, raw string")
+    try:
+        import hunspell  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="hunspell"):
+            segment_column(spark, df, "raw", "seg", VOCAB, spell_fallback=True)
+
+
+def test_vocab_bound_parity(spark):
+    # Bounding the vocabulary to top-N-by-frequency must not change the
+    # sf0.001 output (distinct corpus words << VOCAB_LIMIT there): pin the
+    # bounded word_segmentation against an unbounded-vocab recomputation.
+    from pyspark.sql import functions as F
+
+    from sales_telegram_bot_data_pipeline_spark.operators.segmentation import word_segmentation
+    from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    bounded = {r["doc_id"]: r["segmented"] for r in word_segmentation(spark, sf_dir).collect()}
+
+    docs = load_table(spark, sf_dir, "documents")
+    full_vocab = [
+        r[0]
+        for r in docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .where(F.length("w") > 0).distinct().collect()
+    ]
+    prepared = docs.select("doc_id", normalize_col("text").alias("norm"))
+    unbounded = {
+        r["doc_id"]: r["segmented"]
+        for r in segment_column(spark, prepared, "norm", "segmented", full_vocab)
+        .select("doc_id", "segmented").collect()
+    }
+    assert bounded == unbounded and len(bounded) > 0
