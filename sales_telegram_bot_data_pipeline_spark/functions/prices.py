@@ -321,28 +321,66 @@ _PARSERS: list[tuple[tuple[str, ...], object]] = [
 ]
 
 
+_FIELD_TYPES = {
+    "item_price": "double",
+    "initial_price": "double",
+    "member_price": "double",
+    "member_price_note": "str",
+    "volume": "str",
+    "packaging": "str",
+    "price_ex_vat": "double",
+}
+
+
+def _ftype(d: Dialect, field: str) -> str:
+    t = _FIELD_TYPES[field]
+    if t == "str":
+        return "string" if d.name == "spark" else "varchar"
+    return t
+
+
+def _shop_cond(shop: str, shops: tuple[str, ...]) -> str:
+    if len(shops) == 1:
+        return f"{shop} = '{shops[0]}'"
+    return f"{shop} IN ({', '.join(repr(s) for s in shops)})"
+
+
+def dispatcher_struct_sql(d: Dialect, shop: str, x: str, cls: str) -> str:
+    """op 40 (price_processing.py:338-389) as ONE struct-valued CASE: each
+    shop branch builds the whole normalized struct, so every parser body
+    appears exactly once in the plan.  (The per-field formulation repeated
+    each parser up to 7x — Spark does not reliably CSE across SELECT items,
+    which blew task binaries past 1 MiB.)  Fields are cast per branch so the
+    struct type is identical across branches in both engines."""
+    valid_cls = f"{cls} IN ('item_price', 'item_member_price', 'item_initial_price')"
+    branches = []
+    for shops, fn in _PARSERS:
+        fields = fn(d, x, cls)
+        typed = {f: f"cast({fields[f]} as {_ftype(d, f)})" for f in FIELDS}
+        branches.append(f"WHEN {_shop_cond(shop, shops)} THEN {d.struct_lit(typed)}")
+    # invalid class_id / unknown shop → NULL struct; field extraction of a
+    # NULL struct is NULL in both engines, same projected values as the old
+    # per-field NULLs
+    return f"CASE WHEN NOT ({valid_cls}) THEN NULL " + " ".join(branches) + " END"
+
+
 def dispatcher_fields(d: Dialect, shop: str, x: str, cls: str) -> dict[str, str]:
-    """op 40: per-field CASE over shop_name, gated on a valid class_id
-    (price_processing.py:338-389)."""
+    """Per-field view of the dispatcher — for call sites that consume ONE
+    field (e.g. pipeline_native's three per-class columns).  Multi-field
+    consumers should project from ``dispatcher_struct_sql`` instead."""
     valid_cls = f"{cls} IN ('item_price', 'item_member_price', 'item_initial_price')"
     out = {}
     for field in FIELDS:
         branches = []
         for shops, fn in _PARSERS:
-            shop_cond = (
-                f"{shop} = '{shops[0]}'"
-                if len(shops) == 1
-                else f"{shop} IN ({', '.join(repr(s) for s in shops)})"
-            )
-            branches.append(f"WHEN {shop_cond} THEN {fn(d, x, cls)[field]}")
+            branches.append(f"WHEN {_shop_cond(shop, shops)} THEN {fn(d, x, cls)[field]}")
         out[field] = f"CASE WHEN NOT ({valid_cls}) THEN NULL " + " ".join(branches) + " END"
     return out
 
 
 def price_struct_col(shop: str = "shop_name", text: str = "ocr_text", cls: str = "class_id") -> Column:
     """DataFrame-API entry: the normalized price struct as a Column."""
-    fields = dispatcher_fields(SPARK, shop, text, cls)
-    return F.struct(*[F.expr(sql).alias(name) for name, sql in fields.items()])
+    return F.expr(dispatcher_struct_sql(SPARK, shop, text, cls))
 
 
 # --------------------------------------------------------------------------
@@ -393,11 +431,12 @@ def _samples_sql(d: Dialect, part_table: str) -> str:
 
 
 def build_dispatcher_query_sql(d: Dialect, part_table: str) -> str:
-    fields = dispatcher_fields(d, "shop_name", "ocr_text", "class_id")
-    cols = ", ".join(f"{sql} AS {name}" for name, sql in fields.items())
+    struct = dispatcher_struct_sql(d, "shop_name", "ocr_text", "class_id")
+    cols = ", ".join(f"{d.struct_get('p', f)} AS {f}" for f in FIELDS)
     return (
-        f"WITH samples AS ({_samples_sql(d, part_table)}) "
-        f"SELECT sample_id, shop_name, class_id, {cols} FROM samples ORDER BY sample_id"
+        f"WITH samples AS ({_samples_sql(d, part_table)}), "
+        f"parsed AS (SELECT sample_id, shop_name, class_id, {struct} AS p FROM samples) "
+        f"SELECT sample_id, shop_name, class_id, {cols} FROM parsed ORDER BY sample_id"
     )
 
 

@@ -1,14 +1,30 @@
 """Similarity search over the embeddings table (array<float>, dim 64).
 
-Brute-force cosine top-k is the exactness baseline: broadcast the (small)
-query side, compute dot/norms JVM-side with array lambdas, rank per query.
-At 100 TB the corpus side stays partitioned (never collected), the query
-side is broadcast, and the per-partition top-k folds before the final k-way
-merge — the plan below already has that shape (window over query_id after a
-broadcast nested-loop of 5 rows x corpus).
+Three tiers, all oracle-checked (the oracle runs the SAME candidate
+construction, so approximate variants are deterministic on both sides):
 
-The scale path (IVF / LSH-bucketed ANN) lands in a later round; its
-candidate generation reuses dedup.py's banding machinery.
+- ``knn_cosine_bruteforce`` — exactness baseline.  The query side (5
+  vectors) broadcasts against the corpus; ranking is a TWO-STAGE top-k:
+  local top-k per (query, input-partition) group, then a final top-k over
+  the K x n_partitions survivors.  No global ``PARTITION BY query_id``
+  window — the full scored corpus never funnels into N_QUERIES reducers
+  (plan-asserted in tests/test_plans.py).
+- ``knn_cosine_lsh_bucketed`` — the scale path: multi-band sign-sketch LSH
+  (``N_BANDS`` disjoint bands of ``BAND_BITS`` hyperplane bits).  Each
+  vector explodes to N_BANDS (band, bucket) rows, candidates come from the
+  per-band bucket equi-join (union-of-bands via DISTINCT), exact cosine
+  refines.  Join input per vector is O(N_BANDS), never O(corpus); recall
+  is a superset of any single band's (tested against brute force).
+- ``embedding_cosine_neardup`` — near-duplicate pairs over the FULL corpus
+  through the same banded candidate generation + exact cosine refine
+  (threshold ``NEARDUP_THRESHOLD``).  ``embedding_cosine_allpairs_small``
+  keeps the previous bounded all-pairs form as the exactness baseline for
+  tests; the general operator never goes all-pairs.
+
+Scale notes: candidate pairs shuffle as (band, bucket) equi-join keys;
+embeddings are NOT carried through the DISTINCT pair-dedup — pairs re-join
+the embeddings table by id for scoring, so the wide array column crosses
+the network once per surviving candidate, not once per band.
 """
 
 from __future__ import annotations
@@ -21,6 +37,9 @@ from ..sources.tables import load_table
 
 N_QUERIES = 5  # vec_id < 5 are the query vectors
 TOP_K = 5
+N_BANDS = 4
+BAND_BITS = 6  # 64 buckets per band; bands use disjoint embedding dims
+NEARDUP_THRESHOLD = 0.3  # synthetic embeddings max pairwise cosine ~0.37
 
 
 def _emb_view(spark: SparkSession, sf_dir: str, name: str = "sales_telegram_bot_data_pipeline_emb") -> str:
@@ -36,85 +55,63 @@ def _dots(d: Dialect, a: str, b: str) -> str:
     return f"list_sum(list_transform(generate_series(1, len({a})), i -> cast({a}[i] as double) * cast({b}[i] as double)))"
 
 
-def _knn_sql(d: Dialect, table: str) -> str:
-    dot = _dots(d, "q.embedding", "c.embedding")
-    qq = _dots(d, "q.embedding", "q.embedding")
-    cc = _dots(d, "c.embedding", "c.embedding")
-    cosine = f"round(({dot}) / (sqrt({qq}) * sqrt({cc})), 6)"
-    return f"""
-WITH scored AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cosine} AS cosine
-  FROM {table} q JOIN {table} c
-    ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
-)
-SELECT query_id, neighbor_id, cosine, rank
-FROM (
-  SELECT query_id, neighbor_id, cosine,
-         ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY cosine DESC, neighbor_id) AS rank
-  FROM scored
-) t
-WHERE rank <= {TOP_K}
-ORDER BY query_id, rank
-"""
+def _cosine(d: Dialect, a: str, b: str) -> str:
+    dot = _dots(d, a, b)
+    aa = _dots(d, a, a)
+    bb = _dots(d, b, b)
+    return f"round(({dot}) / (sqrt({aa}) * sqrt({bb})), 6)"
 
 
-@register(
-    "knn_cosine_bruteforce",
-    oracle=_knn_sql(DUCKDB, "embeddings"),
-    doc="Brute-force cosine top-k: 5 broadcast query vectors vs the corpus, "
-    "JVM-side array lambdas for dot/norm, per-query ranking window with "
-    "deterministic tie-break.",
-    tags=("similarity", "topk"),
-)
-def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(_knn_sql(SPARK, _emb_view(spark, sf_dir)))
-
-
-def _pair_sim_sql(d: Dialect, table: str) -> str:
-    """Embedding-cosine near-dup: pairs above a high threshold."""
-    dot = _dots(d, "a.embedding", "b.embedding")
-    aa = _dots(d, "a.embedding", "a.embedding")
-    bb = _dots(d, "b.embedding", "b.embedding")
-    cosine = f"round(({dot}) / (sqrt({aa}) * sqrt({bb})), 6)"
-    return f"""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cosine} AS cosine
-FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id
-WHERE a.vec_id < 40 AND b.vec_id < 40 AND ({cosine}) >= 0.3
-ORDER BY vec_a, vec_b
-"""
-
-
-def _sign_bucket(d: Dialect, emb: str, bits: int = 8) -> str:
-    """Random-hyperplane-style LSH bucket from the signs of the first
-    ``bits`` dimensions — portable (pure element comparisons), and the
-    partition key of the scale path: candidates shuffle by bucket, so each
-    query probes one bucket instead of the whole corpus."""
+# --------------------------------------------------------------------------
+# sign-sketch banding
+# --------------------------------------------------------------------------
+def _band_bucket(d: Dialect, emb: str, band: int, bits: int = BAND_BITS) -> str:
+    """Random-hyperplane-style LSH bucket from the signs of ``bits``
+    dimensions starting at ``band * bits`` — portable pure comparisons."""
     terms = " + ".join(
-        f"(CASE WHEN cast({d.get1(emb, i + 1)} as double) > 0 THEN {1 << i} ELSE 0 END)"
+        f"(CASE WHEN cast({d.get1(emb, band * bits + i + 1)} as double) > 0 THEN {1 << i} ELSE 0 END)"
         for i in range(bits)
     )
     return f"({terms})"
 
 
-def _knn_lsh_sql(d: Dialect, table: str) -> str:
-    dot = _dots(d, "q.embedding", "c.embedding")
-    qq = _dots(d, "q.embedding", "q.embedding")
-    cc = _dots(d, "c.embedding", "c.embedding")
-    cosine = f"round(({dot}) / (sqrt({qq}) * sqrt({cc})), 6)"
-    qb = _sign_bucket(d, "q.embedding")
-    cb = _sign_bucket(d, "c.embedding")
+def _banded_view(d: Dialect, table: str, where: str = "") -> str:
+    """vec_id exploded to N_BANDS (band, bucket) rows — the candidate-join
+    side.  Embeddings are NOT carried (pairs re-join them by id later)."""
+    w = f" WHERE {where}" if where else ""
+    if d.name == "spark":
+        combos = ", ".join(
+            f"named_struct('band', {j}, 'bucket', {_band_bucket(d, 'embedding', j)})"
+            for j in range(N_BANDS)
+        )
+        return (
+            f"SELECT vec_id, e.band AS band, e.bucket AS bucket "
+            f"FROM (SELECT * FROM {table}{w}) src "
+            f"LATERAL VIEW explode(array({combos})) t AS e"
+        )
+    combos = ", ".join(
+        f"{{'band': {j}, 'bucket': {_band_bucket(d, 'embedding', j)}}}"
+        for j in range(N_BANDS)
+    )
+    return (
+        f"SELECT vec_id, u.band AS band, u.bucket AS bucket "
+        f"FROM (SELECT vec_id, unnest([{combos}]) AS u FROM {table}{w}) s"
+    )
+
+
+# --------------------------------------------------------------------------
+# ranking: oracle window form vs Spark two-stage top-k
+# --------------------------------------------------------------------------
+def _rank_window_sql(scored: str) -> str:
+    """Oracle form: plain per-query ranking window (fine in DuckDB on
+    sf-scale data; values identical to the two-stage form by construction)."""
     return f"""
-WITH scored AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cosine} AS cosine
-  FROM {table} q JOIN {table} c
-    ON {qb} = {cb} AND q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
-)
+WITH scored AS ({scored})
 SELECT query_id, neighbor_id, cosine, rank
 FROM (
   SELECT query_id, neighbor_id, cosine,
-         ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY cosine DESC, neighbor_id) AS rank
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
   FROM scored
 ) t
 WHERE rank <= {TOP_K}
@@ -122,26 +119,143 @@ ORDER BY query_id, rank
 """
 
 
+def _rank_twostage_sql(scored: str) -> str:
+    """Spark form: local top-k per (query, input-partition), final top-k
+    over the K*n_partitions survivors.  ``array_sort`` over
+    (neg-cosine, neighbor_id) structs gives cosine DESC, id ASC — the same
+    total order as the oracle's window."""
+    s = "named_struct('neg', -cosine, 'nid', neighbor_id, 'cos', cosine)"
+    return f"""
+WITH scored AS ({scored}),
+with_pid AS (SELECT *, spark_partition_id() AS pid FROM scored),
+local_top AS (
+  SELECT query_id, slice(array_sort(collect_list({s})), 1, {TOP_K}) AS top
+  FROM with_pid GROUP BY query_id, pid
+),
+cand AS (
+  SELECT query_id, e.nid AS neighbor_id, e.cos AS cosine
+  FROM local_top LATERAL VIEW explode(top) t AS e
+),
+final_top AS (
+  SELECT query_id, slice(array_sort(collect_list({s})), 1, {TOP_K}) AS top
+  FROM cand GROUP BY query_id
+)
+SELECT query_id, e.nid AS neighbor_id, e.cos AS cosine, cast(pos + 1 AS int) AS rank
+FROM final_top LATERAL VIEW posexplode(top) t AS pos, e
+ORDER BY query_id, rank
+"""
+
+
+# --------------------------------------------------------------------------
+# brute-force top-k (exactness baseline)
+# --------------------------------------------------------------------------
+def _bruteforce_scored(d: Dialect, table: str) -> str:
+    cosine = _cosine(d, "q.embedding", "c.embedding")
+    return (
+        f"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cosine} AS cosine "
+        f"FROM {table} q JOIN {table} c "
+        f"ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id"
+    )
+
+
+@register(
+    "knn_cosine_bruteforce",
+    oracle=_rank_window_sql(_bruteforce_scored(DUCKDB, "embeddings")),
+    doc="Brute-force cosine top-k: 5 broadcast query vectors vs the corpus, "
+    "JVM-side array lambdas for dot/norm, TWO-STAGE ranking (local top-k "
+    "per input partition, then a final merge of K*n_partitions rows) — no "
+    "global per-query window over the scored corpus.",
+    tags=("similarity", "topk"),
+)
+def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_rank_twostage_sql(_bruteforce_scored(SPARK, _emb_view(spark, sf_dir))))
+
+
+# --------------------------------------------------------------------------
+# multi-band LSH ANN (scale path)
+# --------------------------------------------------------------------------
+def _lsh_scored(d: Dialect, table: str) -> str:
+    qv = _banded_view(d, table, f"vec_id < {N_QUERIES}")
+    cv = _banded_view(d, table)
+    cosine = _cosine(d, "q.embedding", "c.embedding")
+    return f"""
+SELECT cand.query_id, cand.neighbor_id, {cosine} AS cosine
+FROM (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+  FROM ({qv}) qb JOIN ({cv}) cb
+    ON qb.band = cb.band AND qb.bucket = cb.bucket AND cb.vec_id <> qb.vec_id
+) cand
+JOIN {table} q ON q.vec_id = cand.query_id
+JOIN {table} c ON c.vec_id = cand.neighbor_id
+"""
+
+
 @register(
     "knn_cosine_lsh_bucketed",
-    oracle=_knn_lsh_sql(DUCKDB, "embeddings"),
-    doc="ANN scale path: sign-sketch LSH bucketing (8 hyperplane bits) — "
-    "the corpus partitions by bucket, each query probes only its bucket "
-    "(≈1/256 of the data), then exact cosine ranks the candidates. "
-    "Approximate by construction; oracle runs the same approximation.",
+    oracle=_rank_window_sql(_lsh_scored(DUCKDB, "embeddings")),
+    doc=f"ANN scale path: {N_BANDS}-band sign-sketch LSH ({BAND_BITS} "
+    "hyperplane bits per band, disjoint dims) — candidates from the per-band "
+    "bucket equi-join with union-of-bands DISTINCT, exact cosine refine, "
+    "two-stage top-k. Join input per vector is O(bands); approximate by "
+    "construction, oracle runs the same construction.",
     tags=("similarity", "lsh", "topk"),
 )
 def knn_cosine_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(_knn_lsh_sql(SPARK, _emb_view(spark, sf_dir)))
+    return spark.sql(_rank_twostage_sql(_lsh_scored(SPARK, _emb_view(spark, sf_dir))))
+
+
+# --------------------------------------------------------------------------
+# embedding-space near-dup
+# --------------------------------------------------------------------------
+def _neardup_banded_sql(d: Dialect, table: str) -> str:
+    bv = _banded_view(d, table)
+    cosine = _cosine(d, "x.embedding", "y.embedding")
+    return f"""
+SELECT cand.vec_a, cand.vec_b, {cosine} AS cosine
+FROM (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM ({bv}) a JOIN ({bv}) b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+) cand
+JOIN {table} x ON x.vec_id = cand.vec_a
+JOIN {table} y ON y.vec_id = cand.vec_b
+WHERE ({cosine}) >= {NEARDUP_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
 
 
 @register(
     "embedding_cosine_neardup",
-    oracle=_pair_sim_sql(DUCKDB, "embeddings"),
-    doc="Embedding-cosine near-duplicate pairs (cosine >= 0.3 — threshold "
-    "chosen so the synthetic embeddings yield non-trivial output) over a "
-    "bounded slice — the embedding-space variant of the dedup family.",
-    tags=("similarity", "dedup"),
+    oracle=_neardup_banded_sql(DUCKDB, "embeddings"),
+    doc="Embedding-cosine near-duplicate pairs over the FULL corpus via the "
+    f"banded sign-bucket join ({N_BANDS}x{BAND_BITS}-bit) + exact cosine "
+    f"refine (>= {NEARDUP_THRESHOLD}) — sub-quadratic candidate generation, "
+    "the embedding-space member of the dedup family.",
+    tags=("similarity", "dedup", "lsh"),
 )
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_neardup_banded_sql(SPARK, _emb_view(spark, sf_dir)))
+
+
+def _pair_sim_sql(d: Dialect, table: str) -> str:
+    """Bounded all-pairs exact cosine — the exactness baseline the banded
+    operator is validated against (tests/test_scale_utils.py)."""
+    cosine = _cosine(d, "a.embedding", "b.embedding")
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cosine} AS cosine
+FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 40 AND b.vec_id < 40 AND ({cosine}) >= {NEARDUP_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
+@register(
+    "embedding_cosine_allpairs_small",
+    oracle=_pair_sim_sql(DUCKDB, "embeddings"),
+    doc="Exactness BASELINE for the near-dup family: all-pairs cosine over "
+    "a bounded 40-vector slice. Deliberately not the scale path — the "
+    "general operator is embedding_cosine_neardup (banded).",
+    tags=("similarity", "baseline"),
+)
+def embedding_cosine_allpairs_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_pair_sim_sql(SPARK, _emb_view(spark, sf_dir)))

