@@ -115,6 +115,29 @@ def test_kv_sink_idempotent(spark, scratch):
     assert set(first) == {"1", "2"}
 
 
+def test_blob_sink_idempotent(spark, scratch):
+    from sales_telegram_bot_data_pipeline_spark.sinks.blob import LocalBlobStore, write_blobs
+
+    root = os.path.join(scratch, "blobstore")
+    df = spark.createDataFrame(
+        [
+            ("pages/valid/a.png", bytearray(b"\x89PNG-a")),
+            ("item_detected/valid/b.png", bytearray(b"\x89PNG-b")),
+            ("pages/valid/a.png", bytearray(b"\x89PNG-a")),  # dup key, same bytes
+            (None, bytearray(b"orphan")),                    # null key skipped
+            ("pages/valid/empty.png", None),                 # null content skipped
+        ],
+        "blob_key string, content binary",
+    ).repartition(4)
+    write_blobs(df, "blob_key", "content", root)
+    store = LocalBlobStore(root)
+    first = {k: store.get(k) for k in store.keys()}
+    assert set(first) == {"pages/valid/a.png", "item_detected/valid/b.png"}
+    assert first["pages/valid/a.png"] == b"\x89PNG-a"
+    write_blobs(df, "blob_key", "content", root)  # re-run: converges, no extras
+    assert {k: store.get(k) for k in store.keys()} == first
+
+
 def test_revalidation_job_end_to_end(spark, scratch):
     kv_path = os.path.join(scratch, "kv.jsonl")
     hook = os.path.join(scratch, "webhook.jsonl")
