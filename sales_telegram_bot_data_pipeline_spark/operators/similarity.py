@@ -205,6 +205,76 @@ def knn_cosine_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# IVF-flat ANN (inverted-file index: coarse quantize, probe nearest lists)
+# --------------------------------------------------------------------------
+K_LISTS = 8     # coarse centroids / inverted lists
+N_PROBE = 2     # lists searched per query
+CENTROID_BASE = N_QUERIES  # vec_id in [BASE, BASE+K_LISTS) are the centroids
+
+
+def _ivf_scored(d: Dialect, table: str) -> str:
+    """IVF-flat: K_LISTS deterministic pseudo-centroids (the first K_LISTS
+    corpus vectors after the query block — a k-means-style random init,
+    frozen so both engines build the identical index), every corpus vector
+    assigned to its max-cosine centroid, each query probing its N_PROBE
+    nearest lists and scoring exact cosine only within them.
+
+    Scale shape: the centroid table is O(K) and broadcasts, so list
+    assignment is a map-side argmax — one pass over the corpus, no shuffle
+    of the embedding column; per-query search touches ~N_PROBE/K_LISTS of
+    the corpus instead of all of it.  On a real deployment the assigned
+    table is written partitioned by list_id, making the probe join a
+    partition-pruned scan.  Argmax is MAX over a (cosine, -id) struct —
+    lexicographic in both engines, deterministic under ties."""
+    cent = (
+        f"SELECT vec_id - {CENTROID_BASE} AS cid, embedding FROM {table} "
+        f"WHERE vec_id >= {CENTROID_BASE} AND vec_id < {CENTROID_BASE + K_LISTS}"
+    )
+    cos_vc = _cosine(d, "v.embedding", "cent.embedding")
+    cos_qc = _cosine(d, "q.embedding", "cent.embedding")
+    cos_qn = _cosine(d, "q.embedding", "c.embedding")
+    if d.name == "spark":
+        best = f"max(named_struct('c', {cos_vc}, 'nid', -cent.cid)).nid"
+    else:
+        best = f"(max({{'c': {cos_vc}, 'nid': -cent.cid}})).nid"
+    return f"""
+WITH cent AS ({cent}),
+assigned AS (
+  SELECT v.vec_id, -({best}) AS cid
+  FROM {table} v JOIN cent ON 1=1
+  GROUP BY v.vec_id
+),
+probe AS (
+  SELECT query_id, cid FROM (
+    SELECT q.vec_id AS query_id, cent.cid AS cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {cos_qc} DESC, cent.cid) AS r
+    FROM {table} q JOIN cent ON q.vec_id < {N_QUERIES}
+  ) t WHERE r <= {N_PROBE}
+)
+SELECT p.query_id, a.vec_id AS neighbor_id, {cos_qn} AS cosine
+FROM probe p
+JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.query_id
+JOIN {table} q ON q.vec_id = p.query_id
+JOIN {table} c ON c.vec_id = a.vec_id
+"""
+
+
+@register(
+    "knn_cosine_ivf",
+    oracle=_rank_window_sql(_ivf_scored(DUCKDB, "embeddings")),
+    doc=f"IVF-flat ANN: {K_LISTS} deterministic coarse centroids, map-side "
+    "broadcast argmax list assignment (embedding column never shuffles), "
+    f"{N_PROBE}-probe nearest-list search, exact cosine refine, two-stage "
+    "top-k. Searches ~nprobe/K of the corpus per query; oracle builds the "
+    "identical index.",
+    tags=("similarity", "ivf", "topk"),
+)
+def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_rank_twostage_sql(_ivf_scored(SPARK, _emb_view(spark, sf_dir))))
+
+
+# --------------------------------------------------------------------------
 # embedding-space near-dup
 # --------------------------------------------------------------------------
 def _neardup_banded_sql(d: Dialect, table: str) -> str:

