@@ -1,0 +1,217 @@
+"""Dataset-curation operators over the documents table: deterministic
+train/val/test hash splits, stratified (per-language) sampling,
+benchmark-contamination scan, and repetition-based quality metrics.
+
+These are the corpus-management ops a large-scale training-data pipeline
+runs beside dedup/similarity (the reference's closest surface is its
+valid/invalid file regrouping, README.md:96-99 — routing rows to output
+sets by a computed property; these generalize that to hash-routing and
+quality-routing at corpus scale).
+
+Scale design (100 TB):
+- splits and samples are PROJECTIONS over a portable 60-bit md5 hash of the
+  key — no shuffle, no RNG state, no sampling seed to ship; membership is
+  reproducible from the row alone, so a re-run (or a different engine — the
+  DuckDB oracle) lands every row in the same split.  This is how production
+  corpora pin eval sets: hash routing survives repartitioning, backfills,
+  and incremental appends, where row-number sampling does not.
+- the contamination scan builds the benchmark shingle set (small by
+  construction: benchmarks are thousands of docs, not billions) and
+  broadcast-joins it against corpus shingles — map-side, corpus text never
+  shuffles; only (doc_id, hit) pairs aggregate.
+- repetition metrics are per-doc explode→count→ratio chains: the only
+  shuffle key is doc_id (the natural parallel unit), partial aggregation
+  applies, and every count is O(doc length).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.dialect import DUCKDB, SPARK, Dialect
+from ..registry import register
+from ..sources.tables import load_table
+from .dedup import _shingles_sql
+
+TRAIN_PCT = 80  # hash-bucket boundaries of the 3-way split
+VAL_PCT = 90
+EN_RATE_PERMILLE = 100  # stratified sample: keep 10% of en ...
+OTHER_RATE_PERMILLE = 300  # ... and 30% of every other language
+BENCH_MOD = 97  # doc_id % 97 == 0 marks the frozen benchmark set
+
+
+def _doc_view(spark: SparkSession, sf_dir: str, name: str = "sales_telegram_bot_data_pipeline_docs") -> str:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(name)
+    return name
+
+
+# --------------------------------------------------------------------------
+# deterministic train/val/test split
+# --------------------------------------------------------------------------
+def _hash_split_sql(d: Dialect, table: str) -> str:
+    """Route each doc to train/val/test by md5(doc_id) % 100 (the hash is a
+    positive 60-bit int in both engines, so plain % is portable); report
+    per-split row/char totals.  The per-split aggregate keeps the query's
+    output O(1) — the split itself is the WHERE-clause predicate a consumer
+    applies to the full corpus."""
+    h = d.md5_prefix_int(d.strcast("doc_id"))
+    return f"""
+WITH routed AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN ({h}) % 100 < {TRAIN_PCT} THEN 'train'
+              WHEN ({h}) % 100 < {VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split_name
+  FROM {table}
+)
+SELECT split_name, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM routed GROUP BY split_name ORDER BY split_name
+"""
+
+
+@register(
+    "dataset_hash_split",
+    oracle=_hash_split_sql(DUCKDB, "documents"),
+    doc=f"Deterministic {TRAIN_PCT}/{VAL_PCT - TRAIN_PCT}/{100 - VAL_PCT} "
+    "train/val/test split by portable md5(doc_id) hash bucket — no RNG, no "
+    "seed, membership reproducible from the row alone (survives "
+    "repartitioning and appends); per-split stats.",
+    tags=("curation", "sampling"),
+)
+def dataset_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_hash_split_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# stratified deterministic sampling (language rebalancing)
+# --------------------------------------------------------------------------
+def _stratified_sample_sql(d: Dialect, table: str) -> str:
+    """Per-stratum hash-threshold sampling: dominant-language docs kept at
+    a lower rate than the tail languages — the standard corpus-rebalancing
+    move.  The sample hash is salted ('samp|') so split and sample
+    membership are independent."""
+    h = d.md5_prefix_int(f"('samp|' || {d.strcast('doc_id')})")
+    return f"""
+SELECT doc_id, lang, source, n_chars
+FROM {table}
+WHERE ({h}) % 1000 <
+      CASE WHEN lang = 'en' THEN {EN_RATE_PERMILLE} ELSE {OTHER_RATE_PERMILLE} END
+ORDER BY doc_id
+"""
+
+
+@register(
+    "stratified_sample",
+    oracle=_stratified_sample_sql(DUCKDB, "documents"),
+    doc=f"Stratified deterministic sample: keep {EN_RATE_PERMILLE / 10:.0f}% "
+    f"of dominant-language (en) docs and {OTHER_RATE_PERMILLE / 10:.0f}% of "
+    "tail languages via a salted hash threshold — shuffle-free projection, "
+    "reproducible without RNG state.",
+    tags=("curation", "sampling"),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_stratified_sample_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# benchmark-contamination scan
+# --------------------------------------------------------------------------
+def _contamination_sql(d: Dialect, table: str) -> str:
+    """Shingle-overlap contamination check: the frozen benchmark set's
+    distinct word-3-grams (small side → broadcast) semi-joined against every
+    candidate doc's shingles; report docs sharing any shingle with the
+    benchmark, with the shared fraction."""
+    sh = _shingles_sql(d, table)
+    return f"""
+WITH shingles AS ({sh}),
+bench AS (
+  SELECT DISTINCT shingle FROM shingles WHERE doc_id % {BENCH_MOD} = 0
+),
+doc_counts AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM shingles
+  WHERE doc_id % {BENCH_MOD} <> 0 GROUP BY doc_id
+),
+hits AS (
+  SELECT s.doc_id, COUNT(*) AS n_overlap
+  FROM shingles s JOIN bench b ON s.shingle = b.shingle
+  WHERE s.doc_id % {BENCH_MOD} <> 0
+  GROUP BY s.doc_id
+)
+SELECT h.doc_id, dc.n_shingles, h.n_overlap,
+       CAST(ROUND(h.n_overlap * 1.0 / dc.n_shingles, 6) AS DOUBLE) AS overlap_frac
+FROM hits h JOIN doc_counts dc ON dc.doc_id = h.doc_id
+ORDER BY h.doc_id
+"""
+
+
+@register(
+    "contamination_overlap",
+    oracle=_contamination_sql(DUCKDB, "documents"),
+    doc="Benchmark-contamination scan: distinct shingles of the frozen "
+    f"benchmark subset (doc_id % {BENCH_MOD} = 0) broadcast against corpus "
+    "shingles; per-doc overlap count + fraction. Map-side semi-join shape — "
+    "corpus text never shuffles.",
+    tags=("curation", "text", "join"),
+)
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_contamination_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# repetition-based quality metrics
+# --------------------------------------------------------------------------
+def _repetition_sql(d: Dialect, table: str) -> str:
+    """Per-doc repetition signals in the Gopher-rules family, adapted to
+    whitespace corpora: mass of the most frequent word, mass of the most
+    frequent bigram, and total mass sitting in repeated (count >= 2)
+    bigrams.  High values flag boilerplate / spammy documents."""
+    w = d.splitws("lower(text)")
+    words_rel = f"(SELECT doc_id, {w} AS w FROM {table}) src"
+    if d.name == "spark":
+        word_rel = f"SELECT doc_id, word FROM {words_rel} LATERAL VIEW explode(w) t AS word"
+        bigram_arr = "transform(sequence(1, size(w) - 1), i -> array_join(slice(w, i, 2), ' '))"
+        bigram_rel = (
+            f"SELECT doc_id, bigram FROM {words_rel} "
+            f"LATERAL VIEW explode({bigram_arr}) t AS bigram WHERE size(w) >= 2"
+        )
+    else:
+        word_rel = f"SELECT doc_id, unnest(w) AS word FROM {words_rel}"
+        bigram_arr = (
+            "list_transform(generate_series(1, len(w) - 1), "
+            "i -> array_to_string(list_slice(w, i, i + 1), ' '))"
+        )
+        bigram_rel = f"SELECT doc_id, unnest({bigram_arr}) AS bigram FROM {words_rel} WHERE len(w) >= 2"
+    return f"""
+WITH wc AS (
+  SELECT doc_id, word, COUNT(*) AS c FROM ({word_rel}) x GROUP BY doc_id, word
+),
+wstats AS (
+  SELECT doc_id, SUM(c) AS n_words, MAX(c) AS top_word_count FROM wc GROUP BY doc_id
+),
+bc AS (
+  SELECT doc_id, bigram, COUNT(*) AS c FROM ({bigram_rel}) x GROUP BY doc_id, bigram
+),
+bstats AS (
+  SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram_count,
+         COALESCE(SUM(CASE WHEN c >= 2 THEN c END), 0) AS dup_bigram_mass
+  FROM bc GROUP BY doc_id
+)
+SELECT w.doc_id, w.n_words,
+       CAST(ROUND(w.top_word_count * 1.0 / w.n_words, 6) AS DOUBLE) AS top_word_frac,
+       CAST(ROUND(b.top_bigram_count * 1.0 / NULLIF(b.n_bigrams, 0), 6) AS DOUBLE) AS top_bigram_frac,
+       CAST(ROUND(b.dup_bigram_mass * 1.0 / NULLIF(b.n_bigrams, 0), 6) AS DOUBLE) AS dup_bigram_frac
+FROM wstats w JOIN bstats b ON b.doc_id = w.doc_id
+ORDER BY w.doc_id
+"""
+
+
+@register(
+    "quality_repetition",
+    oracle=_repetition_sql(DUCKDB, "documents"),
+    doc="Gopher-style repetition quality metrics per doc: top-word mass, "
+    "top-bigram mass, and duplicate-bigram mass — explode→count→ratio "
+    "chains whose only shuffle key is doc_id (partial agg applies).",
+    tags=("curation", "text", "quality"),
+)
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_repetition_sql(SPARK, _doc_view(spark, sf_dir)))

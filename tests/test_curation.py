@@ -1,0 +1,76 @@
+"""Semantic checks for dataset-curation operators beyond the oracle match:
+split totality/determinism, stratified-rate ordering, contamination hit
+validity, and a hand-computed repetition fixture."""
+
+from __future__ import annotations
+
+from sales_telegram_bot_data_pipeline_spark.operators.curation import (
+    EN_RATE_PERMILLE,
+    OTHER_RATE_PERMILLE,
+    dataset_hash_split,
+    quality_repetition,
+    stratified_sample,
+)
+from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
+
+from conftest import SF_ORACLE
+
+
+def test_hash_split_total_and_bounded(spark):
+    rows = {r["split_name"]: r for r in dataset_hash_split(spark, SF_ORACLE).collect()}
+    assert set(rows) == {"train", "val", "test"}
+    n_total = sum(r["n_docs"] for r in rows.values())
+    assert n_total == load_table(spark, SF_ORACLE, "documents").count()
+    # hash buckets are uniform-ish: train ~80% should dominate both tails
+    assert rows["train"]["n_docs"] > rows["val"]["n_docs"]
+    assert rows["train"]["n_docs"] > rows["test"]["n_docs"]
+
+
+def test_stratified_sample_deterministic_and_rate_ordered(spark):
+    a = stratified_sample(spark, SF_ORACLE).collect()
+    b = stratified_sample(spark, SF_ORACLE).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]  # no RNG state
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    n_en_corpus = docs.filter("lang = 'en'").count()
+    n_other_corpus = docs.count() - n_en_corpus
+    n_en_kept = sum(1 for r in a if r["lang"] == "en")
+    n_other_kept = len(a) - n_en_kept
+    # realized rates land near the configured per-mille thresholds
+    assert abs(n_en_kept / n_en_corpus - EN_RATE_PERMILLE / 1000) < 0.08
+    assert abs(n_other_kept / n_other_corpus - OTHER_RATE_PERMILLE / 1000) < 0.08
+    assert n_other_kept / n_other_corpus > n_en_kept / n_en_corpus
+
+
+def test_repetition_fractions_bounded(spark):
+    rows = quality_repetition(spark, SF_ORACLE).collect()
+    assert rows, "documents table produced no repetition rows"
+    for r in rows:
+        assert 0 < r["top_word_frac"] <= 1
+        if r["top_bigram_frac"] is not None:
+            assert 0 < r["top_bigram_frac"] <= 1
+            assert 0 <= r["dup_bigram_frac"] <= 1
+            # the top bigram is itself repeated iff dup mass is nonzero
+            if r["dup_bigram_frac"] == 0:
+                assert r["top_bigram_frac"] <= 0.5 + 1e-9 or r["n_words"] <= 3
+
+
+def test_repetition_hand_fixture(spark):
+    df = spark.createDataFrame(
+        [(1, "buy now buy now buy now"), (2, "all words here differ fully")],
+        "doc_id int, text string",
+    )
+    df.createOrReplaceTempView("fixture_docs")
+    from sales_telegram_bot_data_pipeline_spark.functions.dialect import SPARK
+    from sales_telegram_bot_data_pipeline_spark.operators.curation import _repetition_sql
+
+    out = {r["doc_id"]: r for r in spark.sql(_repetition_sql(SPARK, "fixture_docs")).collect()}
+    # doc 1: 6 words, "buy"x3 -> 0.5; bigrams: 5 total, "buy now"x3, "now buy"x2 -> all repeated
+    assert out[1]["n_words"] == 6
+    assert out[1]["top_word_frac"] == 0.5
+    assert out[1]["top_bigram_frac"] == 0.6
+    assert out[1]["dup_bigram_frac"] == 1.0
+    # doc 2: no repetition at all
+    assert out[2]["top_word_frac"] == 0.2
+    assert out[2]["top_bigram_frac"] == 0.25
+    assert out[2]["dup_bigram_frac"] == 0.0
