@@ -6,14 +6,18 @@ Scale design (100 TB):
   one shuffle of (hash, min_id, count) — never the text itself;
 - n-gram Jaccard goes through an inverted shingle index (explode → self-join
   on shingle → count) — the standard candidate-pair generation; the shingle
-  join key is the shuffle key, so hot shingles are the skew risk (AQE skew
-  join or a stop-shingle filter handles it at scale);
+  join key is the shuffle key, so hot shingles are the skew risk — the
+  shipped skew answer is ``dedup_jaccard_stopshingle`` (df-capped candidate
+  generation, bounded per-shingle fan-out);
 - MinHash+LSH: 8 portable hash functions → per-doc signature → 4 bands of 2
   → band-bucket equi-join.  Only docs sharing a band collide; join input is
   4 rows/doc regardless of doc length — the classic sub-quadratic near-dup
   path;
-- SimHash: 16-bit majority fingerprint over word hashes; Hamming-adjacent
-  buckets can then be compared (fingerprint alone here, oracle-checked).
+- SimHash: 16-bit majority fingerprint over word hashes
+  (``dedup_simhash``); ``simhash_neardup`` completes the family — candidate
+  pairs from equality on the fingerprint with one nibble masked (any pair
+  whose differing bits sit in a single 4-bit block collides on the key that
+  masks that block), exact Hamming ≤ k refine.
 
 All hashes are the portable md5-prefix hash (identical in Spark and DuckDB).
 """
@@ -251,7 +255,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # SimHash fingerprints (16-bit majority over distinct word hashes)
 # --------------------------------------------------------------------------
-def _simhash_sql(d: Dialect, table: str) -> str:
+def _simhash_sql(d: Dialect, table: str, bits: int = 16) -> str:
     w = d.adistinct(d.splitws("lower(text)"))
     words_rel = (
         f"SELECT doc_id, unnest({w}) AS word FROM {table}"
@@ -261,7 +265,7 @@ def _simhash_sql(d: Dialect, table: str) -> str:
     h = d.md5_prefix_int("word")
     bit_sum = " + ".join(
         f"(CASE WHEN 2 * SUM(({d.shr('h', b)}) & 1) > COUNT(*) THEN {1 << b} ELSE 0 END)"
-        for b in range(16)
+        for b in range(bits)
     )
     return f"""
 WITH words AS ({words_rel}),
@@ -280,3 +284,80 @@ FROM hashed GROUP BY doc_id ORDER BY doc_id
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_simhash_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup pairing (Hamming-bucketed candidates + exact refine)
+# --------------------------------------------------------------------------
+SIMHASH_BITS = 32  # wider than dedup_simhash's 16: pairing needs headroom —
+# a 16-bit space saturates (Ω(n²/2^16) Hamming-0 collisions once the corpus
+# passes ~65k docs); 32 bits keeps the block buckets selective.
+HAMMING_K = 3
+N_BLOCKS = HAMMING_K + 1  # pigeonhole: ≤k diffs leave ≥1 block untouched
+BLOCK_BITS = SIMHASH_BITS // N_BLOCKS
+
+
+def _xor(d: Dialect, a: str, b: str) -> str:
+    """Bitwise XOR — Spark spells it ``^``; DuckDB's ``^`` is POWER."""
+    return f"({a} ^ {b})" if d.name == "spark" else f"xor({a}, {b})"
+
+
+def _simhash_neardup_sql(d: Dialect, table: str) -> str:
+    """Near-dup pairs with GUARANTEED recall at Hamming ≤ k: the standard
+    pigeonhole block scheme (Manku et al., WWW'07).  The fingerprint splits
+    into ``N_BLOCKS = k+1`` blocks of ``BLOCK_BITS``; two fingerprints
+    differing in ≤ k bits must agree on at least one whole block, so the
+    equi-join on (block_idx, block_value) surfaces EVERY qualifying pair —
+    this is an exact operator, the blocks only prune, never drop.  The
+    ``bit_count(xor)`` refine then keeps true Hamming ≤ k.
+
+    Scale shape: N_BLOCKS rows/doc join input (like the MinHash bands),
+    candidates come from a block-value equi-join — never all-pairs; at web
+    scale a hot block value (e.g. an all-zeros block from short docs) is the
+    skew key, handled like any hot join key (AQE skew split)."""
+    sim = _simhash_sql(d, table, bits=SIMHASH_BITS)
+    block_mask = (1 << BLOCK_BITS) - 1
+    blocks = [f"(({d.shr('simhash', BLOCK_BITS * j)}) & {block_mask})" for j in range(N_BLOCKS)]
+    if d.name == "spark":
+        entries = ", ".join(
+            f"named_struct('j', {j}, 'blk', {b})" for j, b in enumerate(blocks)
+        )
+        keyed = (
+            f"SELECT doc_id, simhash, e.j AS j, e.blk AS blk "
+            f"FROM sim LATERAL VIEW explode(array({entries})) t AS e"
+        )
+    else:
+        entries = ", ".join(f"{{'j': {j}, 'blk': {b}}}" for j, b in enumerate(blocks))
+        keyed = (
+            f"SELECT doc_id, simhash, u.j AS j, u.blk AS blk "
+            f"FROM (SELECT doc_id, simhash, unnest([{entries}]) AS u FROM sim) s"
+        )
+    hamming = f"bit_count({_xor(d, 'a_sim', 'b_sim')})"
+    return f"""
+WITH sim AS ({sim}),
+keyed AS ({keyed}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS a_sim, b.simhash AS b_sim
+  FROM keyed a JOIN keyed b
+    ON a.j = b.j AND a.blk = b.blk AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST({hamming} AS INT) AS hamming
+FROM cand
+WHERE {hamming} <= {HAMMING_K}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "simhash_neardup",
+    oracle=_simhash_neardup_sql(DUCKDB, "documents"),
+    doc=f"SimHash near-dup pairs, EXACT at Hamming <= {HAMMING_K}: "
+    f"{SIMHASH_BITS}-bit fingerprint split into {N_BLOCKS} blocks of "
+    f"{BLOCK_BITS}; pigeonhole guarantees a qualifying pair shares a whole "
+    "block, so the (block_idx, value) equi-join is pure pruning; "
+    "bit_count(xor) refine. Completes the SimHash family.",
+    tags=("dedup", "hash", "join"),
+)
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_simhash_neardup_sql(SPARK, _doc_view(spark, sf_dir)))

@@ -42,3 +42,20 @@ def test_registry_contract():
     oracles = entry_mod.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 18
+
+
+def test_driver_window_is_all_oracle():
+    """The driver's CORRECTNESS gate checks the first 50 queries() entries:
+    every one must be oracle-backed (no rows-only row burning a checked
+    slot) and rows-only queries must sort last."""
+    import __spark_entry__ as entry_mod
+    from sales_telegram_bot_data_pipeline_spark.queries import _DRIVER_WINDOW
+
+    names = list(entry_mod.queries())
+    oracles = set(entry_mod.oracle_sql())
+    assert len(_DRIVER_WINDOW) == 50
+    assert names[:50] == _DRIVER_WINDOW
+    assert all(n in oracles for n in names[:50])
+    tail_oracle_flags = [n in oracles for n in names[50:]]
+    # oracle-backed extras first, rows-only strictly last
+    assert tail_oracle_flags == sorted(tail_oracle_flags, reverse=True)

@@ -120,3 +120,49 @@ def test_neardup_banded_pairs_are_subset_of_exact(spark):
     }
     banded_slice = {(a, b) for a, b in banded_all if a < 40 and b < 40}
     assert banded_slice <= exact
+
+
+def test_simhash_neardup_full_recall_and_minhash_overlap(spark):
+    """The pigeonhole block scheme is EXACT at Hamming <= k: its candidate
+    equi-join must surface every brute-force all-pairs qualifying pair (a
+    pair differing in <= k bits shares at least one of k+1 blocks).  Also
+    pin that the MinHash ground-truth near-dups whose fingerprints are
+    within k land in the output."""
+    from sales_telegram_bot_data_pipeline_spark.registry import REGISTRY
+    import sales_telegram_bot_data_pipeline_spark.queries  # noqa: F401
+    from sales_telegram_bot_data_pipeline_spark.operators.dedup import (
+        HAMMING_K,
+        SIMHASH_BITS,
+        _simhash_sql,
+    )
+    from sales_telegram_bot_data_pipeline_spark.functions.dialect import SPARK
+
+    sf = "/root/testdata/sf0.01"
+    blocked = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in REGISTRY["simhash_neardup"].fn(spark, sf).collect()
+    }
+    # brute-force all-pairs reference over the same fingerprints
+    from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
+
+    load_table(spark, sf, "documents").createOrReplaceTempView("snd_docs")
+    sim = _simhash_sql(SPARK, "snd_docs", bits=SIMHASH_BITS)
+    brute = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in spark.sql(
+            f"WITH s AS ({sim}) "
+            f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            f"cast(bit_count(a.simhash ^ b.simhash) AS int) AS hamming "
+            f"FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            f"WHERE bit_count(a.simhash ^ b.simhash) <= {HAMMING_K}"
+        ).collect()
+    }
+    assert blocked == brute  # full recall + identical refine values
+
+    minhash = {
+        (r["doc_a"], r["doc_b"])
+        for r in REGISTRY["dedup_minhash_lsh"].fn(spark, sf).collect()
+    }
+    close_minhash = {p for p in minhash if p in brute}
+    assert close_minhash  # some ground-truth near-dups are Hamming-close
+    assert close_minhash <= set(blocked)
