@@ -68,16 +68,29 @@ def _fake_ocr(seed: int, class_name: str) -> str:
     return f"{whole} {90 if seed % 2 else 99}"
 
 
+PAGE_MOD = 3  # each source document rasterizes to 1 + (pk % PAGE_MOD) pages
+
+
 def synthesize_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """op 3 output shape: one row per rasterized page with lineage as REAL
-    columns (reference encodes it in filenames, pdf_utils.py:50)."""
+    """op 3: the PDF → pages fan-out as a real 1→N explode — one source
+    document (part row) emits 1 + (pk % PAGE_MOD) page rows, with the page
+    number both a lineage column and embedded in the reference's filename
+    scheme ``{base}_page_{i}.png`` (pdf_utils.py:47-61 emits one file per
+    rasterized page)."""
     part = load_table(spark, sf_dir, "part")
     shop_arr = F.array(*[F.lit(s) for s in SHOPS])
+    n_pages = (F.lit(1) + F.col("p_partkey") % PAGE_MOD).cast("int")
     return part.select(
-        F.concat(F.lit("pages/valid/part_"), "p_partkey", F.lit("_page_1.png")).alias("image_id"),
+        "p_partkey",
+        F.posexplode(F.sequence(F.lit(1), n_pages)).alias("pos", "page_num"),
+    ).select(
+        F.concat(
+            F.lit("pages/valid/part_"), "p_partkey", F.lit("_page_"), "page_num", F.lit(".png")
+        ).alias("image_id"),
         F.element_at(shop_arr, (F.col("p_partkey") % len(SHOPS)).cast("int") + 1).alias("shop_name"),
         (F.lit(640) + F.col("p_partkey") % 640).cast("int").alias("width"),
         (F.lit(480) + F.col("p_partkey") % 480).cast("int").alias("height"),
+        F.col("page_num").cast("int").alias("page_num"),
     )
 
 
@@ -185,31 +198,50 @@ def detected_data(spark: SparkSession, sf_dir: str, padding: float = 0.10) -> Da
     pages = synthesize_pages(spark, sf_dir)
     det2 = stub_detect(pages, model="model2", include_ocr=True)
     det2 = pad_clamp(det2.where(F.col("error").isNull()), padding)
-    wide = pivot_last_wins(det2)
-    # route each class column through the dispatcher with a literal class_id
-    from ..functions.dialect import SPARK
-    from ..functions.prices import dispatcher_fields
+    # Dispatch BEFORE the pivot: ONE struct-valued dispatcher instance over
+    # detection rows (class_id = the class_name column; the class gate NULLs
+    # item_name rows), then fold raw and parsed values through the same
+    # last-wins aggregation.  parse() is deterministic per text, so
+    # max_by(parse(text), idx) == parse(max_by(text, idx)) — and the parser
+    # chain appears exactly once in the plan instead of once per projected
+    # column (the per-column forms blew task binaries past 1-2 MiB).
+    from ..functions.prices import price_struct_col
 
-    def processed(cls_col: str, cls_name: str, field: str):
-        fields = dispatcher_fields(SPARK, "shop_name", cls_col, f"'{cls_name}'")
-        return F.expr(fields[field])
+    parsed = det2.withColumn("p", price_struct_col("shop_name", "ocr_text", "class_name"))
 
-    return wide.select(
-        "image_id",
-        "shop_name",
-        F.col("item_name"),
-        F.lower(F.col("item_name")).alias("processed_item_name"),
-        F.col("item_price"),
-        processed("item_price", "item_price", "item_price").alias("processed_item_price"),
-        F.col("item_member_price"),
-        processed("item_member_price", "item_member_price", "member_price").alias(
-            "processed_item_member_price"
-        ),
-        F.col("item_initial_price"),
-        processed("item_initial_price", "item_initial_price", "initial_price").alias(
-            "processed_item_initial_price"
-        ),
-        F.lit(True).alias("valid"),  # op 43: code sets True (README disagrees; code wins)
+    def last_wins(value, cls: str):
+        cond_val = F.when(F.col("class_name") == cls, value)
+        cond_ord = F.when(F.col("class_name") == cls, F.col("det_idx"))
+        return F.max_by(cond_val, cond_ord)
+
+    return (
+        parsed.groupBy("image_id", "shop_name")
+        .agg(
+            last_wins(F.col("ocr_text"), "item_name").alias("item_name"),
+            last_wins(F.col("ocr_text"), "item_price").alias("item_price"),
+            last_wins(F.col("ocr_text"), "item_member_price").alias("item_member_price"),
+            last_wins(F.col("ocr_text"), "item_initial_price").alias("item_initial_price"),
+            last_wins(F.col("p.item_price"), "item_price").alias("processed_item_price"),
+            last_wins(F.col("p.member_price"), "item_member_price").alias(
+                "processed_item_member_price"
+            ),
+            last_wins(F.col("p.initial_price"), "item_initial_price").alias(
+                "processed_item_initial_price"
+            ),
+        )
+        .select(
+            "image_id",
+            "shop_name",
+            F.col("item_name"),
+            F.lower(F.col("item_name")).alias("processed_item_name"),
+            F.col("item_price"),
+            "processed_item_price",
+            F.col("item_member_price"),
+            "processed_item_member_price",
+            F.col("item_initial_price"),
+            "processed_item_initial_price",
+            F.lit(True).alias("valid"),  # op 43: code sets True (README disagrees; code wins)
+        )
     )
 
 

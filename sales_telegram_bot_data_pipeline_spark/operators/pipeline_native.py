@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.dialect import DUCKDB, SPARK, Dialect
-from ..functions.prices import SHOPS, dispatcher_fields
+from ..functions.prices import SHOPS, dispatcher_struct_sql
 from ..registry import register
 from ..sources.tables import load_table
 
@@ -22,11 +22,19 @@ CLASSES = ("item_name", "item_price", "item_member_price", "item_initial_price")
 NAME_WORDS = ("mleko", "jogurt", "cerstve", "smetanovy", "florian", "maslo")
 
 
+PAGE_MOD = 3  # keep in sync with inference.PAGE_MOD (1 + pk % PAGE_MOD pages)
+
+
 def _detections_sql(d: Dialect, part_table: str) -> str:
-    """Deterministic per-image detections: class x slot combos, kept when
+    """Deterministic per-image detections: op-3 page fan-out (1 + pk %
+    PAGE_MOD pages per source document, reference filename scheme
+    ``{base}_page_{i}.png``) crossed with class x slot combos, kept when
     slot < (seed %% 3), with portable md5-based seeds — the relational twin
-    of inference._stub_infer_batch."""
-    image_id = "('pages/valid/part_' || " + d.strcast("p_partkey") + " || '_page_1.png')"
+    of inference.synthesize_pages + _stub_infer_batch."""
+    image_id = (
+        "('pages/valid/part_' || " + d.strcast("p_partkey")
+        + " || '_page_' || " + d.strcast("page_num") + " || '.png')"
+    )
     shops_arr = d.array_lit(list(SHOPS))
     if d.name == "spark":
         shop = f"element_at({shops_arr}, cast(p_partkey % {len(SHOPS)} as int) + 1)"
@@ -38,7 +46,10 @@ def _detections_sql(d: Dialect, part_table: str) -> str:
         explode_rel = (
             f"SELECT {image_id} AS image_id, {shop} AS shop_name, "
             f"e.cls AS class_name, e.slot AS slot, e.cidx AS cidx "
-            f"FROM {part_table} LATERAL VIEW explode(array({combos})) t AS e"
+            f"FROM {part_table} "
+            f"LATERAL VIEW explode(sequence(1, 1 + cast(p_partkey % {PAGE_MOD} as int))) "
+            f"pg AS page_num "
+            f"LATERAL VIEW explode(array({combos})) t AS e"
         )
     else:
         shop = f"({shops_arr})[p_partkey % {len(SHOPS)} + 1]"
@@ -47,10 +58,14 @@ def _detections_sql(d: Dialect, part_table: str) -> str:
             for ci, c in enumerate(CLASSES)
             for s in (0, 1)
         )
+        pages_rel = (
+            f"(SELECT p_partkey, unnest(generate_series(1, 1 + p_partkey % {PAGE_MOD}))"
+            f" AS page_num FROM {part_table})"
+        )
         explode_rel = (
             f"SELECT image_id, shop_name, u.cls AS class_name, u.slot AS slot, u.cidx AS cidx "
             f"FROM (SELECT {image_id} AS image_id, {shop} AS shop_name, "
-            f"unnest([{combos}]) AS u FROM {part_table}) s"
+            f"unnest([{combos}]) AS u FROM {pages_rel} pgs) s"
         )
     count_seed = d.md5_prefix_int("(image_id || '|' || class_name)")
     s2 = d.md5_prefix_int("(image_id || '|' || class_name || '|' || " + d.strcast("slot") + ")")
@@ -85,32 +100,53 @@ FROM (
 
 def _wide_sql(d: Dialect, part_table: str) -> str:
     det = _detections_sql(d, part_table)
+
+    def pick(value: str, cls: str, alias: str) -> str:
+        # DuckDB ARG_MAX skips rows whose ARG is NULL — a failed parse at
+        # the winning det_idx would resurrect an earlier successful one.
+        # Wrapping the arg in a struct (never NULL) keeps the reference
+        # semantics: the LAST detection wins even when its parse is NULL.
+        # Spark's max_by only ignores NULL *ordering* values, which the
+        # class-gated CASE ord already provides.
+        if d.name == "duckdb":
+            return (
+                f"(ARG_MAX({{'v': {value}}}, det_idx) "
+                f"FILTER (WHERE class_name = '{cls}'))['v'] AS {alias}"
+            )
+        return (
+            f"max_by(CASE WHEN class_name = '{cls}' THEN {value} END, "
+            f"CASE WHEN class_name = '{cls}' THEN det_idx END) AS {alias}"
+        )
+
+    # Dispatch BEFORE the pivot: ONE dispatcher instance over detection rows
+    # (class_id = the class_name column; the class gate NULLs item_name
+    # rows), parsed fields fold through the same last-wins aggregation —
+    # parse() is deterministic per text, so arg_max(parse(text), idx) ==
+    # parse(arg_max(text, idx)), and the parser chain appears exactly once.
+    struct = dispatcher_struct_sql(d, "shop_name", "ocr_text", "class_name")
     picks = ", ".join(
-        f"ARG_MAX(CASE WHEN class_name = '{c}' THEN ocr_text END, det_idx) "
-        f"FILTER (WHERE class_name = '{c}') AS {c}"
-        if d.name == "duckdb"
-        else f"max_by(CASE WHEN class_name = '{c}' THEN ocr_text END, "
-        f"CASE WHEN class_name = '{c}' THEN det_idx END) AS {c}"
-        for c in CLASSES
+        [pick("ocr_text", c, c) for c in CLASSES]
+        + [
+            pick(d.struct_get("p", field), cls, f"processed_{cls}")
+            for cls, field in (
+                ("item_price", "item_price"),
+                ("item_member_price", "member_price"),
+                ("item_initial_price", "initial_price"),
+            )
+        ]
     )
-    price_cols = []
-    for cls, field in (
-        ("item_price", "item_price"),
-        ("item_member_price", "member_price"),
-        ("item_initial_price", "initial_price"),
-    ):
-        expr = dispatcher_fields(d, "shop_name", cls, f"'{cls}'")[field]
-        price_cols.append(f"{expr} AS processed_{cls}")
     return f"""
 WITH detections AS ({det}),
+parsed AS (SELECT *, {struct} AS p FROM detections),
 wide AS (
   SELECT image_id, shop_name, {picks}
-  FROM detections GROUP BY image_id, shop_name
+  FROM parsed GROUP BY image_id, shop_name
 )
 SELECT image_id, shop_name,
        item_name, lower(item_name) AS processed_item_name,
        item_price, item_member_price, item_initial_price,
-       {', '.join(price_cols)},
+       processed_item_price, processed_item_member_price,
+       processed_item_initial_price,
        true AS valid
 FROM wide ORDER BY image_id
 """
