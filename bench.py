@@ -40,7 +40,12 @@ HEADLINE = [
     "preprocess_text_normalize",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_jaccard_stopshingle",
+    "simhash_neardup",
     "knn_cosine_bruteforce",
+    "knn_cosine_ivf",
+    "word_segmentation",
+    "contamination_overlap",
     "detected_data_pipeline",
 ]
 

@@ -303,18 +303,26 @@ def _xor(d: Dialect, a: str, b: str) -> str:
 
 
 def _simhash_neardup_sql(d: Dialect, table: str) -> str:
-    """Near-dup pairs with GUARANTEED recall at Hamming ≤ k: the standard
-    pigeonhole block scheme (Manku et al., WWW'07).  The fingerprint splits
-    into ``N_BLOCKS = k+1`` blocks of ``BLOCK_BITS``; two fingerprints
-    differing in ≤ k bits must agree on at least one whole block, so the
-    equi-join on (block_idx, block_value) surfaces EVERY qualifying pair —
-    this is an exact operator, the blocks only prune, never drop.  The
-    ``bit_count(xor)`` refine then keeps true Hamming ≤ k.
+    """Near-dup detection with GUARANTEED recall at Hamming ≤ k, paired at
+    FINGERPRINT granularity.
 
-    Scale shape: N_BLOCKS rows/doc join input (like the MinHash bands),
-    candidates come from a block-value equi-join — never all-pairs; at web
-    scale a hot block value (e.g. an all-zeros block from short docs) is the
-    skew key, handled like any hot join key (AQE skew split)."""
+    Candidate generation is the standard pigeonhole block scheme (Manku et
+    al., WWW'07): the fingerprint splits into ``N_BLOCKS = k+1`` blocks of
+    ``BLOCK_BITS``; two fingerprints differing in ≤ k bits must agree on at
+    least one whole block, so the equi-join on (block_idx, block_value)
+    surfaces EVERY qualifying fingerprint pair — blocks only prune, never
+    drop.  ``bit_count(xor)`` refines to true Hamming ≤ k.
+
+    Pairing at fingerprint (not document) granularity is the scale design:
+    duplicate-heavy corpora have identical-fingerprint clusters, and
+    doc-level pair output is QUADRATIC in cluster size (2.1M pair rows from
+    5k synthetic docs at sf0.1).  One row per duplicate group (hamming 0,
+    rep = min doc_id, n_pairs = C(n,2)) plus one row per near fingerprint
+    pair (n_pairs = n_a*n_b) keeps the output linear in distinct
+    fingerprints; doc-level pairs recover by joining the fingerprint table
+    back on simhash.  The block equi-join input is N_BLOCKS rows per
+    DISTINCT fingerprint — never all-pairs, never per-doc; a hot block
+    value is an ordinary hot join key (AQE skew split)."""
     sim = _simhash_sql(d, table, bits=SIMHASH_BITS)
     block_mask = (1 << BLOCK_BITS) - 1
     blocks = [f"(({d.shr('simhash', BLOCK_BITS * j)}) & {block_mask})" for j in range(N_BLOCKS)]
@@ -323,28 +331,36 @@ def _simhash_neardup_sql(d: Dialect, table: str) -> str:
             f"named_struct('j', {j}, 'blk', {b})" for j, b in enumerate(blocks)
         )
         keyed = (
-            f"SELECT doc_id, simhash, e.j AS j, e.blk AS blk "
-            f"FROM sim LATERAL VIEW explode(array({entries})) t AS e"
+            f"SELECT simhash, rep, n_docs, e.j AS j, e.blk AS blk "
+            f"FROM groups LATERAL VIEW explode(array({entries})) t AS e"
         )
     else:
         entries = ", ".join(f"{{'j': {j}, 'blk': {b}}}" for j, b in enumerate(blocks))
         keyed = (
-            f"SELECT doc_id, simhash, u.j AS j, u.blk AS blk "
-            f"FROM (SELECT doc_id, simhash, unnest([{entries}]) AS u FROM sim) s"
+            f"SELECT simhash, rep, n_docs, u.j AS j, u.blk AS blk "
+            f"FROM (SELECT simhash, rep, n_docs, unnest([{entries}]) AS u FROM groups) s"
         )
-    hamming = f"bit_count({_xor(d, 'a_sim', 'b_sim')})"
+    hamming = f"bit_count({_xor(d, 'a.simhash', 'b.simhash')})"
     return f"""
 WITH sim AS ({sim}),
+groups AS (
+  SELECT simhash, MIN(doc_id) AS rep, COUNT(*) AS n_docs
+  FROM sim GROUP BY simhash
+),
 keyed AS ({keyed}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.simhash AS a_sim, b.simhash AS b_sim
+near AS (
+  SELECT DISTINCT LEAST(a.rep, b.rep) AS doc_a, GREATEST(a.rep, b.rep) AS doc_b,
+         CAST({hamming} AS INT) AS hamming,
+         CAST(a.n_docs * b.n_docs AS BIGINT) AS n_pairs
   FROM keyed a JOIN keyed b
-    ON a.j = b.j AND a.blk = b.blk AND a.doc_id < b.doc_id
+    ON a.j = b.j AND a.blk = b.blk AND a.simhash < b.simhash
+  WHERE {hamming} <= {HAMMING_K}
 )
-SELECT doc_a, doc_b, CAST({hamming} AS INT) AS hamming
-FROM cand
-WHERE {hamming} <= {HAMMING_K}
+SELECT doc_a, doc_b, hamming, n_pairs FROM near
+UNION ALL
+SELECT rep AS doc_a, rep AS doc_b, 0 AS hamming,
+       CAST({d.idiv('(n_docs * (n_docs - 1))', 2)} AS BIGINT) AS n_pairs
+FROM groups WHERE n_docs >= 2
 ORDER BY doc_a, doc_b
 """
 
@@ -352,11 +368,12 @@ ORDER BY doc_a, doc_b
 @register(
     "simhash_neardup",
     oracle=_simhash_neardup_sql(DUCKDB, "documents"),
-    doc=f"SimHash near-dup pairs, EXACT at Hamming <= {HAMMING_K}: "
-    f"{SIMHASH_BITS}-bit fingerprint split into {N_BLOCKS} blocks of "
-    f"{BLOCK_BITS}; pigeonhole guarantees a qualifying pair shares a whole "
-    "block, so the (block_idx, value) equi-join is pure pruning; "
-    "bit_count(xor) refine. Completes the SimHash family.",
+    doc=f"SimHash near-dup, EXACT at Hamming <= {HAMMING_K} and paired at "
+    f"fingerprint granularity: {SIMHASH_BITS}-bit fingerprints grouped "
+    f"(rep, count), pigeonhole {N_BLOCKS}x{BLOCK_BITS}-bit block equi-join "
+    "guarantees every qualifying fingerprint pair, bit_count(xor) refine; "
+    "one row per duplicate group / near pair with the doc-pair count — "
+    "output stays linear in distinct fingerprints on dup-heavy corpora.",
     tags=("dedup", "hash", "join"),
 )
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -122,7 +122,7 @@ def q3_top_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = _dec("l_extendedprice", 12, 2) * (F.lit(1) - _dec("l_discount", 8, 4))
     return (
         li.join(
-            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            orders.join(cust, orders.o_custkey == cust.c_custkey),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -171,10 +171,13 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     revenue = _dec("l_extendedprice", 12, 2) * (F.lit(1) - _dec("l_discount", 8, 4))
     return (
+        # customer/supplier scale with the fact tables (~15B/1.5B rows at
+        # 100 TB) — no forced broadcast; AQE chooses from actual sizes.
+        # region/nation are true fixed-size dims and keep their hints.
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -210,7 +213,7 @@ def broadcast_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cust = load_table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
         .orderBy("o_orderkey")
     )
@@ -322,7 +325,7 @@ def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .select("c_mktsegment", "o_orderkey", "o_totalprice")
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
@@ -685,7 +688,7 @@ def disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("p_type").like("%BRASS%") & (F.col("l_quantity") < 3))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .where(cond)
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

@@ -152,19 +152,38 @@ class DictSpeller:
         return self.suggestions.get(word, [])
 
 
-def _load_hunspell():
-    """Import-gated hunspell loader (op 19).  The library isn't in this
-    environment; callers that flip ``spell_fallback=True`` without injecting
-    a speller get a clear error, not a silent no-op."""
+HUNSPELL_DIC = "/usr/share/hunspell/en_US.dic"
+HUNSPELL_AFF = "/usr/share/hunspell/en_US.aff"
+
+# One HunSpell handle per executor process, keyed by dictionary paths.
+# HunSpell objects are NOT picklable, so the driver never constructs or
+# broadcasts one — only the paths ship (via UDF closure); each executor
+# builds its handle lazily on first batch.
+_EXECUTOR_SPELLERS: dict = {}
+
+
+def _check_hunspell_importable() -> None:
+    """Import gate for op 19 (driver-side fail-fast).  The library isn't in
+    this environment; callers that flip ``spell_fallback=True`` without
+    injecting a speller get a clear error, not a silent no-op."""
     try:
-        import hunspell  # type: ignore[import-not-found]
+        import hunspell  # type: ignore[import-not-found]  # noqa: F401
     except ImportError as e:  # pragma: no cover - env without hunspell
         raise NotImplementedError(
             "spell_fallback=True requires the 'hunspell' package (not "
             "installed here) or an injected speller=... object with "
             ".spell(word) and .suggest(word)"
         ) from e
-    return hunspell.HunSpell("/usr/share/hunspell/en_US.dic", "/usr/share/hunspell/en_US.aff")  # pragma: no cover
+
+
+def _executor_speller(dic: str, aff: str):  # pragma: no cover - needs hunspell
+    sp = _EXECUTOR_SPELLERS.get((dic, aff))
+    if sp is None:
+        import hunspell  # type: ignore[import-not-found]
+
+        sp = hunspell.HunSpell(dic, aff)
+        _EXECUTOR_SPELLERS[(dic, aff)] = sp
+    return sp
 
 
 def apply_spell_fallback(trie: Trie, words: list[str], speller) -> list[str]:
@@ -201,14 +220,28 @@ def segment_column(
     injected for tests."""
     trie = build_vocab_trie(vocab)
     bc = spark.sparkContext.broadcast(trie)
+    use_hunspell = False
     if spell_fallback and speller is None:
-        speller = _load_hunspell()
-    bc_speller = spark.sparkContext.broadcast(speller) if spell_fallback else None
+        _check_hunspell_importable()  # fail fast on the driver
+        use_hunspell = True
+    # injected spellers are picklable duck-types and broadcast as-is; the
+    # real hunspell path ships only (dic, aff) strings in the closure and
+    # instantiates per executor (HunSpell handles don't pickle)
+    bc_speller = (
+        spark.sparkContext.broadcast(speller)
+        if spell_fallback and speller is not None
+        else None
+    )
 
     @F.pandas_udf("string")
     def seg(texts: pd.Series) -> pd.Series:
         t = bc.value
-        sp = bc_speller.value if bc_speller is not None else None
+        if bc_speller is not None:
+            sp = bc_speller.value
+        elif use_hunspell:  # pragma: no cover - needs hunspell
+            sp = _executor_speller(HUNSPELL_DIC, HUNSPELL_AFF)
+        else:
+            sp = None
         out = []
         for s in texts:
             if s is None:

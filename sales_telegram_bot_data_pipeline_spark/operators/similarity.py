@@ -4,11 +4,12 @@ Three tiers, all oracle-checked (the oracle runs the SAME candidate
 construction, so approximate variants are deterministic on both sides):
 
 - ``knn_cosine_bruteforce`` — exactness baseline.  The query side (5
-  vectors) broadcasts against the corpus; ranking is a TWO-STAGE top-k:
-  local top-k per (query, input-partition) group, then a final top-k over
-  the K x n_partitions survivors.  No global ``PARTITION BY query_id``
-  window — the full scored corpus never funnels into N_QUERIES reducers
-  (plan-asserted in tests/test_plans.py).
+  vectors) broadcasts against the corpus; ranking is a STAGED top-k:
+  spillable ROW_NUMBER per (query, input-partition), a pmod-fold merge
+  bounding fan-in at K x FOLD, then the final per-query rank.  No stage
+  holds an O(|partition|) in-memory buffer and no window partitions by
+  query_id alone over the scored corpus (plan-asserted in
+  tests/test_plans.py).
 - ``knn_cosine_lsh_bucketed`` — the scale path: multi-band sign-sketch LSH
   (``N_BANDS`` disjoint bands of ``BAND_BITS`` hyperplane bits).  Each
   vector explodes to N_BANDS (band, bucket) rows, candidates come from the
@@ -119,29 +120,44 @@ ORDER BY query_id, rank
 """
 
 
+FOLD = 1024  # fan-in cap for the merge stage
+
+
 def _rank_twostage_sql(scored: str) -> str:
-    """Spark form: local top-k per (query, input-partition), final top-k
-    over the K*n_partitions survivors.  ``array_sort`` over
-    (neg-cosine, neighbor_id) structs gives cosine DESC, id ASC — the same
-    total order as the oracle's window."""
-    s = "named_struct('neg', -cosine, 'nid', neighbor_id, 'cos', cosine)"
+    """Spark form: staged top-k with BOUNDED memory at every stage.
+
+    Stage 1 ranks per (query, input-partition) via a ROW_NUMBER window —
+    WindowExec sorts through Spark's spillable external sorter, so no
+    stage ever materializes an O(|partition|) in-memory buffer (the
+    previous collect_list form held every scored row of a partition in one
+    aggregation buffer before the slice).  Stage 2 folds the K×P survivors
+    by pmod(pid, FOLD) so the final per-query merge sees at most K×FOLD
+    rows no matter how many input partitions exist.  No window partitions
+    by query_id alone over the scored corpus — the full data never funnels
+    into N_QUERIES reducers.  Ordering (cosine DESC, neighbor_id ASC) is a
+    total order, so top-k of top-ks equals the oracle's global window."""
+    rn = "ROW_NUMBER() OVER (PARTITION BY query_id, {by} ORDER BY cosine DESC, neighbor_id)"
     return f"""
 WITH scored AS ({scored}),
 with_pid AS (SELECT *, spark_partition_id() AS pid FROM scored),
 local_top AS (
-  SELECT query_id, slice(array_sort(collect_list({s})), 1, {TOP_K}) AS top
-  FROM with_pid GROUP BY query_id, pid
+  SELECT query_id, neighbor_id, cosine, pid FROM (
+    SELECT query_id, neighbor_id, cosine, pid, {rn.format(by='pid')} AS rn
+    FROM with_pid
+  ) t WHERE rn <= {TOP_K}
 ),
-cand AS (
-  SELECT query_id, e.nid AS neighbor_id, e.cos AS cosine
-  FROM local_top LATERAL VIEW explode(top) t AS e
-),
-final_top AS (
-  SELECT query_id, slice(array_sort(collect_list({s})), 1, {TOP_K}) AS top
-  FROM cand GROUP BY query_id
+fold_top AS (
+  SELECT query_id, neighbor_id, cosine FROM (
+    SELECT query_id, neighbor_id, cosine, {rn.format(by=f'pmod(pid, {FOLD})')} AS rn
+    FROM local_top
+  ) t WHERE rn <= {TOP_K}
 )
-SELECT query_id, e.nid AS neighbor_id, e.cos AS cosine, cast(pos + 1 AS int) AS rank
-FROM final_top LATERAL VIEW posexplode(top) t AS pos, e
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM fold_top
+) t WHERE rank <= {TOP_K}
 ORDER BY query_id, rank
 """
 
@@ -278,18 +294,22 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding-space near-dup
 # --------------------------------------------------------------------------
 def _neardup_banded_sql(d: Dialect, table: str) -> str:
+    # cosine computed ONCE in a scored subquery, filtered on the alias — a
+    # 64-dim aggregate(zip_with(...)) per candidate pair, not two.
     bv = _banded_view(d, table)
     cosine = _cosine(d, "x.embedding", "y.embedding")
     return f"""
-SELECT cand.vec_a, cand.vec_b, {cosine} AS cosine
-FROM (
-  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM ({bv}) a JOIN ({bv}) b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-) cand
-JOIN {table} x ON x.vec_id = cand.vec_a
-JOIN {table} y ON y.vec_id = cand.vec_b
-WHERE ({cosine}) >= {NEARDUP_THRESHOLD}
+SELECT vec_a, vec_b, cosine FROM (
+  SELECT cand.vec_a, cand.vec_b, {cosine} AS cosine
+  FROM (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM ({bv}) a JOIN ({bv}) b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  ) cand
+  JOIN {table} x ON x.vec_id = cand.vec_a
+  JOIN {table} y ON y.vec_id = cand.vec_b
+) scored
+WHERE cosine >= {NEARDUP_THRESHOLD}
 ORDER BY vec_a, vec_b
 """
 
@@ -312,9 +332,12 @@ def _pair_sim_sql(d: Dialect, table: str) -> str:
     operator is validated against (tests/test_scale_utils.py)."""
     cosine = _cosine(d, "a.embedding", "b.embedding")
     return f"""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cosine} AS cosine
-FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id
-WHERE a.vec_id < 40 AND b.vec_id < 40 AND ({cosine}) >= {NEARDUP_THRESHOLD}
+SELECT vec_a, vec_b, cosine FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cosine} AS cosine
+  FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id
+  WHERE a.vec_id < 40 AND b.vec_id < 40
+) scored
+WHERE cosine >= {NEARDUP_THRESHOLD}
 ORDER BY vec_a, vec_b
 """
 

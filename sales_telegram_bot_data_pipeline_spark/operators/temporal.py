@@ -226,8 +226,13 @@ def cascade_validity_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "now_valid")
     )
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    # no broadcast hint: the changed-set is ~half the year's orders by
+    # construction (linear in table size, not "rare flips") — a forced
+    # broadcast is an executor OOM at 100x; AQE picks broadcast at bench
+    # scale from actual sizes.  The library form (streaming/revalidate.py)
+    # keeps its hint: genuinely-rare flips are its contract.
     return (
-        li.join(F.broadcast(changed), li.l_orderkey == changed.o_orderkey)
+        li.join(changed, li.l_orderkey == changed.o_orderkey)
         .select("l_orderkey", "l_linenumber", "now_valid")
         .orderBy("l_orderkey", "l_linenumber")
     )

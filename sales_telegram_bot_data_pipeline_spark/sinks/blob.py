@@ -29,7 +29,14 @@ from pyspark.sql import DataFrame
 
 class LocalBlobStore:
     """Directory-backed object store usable from executor tasks in local
-    mode (executors share the filesystem).  Keys may contain '/'."""
+    mode (executors share the filesystem).  Keys may contain '/'.
+
+    Temp files stage in a dedicated ``.staging/`` subdir excluded from
+    ``keys()``: a hard-killed task (SIGKILL, no ``finally``) can leak a
+    temp, but it is never visible as a phantom object to listers, and the
+    rename into place stays atomic (same filesystem)."""
+
+    STAGING = ".staging"
 
     def __init__(self, root: str):
         self.root = root
@@ -37,7 +44,9 @@ class LocalBlobStore:
     def put(self, key: str, content: bytes) -> None:
         path = os.path.join(self.root, key)
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
+        staging = os.path.join(self.root, self.STAGING)
+        os.makedirs(staging, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=staging)
         try:
             with os.fdopen(fd, "wb") as f:
                 f.write(content)
@@ -52,7 +61,10 @@ class LocalBlobStore:
 
     def keys(self) -> list[str]:
         out = []
-        for dirpath, _, files in os.walk(self.root):
+        staging = os.path.join(self.root, self.STAGING)
+        for dirpath, dirnames, files in os.walk(self.root):
+            if dirpath == self.root and self.STAGING in dirnames:
+                dirnames.remove(self.STAGING)  # in-flight temps are invisible
             for name in files:
                 full = os.path.join(dirpath, name)
                 out.append(os.path.relpath(full, self.root))

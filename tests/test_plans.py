@@ -94,11 +94,23 @@ def test_sort_merge_join_available_when_broadcast_disabled(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
 
 
-def test_knn_topk_has_no_global_window(spark):
-    # two-stage top-k: the scored corpus must NOT funnel through a global
-    # per-query ranking window (N_QUERIES reducers each sorting |corpus|)
+def test_knn_topk_is_staged_and_bounded(spark):
+    # staged top-k: the scored corpus must NOT funnel through a global
+    # per-query ranking window (N_QUERIES reducers each sorting |corpus|),
+    # and no stage may hold an O(|partition|) aggregation buffer
+    # (collect_list); ranking goes through spillable ROW_NUMBER windows —
+    # stage 1 partitioned by (query_id, pid), the query_id-only window only
+    # above the K*FOLD-bounded merge.
+    import re
+
     for name in ("knn_cosine_bruteforce", "knn_cosine_lsh_bucketed"):
         plan = _plan(spark, name)
-        assert "Window" not in plan, f"{name} still ranks via a global window"
-        # local + final top-k = two aggregation pairs
-        assert plan.count("ObjectHashAggregate") + plan.count("SortAggregate") >= 2
+        assert "collect_list" not in plan, f"{name} buffers a whole partition in memory"
+        parts = re.findall(r"windowspecdefinition\(([^)]*?), [a-z_]+#\d+[L]? (?:ASC|DESC)", plan)
+        assert parts, f"{name} lost its staged ranking windows"
+        local = [p for p in parts if "pid#" in p]
+        global_only = [p for p in parts if "pid#" not in p and "_w" not in p]
+        assert local, f"{name} stage-1 window is not partition-local (no pid key)"
+        assert len(global_only) < len(parts), (
+            f"{name} ranks ONLY via a global per-query window"
+        )

@@ -123,11 +123,14 @@ def test_neardup_banded_pairs_are_subset_of_exact(spark):
 
 
 def test_simhash_neardup_full_recall_and_minhash_overlap(spark):
-    """The pigeonhole block scheme is EXACT at Hamming <= k: its candidate
-    equi-join must surface every brute-force all-pairs qualifying pair (a
-    pair differing in <= k bits shares at least one of k+1 blocks).  Also
-    pin that the MinHash ground-truth near-dups whose fingerprints are
-    within k land in the output."""
+    """The pigeonhole block scheme is EXACT at Hamming <= k: the
+    fingerprint-level output must equal a brute-force all-pairs reference
+    over the same fingerprints (a pair differing in <= k bits shares at
+    least one of k+1 blocks), including duplicate-group rows and doc-pair
+    counts.  Also pin that MinHash ground-truth near-dups whose
+    fingerprints are within k are represented."""
+    from itertools import combinations
+
     from sales_telegram_bot_data_pipeline_spark.registry import REGISTRY
     import sales_telegram_bot_data_pipeline_spark.queries  # noqa: F401
     from sales_telegram_bot_data_pipeline_spark.operators.dedup import (
@@ -136,33 +139,42 @@ def test_simhash_neardup_full_recall_and_minhash_overlap(spark):
         _simhash_sql,
     )
     from sales_telegram_bot_data_pipeline_spark.functions.dialect import SPARK
+    from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
 
     sf = "/root/testdata/sf0.01"
     blocked = {
-        (r["doc_a"], r["doc_b"]): r["hamming"]
+        (r["doc_a"], r["doc_b"]): (r["hamming"], r["n_pairs"])
         for r in REGISTRY["simhash_neardup"].fn(spark, sf).collect()
     }
-    # brute-force all-pairs reference over the same fingerprints
-    from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
 
+    # brute-force reference: fingerprints in Python, grouped by value
     load_table(spark, sf, "documents").createOrReplaceTempView("snd_docs")
     sim = _simhash_sql(SPARK, "snd_docs", bits=SIMHASH_BITS)
-    brute = {
-        (r["doc_a"], r["doc_b"]): r["hamming"]
-        for r in spark.sql(
-            f"WITH s AS ({sim}) "
-            f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
-            f"cast(bit_count(a.simhash ^ b.simhash) AS int) AS hamming "
-            f"FROM s a JOIN s b ON a.doc_id < b.doc_id "
-            f"WHERE bit_count(a.simhash ^ b.simhash) <= {HAMMING_K}"
-        ).collect()
-    }
-    assert blocked == brute  # full recall + identical refine values
+    fp = {r["doc_id"]: r["simhash"] for r in spark.sql(sim).collect()}
+    groups: dict = {}
+    for doc, s in fp.items():
+        groups.setdefault(s, []).append(doc)
+    reps = {s: (min(docs), len(docs)) for s, docs in groups.items()}
+    brute = {}
+    for s, (rep, n) in reps.items():
+        if n >= 2:
+            brute[(rep, rep)] = (0, n * (n - 1) // 2)
+    for sa, sb in combinations(reps, 2):
+        h = bin(sa ^ sb).count("1")
+        if h <= HAMMING_K:
+            (ra, na), (rb, nb) = reps[sa], reps[sb]
+            brute[(min(ra, rb), max(ra, rb))] = (h, na * nb)
+    assert blocked == brute  # full recall + identical counts
 
     minhash = {
         (r["doc_a"], r["doc_b"])
         for r in REGISTRY["dedup_minhash_lsh"].fn(spark, sf).collect()
     }
-    close_minhash = {p for p in minhash if p in brute}
-    assert close_minhash  # some ground-truth near-dups are Hamming-close
-    assert close_minhash <= set(blocked)
+    close = 0
+    for a, b in minhash:
+        sa, sb = fp[a], fp[b]
+        if bin(sa ^ sb).count("1") <= HAMMING_K:
+            close += 1
+            ra, rb = reps[sa][0], reps[sb][0]
+            assert (min(ra, rb), max(ra, rb)) in blocked
+    assert close  # some ground-truth near-dups are Hamming-close

@@ -136,6 +136,12 @@ def test_blob_sink_idempotent(spark, scratch):
     assert first["pages/valid/a.png"] == b"\x89PNG-a"
     write_blobs(df, "blob_key", "content", root)  # re-run: converges, no extras
     assert {k: store.get(k) for k in store.keys()} == first
+    # a temp leaked by a hard-killed task must never appear as a phantom key
+    staging = os.path.join(root, LocalBlobStore.STAGING)
+    os.makedirs(staging, exist_ok=True)
+    with open(os.path.join(staging, "tmpleaked"), "wb") as f:
+        f.write(b"half-written")
+    assert set(store.keys()) == set(first)
 
 
 def test_revalidation_job_end_to_end(spark, scratch):
