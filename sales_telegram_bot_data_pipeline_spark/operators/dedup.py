@@ -25,6 +25,7 @@ All hashes are the portable md5-prefix hash (identical in Spark and DuckDB).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions.dialect import DUCKDB, SPARK, Dialect
 from ..registry import register
@@ -378,3 +379,100 @@ ORDER BY doc_a, doc_b
 )
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_simhash_neardup_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# near-dup clustering: connected components over the LSH pair graph
+# --------------------------------------------------------------------------
+CC_MAX_ITERS = 20  # safety cap; loop exits at fixpoint (diameter iterations)
+
+
+def connected_components(spark: SparkSession, nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Connected components by min-label propagation to fixpoint — the
+    keep-one-per-cluster step a dedup pipeline runs AFTER pair generation.
+
+    ``nodes``: one column ``doc_id``; ``edges``: ``doc_a``/``doc_b`` pairs
+    (undirected, deduped).  Returns (doc_id, cluster_rep) with cluster_rep =
+    min doc_id of the component; singletons map to themselves.
+
+    Scale design: each iteration is ONE shuffle — neighbor labels aggregate
+    by dst with a map-side-combining MIN, then a left join back to labels.
+    Iteration count = component diameter, and near-dup clusters are
+    shallow (dups of a common source), so 2-4 iterations in practice; the
+    ``CC_MAX_ITERS`` cap guards pathological chains.  Labels and the
+    symmetric edge list persist across iterations (the expensive candidate
+    SQL is never re-derived), previous iterations unpersist eagerly, and
+    convergence is detected with a count of changed labels — an O(1)-row
+    action, not a collect.  Deterministic for any partitioning: min-label
+    is order-insensitive."""
+    sym = (
+        edges.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionAll(edges.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .persist()
+    )
+    labels = nodes.select(F.col("doc_id"), F.col("doc_id").alias("lbl")).persist()
+    labels.count()  # materialize before the loop
+    for _ in range(CC_MAX_ITERS):
+        neighbor_min = (
+            sym.join(labels, sym.src == labels.doc_id)
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.dst, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("doc_id", F.col("lbl").alias("cluster_rep"))
+
+
+def _cc_oracle_sql(d: Dialect, table: str) -> str:
+    """DuckDB twin: transitive closure by recursive CTE over the SAME
+    symmetric LSH pair graph, then min reachable node per doc.  (Sound at
+    oracle scale; the Spark side uses the iterative one-shuffle form.)"""
+    pairs = _lsh_pairs_sql(d, table).replace("ORDER BY doc_a, doc_b", "")
+    return f"""
+WITH RECURSIVE sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM ({pairs}) p
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM ({pairs}) p
+),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM {table}
+  UNION
+  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+)
+SELECT a AS doc_id, MIN(b) AS cluster_rep
+FROM reach GROUP BY a ORDER BY doc_id
+"""
+
+
+@register(
+    "dedup_connected_components",
+    oracle=_cc_oracle_sql(DUCKDB, "documents"),
+    doc="Near-dup clustering: connected components over the MinHash-LSH "
+    "pair graph by min-label propagation to fixpoint (one shuffle per "
+    "iteration, iterations = component diameter) — the keep-one-per-"
+    "cluster step after pair generation. Oracle = recursive-CTE transitive "
+    "closure over the same graph.",
+    tags=("dedup", "clustering", "iterative"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    view = _doc_view(spark, sf_dir)
+    docs = spark.table(view).select("doc_id")
+    pairs = spark.sql(_lsh_pairs_sql(SPARK, view))
+    return connected_components(spark, docs, pairs).orderBy("doc_id")

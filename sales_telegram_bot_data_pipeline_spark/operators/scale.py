@@ -43,6 +43,24 @@ def salted_join(
     return out.drop("__salt")
 
 
+def write_bucketed(df: DataFrame, table: str, key: str, buckets: int = 16) -> None:
+    """Persist ``df`` hash-bucketed (and sorted) by ``key`` — the 100 TB
+    co-location move: two tables bucketed the same way join WITHOUT any
+    Exchange, because each scan task already holds exactly one bucket of
+    each side's key space.  On a petabyte fact table this converts every
+    recurring join/aggregation on the bucket key from a full shuffle into a
+    local merge (amortize one layout write across all downstream reads).
+
+    Plan-asserted in tests/test_plans.py::test_bucketed_join_has_no_exchange."""
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )
+
+
 def merge_upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     """MERGE: rows in ``updates`` replace same-key rows in ``base``; unmatched
     rows pass through (WHEN MATCHED UPDATE, WHEN NOT MATCHED INSERT)."""

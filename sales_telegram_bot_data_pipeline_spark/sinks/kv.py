@@ -23,6 +23,28 @@ from pyspark.sql import DataFrame
 BATCH_SIZE = 25
 
 
+def stringify_reference_compat(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Reference ops 14/42 as an opt-in sink adapter: the reference calls
+    ``str(processed_item_price)`` when building its DynamoDB item
+    (data_pipeline.py:134-138), which turns a failed parse (None) into the
+    LITERAL string "None" and numbers into their Python repr.  The engine
+    keeps columns TYPED end-to-end (NULL stays NULL, doubles stay doubles)
+    so downstream predicates work; a consumer that needs byte-compatible
+    records applies this adapter at the sink boundary.
+
+    Spark's double->string cast matches Python ``str()`` for the magnitudes
+    prices take (no exponent switch below 1e16 in either), so "260.6" /
+    "None" come out identical to the reference's serialization."""
+    from pyspark.sql import functions as F
+
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            c, F.coalesce(F.col(c).cast("string"), F.lit("None"))
+        )
+    return out
+
+
 class InMemoryKVStore:
     """Process-local, file-backed KV store usable from executor tasks in
     local mode (executors share the filesystem).  Last write wins per key."""

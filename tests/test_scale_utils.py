@@ -178,3 +178,36 @@ def test_simhash_neardup_full_recall_and_minhash_overlap(spark):
             ra, rb = reps[sa][0], reps[sb][0]
             assert (min(ra, rb), max(ra, rb)) in blocked
     assert close  # some ground-truth near-dups are Hamming-close
+
+
+def test_connected_components_matches_union_find(spark):
+    """The iterative min-label propagation must produce exactly the
+    components a plain union-find computes on the collected pair list."""
+    from sales_telegram_bot_data_pipeline_spark.registry import REGISTRY
+    import sales_telegram_bot_data_pipeline_spark.queries  # noqa: F401
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in REGISTRY["dedup_connected_components"].fn(spark, sf).collect()
+    }
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in REGISTRY["dedup_minhash_lsh"].fn(spark, sf).collect()
+    ]
+    parent = {d: d for d in got}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {d: find(d) for d in got}
+    assert got == want
+    # sanity: clustering is non-trivial on testdata
+    assert any(rep != d for d, rep in got.items())

@@ -192,3 +192,28 @@ def test_multimodal_features_shape(spark):
     # determinism: same content → same features
     again = multimodal_features(spark, SF_SMOKE).limit(5).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_stringify_reference_compat_matches_python_str(spark):
+    """Ops 14/42 sink adapter: typed NULL -> literal "None", numbers ->
+    their Python str() repr — byte-compatible with the reference's
+    str(processed_*) DynamoDB serialization (data_pipeline.py:134-138)."""
+    from sales_telegram_bot_data_pipeline_spark.sinks.kv import stringify_reference_compat
+
+    df = spark.createDataFrame(
+        [(1, 260.6, "x"), (2, None, None), (3, 79.0, "y"), (4, 0.35, "z")],
+        "id int, price double, name string",
+    )
+    out = {
+        r["id"]: (r["price"], r["name"])
+        for r in stringify_reference_compat(df, ["price", "name"]).collect()
+    }
+    assert out == {
+        1: (str(260.6), "x"),
+        2: (str(None), str(None)),
+        3: (str(79.0), "y"),
+        4: (str(0.35), "z"),
+    }
+    # schema is string after the adapter (DynamoDB item shape)
+    sdf = stringify_reference_compat(df, ["price"])
+    assert dict(sdf.dtypes)["price"] == "string"
