@@ -98,8 +98,17 @@ def stub_detect(df: DataFrame, model: str, include_ocr: bool = False) -> DataFra
     """ops 8/11/12: one engine operator, parameterized (model1 vs model2 +
     OCR) — the reference's run_yolo_on_pages config surface (§3.3), with the
     ``padding`` parameter actually honored downstream (the reference ignores
-    it, yolo_ocr_utils.py:61,124-126)."""
+    it, yolo_ocr_utils.py:61,124-126).
+
+    The inference stage owns its parallelism: page rows are tiny metadata
+    (~50 B), so a round-robin repartition to the cluster's default
+    parallelism costs a negligible shuffle but fans the expensive per-image
+    model pass out across every core — without it the stage inherits the
+    scan's partitioning (a single-row-group parquet = ONE task doing all
+    the Python work).  At 100 TB the same holds: inference throughput is
+    governed by this width, not by the upstream file layout."""
     classes = ("shop_item",) if model == "model1" else MODEL2_CLASSES
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
     def _stub_infer_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
