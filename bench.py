@@ -44,6 +44,8 @@ HEADLINE = [
     "simhash_neardup",
     "knn_cosine_bruteforce",
     "knn_cosine_ivf",
+    "dedup_connected_components",
+    "bm25_topk_search",
     "word_segmentation",
     "contamination_overlap",
     "detected_data_pipeline",

@@ -476,3 +476,45 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.table(view).select("doc_id")
     pairs = spark.sql(_lsh_pairs_sql(SPARK, view))
     return connected_components(spark, docs, pairs).orderBy("doc_id")
+
+
+def _keep_canonical_oracle_sql(d: Dialect, table: str) -> str:
+    """Oracle: recursive-CTE components → keep rows whose doc_id is its
+    component's min label, carrying the cluster size."""
+    cc = _cc_oracle_sql(d, table).replace("ORDER BY doc_id", "")
+    return f"""
+WITH cc AS ({cc}),
+sizes AS (SELECT cluster_rep, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_rep)
+SELECT t.doc_id, t.lang, t.source, t.n_chars, s.cluster_size
+FROM {table} t
+JOIN cc ON cc.doc_id = t.doc_id AND cc.doc_id = cc.cluster_rep
+JOIN sizes s ON s.cluster_rep = cc.cluster_rep
+ORDER BY t.doc_id
+"""
+
+
+@register(
+    "dedup_keep_canonical",
+    oracle=_keep_canonical_oracle_sql(DUCKDB, "documents"),
+    doc="The DEDUPLICATED CORPUS: after LSH pair generation and "
+    "connected-components clustering, keep exactly the min-doc_id "
+    "representative of each near-dup cluster (singletons keep themselves), "
+    "with the cluster size as provenance. This is the materialization step "
+    "an LLM-data pipeline actually ships — labels join back to the corpus "
+    "on doc_id (co-partitioned equi-join; document text crosses the "
+    "network once, only for kept rows after the filter).",
+    tags=("dedup", "clustering"),
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    view = _doc_view(spark, sf_dir)
+    docs = spark.table(view)
+    pairs = spark.sql(_lsh_pairs_sql(SPARK, view))
+    labels = connected_components(spark, docs.select("doc_id"), pairs)
+    sizes = labels.groupBy("cluster_rep").agg(F.count("*").alias("cluster_size"))
+    reps = labels.where(F.col("doc_id") == F.col("cluster_rep"))
+    return (
+        docs.join(reps, "doc_id")
+        .join(sizes, "cluster_rep")
+        .select("doc_id", "lang", "source", "n_chars", "cluster_size")
+        .orderBy("doc_id")
+    )

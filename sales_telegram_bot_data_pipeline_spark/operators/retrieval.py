@@ -1,0 +1,99 @@
+"""Keyword retrieval over the document corpus: BM25 top-k ranking through
+an inverted-index-shaped plan (beyond-reference §2.G family — the search
+side of an LLM-data pipeline, next to the dedup/similarity operators).
+
+Scale design (100 TB):
+- The expensive relation is the posting list (doc_id, term, tf) — but the
+  term filter ``term IN (<query>)`` is applied AT the explode, before any
+  aggregation, so only postings for the |Q| query terms (a vanishing
+  fraction of the corpus) ever reach a shuffle.  This is the batch
+  equivalent of an inverted-index lookup: candidate set = union of the
+  query terms' posting lists.
+- Corpus statistics (N, avgdl) are a scalar aggregate over (doc_id,
+  doc_len) — map-side partial agg, a one-row broadcast into the scorer.
+- Per-term document frequencies aggregate from the already-filtered
+  postings (|Q| rows out), never from the full vocabulary.
+- The final ORDER BY + LIMIT k is a TakeOrdered over only the candidate
+  docs, not a global sort of the corpus.
+
+The whole operator is ONE dual-dialect SQL template (functions/dialect.py):
+the driver-facing Spark query and its DuckDB oracle are the same
+expression, all JVM-native.  Floating-point: every literal uses the e0
+(double) form so both engines stay in double arithmetic end-to-end, and
+the score is round()ed to 6 places for cross-engine hash stability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.dialect import DUCKDB, SPARK, Dialect
+from ..registry import register
+from ..sources.tables import load_table
+
+QUERY_TERMS = ("spark", "join", "window", "vector")
+K1 = "1.2e0"
+B = "0.75e0"
+TOP_K = 25
+
+
+def _doc_view(spark: SparkSession, sf_dir: str, name: str = "sales_telegram_bot_data_pipeline_docs") -> str:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(name)
+    return name
+
+
+def _bm25_sql(d: Dialect, table: str, terms: tuple[str, ...] = QUERY_TERMS, k: int = TOP_K) -> str:
+    w = d.splitws("lower(text)")
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    if d.name == "spark":
+        postings = (
+            f"SELECT doc_id, term FROM words "
+            f"LATERAL VIEW explode(w) t AS term WHERE term IN ({in_list})"
+        )
+        dl_expr = "size(w)"
+    else:
+        # DuckDB can't filter an unnest in the WHERE of the same SELECT; wrap.
+        postings = (
+            f"SELECT doc_id, term FROM "
+            f"(SELECT doc_id, unnest(w) AS term FROM words) p "
+            f"WHERE term IN ({in_list})"
+        )
+        dl_expr = "len(w)"
+    return f"""
+WITH words AS (SELECT doc_id, {w} AS w FROM {table}),
+dl AS (SELECT doc_id, {dl_expr} AS dl FROM words),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ({postings}) p GROUP BY doc_id, term),
+-- df as a window over the (already term-filtered, one-row-per-doc-term)
+-- postings: no self-join, and the tf relation is derived exactly once.
+tfdf AS (SELECT doc_id, term, tf, COUNT(*) OVER (PARTITION BY term) AS df FROM tf),
+scored AS (
+  SELECT tfdf.doc_id,
+         SUM(
+           ln((stats.n_docs - tfdf.df + 0.5e0) / (tfdf.df + 0.5e0) + 1.0e0)
+           * (tfdf.tf * ({K1} + 1.0e0))
+           / (tfdf.tf + {K1} * (1.0e0 - {B} + {B} * dl.dl / stats.avgdl))
+         ) AS s
+  FROM tfdf
+  JOIN dl ON tfdf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tfdf.doc_id
+)
+SELECT doc_id, CAST(ROUND(s, 6) AS DOUBLE) AS bm25
+FROM scored
+ORDER BY bm25 DESC, doc_id
+LIMIT {k}
+"""
+
+
+@register(
+    "bm25_topk_search",
+    oracle=_bm25_sql(DUCKDB, "documents"),
+    doc="BM25 keyword search, top-25: inverted-index-shaped plan — postings "
+    "filtered to the query terms at the explode (candidate set = union of "
+    "posting lists, never the full vocabulary), scalar corpus stats, "
+    "TakeOrdered final ranking. One dual-dialect SQL template.",
+    tags=("retrieval", "text"),
+)
+def bm25_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_bm25_sql(SPARK, _doc_view(spark, sf_dir)))

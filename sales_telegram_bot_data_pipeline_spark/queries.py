@@ -56,6 +56,10 @@ try:
 except ImportError:  # pragma: no cover
     pass
 try:
+    from .operators import retrieval  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+try:
     from .sources import binary  # noqa: F401  (multimodal_features)
 except ImportError:  # pragma: no cover
     pass
@@ -111,6 +115,8 @@ _DRIVER_WINDOW = [
     "dedup_ngram_jaccard",
     "dedup_jaccard_stopshingle",
     "dedup_minhash_lsh",
+    "dedup_connected_components",
+    "dedup_keep_canonical",
     "dedup_simhash",
     "simhash_neardup",
     "knn_cosine_bruteforce",
@@ -121,14 +127,12 @@ _DRIVER_WINDOW = [
     "stratified_sample",
     "contamination_overlap",
     "quality_repetition",
+    "bm25_topk_search",
     # §2.G representatives (the rest of the family is swept locally)
-    "topk_orders_global",
     "topk_orders_per_segment",
     "window_running_total",
-    "window_distribution_ranks",
     "rollup_returnflag_status",
     "correlated_max_order",
-    "having_large_orders",
 ]
 
 
