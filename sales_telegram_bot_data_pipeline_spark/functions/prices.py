@@ -383,6 +383,60 @@ def price_struct_col(shop: str = "shop_name", text: str = "ocr_text", cls: str =
     return F.expr(dispatcher_struct_sql(SPARK, shop, text, cls))
 
 
+def dispatcher_value_sql(d: Dialect, shop: str, x: str, cls: str) -> str:
+    """Scalar dispatcher for detection ROWS: the one parsed value this row's
+    class_id selects (price classes only; item_name / unknown → NULL).
+
+    This is the smallest possible formulation for per-row dispatch: the
+    class is re-stated as a LITERAL inside each branch, so every per-class
+    gate inside the parser bodies constant-folds away and each (shop, field)
+    body appears at most once in the whole expression.  Extracting N fields
+    from ``dispatcher_struct_sql`` instead replicates the full 7-field CASE
+    N times (SimplifyExtractValueOps pushes the extraction into every
+    branch), which is what blew detected_data's task binaries past 1 MiB.
+    """
+    pairs = (
+        ("item_price", "item_price"),
+        ("item_member_price", "member_price"),
+        ("item_initial_price", "initial_price"),
+    )
+    branches = []
+    for cls_lit, field in pairs:
+        body = dispatcher_fields(d, shop, x, f"'{cls_lit}'")[field]
+        branches.append(f"WHEN {cls} = '{cls_lit}' THEN cast(({body}) as double)")
+    return "CASE " + " ".join(branches) + " END"
+
+
+def price_value_col(
+    shop: str = "shop_name", text: str = "ocr_text", cls: str = "class_id"
+) -> Column:
+    """DataFrame-API entry: the scalar per-row dispatched price value."""
+    return F.expr(dispatcher_value_sql(SPARK, shop, text, cls))
+
+
+# Shared-subexpression hoisting: every parser body re-derives the token
+# parse (``_parsed``) and/or the whole-string parse (``parse_price_sql``)
+# of the input text — ~60 textual copies across the 21-shop dispatcher,
+# which is what pushes serialized plans toward 1 MiB task binaries and
+# multi-second Janino compiles.  The generators are deterministic string
+# builders, so the copies are textually identical and can be replaced by a
+# column reference computed once per row.  (Catalyst will NOT collapse the
+# producing Project back into the consumer: CollapseProject refuses to
+# inline a non-cheap expression referenced more than once.)
+TOK_COL = "__price_tokens"
+PP_COL = "__price_parsed"
+
+
+def price_context_exprs(d: Dialect, x: str) -> dict[str, str]:
+    """The two hoisted shared subexpressions of the dispatcher over ``x``."""
+    return {TOK_COL: _parsed(d, x), PP_COL: parse_price_sql(d, x)}
+
+
+def hoist_price_context(sql: str, d: Dialect, x: str) -> str:
+    """Rewrite a dispatcher SQL string to reference the hoisted columns."""
+    return sql.replace(_parsed(d, x), TOK_COL).replace(parse_price_sql(d, x), PP_COL)
+
+
 # --------------------------------------------------------------------------
 # driver-facing queries: deterministic OCR-ish samples synthesized from the
 # part table (integer-only string math so both engines build identical text),
@@ -431,12 +485,23 @@ def _samples_sql(d: Dialect, part_table: str) -> str:
 
 
 def build_dispatcher_query_sql(d: Dialect, part_table: str) -> str:
-    struct = dispatcher_struct_sql(d, "shop_name", "ocr_text", "class_id")
-    cols = ", ".join(f"{d.struct_get('p', f)} AS {f}" for f in FIELDS)
+    # Seven per-field dispatchers over hoisted shared subexpressions: each
+    # parser body appears exactly once across the SELECT items (extracting
+    # the fields from one struct CASE instead replicates the whole chain
+    # per extraction — SimplifyExtractValueOps pushes the GetStructField
+    # into every branch).
+    fields = dispatcher_fields(d, "shop_name", "ocr_text", "class_id")
+    cols = ", ".join(
+        f"cast({hoist_price_context(fields[f], d, 'ocr_text')} as {_ftype(d, f)}) AS {f}"
+        for f in FIELDS
+    )
+    ctx_cols = ", ".join(
+        f"{expr} AS {name}" for name, expr in price_context_exprs(d, "ocr_text").items()
+    )
     return (
         f"WITH samples AS ({_samples_sql(d, part_table)}), "
-        f"parsed AS (SELECT sample_id, shop_name, class_id, {struct} AS p FROM samples) "
-        f"SELECT sample_id, shop_name, class_id, {cols} FROM parsed ORDER BY sample_id"
+        f"ctx AS (SELECT *, {ctx_cols} FROM samples) "
+        f"SELECT sample_id, shop_name, class_id, {cols} FROM ctx ORDER BY sample_id"
     )
 
 

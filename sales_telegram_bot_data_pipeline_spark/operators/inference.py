@@ -207,16 +207,33 @@ def detected_data(spark: SparkSession, sf_dir: str, padding: float = 0.10) -> Da
     pages = synthesize_pages(spark, sf_dir)
     det2 = stub_detect(pages, model="model2", include_ocr=True)
     det2 = pad_clamp(det2.where(F.col("error").isNull()), padding)
-    # Dispatch BEFORE the pivot: ONE struct-valued dispatcher instance over
-    # detection rows (class_id = the class_name column; the class gate NULLs
-    # item_name rows), then fold raw and parsed values through the same
-    # last-wins aggregation.  parse() is deterministic per text, so
-    # max_by(parse(text), idx) == parse(max_by(text, idx)) — and the parser
-    # chain appears exactly once in the plan instead of once per projected
-    # column (the per-column forms blew task binaries past 1-2 MiB).
-    from ..functions.prices import price_struct_col
+    # Dispatch BEFORE the pivot, as ONE SCALAR expression: each detection
+    # row's class_id selects exactly one parsed value (dispatcher_value_sql —
+    # every parser body appears at most once in the whole plan), then raw
+    # and parsed values fold through the same last-wins aggregation.
+    # parse() is deterministic per text, so max_by(parse(text), idx) ==
+    # parse(max_by(text, idx)).  The struct-valued form is NOT usable here:
+    # extracting 3 fields from one struct CASE inlines the full 7-field
+    # parser chain 3x (SimplifyExtractValueOps), which pushed task binaries
+    # past 1 MiB and Janino compile times past 10 s per fresh plan.
+    # The token-parse and whole-string-parse subexpressions are hoisted to
+    # real columns (computed once per detection row); the dispatcher body
+    # references them by name instead of re-deriving them per parser.
+    from ..functions.dialect import SPARK
+    from ..functions.prices import (
+        dispatcher_value_sql,
+        hoist_price_context,
+        price_context_exprs,
+    )
 
-    parsed = det2.withColumn("p", price_struct_col("shop_name", "ocr_text", "class_name"))
+    ctx = price_context_exprs(SPARK, "ocr_text")
+    pv_sql = hoist_price_context(
+        dispatcher_value_sql(SPARK, "shop_name", "ocr_text", "class_name"), SPARK, "ocr_text"
+    )
+    parsed = det2
+    for name, expr_sql in ctx.items():
+        parsed = parsed.withColumn(name, F.expr(expr_sql))
+    parsed = parsed.withColumn("pv", F.expr(pv_sql))
 
     def last_wins(value, cls: str):
         cond_val = F.when(F.col("class_name") == cls, value)
@@ -230,13 +247,9 @@ def detected_data(spark: SparkSession, sf_dir: str, padding: float = 0.10) -> Da
             last_wins(F.col("ocr_text"), "item_price").alias("item_price"),
             last_wins(F.col("ocr_text"), "item_member_price").alias("item_member_price"),
             last_wins(F.col("ocr_text"), "item_initial_price").alias("item_initial_price"),
-            last_wins(F.col("p.item_price"), "item_price").alias("processed_item_price"),
-            last_wins(F.col("p.member_price"), "item_member_price").alias(
-                "processed_item_member_price"
-            ),
-            last_wins(F.col("p.initial_price"), "item_initial_price").alias(
-                "processed_item_initial_price"
-            ),
+            last_wins(F.col("pv"), "item_price").alias("processed_item_price"),
+            last_wins(F.col("pv"), "item_member_price").alias("processed_item_member_price"),
+            last_wins(F.col("pv"), "item_initial_price").alias("processed_item_initial_price"),
         )
         .select(
             "image_id",

@@ -14,7 +14,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.dialect import DUCKDB, SPARK, Dialect
-from ..functions.prices import SHOPS, dispatcher_struct_sql
+from ..functions.prices import (
+    SHOPS,
+    dispatcher_value_sql,
+    hoist_price_context,
+    price_context_exprs,
+)
 from ..registry import register
 from ..sources.tables import load_table
 
@@ -118,26 +123,30 @@ def _wide_sql(d: Dialect, part_table: str) -> str:
             f"CASE WHEN class_name = '{cls}' THEN det_idx END) AS {alias}"
         )
 
-    # Dispatch BEFORE the pivot: ONE dispatcher instance over detection rows
-    # (class_id = the class_name column; the class gate NULLs item_name
-    # rows), parsed fields fold through the same last-wins aggregation —
-    # parse() is deterministic per text, so arg_max(parse(text), idx) ==
-    # parse(arg_max(text, idx)), and the parser chain appears exactly once.
-    struct = dispatcher_struct_sql(d, "shop_name", "ocr_text", "class_name")
+    # Dispatch BEFORE the pivot, as ONE SCALAR expression: the row's
+    # class_name selects its parsed value (dispatcher_value_sql), with the
+    # shared token-/whole-string-parse subexpressions hoisted to CTE columns
+    # computed once per row.  parse() is deterministic per text, so
+    # arg_max(parse(text), idx) == parse(arg_max(text, idx)).  The struct
+    # form is unusable here: extracting 3 fields replicates the whole
+    # 7-field parser chain 3x (SimplifyExtractValueOps), >1 MiB task
+    # binaries and 10 s+ Janino compiles.
+    ctx = price_context_exprs(d, "ocr_text")
+    ctx_cols = ", ".join(f"{expr} AS {name}" for name, expr in ctx.items())
+    pv = hoist_price_context(
+        dispatcher_value_sql(d, "shop_name", "ocr_text", "class_name"), d, "ocr_text"
+    )
     picks = ", ".join(
         [pick("ocr_text", c, c) for c in CLASSES]
         + [
-            pick(d.struct_get("p", field), cls, f"processed_{cls}")
-            for cls, field in (
-                ("item_price", "item_price"),
-                ("item_member_price", "member_price"),
-                ("item_initial_price", "initial_price"),
-            )
+            pick("pv", cls, f"processed_{cls}")
+            for cls in ("item_price", "item_member_price", "item_initial_price")
         ]
     )
     return f"""
 WITH detections AS ({det}),
-parsed AS (SELECT *, {struct} AS p FROM detections),
+ctx AS (SELECT *, {ctx_cols} FROM detections),
+parsed AS (SELECT *, {pv} AS pv FROM ctx),
 wide AS (
   SELECT image_id, shop_name, {picks}
   FROM parsed GROUP BY image_id, shop_name
