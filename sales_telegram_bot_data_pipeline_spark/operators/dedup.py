@@ -405,39 +405,61 @@ def connected_components(spark: SparkSession, nodes: DataFrame, edges: DataFrame
     convergence is detected with a count of changed labels — an O(1)-row
     action, not a collect.  Deterministic for any partitioning: min-label
     is order-insensitive."""
+    # localCheckpoint (eager) rather than persist: an iterative driver loop
+    # grows the logical plan every round, and even with caching Catalyst
+    # re-analyzes the full lineage per iteration — O(iters²) planning that
+    # measurably dominates this op at bench scale.  Checkpointing truncates
+    # the plan to a leaf, so (a) the expensive candidate SQL is evaluated
+    # exactly once, (b) every iteration plans O(1) work, (c) the two
+    # unionAll branches read the materialized edges, not the lineage.
+    # (On a production cluster with executor loss, swap for checkpoint()
+    # against a reliable store — same shape, durable materialization.)
     sym = (
         edges.selectExpr("doc_a AS src", "doc_b AS dst")
         .unionAll(edges.selectExpr("doc_b AS src", "doc_a AS dst"))
-        .persist()
+        .repartition("src")
+        .localCheckpoint()
     )
-    labels = nodes.select(F.col("doc_id"), F.col("doc_id").alias("lbl")).persist()
-    labels.count()  # materialize before the loop
+    # Iterate ONLY over nodes that touch an edge: every other node is its
+    # own singleton component by definition.  At corpus scale this shrinks
+    # the loop's label relation from |corpus| to the near-dup subset
+    # (typically orders of magnitude smaller); singletons rejoin at the end.
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("lbl"))
+        .localCheckpoint()
+    )
     for _ in range(CC_MAX_ITERS):
         neighbor_min = (
             sym.join(labels, sym.src == labels.doc_id)
             .groupBy("dst")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        new_labels = (
+        # old and new label in ONE frame: the convergence check is a filter
+        # over this iteration's result, not an extra self-join.
+        merged = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.dst, "left")
             .select(
                 "doc_id",
+                F.col("lbl").alias("old_lbl"),
                 F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
             )
-            .persist()
+            .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = merged.where(F.col("lbl") != F.col("old_lbl")).count()
+        labels = merged.select("doc_id", "lbl")
         if changed == 0:
             break
-    sym.unpersist()
-    return labels.select("doc_id", F.col("lbl").alias("cluster_rep"))
+    resolved = labels.select("doc_id", F.col("lbl").alias("cluster_rep"))
+    # Singletons rejoin here: consumers fan out over this frame (sizes,
+    # representative filter, corpus join), but its lineage is one shallow
+    # join over checkpointed leaves — cheap to re-derive, nothing iterative.
+    return (
+        nodes.select("doc_id")
+        .join(resolved, "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster_rep", "doc_id").alias("cluster_rep"))
+    )
 
 
 def _cc_oracle_sql(d: Dialect, table: str) -> str:
