@@ -34,10 +34,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Plain ``spark.read.parquet`` keeps the scan a
     FileSourceScanExec with PushedFilters/ReadSchema intact.
 
-    ``events.parquet`` stores TIMESTAMP(NANOS), which the Spark parquet reader
-    rejects; it is read with ``nanosAsLong`` and converted to a microsecond
-    timestamp (integer division — matches DuckDB's truncating read of the
-    same file, and stays a native column expression).
+    ``events.parquet`` has shipped with two physical types for ``ts`` across
+    testdata generations: TIMESTAMP(NANOS) (which the Spark reader only
+    accepts as a long via ``nanosAsLong``) and plain TIMESTAMP(MICROS).  The
+    loader adapts to whichever is on disk: a long column is divided down to
+    microseconds (truncating — matches DuckDB's read of the same file) and a
+    native timestamp column is passed through untouched.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
@@ -45,7 +47,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(path)
 
 
