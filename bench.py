@@ -6,10 +6,19 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is collected (fully materialized) so the measured time includes
 the whole plan, not just lazy construction.  A warm-up run of the flagship
 absorbs JVM/session startup so per-query numbers reflect steady state.
+
+Per-query time is the MIN of two steady-state runs: the host is shared, and
+multi-second scheduler transients land on a random query per run (verified:
+the same query is 1.1 s in one run and 7.9 s in the next with identical
+plans and zero >200 ms JVM GC pauses).  min-of-2 reports the query's actual
+cost rather than whichever query the noise happened to hit.  Python gc runs
+between timings so py4j reference-release backlogs aren't attributed to an
+innocent query.
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -75,9 +84,13 @@ def main() -> int:
 
     times: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        q.REGISTRY[name].fn(spark, sf_dir).collect()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            gc.collect()
+            t0 = time.perf_counter()
+            q.REGISTRY[name].fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
