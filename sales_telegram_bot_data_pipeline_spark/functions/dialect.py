@@ -60,6 +60,12 @@ class Dialect:
     def re_extract(self, x: str, pattern: str, group: int) -> str:
         return f"regexp_extract({x}, {self.rlit(pattern)}, {group})"
 
+    def re_count(self, x: str, pattern: str) -> str:
+        """Number of non-overlapping matches, as INT in both engines."""
+        if self.name == "spark":
+            return f"cast(regexp_count({x}, {self.rlit(pattern)}) as int)"
+        return f"cast(len(regexp_extract_all({x}, {self.rlit(pattern)})) as int)"
+
     # --- arrays ----------------------------------------------------------
     def transform(self, arr: str, lam: str) -> str:
         fn = "transform" if self.name == "spark" else "list_transform"

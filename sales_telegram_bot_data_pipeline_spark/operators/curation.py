@@ -1,6 +1,7 @@
 """Dataset-curation operators over the documents table: deterministic
 train/val/test hash splits, stratified (per-language) sampling,
-benchmark-contamination scan, and repetition-based quality metrics.
+benchmark-contamination scan, repetition-based quality metrics,
+overlapping document chunking, and PII redaction.
 
 These are the corpus-management ops a large-scale training-data pipeline
 runs beside dedup/similarity (the reference's closest surface is its
@@ -22,6 +23,12 @@ Scale design (100 TB):
 - repetition metrics are per-doc explode→count→ratio chains: the only
   shuffle key is doc_id (the natural parallel unit), partial aggregation
   applies, and every count is O(doc length).
+- chunking is a pure 1→N generator (explode over computed chunk starts):
+  row-parallel, no shuffle, output size = O(total tokens × overlap factor).
+  This is the context-window prep step every training pipeline runs last.
+- PII redaction is a pure projection (regexp count + replace chains) —
+  row-parallel, shuffle-free, and the patterns stay inside whole-stage
+  codegen (no Python in the hot path).
 """
 
 from __future__ import annotations
@@ -203,6 +210,114 @@ SELECT w.doc_id, w.n_words,
 FROM wstats w JOIN bstats b ON b.doc_id = w.doc_id
 ORDER BY w.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# overlapping document chunking (context-window prep)
+# --------------------------------------------------------------------------
+CHUNK_TOKENS = 32  # chunk size in whitespace tokens
+CHUNK_STRIDE = 24  # stride between chunk starts (8-token overlap)
+
+
+def _chunking_sql(d: Dialect, table: str) -> str:
+    """Split each document into overlapping fixed-size token windows — the
+    1→N explode shape of the reference's PDF→pages source (SURVEY.md §2 op 3)
+    applied to context-window preparation.  Chunk starts are 1, 1+stride,
+    …; a start whose window would add no tokens beyond the previous chunk
+    (short tail fully contained in its predecessor) is dropped, so chunk
+    boundaries are deterministic and non-redundant."""
+    w = d.splitws("text")
+    n = d.alen("w")
+    if d.name == "spark":
+        # greatest(1, n): Spark's sequence() raises on (1, 0, +step) and the
+        # LATERAL VIEW evaluates before the WHERE can drop empty docs.
+        starts_rel = (
+            f"SELECT doc_id, w, start FROM words "
+            f"LATERAL VIEW explode(sequence(1, greatest(1, {n}), {CHUNK_STRIDE})) t AS start "
+            f"WHERE {n} >= 1"
+        )
+        chunk_words = f"slice(w, start, {CHUNK_TOKENS})"
+        join_ws = f"array_join({chunk_words}, ' ')"
+    else:
+        starts_rel = (
+            f"SELECT doc_id, w, unnest(generate_series(1, {n}, {CHUNK_STRIDE})) AS start "
+            f"FROM words WHERE {n} >= 1"
+        )
+        chunk_words = f"list_slice(w, start, start + {CHUNK_TOKENS - 1})"
+        join_ws = f"array_to_string({chunk_words}, ' ')"
+    return f"""
+WITH words AS (SELECT doc_id, {w} AS w FROM {table}),
+starts AS ({starts_rel})
+SELECT doc_id,
+       CAST({d.idiv('(start - 1)', CHUNK_STRIDE)} AS INT) AS chunk_idx,
+       CAST({d.alen(chunk_words)} AS INT) AS n_tokens,
+       {join_ws} AS chunk_text
+FROM starts
+WHERE start = 1 OR start <= {d.alen('w')} - {CHUNK_TOKENS} + {CHUNK_STRIDE}
+ORDER BY doc_id, chunk_idx
+"""
+
+
+@register(
+    "document_chunking",
+    oracle=_chunking_sql(DUCKDB, "documents"),
+    doc=f"Overlapping context-window chunking: {CHUNK_TOKENS}-token windows "
+    f"every {CHUNK_STRIDE} tokens (1→N generator/explode, row-parallel, no "
+    "shuffle); redundant short tails dropped deterministically.",
+    tags=("curation", "text", "explode"),
+)
+def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_chunking_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# PII detection + redaction
+# --------------------------------------------------------------------------
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\+[0-9]{3} [0-9]{3} [0-9]{3}"
+IPV4_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def _pii_sql(d: Dialect, table: str) -> str:
+    """Count and redact emails / phone numbers / IPv4 addresses.  The corpus
+    text is digit- and @-free by construction, so reference-shaped PII is
+    appended deterministically per row (same fixture-injection pattern as
+    textops._dirty) and the detection regexes do the real work.  Counts are
+    computed on the raw string; redaction chains email→phone→ip."""
+    c = d.strcast
+    pii = (
+        "(text || ' Contact: user' || {id} || '@mail.example or admin.' || {id} || "
+        "'@corp.example tel +420 ' || {p1} || ' ' || {p2} || ' from 10.' || {o1} || '.0.' || {o2})"
+    ).format(
+        id=c("doc_id"),
+        p1=c("(100 + doc_id % 900)"),
+        p2=c("(100 + (doc_id * 7) % 900)"),
+        o1=c("(doc_id % 256)"),
+        o2=c("((doc_id * 3) % 256)"),
+    )
+    redacted = d.re_all(d.re_all(d.re_all("pii", EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"), IPV4_RE, "[IP]")
+    return f"""
+WITH src AS (SELECT doc_id, {pii} AS pii FROM {table})
+SELECT doc_id,
+       {d.re_count('pii', EMAIL_RE)} AS n_emails,
+       {d.re_count('pii', PHONE_RE)} AS n_phones,
+       {d.re_count('pii', IPV4_RE)} AS n_ips,
+       {redacted} AS redacted
+FROM src
+ORDER BY doc_id
+"""
+
+
+@register(
+    "pii_redaction",
+    oracle=_pii_sql(DUCKDB, "documents"),
+    doc="PII detection + redaction: email/phone/IPv4 regex counts and "
+    "[EMAIL]/[PHONE]/[IP] replacement over PII-injected document text — "
+    "pure projection, shuffle-free, whole-stage-codegen regexes.",
+    tags=("curation", "text", "scalar"),
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_pii_sql(SPARK, _doc_view(spark, sf_dir)))
 
 
 @register(

@@ -352,3 +352,62 @@ ORDER BY vec_a, vec_b
 )
 def embedding_cosine_allpairs_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_pair_sim_sql(SPARK, _emb_view(spark, sf_dir)))
+
+
+def _centroids_sql(d: Dialect, table: str) -> str:
+    """Per-label centroids over the embedding column — the training step of
+    the IVF index (knn_cosine_ivf consumes centroids; this op materializes
+    them as a first-class query).  Scale shape: posexplode to (label, dim,
+    value) rows, groupBy (label, dim) with map-side partial aggregation —
+    the embedding column itself shuffles only as (label, dim, int) triples,
+    never as whole vectors.  Cross-engine hash stability: each float becomes
+    an exact integer in 1e-7 units via ``floor(val*1e7 + 0.5)`` — identical
+    IEEE double ops in both engines (engine-level float→DECIMAL casts and
+    ROUND-on-double both disagree on last-digit ties; observed -0.0076265 →
+    -0.007627 in Spark vs -0.007626 in DuckDB) — and the mean is computed
+    with INTEGER arithmetic, shift-positive half-up division down to 1e-6
+    units, so the grouped sum is order-independent too."""
+    to_units = "CAST(FLOOR(CAST({v} AS DOUBLE) * 10000000.0e0 + 0.5e0) AS BIGINT)"
+    if d.name == "spark":
+        vals = (
+            f"SELECT label, pos, {to_units.format(v='val')} AS ival "
+            f"FROM {table} LATERAL VIEW posexplode(embedding) t AS pos, val"
+        )
+        centroid = "transform(array_sort(collect_list(struct(pos AS p, cval AS v))), s -> s.v)"
+    else:
+        vals = (
+            f"SELECT label, i - 1 AS pos, {to_units.format(v='embedding[i]')} AS ival "
+            f"FROM (SELECT label, embedding, "
+            f"unnest(generate_series(1, len(embedding))) AS i FROM {table})"
+        )
+        centroid = "list(cval ORDER BY pos)"
+    # mean(1e-7 units)/10 rounded half-up to 1e-6 units, all in bigint:
+    # M = (S + K*D + D/2) div D - K with D = 10n and K = 1e8 (the shift keeps
+    # the dividend positive so trunc-div == floor-div in both engines).
+    mean_units = d.idiv("(SUM(ival) + 1000000000 * COUNT(*) + 5 * COUNT(*))", "(10 * COUNT(*))")
+    return f"""
+WITH vals AS ({vals}),
+dims AS (
+  SELECT label, pos,
+         CAST(({mean_units} - 100000000) AS DOUBLE) / 1000000 AS cval
+  FROM vals GROUP BY label, pos
+),
+counts AS (SELECT label, COUNT(*) AS n_vectors FROM {table} GROUP BY label)
+SELECT d.label, c.n_vectors, {centroid} AS centroid
+FROM dims d JOIN counts c ON c.label = d.label
+GROUP BY d.label, c.n_vectors
+ORDER BY d.label
+"""
+
+
+@register(
+    "embedding_centroids",
+    oracle=_centroids_sql(DUCKDB, "embeddings"),
+    doc="Per-label embedding centroids (the IVF training step as a "
+    "first-class query): posexplode to (label, dim, value), partial-agg "
+    "groupBy — whole vectors never shuffle; exact decimal sums + round(6) "
+    "for cross-engine stability.",
+    tags=("similarity", "agg"),
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_centroids_sql(SPARK, _emb_view(spark, sf_dir)))

@@ -127,12 +127,14 @@ _DRIVER_WINDOW = [
     "stratified_sample",
     "contamination_overlap",
     "quality_repetition",
+    "document_chunking",
+    "pii_redaction",
     "bm25_topk_search",
-    # §2.G representatives (the rest of the family is swept locally)
+    # §2.G representatives (the rest of the family is swept locally;
+    # topk_orders_per_segment doubles as the window-function rep —
+    # row_number over a partitioned ordering)
     "topk_orders_per_segment",
-    "window_running_total",
     "rollup_returnflag_status",
-    "correlated_max_order",
 ]
 
 

@@ -74,3 +74,75 @@ def test_repetition_hand_fixture(spark):
     assert out[2]["top_word_frac"] == 0.2
     assert out[2]["top_bigram_frac"] == 0.25
     assert out[2]["dup_bigram_frac"] == 0.0
+
+
+def test_chunking_boundaries_hand_fixture(spark):
+    from sales_telegram_bot_data_pipeline_spark.functions.dialect import SPARK
+    from sales_telegram_bot_data_pipeline_spark.operators.curation import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        _chunking_sql,
+    )
+
+    n = CHUNK_TOKENS + CHUNK_STRIDE // 2  # tail chunk adds tokens -> kept
+    short = CHUNK_TOKENS - 2  # second start would add nothing -> dropped
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(n))),
+            (2, " ".join(f"w{i}" for i in range(short))),
+            (3, "solo"),
+        ],
+        "doc_id int, text string",
+    )
+    df.createOrReplaceTempView("fixture_chunk_docs")
+    rows = spark.sql(_chunking_sql(SPARK, "fixture_chunk_docs")).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+
+    # doc 1: two chunks; chunk 0 full-size, chunk 1 overlaps by CHUNK-STRIDE
+    assert [r["chunk_idx"] for r in by_doc[1]] == [0, 1]
+    assert by_doc[1][0]["n_tokens"] == CHUNK_TOKENS
+    assert by_doc[1][1]["n_tokens"] == n - CHUNK_STRIDE
+    first_words = by_doc[1][0]["chunk_text"].split()
+    second_words = by_doc[1][1]["chunk_text"].split()
+    assert first_words[CHUNK_STRIDE:] == second_words[: CHUNK_TOKENS - CHUNK_STRIDE]
+    # every token is covered by some chunk
+    covered = set(first_words) | set(second_words)
+    assert covered == {f"w{i}" for i in range(n)}
+
+    # doc 2: the redundant tail start is dropped
+    assert [r["chunk_idx"] for r in by_doc[2]] == [0]
+    assert by_doc[2][0]["n_tokens"] == short
+
+    # doc 3: single-token doc yields exactly one 1-token chunk
+    assert [(r["chunk_idx"], r["n_tokens"], r["chunk_text"]) for r in by_doc[3]] == [(0, 1, "solo")]
+
+
+def test_pii_redaction_counts_and_scrub(spark):
+    from sales_telegram_bot_data_pipeline_spark.operators.curation import pii_redaction
+
+    rows = pii_redaction(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows[:50]:
+        # the injector appends exactly 2 emails, 1 phone, 1 ip per row
+        assert (r["n_emails"], r["n_phones"], r["n_ips"]) == (2, 1, 1)
+        assert "[EMAIL]" in r["redacted"] and "[PHONE]" in r["redacted"] and "[IP]" in r["redacted"]
+        assert "@" not in r["redacted"]
+        assert "+420" not in r["redacted"]
+
+
+def test_embedding_centroids_shape(spark):
+    from sales_telegram_bot_data_pipeline_spark.operators.similarity import embedding_centroids
+    from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
+
+    rows = embedding_centroids(spark, SF_ORACLE).collect()
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    assert len(rows) == emb.select("label").distinct().count()
+    assert sum(r["n_vectors"] for r in rows) == emb.count()
+    dim = len(emb.first()["embedding"])
+    for r in rows:
+        assert len(r["centroid"]) == dim
+        # synthetic N(0,·) clusters: per-dim means are small but not all zero
+        assert all(abs(v) < 1.0 for v in r["centroid"])
+        assert any(v != 0.0 for v in r["centroid"])
