@@ -391,3 +391,138 @@ def watermark_tail_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "n_events")
         .orderBy("window_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion: view -> click -> purchase, strictly ordered per user.
+# The product-analytics query shape (stage timestamps via conditional min
+# aggregation, not self-joins over raw events).
+# ---------------------------------------------------------------------------
+@register(
+    "funnel_conversion",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+),
+agg AS (
+  SELECT (SELECT COUNT(*) FROM v) AS n_view,
+         (SELECT COUNT(*) FROM c) AS n_click,
+         (SELECT COUNT(*) FROM p) AS n_purchase
+)
+SELECT n_view, n_click, n_purchase,
+       CAST(((n_click * 2000000 + n_view) // (2 * n_view)) AS DOUBLE) / 1000000 AS view_to_click,
+       CAST(((n_purchase * 2000000 + n_click) // (2 * n_click)) AS DOUBLE) / 1000000 AS click_to_purchase
+FROM agg
+""",
+    doc="Per-user ordered funnel (first view -> first later click -> first "
+    "later purchase): three conditional-min aggregations keyed by user_id, "
+    "joins stay co-partitioned on the same key — no self-join over raw "
+    "events, no window over the full table. Conversion rates via integer "
+    "half-up arithmetic (cross-engine ROUND-on-double ties).",
+    tags=("temporal", "funnel", "agg"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+        .selectExpr(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            "cast(((n_click * 2000000 + n_view) div (2 * n_view)) as double) / 1000000 AS view_to_click",
+            "cast(((n_purchase * 2000000 + n_click) div (2 * n_click)) as double) / 1000000 AS click_to_purchase",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts: users grouped by first-activity week, activity tracked
+# per week offset.  Weeks are computed as day-number div 7 from a fixed
+# epoch date, so the bucketing is timezone-free and engine-portable.
+# ---------------------------------------------------------------------------
+@register(
+    "retention_cohorts",
+    oracle="""
+WITH wk AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS week
+  FROM events
+),
+coh AS (SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id),
+sizes AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM coh GROUP BY cohort_week)
+SELECT c.cohort_week AS cohort_week,
+       w.week - c.cohort_week AS week_offset,
+       COUNT(*) AS n_active,
+       s.cohort_size AS cohort_size,
+       CAST(((COUNT(*) * 2000000 + s.cohort_size) // (2 * s.cohort_size)) AS DOUBLE) / 1000000 AS retention
+FROM wk w
+JOIN coh c ON c.user_id = w.user_id
+JOIN sizes s ON s.cohort_week = c.cohort_week
+GROUP BY c.cohort_week, w.week - c.cohort_week, s.cohort_size
+ORDER BY c.cohort_week, week_offset
+""",
+    doc="Weekly retention cohorts: cohort = first-activity week, activity "
+    "per (cohort, offset) — (user, week) de-dup then two groupBys on the "
+    "user key; timezone-free day-number weeks; integer-arithmetic rates.",
+    tags=("temporal", "retention", "agg"),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wk = (
+        ev.select(
+            "user_id",
+            (F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) / 7)
+            .cast("bigint")  # datediff >= 0 here; cast truncation == floor
+            .alias("week"),
+        )
+        .distinct()
+    )
+    coh = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = coh.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        wk.join(coh, "user_id")
+        .join(sizes, "cohort_week")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"), "cohort_size")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .selectExpr(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            "cast(((n_active * 2000000 + cohort_size) div (2 * cohort_size)) as double) / 1000000 AS retention",
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

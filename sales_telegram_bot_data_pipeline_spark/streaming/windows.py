@@ -72,6 +72,17 @@ def session_sums(stream: DataFrame, gap: str = "15 minutes", watermark: str = "3
     )
 
 
+def dedup_stream(stream: DataFrame, keys: list[str], watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup — the streaming twin of the batch hash-groupBy
+    dedup (operators/dedup.dedup_exact).  ``dropDuplicatesWithinWatermark``
+    keeps per-key state only until the watermark passes the key's event
+    time, so state is bounded by the watermark horizon (an unbounded
+    ``dropDuplicates`` on a stream would grow state forever).  Duplicates
+    arriving within the watermark window are suppressed; output mode is
+    append (each surviving row emits exactly once)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_to_completion(stream_df: DataFrame, query_name: str, output_mode: str = "complete") -> DataFrame:
     """Drain all available input (Trigger.AvailableNow) into a memory sink
     and return the result table."""

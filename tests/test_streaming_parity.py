@@ -19,6 +19,7 @@ from sales_telegram_bot_data_pipeline_spark.sinks.webhook import WebhookBatcher
 from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
 from sales_telegram_bot_data_pipeline_spark.streaming.revalidate import run_revalidation_batch
 from sales_telegram_bot_data_pipeline_spark.streaming.windows import (
+    dedup_stream,
     read_events_stream,
     run_to_completion,
     session_sums,
@@ -102,6 +103,37 @@ def test_session_stream_matches_batch(spark, scratch):
                 F.col("w.end").alias("session_end"), "n_events")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_dedup_stream_matches_batch(spark, scratch):
+    """Within-watermark duplicates are suppressed exactly once: a source
+    where every event appears twice (same file -> same micro-batch window)
+    streams through dedup_stream and must equal batch dropDuplicates."""
+    flat = _events_as_stream_source(spark, scratch)
+    dup_dir = os.path.join(scratch, "dup")
+    os.makedirs(dup_dir, exist_ok=True)
+    base = 1_800_000_000
+    for i, f in enumerate(sorted(os.listdir(flat))):
+        src_file = os.path.join(flat, f)
+        one = spark.read.parquet(src_file)
+        dst = os.path.join(dup_dir, f)
+        one.unionAll(one).coalesce(1).write.parquet(dst + ".d")
+        part = [p for p in os.listdir(dst + ".d") if p.endswith(".parquet")][0]
+        shutil.move(os.path.join(dst + ".d", part), dst)
+        shutil.rmtree(dst + ".d")
+        os.utime(dst, (base + i, base + i))
+
+    stream = read_events_stream(spark, dup_dir)
+    got = run_to_completion(
+        dedup_stream(stream, ["event_id"]),
+        f"dedup_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    want = spark.read.parquet(dup_dir).dropDuplicates(["event_id"])
+    assert got.count() == want.count()
+    assert sorted(r["event_id"] for r in got.collect()) == sorted(
+        r["event_id"] for r in want.collect()
+    )
 
 
 def test_kv_sink_idempotent(spark, scratch):
