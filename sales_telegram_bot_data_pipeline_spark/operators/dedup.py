@@ -195,13 +195,32 @@ def dedup_jaccard_stopshingle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # MinHash signatures + LSH banding
 # --------------------------------------------------------------------------
+# Pairwise-independent hash family for minhash: ONE md5 per shingle (the
+# expensive part), then h_i = (a_i * x + b_i) mod P derived by integer
+# mixing.  The naive form ('i|' || shingle → md5, per family) recomputes
+# md5 N_HASHES times per shingle row and dominated the whole LSH pipeline.
+# P is a 30-bit prime and x < P, a_i < 2^30, so a_i * x < 2^60 — no 64-bit
+# overflow in either engine (Spark ANSI mode would throw on it).
+MINHASH_P = 1_073_741_789
+_MINHASH_AB = [
+    (373587883, 94433013), (413158511, 52802457), (736338717, 268435399),
+    (654188429, 917505183), (979025087, 330382121), (557869813, 712930009),
+    (847288609, 121932851), (297779593, 485560823),
+]
+
+
 def _minhash_sig_sql(d: Dialect, table: str) -> str:
     sh = _shingles_sql(d, table)
-    parts = []
-    for i in range(N_HASHES):
-        seeded = f"('{i}|' || shingle)"  # seed i-th hash family by prefixing
-        parts.append(f"MIN({d.md5_prefix_int(seeded)}) AS h{i}")
-    return f"SELECT doc_id, {', '.join(parts)} FROM ({sh}) s GROUP BY doc_id"
+    base = d.md5_prefix_int("shingle")
+    parts = [
+        f"MIN(({a} * x + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(_MINHASH_AB[:N_HASHES])
+    ]
+    return (
+        f"SELECT doc_id, {', '.join(parts)} "
+        f"FROM (SELECT doc_id, ({base}) % {MINHASH_P} AS x FROM ({sh}) s) t "
+        f"GROUP BY doc_id"
+    )
 
 
 def _lsh_pairs_sql(d: Dialect, table: str) -> str:
@@ -414,9 +433,13 @@ def connected_components(spark: SparkSession, nodes: DataFrame, edges: DataFrame
     # unionAll branches read the materialized edges, not the lineage.
     # (On a production cluster with executor loss, swap for checkpoint()
     # against a reliable store — same shape, durable materialization.)
+    # Materialize the (possibly expensive) candidate-pair lineage BEFORE the
+    # symmetric union: unionAll has two branches over `edges`, and
+    # checkpointing after the union would evaluate the full pair SQL twice.
+    mat = edges.localCheckpoint()
     sym = (
-        edges.selectExpr("doc_a AS src", "doc_b AS dst")
-        .unionAll(edges.selectExpr("doc_b AS src", "doc_a AS dst"))
+        mat.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionAll(mat.selectExpr("doc_b AS src", "doc_a AS dst"))
         .repartition("src")
         .localCheckpoint()
     )
