@@ -330,3 +330,64 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_repetition_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# sequence packing (concat-and-split into fixed token budgets)
+# --------------------------------------------------------------------------
+PACK_BUDGET = 2048  # tokens per training sequence
+PACK_SHARDS = 8     # independent packing streams
+
+
+def _sequence_packing_sql(d: Dialect, table: str) -> str:
+    """Pack documents into fixed-token-budget training sequences by
+    concatenation order: docs are routed to PACK_SHARDS independent streams
+    by a salted hash, ordered by doc_id within the stream, and a running
+    token offset assigns each doc to the pack where its first token lands
+    (GPT-style concat-and-split — a doc may straddle its pack boundary and
+    spill into the next, which consumers handle by carrying the remainder).
+
+    Scale: the ONLY wide operation is a window SUM partitioned by shard —
+    shard count scales with the corpus (it is the parallel unit), so each
+    window partition stays bounded; no global ordering is ever required.
+    Membership and offsets are reproducible from (doc_id, shard) alone."""
+    h = d.md5_prefix_int(f"('pack|' || {d.strcast('doc_id')})")
+    n_tokens = d.alen(d.splitws("text"))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, ({h}) % {PACK_SHARDS} AS shard,
+         CAST({n_tokens} AS BIGINT) AS n_tokens
+  FROM {table}
+),
+offs AS (
+  SELECT shard, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS start_offset
+  FROM toks
+),
+packed AS (
+  SELECT shard, doc_id, n_tokens, start_offset,
+         CAST({d.idiv('start_offset', 'PACK_BUDGET_LIT')} AS BIGINT) AS pack_id
+  FROM offs
+)
+SELECT shard, pack_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard, pack_id ORDER BY doc_id) AS INT)
+         AS pos_in_pack,
+       doc_id, n_tokens, start_offset
+FROM packed
+ORDER BY shard, pack_id, pos_in_pack
+""".replace("PACK_BUDGET_LIT", str(PACK_BUDGET))
+
+
+@register(
+    "sequence_packing",
+    oracle=_sequence_packing_sql(DUCKDB, "documents"),
+    doc=f"Sequence packing: concat-and-split docs into {PACK_BUDGET}-token "
+    f"training sequences across {PACK_SHARDS} hash-routed shards — running "
+    "token offset via a shard-partitioned window SUM (bounded partitions, "
+    "no global order), pack = offset div budget; fully deterministic.",
+    tags=("curation", "packing", "window"),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_sequence_packing_sql(SPARK, _doc_view(spark, sf_dir)))

@@ -228,6 +228,30 @@ N_PROBE = 2     # lists searched per query
 CENTROID_BASE = N_QUERIES  # vec_id in [BASE, BASE+K_LISTS) are the centroids
 
 
+def _cent_assigned_ctes(d: Dialect, table: str) -> tuple[str, str]:
+    """The shared IVF coarse-quantization step as (cent, assigned) CTE
+    bodies: K_LISTS frozen pseudo-centroids, every corpus vector assigned
+    to its max-cosine centroid by a map-side argmax (the O(K) centroid
+    relation broadcasts; the embedding column never shuffles).  Argmax is
+    MAX over a (cosine, -id) struct — lexicographic in both engines,
+    deterministic under ties."""
+    cent = (
+        f"SELECT vec_id - {CENTROID_BASE} AS cid, embedding FROM {table} "
+        f"WHERE vec_id >= {CENTROID_BASE} AND vec_id < {CENTROID_BASE + K_LISTS}"
+    )
+    cos_vc = _cosine(d, "v.embedding", "cent.embedding")
+    if d.name == "spark":
+        best = f"max(named_struct('c', {cos_vc}, 'nid', -cent.cid)).nid"
+    else:
+        best = f"(max({{'c': {cos_vc}, 'nid': -cent.cid}})).nid"
+    assigned = (
+        f"SELECT v.vec_id, -({best}) AS cid "
+        f"FROM {table} v JOIN cent ON 1=1 "
+        f"GROUP BY v.vec_id"
+    )
+    return cent, assigned
+
+
 def _ivf_scored(d: Dialect, table: str) -> str:
     """IVF-flat: K_LISTS deterministic pseudo-centroids (the first K_LISTS
     corpus vectors after the query block — a k-means-style random init,
@@ -242,24 +266,12 @@ def _ivf_scored(d: Dialect, table: str) -> str:
     table is written partitioned by list_id, making the probe join a
     partition-pruned scan.  Argmax is MAX over a (cosine, -id) struct —
     lexicographic in both engines, deterministic under ties."""
-    cent = (
-        f"SELECT vec_id - {CENTROID_BASE} AS cid, embedding FROM {table} "
-        f"WHERE vec_id >= {CENTROID_BASE} AND vec_id < {CENTROID_BASE + K_LISTS}"
-    )
-    cos_vc = _cosine(d, "v.embedding", "cent.embedding")
+    cent, assigned = _cent_assigned_ctes(d, table)
     cos_qc = _cosine(d, "q.embedding", "cent.embedding")
     cos_qn = _cosine(d, "q.embedding", "c.embedding")
-    if d.name == "spark":
-        best = f"max(named_struct('c', {cos_vc}, 'nid', -cent.cid)).nid"
-    else:
-        best = f"(max({{'c': {cos_vc}, 'nid': -cent.cid}})).nid"
     return f"""
 WITH cent AS ({cent}),
-assigned AS (
-  SELECT v.vec_id, -({best}) AS cid
-  FROM {table} v JOIN cent ON 1=1
-  GROUP BY v.vec_id
-),
+assigned AS ({assigned}),
 probe AS (
   SELECT query_id, cid FROM (
     SELECT q.vec_id AS query_id, cent.cid AS cid,
@@ -325,6 +337,48 @@ ORDER BY vec_a, vec_b
 )
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_neardup_banded_sql(SPARK, _emb_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# semantic dedup: cluster-then-neardup (SemDeDup-style)
+# --------------------------------------------------------------------------
+def _semantic_dedup_sql(d: Dialect, table: str) -> str:
+    cent, assigned = _cent_assigned_ctes(d, table)
+    cosine = _cosine(d, "x.embedding", "y.embedding")
+    return f"""
+WITH cent AS ({cent}),
+assigned AS ({assigned}),
+cand AS (
+  SELECT a.cid AS cid, a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT cand.cid, cand.vec_a, cand.vec_b, {cosine} AS cosine
+  FROM cand
+  JOIN {table} x ON x.vec_id = cand.vec_a
+  JOIN {table} y ON y.vec_id = cand.vec_b
+)
+SELECT cid, vec_a, vec_b, cosine FROM scored
+WHERE cosine >= {NEARDUP_THRESHOLD}
+ORDER BY cid, vec_a, vec_b
+"""
+
+
+@register(
+    "semantic_dedup",
+    oracle=_semantic_dedup_sql(DUCKDB, "embeddings"),
+    doc="Semantic dedup, SemDeDup-style: coarse-quantize every embedding to "
+    f"its nearest of {K_LISTS} centroids (the shared IVF assignment — "
+    "map-side argmax, embeddings never shuffle), then near-dup pairs ONLY "
+    "within a cluster: the cluster id is the blocking key, so candidate "
+    "generation is a cid equi-join, never corpus all-pairs.  At 100 TB the "
+    "centroid count scales with the corpus (K ~ N/target_cluster_size), "
+    "keeping per-cluster pair counts bounded; the exact-cosine refine "
+    f"(>= {NEARDUP_THRESHOLD}) touches only intra-cluster pairs.",
+    tags=("similarity", "dedup", "ivf"),
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_semantic_dedup_sql(SPARK, _emb_view(spark, sf_dir)))
 
 
 def _pair_sim_sql(d: Dialect, table: str) -> str:
