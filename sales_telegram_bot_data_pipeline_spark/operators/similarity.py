@@ -381,6 +381,113 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_semantic_dedup_sql(SPARK, _emb_view(spark, sf_dir)))
 
 
+# --------------------------------------------------------------------------
+# k-means (Lloyd iterations) — the trained version of the IVF coarse index
+# --------------------------------------------------------------------------
+KMEANS_ITERS = 2
+
+
+def _kmeans_sql(d: Dialect, table: str) -> str:
+    """K-means over the embedding corpus: the frozen IVF pseudo-centroids
+    are the init, then KMEANS_ITERS Lloyd rounds of (assign to nearest
+    centroid by cosine, recompute the per-cluster mean), unrolled as CTEs.
+
+    Cross-engine determinism: every float becomes an exact 1e-7-unit BIGINT
+    (the embedding_centroids convention); cluster means use integer half-up
+    division to 1e-6 units, so both engines compute bit-identical centroids.
+    Cosine is scale-invariant, so assigning against the integer MEAN vector
+    is exact — no float centroid drift between engines.  Ties break to the
+    lowest cid via the (cosine, -cid) struct-max.
+
+    Scale shape: vectors explode once to (vec_id, pos, unit) triples; each
+    assignment is a join against the O(K·dim) centroid relation (broadcast)
+    grouped by (vec_id, cid) with map-side partial sums — whole embeddings
+    never shuffle.  Mean recomputation groups the same triples by
+    (cid, pos).  Per iteration: one broadcast join + two partial-agg
+    shuffles of integer triples; empty clusters drop (standard Lloyd).
+    Unit ranges keep every product within BIGINT: |unit| <= 1e7 (data in
+    [-1, 1]), |mean| <= 1e6 units, dot terms <= 1e13, 64-dim sums <= 1e15."""
+    to_units = "CAST(FLOOR(CAST({v} AS DOUBLE) * 10000000.0e0 + 0.5e0) AS BIGINT)"
+    if d.name == "spark":
+        units = (
+            f"SELECT vec_id, pos, {to_units.format(v='val')} AS uval "
+            f"FROM {table} LATERAL VIEW posexplode(embedding) t AS pos, val"
+        )
+    else:
+        units = (
+            f"SELECT vec_id, i - 1 AS pos, {to_units.format(v='embedding[i]')} AS uval "
+            f"FROM (SELECT vec_id, embedding, "
+            f"unnest(generate_series(1, len(embedding))) AS i FROM {table})"
+        )
+    if d.name == "spark":
+        best = "max(named_struct('c', cos, 'nid', -cid)).nid"
+    else:
+        best = "(max({'c': cos, 'nid': -cid})).nid"
+    mean_units = d.idiv(
+        "(SUM(uval) + 1000000000 * COUNT(*) + 5 * COUNT(*))", "(10 * COUNT(*))"
+    )
+    ctes = [
+        f"units AS ({units})",
+        "vnorm AS (SELECT vec_id, SUM(uval * uval) AS vn FROM units GROUP BY vec_id)",
+        # init: the frozen pseudo-centroids' own units (scale differs from
+        # later means; cosine is scale-invariant so that is immaterial)
+        f"c0 AS (SELECT vec_id - {CENTROID_BASE} AS cid, pos, uval AS cmean FROM units "
+        f"WHERE vec_id >= {CENTROID_BASE} AND vec_id < {CENTROID_BASE + K_LISTS})",
+    ]
+    for i in range(1, KMEANS_ITERS + 1):
+        prev = f"c{i - 1}"
+        ctes.append(
+            f"""score{i} AS (
+  SELECT u.vec_id, c.cid,
+         SUM(u.uval * c.cmean) AS dot, SUM(c.cmean * c.cmean) AS cn
+  FROM units u JOIN {prev} c ON c.pos = u.pos
+  GROUP BY u.vec_id, c.cid
+)"""
+        )
+        ctes.append(
+            f"""assign{i} AS (
+  SELECT vec_id, {best} AS ncid FROM (
+    SELECT s.vec_id,
+           ROUND(CAST(s.dot AS DOUBLE) / (SQRT(CAST(s.cn AS DOUBLE)) * SQRT(CAST(v.vn AS DOUBLE))), 6) AS cos,
+           s.cid AS cid
+    FROM score{i} s JOIN vnorm v ON v.vec_id = s.vec_id
+  ) t GROUP BY vec_id
+)"""
+        )
+        ctes.append(
+            f"""c{i} AS (
+  SELECT -a.ncid AS cid, u.pos, ({mean_units} - 100000000) AS cmean
+  FROM assign{i} a JOIN units u ON u.vec_id = a.vec_id
+  GROUP BY a.ncid, u.pos
+)"""
+        )
+    last = KMEANS_ITERS
+    return f"""
+WITH {','.join(ctes)},
+counts AS (SELECT -ncid AS cid, COUNT(*) AS n_members FROM assign{last} GROUP BY ncid)
+SELECT c.cid, n.n_members, CAST(c.pos AS INT) AS pos,
+       CAST(c.cmean AS DOUBLE) / 1000000 AS centroid_val
+FROM c{last} c JOIN counts n ON n.cid = c.cid
+ORDER BY c.cid, pos
+"""
+
+
+@register(
+    "kmeans_lloyd",
+    oracle=_kmeans_sql(DUCKDB, "embeddings"),
+    doc=f"K-means, {KMEANS_ITERS} Lloyd iterations from the frozen IVF "
+    "init: cosine assignment against exact integer-unit centroids "
+    "(half-up integer means → bit-identical across engines), vectors "
+    "explode once to (vec_id, pos, unit) triples, per-iteration cost is a "
+    "broadcast centroid join + two partial-agg integer shuffles — whole "
+    "embeddings never shuffle.  The training step knn_cosine_ivf's frozen "
+    "index stands in for.",
+    tags=("similarity", "ivf", "iterative"),
+)
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_kmeans_sql(SPARK, _emb_view(spark, sf_dir)))
+
+
 def _pair_sim_sql(d: Dialect, table: str) -> str:
     """Bounded all-pairs exact cosine — the exactness baseline the banded
     operator is validated against (tests/test_scale_utils.py)."""

@@ -526,3 +526,55 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# Attribution join: purchases attributed to every view by the same user in
+# the preceding 30 minutes.  The BATCH form of the stream-stream interval
+# join (streaming/windows.py::attribution_join_stream runs the identical
+# join condition over two watermarked readStream sides; parity-tested).
+# ---------------------------------------------------------------------------
+ATTRIBUTION_HORIZON_MIN = 30
+
+
+@register(
+    "attribution_interval_join",
+    oracle=f"""
+SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id AS user_id,
+       v.ts AS view_ts, p.ts AS purchase_ts
+FROM events v JOIN events p
+  ON p.user_id = v.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL {ATTRIBUTION_HORIZON_MIN} MINUTE
+ORDER BY view_id, purchase_id
+""",
+    doc=f"View→purchase attribution self-join: same user, purchase within "
+    f"{ATTRIBUTION_HORIZON_MIN} min after the view.  Equi-key (user_id) "
+    "carries the shuffle; the time bound is a residual predicate, so the "
+    "plan is a user-partitioned join, never a cross product.  Stream-stream "
+    "twin: streaming/windows.py::attribution_join_stream (watermarks bound "
+    "both sides' state to the horizon).",
+    tags=("temporal", "interval-join", "streaming-twin"),
+)
+def attribution_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        v.join(
+            p,
+            (v.user_id == p.p_user)
+            & (p.purchase_ts >= v.view_ts)
+            & (p.purchase_ts <= v.view_ts + F.expr(f"INTERVAL {ATTRIBUTION_HORIZON_MIN} MINUTE")),
+        )
+        .select("view_id", "purchase_id", "user_id", "view_ts", "purchase_ts")
+        .orderBy("view_id", "purchase_id")
+    )

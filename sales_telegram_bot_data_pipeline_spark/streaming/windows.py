@@ -83,6 +83,38 @@ def dedup_stream(stream: DataFrame, keys: list[str], watermark: str = "30 minute
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def attribution_join_stream(
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join — the streaming twin of
+    operators/temporal.attribution_interval_join (same join condition,
+    same output schema).  Both sides carry a watermark and the join has an
+    event-time bound, so Spark can expire buffered state: a view older than
+    watermark+horizon can never match a future purchase and is evicted —
+    state is bounded by the horizon, not the stream length.  Inner
+    stream-stream joins emit in append mode (each matched pair exactly
+    once)."""
+    v = views.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return v.join(
+        p,
+        (v.user_id == p.p_user)
+        & (p.purchase_ts >= v.view_ts)
+        & (p.purchase_ts <= v.view_ts + F.expr(f"INTERVAL {horizon}")),
+    ).select("view_id", "purchase_id", "user_id", "view_ts", "purchase_ts")
+
+
 def run_to_completion(stream_df: DataFrame, query_name: str, output_mode: str = "complete") -> DataFrame:
     """Drain all available input (Trigger.AvailableNow) into a memory sink
     and return the result table."""

@@ -19,6 +19,7 @@ from sales_telegram_bot_data_pipeline_spark.sinks.webhook import WebhookBatcher
 from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
 from sales_telegram_bot_data_pipeline_spark.streaming.revalidate import run_revalidation_batch
 from sales_telegram_bot_data_pipeline_spark.streaming.windows import (
+    attribution_join_stream,
     dedup_stream,
     read_events_stream,
     run_to_completion,
@@ -134,6 +135,29 @@ def test_dedup_stream_matches_batch(spark, scratch):
     assert sorted(r["event_id"] for r in got.collect()) == sorted(
         r["event_id"] for r in want.collect()
     )
+
+
+def test_attribution_stream_matches_batch(spark, scratch):
+    """Stream-stream interval join parity: two filtered sides of the same
+    watermarked file-source stream, inner-joined with an event-time bound,
+    must emit exactly the batch operator's pairs (append mode — each match
+    exactly once, state expired past watermark+horizon)."""
+    from sales_telegram_bot_data_pipeline_spark.operators.temporal import (
+        attribution_interval_join,
+    )
+
+    flat = _events_as_stream_source(spark, scratch)
+    stream = read_events_stream(spark, flat)
+    got = run_to_completion(
+        attribution_join_stream(
+            stream.where(F.col("event_type") == "view"),
+            stream.where(F.col("event_type") == "purchase"),
+        ),
+        f"attr_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    want = attribution_interval_join(spark, SF_SMOKE)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
 def test_kv_sink_idempotent(spark, scratch):
