@@ -135,6 +135,17 @@ class Dialect:
         """Portable 60-bit content hash: first 15 hex chars of md5."""
         return self.hex2int(f"substr(md5({x}), 1, 15)")
 
+    def fast_hash(self, x: str) -> str:
+        """Engine-NATIVE 64-bit hash — an order of magnitude cheaper than
+        md5 but NOT portable: Spark's xxhash64 and DuckDB's murmur-style
+        hash() disagree.  Use it only where the hash value is internal to
+        one query (join/dedup/count keys) and never influences the emitted
+        rows; anything whose VALUES must agree across engines (minhash
+        signatures, content hashes in output) stays on md5_prefix_int."""
+        if self.name == "spark":
+            return f"xxhash64({x})"
+        return f"hash({x})"  # UBIGINT; fine as an internal key, don't cast
+
     def translate_map(self, x: str, frm: str, to: str) -> str:
         """Char-by-char mapping (len(frm) == len(to)); DuckDB lacks
         translate → nested replace chain."""

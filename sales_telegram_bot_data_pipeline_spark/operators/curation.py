@@ -132,7 +132,7 @@ def _contamination_sql(d: Dialect, table: str) -> str:
     return f"""
 WITH shingles AS ({sh}),
 bench AS (
-  SELECT DISTINCT shingle FROM shingles WHERE doc_id % {BENCH_MOD} = 0
+  SELECT DISTINCT sh FROM shingles WHERE doc_id % {BENCH_MOD} = 0
 ),
 doc_counts AS (
   SELECT doc_id, COUNT(*) AS n_shingles FROM shingles
@@ -140,7 +140,7 @@ doc_counts AS (
 ),
 hits AS (
   SELECT s.doc_id, COUNT(*) AS n_overlap
-  FROM shingles s JOIN bench b ON s.shingle = b.shingle
+  FROM shingles s JOIN bench b ON s.sh = b.sh
   WHERE s.doc_id % {BENCH_MOD} <> 0
   GROUP BY s.doc_id
 )

@@ -67,29 +67,43 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # word 3-gram shingles (shared by jaccard / minhash)
 # --------------------------------------------------------------------------
-def _shingles_sql(d: Dialect, table: str) -> str:
-    """(doc_id, shingle) pairs, distinct — word 3-grams.
+def _shingles_sql(d: Dialect, table: str, portable: bool = False) -> str:
+    """(doc_id, sh) pairs, distinct — word 3-grams hashed to 64-bit ints.
+    Hashing happens INSIDE the explode lambda, before the DISTINCT, so
+    shingle text never leaves the projection: the dedup shuffle and every
+    downstream join key are 8-byte ints, not strings — the form that
+    survives 100 TB (the hash space makes cross-doc collisions negligible
+    at any realistic corpus size).
+
+    ``portable=False`` (default) uses the engine's native cheap hash —
+    correct wherever the hash is only a join/dedup/count key, because both
+    engines then agree on every doc-pair and count even though the hash
+    VALUES differ.  ``portable=True`` pays for md5 so the values themselves
+    match across engines — required by minhash, whose signature values
+    decide band collisions.
 
     The words array is hoisted into a subquery column: inlining the split
     expression into the per-position slice lambda re-tokenizes the whole
     document for every shingle — O(words²) per doc (measured 5.5s → 0.5s at
     sf0.1)."""
     w = d.splitws("lower(text)")
+    hashfn = d.md5_prefix_int if portable else d.fast_hash
     words_rel = f"(SELECT doc_id, {w} AS w FROM {table}) src"
     if d.name == "spark":
-        shingle_arr = "transform(sequence(1, size(w) - 2), i -> array_join(slice(w, i, 3), ' '))"
+        sh_txt = "array_join(slice(w, i, 3), ' ')"
+        shingle_arr = f"transform(sequence(1, size(w) - 2), i -> {hashfn(sh_txt)})"
         return (
-            f"SELECT DISTINCT doc_id, shingle "
+            f"SELECT DISTINCT doc_id, sh "
             f"FROM {words_rel} "
-            f"LATERAL VIEW explode({shingle_arr}) t AS shingle "
+            f"LATERAL VIEW explode({shingle_arr}) t AS sh "
             f"WHERE size(w) >= 3"
         )
+    sh_txt = "array_to_string(list_slice(w, i, i + 2), ' ')"
     shingle_arr = (
-        "list_transform(generate_series(1, len(w) - 2), "
-        "i -> array_to_string(list_slice(w, i, i + 2), ' '))"
+        f"list_transform(generate_series(1, len(w) - 2), i -> {hashfn(sh_txt)})"
     )
     return (
-        f"SELECT DISTINCT doc_id, unnest({shingle_arr}) AS shingle "
+        f"SELECT DISTINCT doc_id, unnest({shingle_arr}) AS sh "
         f"FROM {words_rel} WHERE len(w) >= 3"
     )
 
@@ -105,7 +119,7 @@ counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
   FROM shingles a JOIN shingles b
-    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,
@@ -152,21 +166,21 @@ def _jaccard_stopshingle_sql(d: Dialect, table: str) -> str:
     sh = _shingles_sql(d, table)
     return f"""
 WITH shingles AS ({sh}),
-sdf AS (SELECT shingle, COUNT(*) AS df FROM shingles GROUP BY shingle),
+sdf AS (SELECT sh, COUNT(*) AS df FROM shingles GROUP BY sh),
 idx AS (
-  SELECT s.doc_id, s.shingle FROM shingles s
-  JOIN sdf ON sdf.shingle = s.shingle WHERE sdf.df <= {DF_CAP}
+  SELECT s.doc_id, s.sh FROM shingles s
+  JOIN sdf ON sdf.sh = s.sh WHERE sdf.df <= {DF_CAP}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
 ),
 counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
 common AS (
   SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
   FROM cand c
   JOIN shingles sa ON sa.doc_id = c.doc_a
-  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT doc_a, doc_b,
@@ -210,15 +224,14 @@ _MINHASH_AB = [
 
 
 def _minhash_sig_sql(d: Dialect, table: str) -> str:
-    sh = _shingles_sql(d, table)
-    base = d.md5_prefix_int("shingle")
+    sh = _shingles_sql(d, table, portable=True)
     parts = [
         f"MIN(({a} * x + {b}) % {MINHASH_P}) AS h{i}"
         for i, (a, b) in enumerate(_MINHASH_AB[:N_HASHES])
     ]
     return (
         f"SELECT doc_id, {', '.join(parts)} "
-        f"FROM (SELECT doc_id, ({base}) % {MINHASH_P} AS x FROM ({sh}) s) t "
+        f"FROM (SELECT doc_id, sh % {MINHASH_P} AS x FROM ({sh}) s) t "
         f"GROUP BY doc_id"
     )
 
