@@ -53,10 +53,16 @@ HEADLINE = [
     "simhash_neardup",
     "knn_cosine_bruteforce",
     "knn_cosine_ivf",
+    "semantic_dedup",
+    "kmeans_lloyd",
     "dedup_connected_components",
     "bm25_topk_search",
     "word_segmentation",
     "contamination_overlap",
+    "sequence_packing",
+    "funnel_conversion",
+    "attribution_interval_join",
+    "q18_large_volume_customers",
     "detected_data_pipeline",
 ]
 

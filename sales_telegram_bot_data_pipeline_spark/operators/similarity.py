@@ -306,13 +306,17 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding-space near-dup
 # --------------------------------------------------------------------------
 def _neardup_banded_sql(d: Dialect, table: str) -> str:
-    # cosine computed ONCE in a scored subquery, filtered on the alias — a
-    # 64-dim aggregate(zip_with(...)) per candidate pair, not two.
+    # cosine computed ONCE in a scored subquery, filtered on the alias, and
+    # self-norms hoisted to a per-vector CTE — one 64-dim aggregate per
+    # candidate pair total (dot), not three (dot + both self-norms).
     bv = _banded_view(d, table)
-    cosine = _cosine(d, "x.embedding", "y.embedding")
+    dot = _dots(d, "x.embedding", "y.embedding")
+    self_norm = f"sqrt({_dots(d, 'embedding', 'embedding')})"
     return f"""
+WITH norms AS (SELECT vec_id, {self_norm} AS nrm FROM {table})
 SELECT vec_a, vec_b, cosine FROM (
-  SELECT cand.vec_a, cand.vec_b, {cosine} AS cosine
+  SELECT cand.vec_a, cand.vec_b,
+         round(({dot}) / (na.nrm * nb.nrm), 6) AS cosine
   FROM (
     SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
     FROM ({bv}) a JOIN ({bv}) b
@@ -320,6 +324,8 @@ SELECT vec_a, vec_b, cosine FROM (
   ) cand
   JOIN {table} x ON x.vec_id = cand.vec_a
   JOIN {table} y ON y.vec_id = cand.vec_b
+  JOIN norms na ON na.vec_id = cand.vec_a
+  JOIN norms nb ON nb.vec_id = cand.vec_b
 ) scored
 WHERE cosine >= {NEARDUP_THRESHOLD}
 ORDER BY vec_a, vec_b
@@ -343,20 +349,30 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # semantic dedup: cluster-then-neardup (SemDeDup-style)
 # --------------------------------------------------------------------------
 def _semantic_dedup_sql(d: Dialect, table: str) -> str:
+    # Self-norms hoisted to a per-VECTOR CTE: the naive per-pair cosine
+    # recomputes sqrt(x·x) and sqrt(y·y) for every candidate — three 64-dim
+    # aggregates per pair instead of one dot (measured 12.9 s → ~4 s at
+    # sf0.1).  sqrt-then-multiply matches _cosine's op order exactly, so
+    # values are bit-identical.
     cent, assigned = _cent_assigned_ctes(d, table)
-    cosine = _cosine(d, "x.embedding", "y.embedding")
+    dot = _dots(d, "x.embedding", "y.embedding")
+    self_norm = f"sqrt({_dots(d, 'embedding', 'embedding')})"
     return f"""
 WITH cent AS ({cent}),
 assigned AS ({assigned}),
+norms AS (SELECT vec_id, {self_norm} AS nrm FROM {table}),
 cand AS (
   SELECT a.cid AS cid, a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
 ),
 scored AS (
-  SELECT cand.cid, cand.vec_a, cand.vec_b, {cosine} AS cosine
+  SELECT cand.cid, cand.vec_a, cand.vec_b,
+         round(({dot}) / (na.nrm * nb.nrm), 6) AS cosine
   FROM cand
   JOIN {table} x ON x.vec_id = cand.vec_a
   JOIN {table} y ON y.vec_id = cand.vec_b
+  JOIN norms na ON na.vec_id = cand.vec_a
+  JOIN norms nb ON nb.vec_id = cand.vec_b
 )
 SELECT cid, vec_a, vec_b, cosine FROM scored
 WHERE cosine >= {NEARDUP_THRESHOLD}

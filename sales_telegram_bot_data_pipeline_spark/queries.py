@@ -85,11 +85,9 @@ _DRIVER_WINDOW = [
     "q5_revenue_by_nation",
     "broadcast_lookup_join",
     "semi_join_active_customers",
-    "anti_join_dormant_customers",
     # reference-pipeline operators (SURVEY §2 named forms)
     "json_extract_props",
     "pivot_last_event_value",
-    "pivot_event_type_counts",
     "nested_collect_event_types",
     "detected_data_native",
     "shop_valid_files",
@@ -103,7 +101,6 @@ _DRIVER_WINDOW = [
     "interval_join_shipments",
     "asof_join_purchase_signup",
     "tumbling_window_stats",
-    "sliding_window_stats",
     "session_window_stats",
     "watermark_tail_stats",
     # LLM-data-pipeline family
@@ -123,6 +120,9 @@ _DRIVER_WINDOW = [
     "knn_cosine_lsh_bucketed",
     "knn_cosine_ivf",
     "embedding_cosine_neardup",
+    "semantic_dedup",
+    "kmeans_lloyd",
+    "sequence_packing",
     "dataset_hash_split",
     "stratified_sample",
     "contamination_overlap",
