@@ -157,3 +157,37 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
         spark.sql(f"DROP TABLE IF EXISTS {t_cust}")
+
+
+def test_sequence_packing_window_is_shard_partitioned(spark):
+    """The packing cumsum must partition by shard (bounded partitions), not
+    run a single global window."""
+    plan = _plan(spark, "sequence_packing")
+    specs = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert specs, "expected a Window node for the running offset"
+    assert all("shard" in ln for ln in specs), (
+        "packing window must be partitioned by shard, not global"
+    )
+
+
+def test_q4_exists_plans_as_semi_join(spark):
+    plan = _plan(spark, "q4_late_orders_by_priority")
+    assert "LeftSemi" in plan, "EXISTS must plan as a semi join"
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_never_shuffles_whole_embeddings(spark):
+    """Lloyd iterations operate on (vec_id, pos, unit) integer triples; no
+    Exchange in the plan may carry the embedding array column."""
+    plan = _plan(spark, "kmeans_lloyd")
+    for ln in plan.splitlines():
+        if ln.strip().startswith("Exchange"):
+            assert "embedding" not in ln, f"embedding array crosses a shuffle: {ln}"
+
+
+def test_attribution_join_is_user_keyed(spark):
+    """The interval self-join must carry user_id as the equi-key (shuffle or
+    broadcast hash join), never a nested-loop over the time bound alone."""
+    plan = _plan(spark, "attribution_interval_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan

@@ -273,3 +273,44 @@ def test_stringify_reference_compat_matches_python_str(spark):
     # schema is string after the adapter (DynamoDB item shape)
     sdf = stringify_reference_compat(df, ["price"])
     assert dict(sdf.dtypes)["price"] == "string"
+
+
+def test_dataset_sink_dynamic_overwrite(spark, scratch):
+    """Partitioned export: full write then a one-partition refresh — the
+    refreshed partition is replaced, the untouched partition survives, and
+    a full re-run converges to the same row set (idempotent)."""
+    import os
+
+    from sales_telegram_bot_data_pipeline_spark.sinks.dataset import write_dataset
+
+    root = os.path.join(scratch, "corpus")
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", "n_chars",
+        F.when(F.col("doc_id") % 2 == 0, "train").otherwise("val").alias("split_name"),
+    )
+    write_dataset(docs, root, partition_by=("split_name",), n_shards=2)
+    first = spark.read.parquet(root)
+    n_train = first.where("split_name = 'train'").count()
+    n_val = first.where("split_name = 'val'").count()
+    assert n_train > 0 and n_val > 0
+    # refresh ONLY the val split with a filtered subset
+    refreshed = docs.where("split_name = 'val' AND doc_id < 50")
+    write_dataset(refreshed, root, partition_by=("split_name",), n_shards=2)
+    again = spark.read.parquet(root)
+    assert again.where("split_name = 'train'").count() == n_train, (
+        "dynamic overwrite must not touch absent partitions"
+    )
+    assert again.where("split_name = 'val'").count() == refreshed.count()
+    # full re-run converges
+    write_dataset(docs, root, partition_by=("split_name",), n_shards=2)
+    final = spark.read.parquet(root)
+    assert sorted(r["doc_id"] for r in final.collect()) == sorted(
+        r["doc_id"] for r in docs.collect()
+    )
+    # bounded file count: n_shards parquet files per partition dir
+    for split in ("train", "val"):
+        files = [
+            f for f in os.listdir(os.path.join(root, f"split_name={split}"))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) <= 2, f"{split}: {len(files)} files, expected <= n_shards"
