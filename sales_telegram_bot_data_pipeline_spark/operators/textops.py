@@ -129,3 +129,61 @@ def _fp_query_sql(d: Dialect, table: str) -> str:
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_fp_query_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# corpus-vocabulary coverage score (two-phase: train on corpus, apply per doc)
+# --------------------------------------------------------------------------
+VOCAB_TOP_K = 1000
+
+
+def _vocab_coverage_sql(d: Dialect, table: str) -> str:
+    """Fraction of each doc's token INSTANCES that fall in the corpus-wide
+    top-K vocabulary — the cheap LM-free fluency/quality signal (gibberish,
+    boilerplate, and non-target-language docs score low).
+
+    Two-phase shape a production pipeline runs constantly: an aggregate
+    over the whole corpus trains a small model (here: the top-K vocab, a
+    TakeOrdered of the word-frequency table), which then broadcasts and
+    scores every document.  Token instances aggregate by doc_id with
+    map-side partial counts; the vocab side is O(K) regardless of corpus
+    size.  Ties at the frequency boundary break lexicographically, so both
+    engines freeze the identical vocabulary.  Coverage uses the integer
+    half-up ratio convention (portable to the last digit)."""
+    w = d.splitws("lower(text)")
+    if d.name == "spark":
+        toks = (
+            f"SELECT doc_id, tok FROM (SELECT doc_id, {w} AS ws FROM {table}) src "
+            f"LATERAL VIEW explode(ws) t AS tok"
+        )
+    else:
+        toks = f"SELECT doc_id, unnest({w}) AS tok FROM {table}"
+    return f"""
+WITH toks AS ({toks}),
+freq AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
+vocab AS (SELECT tok FROM freq ORDER BY tf DESC, tok LIMIT {VOCAB_TOP_K}),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id),
+hits AS (
+  SELECT t.doc_id, COUNT(*) AS n_in_vocab
+  FROM toks t JOIN vocab v ON v.tok = t.tok
+  GROUP BY t.doc_id
+)
+SELECT p.doc_id, p.n_tokens,
+       COALESCE(h.n_in_vocab, 0) AS n_in_vocab,
+       CAST(((COALESCE(h.n_in_vocab, 0) * 2000000 + p.n_tokens) {('div' if d.name == 'spark' else '//')} (2 * p.n_tokens)) AS DOUBLE) / 1000000 AS vocab_coverage
+FROM per_doc p LEFT JOIN hits h ON h.doc_id = p.doc_id
+ORDER BY p.doc_id
+"""
+
+
+@register(
+    "vocab_coverage_score",
+    oracle=_vocab_coverage_sql(DUCKDB, "documents"),
+    doc=f"Vocabulary-coverage quality score: corpus top-{VOCAB_TOP_K} vocab "
+    "(deterministic frequency+lexicographic TakeOrdered) broadcast-joined "
+    "against token instances, per-doc covered fraction via integer half-up "
+    "ratio — the two-phase train-then-score shape.",
+    tags=("text", "quality", "two-phase"),
+)
+def vocab_coverage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_vocab_coverage_sql(SPARK, _doc_view(spark, sf_dir)))
