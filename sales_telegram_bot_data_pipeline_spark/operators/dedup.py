@@ -111,8 +111,8 @@ def _shingles_sql(d: Dialect, table: str, portable: bool = False) -> str:
 # --------------------------------------------------------------------------
 # n-gram Jaccard near-dup pairs via inverted shingle index
 # --------------------------------------------------------------------------
-def _jaccard_sql(d: Dialect, table: str) -> str:
-    sh = _shingles_sql(d, table)
+def _jaccard_sql(d: Dialect, table: str, shingles_rel: str | None = None) -> str:
+    sh = shingles_rel or _shingles_sql(d, table)
     return f"""
 WITH shingles AS ({sh}),
 counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
@@ -132,6 +132,21 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _materialized_shingles(spark: SparkSession, view: str, name: str) -> str:
+    """Evaluate the shingle explode+distinct ONCE and register the result
+    as a temp view.  The downstream SQL references the relation 3-5 times
+    (df counts, both join sides, per-doc counts); Catalyst inlines CTEs, and
+    exchange reuse only merges IDENTICAL subtrees — the executed plan still
+    carried 5 Generate nodes over the corpus.  localCheckpoint truncates to
+    one materialization (the same move connected_components makes for its
+    edge list).  At cluster scale this is an explicit intermediate — sized
+    O(corpus tokens) as 8-byte-int pairs, spilled by the block manager, far
+    cheaper than re-exploding the text column per consumer."""
+    sh = spark.sql(_shingles_sql(SPARK, view)).localCheckpoint()
+    sh.createOrReplaceTempView(name)
+    return f"SELECT doc_id, sh FROM {name}"
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=_jaccard_sql(DUCKDB, "documents"),
@@ -140,7 +155,9 @@ ORDER BY doc_a, doc_b
     tags=("dedup", "join"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(_jaccard_sql(SPARK, _doc_view(spark, sf_dir)))
+    view = _doc_view(spark, sf_dir)
+    rel = _materialized_shingles(spark, view, "sales_telegram_bot_data_pipeline_sh_j")
+    return spark.sql(_jaccard_sql(SPARK, view, shingles_rel=rel))
 
 
 # --------------------------------------------------------------------------
@@ -149,7 +166,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 DF_CAP = 5  # shingles seen in more than DF_CAP docs don't generate candidates
 
 
-def _jaccard_stopshingle_sql(d: Dialect, table: str) -> str:
+def _jaccard_stopshingle_sql(d: Dialect, table: str, shingles_rel: str | None = None) -> str:
     """Same Jaccard semantics as ``dedup_ngram_jaccard`` for every pair it
     emits, but candidate pairs come only from shingles with document
     frequency <= ``DF_CAP``; the Jaccard refine then uses FULL shingle sets.
@@ -163,7 +180,7 @@ def _jaccard_stopshingle_sql(d: Dialect, table: str) -> str:
     by definition, are not (at sf0.01 all 25 true pairs survive a cap of 3;
     candidates drop ~30% even on synthetic low-skew data).  The oracle runs
     the identical construction, so the approximation is deterministic."""
-    sh = _shingles_sql(d, table)
+    sh = shingles_rel or _shingles_sql(d, table)
     return f"""
 WITH shingles AS ({sh}),
 sdf AS (SELECT sh, COUNT(*) AS df FROM shingles GROUP BY sh),
@@ -203,7 +220,9 @@ ORDER BY doc_a, doc_b
     tags=("dedup", "join", "skew"),
 )
 def dedup_jaccard_stopshingle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(_jaccard_stopshingle_sql(SPARK, _doc_view(spark, sf_dir)))
+    view = _doc_view(spark, sf_dir)
+    rel = _materialized_shingles(spark, view, "sales_telegram_bot_data_pipeline_sh_ss")
+    return spark.sql(_jaccard_stopshingle_sql(SPARK, view, shingles_rel=rel))
 
 
 # --------------------------------------------------------------------------
