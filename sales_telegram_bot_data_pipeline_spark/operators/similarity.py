@@ -228,16 +228,16 @@ N_PROBE = 2     # lists searched per query
 CENTROID_BASE = N_QUERIES  # vec_id in [BASE, BASE+K_LISTS) are the centroids
 
 
-def _cent_assigned_ctes(d: Dialect, table: str) -> tuple[str, str]:
+def _cent_assigned_ctes(d: Dialect, table: str, k: int = K_LISTS) -> tuple[str, str]:
     """The shared IVF coarse-quantization step as (cent, assigned) CTE
-    bodies: K_LISTS frozen pseudo-centroids, every corpus vector assigned
+    bodies: ``k`` frozen pseudo-centroids, every corpus vector assigned
     to its max-cosine centroid by a map-side argmax (the O(K) centroid
     relation broadcasts; the embedding column never shuffles).  Argmax is
     MAX over a (cosine, -id) struct — lexicographic in both engines,
     deterministic under ties."""
     cent = (
         f"SELECT vec_id - {CENTROID_BASE} AS cid, embedding FROM {table} "
-        f"WHERE vec_id >= {CENTROID_BASE} AND vec_id < {CENTROID_BASE + K_LISTS}"
+        f"WHERE vec_id >= {CENTROID_BASE} AND vec_id < {CENTROID_BASE + k}"
     )
     cos_vc = _cosine(d, "v.embedding", "cent.embedding")
     if d.name == "spark":
@@ -348,18 +348,21 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # semantic dedup: cluster-then-neardup (SemDeDup-style)
 # --------------------------------------------------------------------------
-def _semantic_dedup_sql(d: Dialect, table: str) -> str:
+SEM_K = 25  # semantic-dedup blocking clusters; scales with corpus (K ~ N/200)
+
+
+def _semantic_dedup_sql(d: Dialect, table: str, assigned_rel: str | None = None) -> str:
     # Self-norms hoisted to a per-VECTOR CTE: the naive per-pair cosine
     # recomputes sqrt(x·x) and sqrt(y·y) for every candidate — three 64-dim
     # aggregates per pair instead of one dot (measured 12.9 s → ~4 s at
     # sf0.1).  sqrt-then-multiply matches _cosine's op order exactly, so
     # values are bit-identical.
-    cent, assigned = _cent_assigned_ctes(d, table)
+    cent, assigned = _cent_assigned_ctes(d, table, k=SEM_K)
     dot = _dots(d, "x.embedding", "y.embedding")
     self_norm = f"sqrt({_dots(d, 'embedding', 'embedding')})"
     return f"""
 WITH cent AS ({cent}),
-assigned AS ({assigned}),
+assigned AS ({assigned_rel or assigned}),
 norms AS (SELECT vec_id, {self_norm} AS nrm FROM {table}),
 cand AS (
   SELECT a.cid AS cid, a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -384,7 +387,7 @@ ORDER BY cid, vec_a, vec_b
     "semantic_dedup",
     oracle=_semantic_dedup_sql(DUCKDB, "embeddings"),
     doc="Semantic dedup, SemDeDup-style: coarse-quantize every embedding to "
-    f"its nearest of {K_LISTS} centroids (the shared IVF assignment — "
+    f"its nearest of {SEM_K} centroids (the shared IVF assignment shape — "
     "map-side argmax, embeddings never shuffle), then near-dup pairs ONLY "
     "within a cluster: the cluster id is the blocking key, so candidate "
     "generation is a cid equi-join, never corpus all-pairs.  At 100 TB the "
@@ -394,7 +397,22 @@ ORDER BY cid, vec_a, vec_b
     tags=("similarity", "dedup", "ivf"),
 )
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(_semantic_dedup_sql(SPARK, _emb_view(spark, sf_dir)))
+    # The argmax assignment scans the whole corpus against all K centroids;
+    # the candidate join then references it TWICE (both pair sides).
+    # Materialize it once (integer (vec_id, cid) pairs — tiny) instead of
+    # trusting exchange reuse to merge the two heavy subtrees.
+    view = _emb_view(spark, sf_dir)
+    cent, assigned = _cent_assigned_ctes(SPARK, view, k=SEM_K)
+    spark.sql(f"WITH cent AS ({cent}) {assigned}").localCheckpoint().createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_semdedup_assign"
+    )
+    return spark.sql(
+        _semantic_dedup_sql(
+            SPARK,
+            view,
+            assigned_rel="SELECT vec_id, cid FROM sales_telegram_bot_data_pipeline_semdedup_assign",
+        )
+    )
 
 
 # --------------------------------------------------------------------------
@@ -403,7 +421,22 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMEANS_ITERS = 2
 
 
-def _kmeans_sql(d: Dialect, table: str) -> str:
+def _units_sql(d: Dialect, table: str) -> str:
+    """(vec_id, pos, uval) integer triples — floats as exact 1e-7 units."""
+    to_units = "CAST(FLOOR(CAST({v} AS DOUBLE) * 10000000.0e0 + 0.5e0) AS BIGINT)"
+    if d.name == "spark":
+        return (
+            f"SELECT vec_id, pos, {to_units.format(v='val')} AS uval "
+            f"FROM {table} LATERAL VIEW posexplode(embedding) t AS pos, val"
+        )
+    return (
+        f"SELECT vec_id, i - 1 AS pos, {to_units.format(v='embedding[i]')} AS uval "
+        f"FROM (SELECT vec_id, embedding, "
+        f"unnest(generate_series(1, len(embedding))) AS i FROM {table})"
+    )
+
+
+def _kmeans_sql(d: Dialect, table: str, units_rel: str | None = None) -> str:
     """K-means over the embedding corpus: the frozen IVF pseudo-centroids
     are the init, then KMEANS_ITERS Lloyd rounds of (assign to nearest
     centroid by cosine, recompute the per-cluster mean), unrolled as CTEs.
@@ -423,18 +456,7 @@ def _kmeans_sql(d: Dialect, table: str) -> str:
     shuffles of integer triples; empty clusters drop (standard Lloyd).
     Unit ranges keep every product within BIGINT: |unit| <= 1e7 (data in
     [-1, 1]), |mean| <= 1e6 units, dot terms <= 1e13, 64-dim sums <= 1e15."""
-    to_units = "CAST(FLOOR(CAST({v} AS DOUBLE) * 10000000.0e0 + 0.5e0) AS BIGINT)"
-    if d.name == "spark":
-        units = (
-            f"SELECT vec_id, pos, {to_units.format(v='val')} AS uval "
-            f"FROM {table} LATERAL VIEW posexplode(embedding) t AS pos, val"
-        )
-    else:
-        units = (
-            f"SELECT vec_id, i - 1 AS pos, {to_units.format(v='embedding[i]')} AS uval "
-            f"FROM (SELECT vec_id, embedding, "
-            f"unnest(generate_series(1, len(embedding))) AS i FROM {table})"
-        )
+    units = _units_sql(d, table)
     if d.name == "spark":
         best = "max(named_struct('c', cos, 'nid', -cid)).nid"
     else:
@@ -443,7 +465,7 @@ def _kmeans_sql(d: Dialect, table: str) -> str:
         "(SUM(uval) + 1000000000 * COUNT(*) + 5 * COUNT(*))", "(10 * COUNT(*))"
     )
     ctes = [
-        f"units AS ({units})",
+        f"units AS ({units_rel or units})",
         "vnorm AS (SELECT vec_id, SUM(uval * uval) AS vn FROM units GROUP BY vec_id)",
         # init: the frozen pseudo-centroids' own units (scale differs from
         # later means; cosine is scale-invariant so that is immaterial)
@@ -501,7 +523,21 @@ ORDER BY c.cid, pos
     tags=("similarity", "ivf", "iterative"),
 )
 def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(_kmeans_sql(SPARK, _emb_view(spark, sf_dir)))
+    # The unit-triple explode feeds every iteration's scoring AND mean
+    # recomputation (2 references per Lloyd round, plus vnorm and the init
+    # slice).  Materialize it once: Catalyst inlines CTEs, and with the
+    # CTE chain growing per iteration the re-derived explode dominates.
+    view = _emb_view(spark, sf_dir)
+    spark.sql(_units_sql(SPARK, view)).localCheckpoint().createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_kmeans_units"
+    )
+    return spark.sql(
+        _kmeans_sql(
+            SPARK,
+            view,
+            units_rel="SELECT vec_id, pos, uval FROM sales_telegram_bot_data_pipeline_kmeans_units",
+        )
+    )
 
 
 def _pair_sim_sql(d: Dialect, table: str) -> str:
