@@ -193,3 +193,86 @@ def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@register(
+    "null_semantics_suite",
+    oracle="""
+SELECT e.event_type AS event_type,
+       COUNT(*) AS n_rows,
+       COUNT(k) AS n_nonnull,
+       COUNT(*) FILTER (WHERE k IS NOT DISTINCT FROM 3) AS nullsafe_eq_3,
+       COUNT(*) FILTER (WHERE k IS DISTINCT FROM 3) AS nullsafe_ne_3,
+       COALESCE(CAST(MIN(k) AS BIGINT), -1) AS min_or_default,
+       COUNT(*) FILTER (WHERE NULLIF(e.event_type, 'view') IS NULL) AS nullified_views,
+       SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS n_null
+FROM (SELECT event_type,
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events) e
+GROUP BY e.event_type
+ORDER BY e.event_type
+""",
+    doc="Three-valued-logic semantics: null-safe equality (Spark <=> / "
+    "ANSI IS NOT DISTINCT FROM), COUNT(col) vs COUNT(*), COALESCE/NULLIF, "
+    "and CASE-on-NULL — aggregation-level agreement pinned across engines.",
+    tags=("scalar", "null"),
+)
+def null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("try_cast(get_json_object(props, '$.k') as bigint)")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("k").alias("n_nonnull"),
+            F.count(F.when(F.col("k").eqNullSafe(F.lit(3)), 1)).alias("nullsafe_eq_3"),
+            F.count(F.when(~F.col("k").eqNullSafe(F.lit(3)), 1)).alias("nullsafe_ne_3"),
+            F.coalesce(F.min("k").cast("bigint"), F.lit(-1)).alias("min_or_default"),
+            F.count(F.when(F.expr("nullif(event_type, 'view')").isNull(), 1)).alias(
+                "nullified_views"
+            ),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_null"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "array_functions_suite",
+    oracle="""
+SELECT vec_id,
+       len(embedding) AS n_dims,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
+       ROUND(list_sum(list_transform(embedding, x -> CAST(ABS(x) AS DOUBLE))), 6) AS l1_norm,
+       ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val,
+       ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+       CAST(list_position(list_transform(embedding, x -> x > 0.3), true) AS INT) AS first_hot_pos
+FROM embeddings
+WHERE vec_id < 100
+ORDER BY vec_id
+""",
+    doc="Array higher-order functions over the embedding column: size, "
+    "filter (lambda), transform+aggregate (L1 norm via sequential "
+    "accumulation), array_max, 1-based element access, array_position — "
+    "all JVM-side codegen, no UDFs.",
+    tags=("scalar", "array"),
+)
+def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.size(F.expr("filter(embedding, x -> x > 0)")).alias("n_positive"),
+        F.round(
+            F.expr(
+                "aggregate(transform(embedding, x -> cast(abs(x) as double)), cast(0 as double), (a, v) -> a + v)"
+            ),
+            6,
+        ).alias("l1_norm"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+        F.round(F.expr("embedding[0]").cast("double"), 6).alias("first_val"),
+        F.expr("array_position(transform(embedding, x -> x > 0.3D), true)")
+        .cast("int")
+        .alias("first_hot_pos"),
+    ).orderBy("vec_id")
