@@ -276,3 +276,42 @@ def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("first_hot_pos"),
     ).orderBy("vec_id")
+
+
+@register(
+    "range_interval_window",
+    oracle="""
+SELECT user_id, event_id, ts,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS rolling_1h_sum,
+       CAST(COUNT(*)
+            OVER (PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS rolling_1h_n
+FROM events
+WHERE user_id < 40
+ORDER BY user_id, ts, event_id
+""",
+    doc="RANGE-frame window with a time-interval bound: per-user rolling "
+    "1-hour sum/count over event time — value-based frames (every row's "
+    "frame is its own [ts-1h, ts] slice), unlike ROWS frames; exact "
+    "decimal sum for cross-engine stability.  One shuffle on user_id.",
+    tags=("window", "temporal"),
+)
+def range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    ev.createOrReplaceTempView("sales_telegram_bot_data_pipeline_riw_events")
+    return spark.sql("""
+SELECT user_id, event_id, ts,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS rolling_1h_sum,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+            AS rolling_1h_n
+FROM sales_telegram_bot_data_pipeline_riw_events
+ORDER BY user_id, ts, event_id
+""")

