@@ -94,6 +94,43 @@ def synthesize_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def synthesize_pages_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same op-3 fan-out as a Python UDTF (Spark 4 user-defined TABLE
+    function) — the generator shape of the reference's pdf_to_pages loop
+    (pdf_utils.py:47-61: ``for i, page in enumerate(pages): yield file``)
+    expressed directly: ``eval`` yields one row per rasterized page.
+
+    The native ``synthesize_pages`` (posexplode) is the production path —
+    whole-stage codegen, no Python — and ``test_udtf_matches_native``
+    pins this twin to it row-for-row.  The UDTF form is here because a
+    REAL rasterizer is imperative Python (pdf2image), and this is the
+    operator shape it plugs into: swap the arithmetic stub inside
+    ``eval`` for the real page loop and the plan is unchanged."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="image_id string, shop_name string, width int, height int, page_num int")
+    class ExplodePages:
+        def eval(self, p_partkey: int):
+            n = 1 + p_partkey % PAGE_MOD
+            for i in range(1, n + 1):
+                yield (
+                    f"pages/valid/part_{p_partkey}_page_{i}.png",
+                    SHOPS[p_partkey % len(SHOPS)],
+                    640 + p_partkey % 640,
+                    480 + p_partkey % 480,
+                    i,
+                )
+
+    load_table(spark, sf_dir, "part").select("p_partkey").createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_udtf_part"
+    )
+    spark.udtf.register("sales_telegram_bot_data_pipeline_explode_pages", ExplodePages)
+    return spark.sql(
+        "SELECT t.* FROM sales_telegram_bot_data_pipeline_udtf_part p, "
+        "LATERAL sales_telegram_bot_data_pipeline_explode_pages(p.p_partkey) t"
+    )
+
+
 def stub_detect(df: DataFrame, model: str, include_ocr: bool = False) -> DataFrame:
     """ops 8/11/12: one engine operator, parameterized (model1 vs model2 +
     OCR) — the reference's run_yolo_on_pages config surface (§3.3), with the

@@ -97,3 +97,15 @@ def test_empty_relation_short_circuit(spark):
     assert joined.count() == 0
     plan = joined._sc._jvm.PythonSQLUtils.explainString(joined._jdf.queryExecution(), "simple")
     assert "LocalTableScan" in plan or "Empty" in plan
+
+
+def test_udtf_matches_native(spark):
+    """The Python-UDTF page fan-out must emit exactly the native
+    posexplode operator's rows (same schema, same values) — the UDTF is
+    the pluggable imperative shape, the native form the production path."""
+    from sales_telegram_bot_data_pipeline_spark.operators.inference import synthesize_pages_udtf
+
+    native = synthesize_pages(spark, SF_SMOKE)
+    viaudtf = synthesize_pages_udtf(spark, SF_SMOKE)
+    assert viaudtf.columns == native.columns
+    assert sorted(map(tuple, viaudtf.collect())) == sorted(map(tuple, native.collect()))
