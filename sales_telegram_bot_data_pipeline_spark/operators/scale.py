@@ -73,3 +73,98 @@ def merge_upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
         F.when(F.col("__present"), F.col(f"__u_{c}")).otherwise(F.col(c)).alias(c) for c in cols
     ]
     return joined.select(key, *picked)
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension update (effective-dated merge)
+# ---------------------------------------------------------------------------
+def _scd2_register():
+    from pyspark.sql import SparkSession
+
+    from ..registry import register
+    from ..sources.tables import load_table
+
+    @register(
+        "scd2_dimension_update",
+        oracle="""
+WITH upd_keys AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+),
+base AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+  FROM customer
+),
+closed AS (
+  SELECT b.c_custkey, b.c_mktsegment, b.acctbal,
+         DATE '1995-01-01' AS valid_from, DATE '1996-07-01' AS valid_to,
+         FALSE AS is_current
+  FROM base b JOIN upd_keys u ON u.o_custkey = b.c_custkey
+),
+new_rows AS (
+  SELECT b.c_custkey, 'UPGRADED' AS c_mktsegment,
+         CAST(CAST(b.acctbal + 100 AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
+         DATE '1996-07-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+         TRUE AS is_current
+  FROM base b JOIN upd_keys u ON u.o_custkey = b.c_custkey
+),
+open_rows AS (
+  SELECT b.c_custkey, b.c_mktsegment, b.acctbal,
+         DATE '1995-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+         TRUE AS is_current
+  FROM base b WHERE NOT EXISTS (SELECT 1 FROM upd_keys u WHERE u.o_custkey = b.c_custkey)
+)
+SELECT * FROM closed
+UNION ALL SELECT * FROM new_rows
+UNION ALL SELECT * FROM open_rows
+ORDER BY c_custkey, valid_from
+""",
+        doc="Slowly-changing-dimension Type 2 merge: customers with 1996-H1 "
+        "orders get a new attribute version — the old row closes "
+        "(valid_to, is_current=false), a new effective-dated row opens, "
+        "untouched keys pass through open.  Plan shape: one semi/anti "
+        "split of the dim against the distinct update-key set (aggregated "
+        "BEFORE the join), unions of projections — no window, no "
+        "per-row lookups.",
+        tags=("relational", "merge", "scd2"),
+    )
+    def scd2_dimension_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cust = load_table(spark, sf_dir, "customer")
+        orders = load_table(spark, sf_dir, "orders")
+        upd_keys = (
+            orders.where(
+                (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+        base = cust.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.col("c_acctbal").cast("decimal(18,2)").cast("double").alias("acctbal"),
+        )
+        d0 = F.lit("1995-01-01").cast("date")
+        d1 = F.lit("1996-07-01").cast("date")
+        dnull = F.lit(None).cast("date")
+        hit = base.join(upd_keys, base.c_custkey == upd_keys.o_custkey, "left_semi")
+        closed = hit.select(
+            "c_custkey", "c_mktsegment", "acctbal",
+            d0.alias("valid_from"), d1.alias("valid_to"), F.lit(False).alias("is_current"),
+        )
+        new_rows = hit.select(
+            "c_custkey",
+            F.lit("UPGRADED").alias("c_mktsegment"),
+            (F.col("acctbal") + 100).cast("decimal(18,2)").cast("double").alias("acctbal"),
+            d1.alias("valid_from"), dnull.alias("valid_to"), F.lit(True).alias("is_current"),
+        )
+        open_rows = base.join(
+            upd_keys, base.c_custkey == upd_keys.o_custkey, "left_anti"
+        ).select(
+            "c_custkey", "c_mktsegment", "acctbal",
+            d0.alias("valid_from"), dnull.alias("valid_to"), F.lit(True).alias("is_current"),
+        )
+        return closed.unionAll(new_rows).unionAll(open_rows).orderBy("c_custkey", "valid_from")
+
+
+_scd2_register()

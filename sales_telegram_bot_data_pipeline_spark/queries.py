@@ -67,6 +67,10 @@ try:
     from .streaming import revalidate  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:
+    from .operators import scale  # noqa: F401  (scd2_dimension_update)
+except ImportError:  # pragma: no cover
+    pass
 
 
 # --------------------------------------------------------------------------

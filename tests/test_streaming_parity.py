@@ -314,3 +314,48 @@ def test_dataset_sink_dynamic_overwrite(spark, scratch):
             if f.endswith(".parquet")
         ]
         assert len(files) <= 2, f"{split}: {len(files)} files, expected <= n_shards"
+
+
+def test_stream_checkpoint_resume_exactly_once(spark, scratch):
+    """Source-offset checkpointing: a file-sink query drains the source
+    with Trigger.AvailableNow, stops, new files arrive, and a SECOND run
+    with the SAME checkpoint resumes from the recorded offsets — every
+    input row lands in the sink exactly once across the two runs."""
+    flat = _events_as_stream_source(spark, scratch)
+    files = sorted(os.listdir(flat))
+    first_half = os.path.join(scratch, "src")
+    os.makedirs(first_half, exist_ok=True)
+    for i, f in enumerate(files[:2]):
+        shutil.copy(os.path.join(flat, f), os.path.join(first_half, f))
+        os.utime(os.path.join(first_half, f), (1_900_000_000 + i,) * 2)
+
+    out = os.path.join(scratch, "sink")
+    ckpt = os.path.join(scratch, "ckpt")
+
+    def run_once():
+        q = (
+            read_events_stream(spark, first_half)
+            .select("event_id", "user_id", "event_type")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n_first = spark.read.parquet(out).count()
+    assert n_first == spark.read.parquet(first_half).count()
+    # late files arrive; the resumed query must process ONLY these
+    for i, f in enumerate(files[2:]):
+        shutil.copy(os.path.join(flat, f), os.path.join(first_half, f))
+        os.utime(os.path.join(first_half, f), (1_900_000_100 + i,) * 2)
+    run_once()
+    got = spark.read.parquet(out)
+    want = spark.read.parquet(first_half)
+    assert got.count() == want.count(), "resume must be exactly-once, no reprocessing"
+    assert sorted(r["event_id"] for r in got.collect()) == sorted(
+        r["event_id"] for r in want.collect()
+    )
