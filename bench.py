@@ -60,6 +60,8 @@ HEADLINE = [
     "word_segmentation",
     "contamination_overlap",
     "sequence_packing",
+    "vocab_coverage_score",
+    "scd2_dimension_update",
     "funnel_conversion",
     "attribution_interval_join",
     "q18_large_volume_customers",

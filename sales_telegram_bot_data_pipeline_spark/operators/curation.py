@@ -391,3 +391,44 @@ ORDER BY shard, pack_id, pos_in_pack
 )
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_sequence_packing_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# table audit (data-quality validation)
+# --------------------------------------------------------------------------
+def _table_audit_sql(d: Dialect, table: str) -> str:
+    """One-pass data-quality audit of the orders table — the schema-contract
+    check a pipeline runs before promoting a dataset: null counts, domain
+    violations, key uniqueness, value ranges.  Everything folds into a
+    single aggregation (one scan, map-side partials, O(1) output); the
+    uniqueness check compares COUNT(*) to COUNT(DISTINCT key) instead of
+    materializing duplicates."""
+    return f"""
+SELECT
+  COUNT(*) AS n_rows,
+  COUNT(*) - COUNT(o_custkey) AS null_custkey,
+  COUNT(*) - COUNT(o_orderdate) AS null_orderdate,
+  COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_orderkeys,
+  COUNT(*) FILTER (WHERE o_totalprice <= 0) AS nonpositive_totals,
+  COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS bad_status,
+  COUNT(*) FILTER (WHERE o_orderdate < TIMESTAMP '1990-01-01'
+                      OR o_orderdate > TIMESTAMP '2030-01-01') AS out_of_range_dates,
+  CAST(MIN(o_totalprice) AS DOUBLE) AS min_total,
+  CAST(MAX(o_totalprice) AS DOUBLE) AS max_total
+FROM {table}
+"""
+
+
+@register(
+    "table_audit_orders",
+    oracle=_table_audit_sql(DUCKDB, "orders"),
+    doc="Data-quality audit in ONE scan: null counts, duplicate-key check "
+    "via COUNT vs COUNT DISTINCT, domain/range violations, min/max — the "
+    "pre-promotion contract check; O(1) output, map-side partial aggs.",
+    tags=("curation", "audit", "agg"),
+)
+def table_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_audit_orders"
+    )
+    return spark.sql(_table_audit_sql(SPARK, "sales_telegram_bot_data_pipeline_audit_orders"))
