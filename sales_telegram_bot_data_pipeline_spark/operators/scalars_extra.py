@@ -315,3 +315,33 @@ SELECT user_id, event_id, ts,
 FROM sales_telegram_bot_data_pipeline_riw_events
 ORDER BY user_id, ts, event_id
 """)
+
+
+@register(
+    "set_ops_all_variants",
+    oracle="""
+WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+b AS (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+SELECT 'union_all' AS op, COUNT(*) AS n FROM (SELECT * FROM a UNION ALL SELECT * FROM b) t
+UNION ALL
+SELECT 'intersect_all' AS op, COUNT(*) AS n FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) t
+UNION ALL
+SELECT 'except_all' AS op, COUNT(*) AS n FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) t
+ORDER BY op
+""",
+    doc="Bag-semantics set operations (ALL variants): duplicate-preserving "
+    "UNION ALL / INTERSECT ALL / EXCEPT ALL — multiplicity rules differ "
+    "from the DISTINCT forms and are pinned across engines.",
+    tags=("setop",),
+)
+def set_ops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = orders.where(F.col("o_totalprice") > 100000).select("o_custkey")
+    rows = [
+        a.unionAll(b).agg(F.count("*").alias("n")).select(F.lit("union_all").alias("op"), "n"),
+        a.intersectAll(b).agg(F.count("*").alias("n")).select(F.lit("intersect_all").alias("op"), "n"),
+        a.exceptAll(b).agg(F.count("*").alias("n")).select(F.lit("except_all").alias("op"), "n"),
+    ]
+    out = rows[0].unionAll(rows[1]).unionAll(rows[2])
+    return out.orderBy("op")
