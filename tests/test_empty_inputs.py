@@ -1,0 +1,61 @@
+"""Empty-corpus robustness: every documents/embeddings operator must yield
+an empty (or well-defined aggregate) result on a zero-row corpus — the
+production shape of an empty ingest partition or an over-narrow date filter
+— never an exception (sequence() on empty arrays, aggregates over no rows,
+broadcast of an empty vocab are all edge paths worth pinning)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from sales_telegram_bot_data_pipeline_spark.queries import REGISTRY
+from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
+
+from conftest import SF_SMOKE
+
+EMPTY_OK_ZERO = [
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_jaccard_stopshingle",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "simhash_neardup",
+    "dedup_connected_components",
+    "dedup_keep_canonical",
+    "semantic_dedup",
+    "kmeans_lloyd",
+    "knn_cosine_bruteforce",
+    "knn_cosine_lsh_bucketed",
+    "knn_cosine_ivf",
+    "embedding_cosine_neardup",
+    "document_chunking",
+    "sequence_packing",
+    "vocab_coverage_score",
+    "stratified_sample",
+    "contamination_overlap",
+    "quality_repetition",
+    "pii_redaction",
+    "bm25_topk_search",
+    "word_segmentation",
+    "lang_id_heuristic",
+    "text_quality_stats",
+    "token_count",
+    "doc_fingerprint",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, tmp_path_factory):
+    """A scale-factor dir whose documents/embeddings tables have the real
+    schemas but zero rows."""
+    d = str(tmp_path_factory.mktemp("sf_empty"))
+    for t in ("documents", "embeddings"):
+        load_table(spark, SF_SMOKE, t).limit(0).write.parquet(os.path.join(d, f"{t}.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("name", EMPTY_OK_ZERO)
+def test_empty_corpus_yields_zero_rows(spark, empty_sf_dir, name):
+    assert REGISTRY[name].fn(spark, empty_sf_dir).count() == 0
