@@ -624,3 +624,48 @@ ORDER BY d.label
 )
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_centroids_sql(SPARK, _emb_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# per-label embedding standardization (grouped-map applyInPandas)
+# --------------------------------------------------------------------------
+def standardize_embeddings_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whiten each label's embeddings to zero mean / unit variance per
+    dimension — the feature-normalization step before clustering or linear
+    probes, and the engine's canonical **grouped-map** operator
+    (``applyInPandas``: one pandas DataFrame per group in, one out —
+    completing the Python API surface next to the scalar pandas UDF,
+    ``mapInPandas``, ``applyInPandasWithState``, and the UDTF).
+
+    Scale shape: ONE shuffle on the group key (label), then each group
+    standardizes independently with vectorized numpy — state is
+    O(group size × dim), the right tool exactly when the per-group
+    computation needs the whole group in memory (unlike the pure-SQL
+    centroid path, which streams).  Labels are the parallel unit; skewed
+    label sizes would call for the salted variant in operators/scale.py.
+    Determinism: float64 column-wise mean/std over a doc_id-sorted group is
+    order-independent; ddof=0 population std; zero-variance dims pass
+    through centered."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def _standardize(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        m = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+        mu = m.mean(axis=0)
+        sd = m.std(axis=0, ddof=0)
+        sd[sd == 0.0] = 1.0
+        white = (m - mu) / sd
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "label": pdf["label"].to_numpy(),
+                "embedding": [row.astype("float32") for row in white],
+            }
+        )
+
+    return emb.groupBy("label").applyInPandas(
+        _standardize, schema="vec_id long, label int, embedding array<float>"
+    )

@@ -211,3 +211,28 @@ def test_connected_components_matches_union_find(spark):
     assert got == want
     # sanity: clustering is non-trivial on testdata
     assert any(rep != d for d, rep in got.items())
+
+
+def test_standardize_embeddings_grouped_map(spark):
+    """applyInPandas whitening: per (label, dim) the standardized corpus
+    must have ~zero mean and ~unit variance, row count and ids preserved."""
+    from pyspark.sql import functions as F
+
+    from sales_telegram_bot_data_pipeline_spark.operators.similarity import (
+        standardize_embeddings_by_label,
+    )
+    from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
+
+    out = standardize_embeddings_by_label(spark, SF_SMOKE)
+    src = load_table(spark, SF_SMOKE, "embeddings")
+    assert out.count() == src.count()
+    stats = (
+        out.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("mu"), F.stddev_pop("v").alias("sd"))
+        .agg(F.max(F.abs("mu")).alias("worst_mu"),
+             F.max(F.abs(F.col("sd") - 1)).alias("worst_sd"))
+        .collect()[0]
+    )
+    assert stats["worst_mu"] < 1e-5
+    assert stats["worst_sd"] < 1e-3
