@@ -65,6 +65,7 @@ HEADLINE = [
     "funnel_conversion",
     "attribution_interval_join",
     "q18_large_volume_customers",
+    "curation_pipeline_end2end",
     "detected_data_pipeline",
 ]
 

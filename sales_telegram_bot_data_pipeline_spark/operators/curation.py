@@ -34,6 +34,7 @@ Scale design (100 TB):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions.dialect import DUCKDB, SPARK, Dialect
 from ..registry import register
@@ -432,3 +433,80 @@ def table_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sales_telegram_bot_data_pipeline_audit_orders"
     )
     return spark.sql(_table_audit_sql(SPARK, "sales_telegram_bot_data_pipeline_audit_orders"))
+
+
+# --------------------------------------------------------------------------
+# end-to-end curation pipeline (capstone: quality -> dedup -> split)
+# --------------------------------------------------------------------------
+QUAL_TOP_WORD_MAX = 0.12  # drop docs whose top word carries > 12% of mass
+QUAL_DUP_BIGRAM_MAX = 0.10  # drop docs with > 10% repeated-bigram mass
+
+
+def _curation_pipeline_tail_sql(d: Dialect, table: str, rep_rel: str) -> str:
+    """Everything after cluster-representative selection: quality filter ->
+    canonical-only keep -> hash-routed split stats.  ``rep_rel`` supplies
+    the canonical doc_ids (Spark: the iterative connected-components
+    labels, materialized; DuckDB: the recursive-CTE closure)."""
+    q = _repetition_sql(d, table).replace("ORDER BY w.doc_id", "")
+    h = d.md5_prefix_int(d.strcast("doc_id"))
+    return f"""
+WITH rep AS ({rep_rel}),
+q AS ({q}),
+keep AS (
+  SELECT t.doc_id, t.n_chars
+  FROM {table} t
+  JOIN rep r ON r.doc_id = t.doc_id
+  JOIN q ON q.doc_id = t.doc_id
+  WHERE q.top_word_frac <= {QUAL_TOP_WORD_MAX}
+    AND COALESCE(q.dup_bigram_frac, 0) <= {QUAL_DUP_BIGRAM_MAX}
+),
+routed AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN ({h}) % 100 < {TRAIN_PCT} THEN 'train'
+              WHEN ({h}) % 100 < {VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split_name
+  FROM keep
+)
+SELECT split_name, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM routed GROUP BY split_name ORDER BY split_name
+"""
+
+
+def _curation_pipeline_oracle_sql(d: Dialect, table: str) -> str:
+    from .dedup import _cc_oracle_sql
+
+    cc = _cc_oracle_sql(d, table).replace("ORDER BY doc_id", "")
+    rep = f"SELECT doc_id FROM ({cc}) c WHERE doc_id = cluster_rep"
+    return _curation_pipeline_tail_sql(d, table, rep)
+
+
+@register(
+    "curation_pipeline_end2end",
+    oracle=_curation_pipeline_oracle_sql(DUCKDB, "documents"),
+    doc="CAPSTONE — the full corpus-curation pipeline as ONE query: "
+    f"Gopher-style quality gate (top-word mass <= {QUAL_TOP_WORD_MAX}, "
+    f"repeated-bigram mass <= {QUAL_DUP_BIGRAM_MAX}) -> near-dup removal "
+    "(MinHash-LSH pairs -> connected components -> min-id canonical only) "
+    "-> deterministic hash train/val/test split, reported as per-split "
+    "stats.  Composes the dedup, quality, and routing families; every "
+    "stage keeps its scale shape (banded pair join, one-shuffle-per-"
+    "iteration CC, shuffle-free hash routing).",
+    tags=("curation", "dedup", "pipeline"),
+)
+def curation_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _lsh_pairs_sql, connected_components
+    from ..functions.dialect import SPARK as _S
+
+    view = _doc_view(spark, sf_dir)
+    docs = spark.table(view)
+    pairs = spark.sql(_lsh_pairs_sql(_S, view))
+    labels = connected_components(spark, docs.select("doc_id"), pairs)
+    labels.where(F.col("doc_id") == F.col("cluster_rep")).select(
+        "doc_id"
+    ).createOrReplaceTempView("sales_telegram_bot_data_pipeline_cur_reps")
+    return spark.sql(
+        _curation_pipeline_tail_sql(
+            _S, view, "SELECT doc_id FROM sales_telegram_bot_data_pipeline_cur_reps"
+        )
+    )
