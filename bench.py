@@ -66,6 +66,9 @@ HEADLINE = [
     "attribution_interval_join",
     "q18_large_volume_customers",
     "curation_pipeline_end2end",
+    "document_chunking",
+    "pii_redaction",
+    "standardize_embeddings",
     "detected_data_pipeline",
 ]
 

@@ -71,7 +71,8 @@ WITH routed AS (
               ELSE 'test' END AS split_name
   FROM {table}
 )
-SELECT split_name, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+SELECT split_name, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
 FROM routed GROUP BY split_name ORDER BY split_name
 """
@@ -194,7 +195,8 @@ WITH wc AS (
   SELECT doc_id, word, COUNT(*) AS c FROM ({word_rel}) x GROUP BY doc_id, word
 ),
 wstats AS (
-  SELECT doc_id, SUM(c) AS n_words, MAX(c) AS top_word_count FROM wc GROUP BY doc_id
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words, MAX(c) AS top_word_count
+  FROM wc GROUP BY doc_id
 ),
 bc AS (
   SELECT doc_id, bigram, COUNT(*) AS c FROM ({bigram_rel}) x GROUP BY doc_id, bigram
@@ -337,34 +339,45 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sequence packing (concat-and-split into fixed token budgets)
 # --------------------------------------------------------------------------
 PACK_BUDGET = 2048  # tokens per training sequence
-PACK_SHARDS = 8     # independent packing streams
+PACK_TARGET_DOCS_PER_SHARD = 125  # shard count = ceil(n_docs / this)
 
 
 def _sequence_packing_sql(d: Dialect, table: str) -> str:
     """Pack documents into fixed-token-budget training sequences by
-    concatenation order: docs are routed to PACK_SHARDS independent streams
-    by a salted hash, ordered by doc_id within the stream, and a running
-    token offset assigns each doc to the pack where its first token lands
-    (GPT-style concat-and-split — a doc may straddle its pack boundary and
-    spill into the next, which consumers handle by carrying the remainder).
+    concatenation order: docs are routed to independent streams by a salted
+    hash, ordered by doc_id within the stream, and a running token offset
+    assigns each doc to the pack where its first token lands (GPT-style
+    concat-and-split — a doc may straddle its pack boundary and spill into
+    the next, which consumers handle by carrying the remainder).
 
-    Scale: the ONLY wide operation is a window SUM partitioned by shard —
-    shard count scales with the corpus (it is the parallel unit), so each
-    window partition stays bounded; no global ordering is ever required.
-    Membership and offsets are reproducible from (doc_id, shard) alone."""
+    Scale: the ONLY wide operation is a window SUM partitioned by shard,
+    and the shard count is DERIVED from the corpus
+    (ceil(n_docs / PACK_TARGET_DOCS_PER_SHARD), a one-row scalar subquery
+    broadcast to every row), so each window partition is bounded by
+    construction at any corpus size; no global ordering is ever required.
+    Membership and offsets are reproducible from (doc_id, corpus count)
+    alone — the running SUM is cast to BIGINT at emission because DuckDB
+    widens integer window SUMs to HUGEINT, which the driver's typed hash
+    would (correctly) refuse to match against Spark's BIGINT."""
     h = d.md5_prefix_int(f"('pack|' || {d.strcast('doc_id')})")
     n_tokens = d.alen(d.splitws("text"))
     return f"""
-WITH toks AS (
-  SELECT doc_id, ({h}) % {PACK_SHARDS} AS shard,
-         CAST({n_tokens} AS BIGINT) AS n_tokens
+WITH nsh AS (
+  SELECT GREATEST(CAST(1 AS BIGINT),
+                  CAST(CEIL(COUNT(*) * 1.0 / {PACK_TARGET_DOCS_PER_SHARD}) AS BIGINT))
+           AS n_shards
   FROM {table}
+),
+toks AS (
+  SELECT doc_id, ({h}) % n_shards AS shard,
+         CAST({n_tokens} AS BIGINT) AS n_tokens
+  FROM {table} CROSS JOIN nsh
 ),
 offs AS (
   SELECT shard, doc_id, n_tokens,
-         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           - n_tokens AS start_offset
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS start_offset
   FROM toks
 ),
 packed AS (
@@ -385,9 +398,11 @@ ORDER BY shard, pack_id, pos_in_pack
     "sequence_packing",
     oracle=_sequence_packing_sql(DUCKDB, "documents"),
     doc=f"Sequence packing: concat-and-split docs into {PACK_BUDGET}-token "
-    f"training sequences across {PACK_SHARDS} hash-routed shards — running "
-    "token offset via a shard-partitioned window SUM (bounded partitions, "
-    "no global order), pack = offset div budget; fully deterministic.",
+    "training sequences across hash-routed shards whose count scales with "
+    f"the corpus (ceil(n_docs/{PACK_TARGET_DOCS_PER_SHARD})) — running "
+    "token offset via a shard-partitioned window SUM (bounded partitions "
+    "by construction, no global order), pack = offset div budget; fully "
+    "deterministic.",
     tags=("curation", "packing", "window"),
 )
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,7 +482,8 @@ routed AS (
               ELSE 'test' END AS split_name
   FROM keep
 )
-SELECT split_name, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+SELECT split_name, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
 FROM routed GROUP BY split_name ORDER BY split_name
 """

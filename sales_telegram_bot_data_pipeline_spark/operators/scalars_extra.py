@@ -205,7 +205,7 @@ SELECT e.event_type AS event_type,
        COUNT(*) FILTER (WHERE k IS DISTINCT FROM 3) AS nullsafe_ne_3,
        COALESCE(CAST(MIN(k) AS BIGINT), -1) AS min_or_default,
        COUNT(*) FILTER (WHERE NULLIF(e.event_type, 'view') IS NULL) AS nullified_views,
-       SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS n_null
+       CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
 FROM (SELECT event_type,
              TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       FROM events) e

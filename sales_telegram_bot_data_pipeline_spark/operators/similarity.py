@@ -629,6 +629,16 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # per-label embedding standardization (grouped-map applyInPandas)
 # --------------------------------------------------------------------------
+@register(
+    "standardize_embeddings",
+    oracle=None,  # float-matrix output isn't oracle-hashable; rows-only (like
+    # word_segmentation) — exact whitening parity is pinned by
+    # tests/test_scale_utils.py::test_standardize_embeddings_grouped_map
+    doc="Per-label embedding whitening (zero mean / unit variance per dim) "
+    "via grouped-map applyInPandas — ONE shuffle on label, vectorized numpy "
+    "per group; the canonical whole-group-in-memory Python-API operator.",
+    tags=("similarity", "grouped-map", "python-api"),
+)
 def standardize_embeddings_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whiten each label's embeddings to zero mean / unit variance per
     dimension — the feature-normalization step before clustering or linear

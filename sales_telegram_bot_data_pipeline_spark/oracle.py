@@ -11,6 +11,7 @@ from __future__ import annotations
 import decimal
 import math
 import os
+import re
 from dataclasses import dataclass
 
 import duckdb
@@ -37,11 +38,54 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+# Declared-type classes: the driver hashes TYPED values, so a Spark BIGINT
+# next to a DuckDB HUGEINT must fail even when every value is numerically
+# equal — and DuckDB's fetchall() coerces HUGEINT to Python int, which makes
+# the VALUE comparison below blind to exactly that drift (round-3 postmortem:
+# three driver hash-fails sailed through 187 green local tests).  So compare
+# the engines' DECLARED result types too, folded to classes at the
+# granularity the driver distinguishes: all <=64-bit ints are one class,
+# int128 (HUGEINT) is another, float widths are one class, decimals compare
+# by scale (precision never reaches the rendered value).
+_INT64 = {"tinyint", "smallint", "int", "integer", "bigint", "utinyint", "usmallint", "uinteger"}
+_INT128 = {"hugeint", "uhugeint", "ubigint"}
+_FLOAT = {"float", "real", "double"}
+
+
+def _type_class(t) -> str:
+    u = str(t).strip().lower()
+    if u.startswith("decimal"):
+        m = re.search(r"decimal\(\s*\d+\s*,\s*(\d+)\s*\)", u)
+        return f"decimal(s={m.group(1)})" if m else "decimal"
+    if u in _INT64:
+        return "int64"
+    if u in _INT128:
+        return "int128"
+    if u in _FLOAT:
+        return "float"
+    if u in ("varchar", "string", "text"):
+        return "str"
+    if u in ("boolean", "bool"):
+        return "bool"
+    if u == "date":
+        return "date"
+    if u.startswith("timestamp"):
+        return "timestamp"
+    if u.startswith("array") or u.startswith("list") or u.endswith("[]"):
+        return "list"
+    if u.startswith("struct"):
+        return "struct"
+    if u.startswith("map"):
+        return "map"
+    return u
+
+
 def _canon_cell(v):
     # Type-tagged canonicalization: the driver hashes TYPED values, so a
-    # Spark BIGINT vs DuckDB HUGEINT/DECIMAL(38,0) must FAIL here even though
-    # Python's == would call Decimal(5) == 5 equal.  Tag each scalar with a
-    # coarse type class so cross-class "equal" values compare unequal.
+    # Spark DECIMAL vs DuckDB DOUBLE must FAIL here even though Python's ==
+    # would call Decimal(5) == 5.0 equal.  Tag each scalar with a coarse
+    # type class so cross-class "equal" values compare unequal.  (int-width
+    # drift is invisible at the value level — _type_class above covers it.)
     if v is None:
         return None
     if isinstance(v, bool):
@@ -78,14 +122,26 @@ def compare_query(
     s_rows = [tuple(r) for r in sdf.collect()]
     if q.oracle is None:
         return CompareResult(name, True, f"rows-only: {len(s_rows)} rows", len(s_rows), -1)
-    res = con.execute(q.oracle)
-    o_cols = [d[0] for d in res.description]
-    o_rows = [tuple(r) for r in res.fetchall()]
+    rel = con.sql(q.oracle)  # .sql keeps declared types; .execute folds them to 'NUMBER'
+    o_cols = list(rel.columns)
+    o_types = [str(t) for t in rel.types]
+    o_rows = [tuple(r) for r in rel.fetchall()]
     if sorted(s_cols) != sorted(o_cols):
         return CompareResult(
             name, False, f"column mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}",
             len(s_rows), len(o_rows),
         )
+    s_tmap = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    o_tmap = dict(zip(o_cols, o_types))
+    for c in sorted(s_cols):
+        sc, oc = _type_class(s_tmap[c]), _type_class(o_tmap[c])
+        if sc != oc:
+            return CompareResult(
+                name, False,
+                f"declared-type mismatch on '{c}': spark={s_tmap[c]} ({sc}) "
+                f"oracle={o_tmap[c]} ({oc})",
+                len(s_rows), len(o_rows),
+            )
     if len(s_rows) != len(o_rows):
         return CompareResult(
             name, False, f"row count mismatch: spark={len(s_rows)} oracle={len(o_rows)}",

@@ -118,7 +118,10 @@ _DRIVER_WINDOW = [
     "dedup_minhash_lsh",
     "dedup_connected_components",
     "dedup_keep_canonical",
-    "dedup_simhash",
+    # dedup_simhash stays registered + locally swept; its slot goes to the
+    # end-to-end curation capstone (simhash_neardup is the stronger simhash
+    # row and keeps the pairing covered)
+    "curation_pipeline_end2end",
     "simhash_neardup",
     "knn_cosine_bruteforce",
     "knn_cosine_lsh_bucketed",

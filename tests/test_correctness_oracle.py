@@ -59,3 +59,32 @@ def test_driver_window_is_all_oracle():
     tail_oracle_flags = [n in oracles for n in names[50:]]
     # oracle-backed extras first, rows-only strictly last
     assert tail_oracle_flags == sorted(tail_oracle_flags, reverse=True)
+
+
+def test_operators_md_counts_match_registry():
+    """OPERATORS.md's headline registry counts must track the code (went
+    stale in round 3's capstone commit)."""
+    import pathlib
+    import re
+
+    text = (pathlib.Path(__file__).resolve().parent.parent / "OPERATORS.md").read_text()
+    m = re.search(r"\((\d+) oracle-backed against\s+DuckDB, (\d+) rows-only", text)
+    assert m, "OPERATORS.md count sentence not found"
+    n_oracle = sum(1 for v in q.REGISTRY.values() if v.oracle is not None)
+    assert int(m.group(1)) == n_oracle
+    assert int(m.group(2)) == len(q.REGISTRY) - n_oracle
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n in q.REGISTRY if q.REGISTRY[n].oracle is not None)
+)
+def test_oracle_declares_no_int128(con, name):
+    """DuckDB-only sweep (no Spark, cheap): an uncast integer SUM comes back
+    HUGEINT, which the driver's typed hash can never match against Spark's
+    BIGINT — three round-3 driver reds shared exactly this cause.  Pin every
+    oracle's declared result types to classes Spark can emit."""
+    from sales_telegram_bot_data_pipeline_spark.oracle import _type_class
+
+    rel = con.sql(q.REGISTRY[name].oracle)
+    offenders = {c: str(t) for c, t in zip(rel.columns, rel.types) if _type_class(t) == "int128"}
+    assert not offenders, f"int128-typed oracle columns (driver hash can never match): {offenders}"

@@ -1,0 +1,48 @@
+"""Pin that NOTHING depends on the engine's tuned session (session.py).
+
+The driver builds its own DEFAULT SparkSession — ANSI mode ON, default
+shuffle partitions, none of get_spark's configs — so a query that only
+passes under the repo session would pass pytest and fail the driver.  Run
+one curated-window query through the full oracle compare in a fresh
+subprocess using plain ``SparkSession.builder.getOrCreate()``.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+from conftest import SF_SMOKE
+
+_SCRIPT = f"""
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .config("spark.ui.enabled", "false")  # test hygiene only, not a tuning
+    .getOrCreate()
+)
+import sales_telegram_bot_data_pipeline_spark.queries  # noqa: F401  (populate registry)
+from sales_telegram_bot_data_pipeline_spark.oracle import compare_query, duckdb_connection
+
+con = duckdb_connection({SF_SMOKE!r})
+for name in ("detected_data_native", "price_dispatcher_suite"):
+    r = compare_query(spark, con, name, {SF_SMOKE!r})
+    assert r.ok, f"{{name}} failed on a DEFAULT session: {{r.detail}}"
+    print("OK", name)
+spark.stop()
+"""
+
+
+def test_default_session_oracle_parity():
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-3000:]}"
+    assert proc.stdout.count("OK") == 2
