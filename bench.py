@@ -65,6 +65,9 @@ HEADLINE = [
     "funnel_conversion",
     "attribution_interval_join",
     "q18_large_volume_customers",
+    "bigram_lm_score",
+    "dsir_importance",
+    "token_budget_selection",
     "curation_pipeline_end2end",
     "document_chunking",
     "pii_redaction",

@@ -1,0 +1,293 @@
+"""Statistical language-model and classifier-style quality operators — the
+model-based data-curation family a large-scale training pipeline runs after
+the rule-based filters (operators/textops.py, operators/curation.py):
+
+- ``bigram_lm_score``   — CCNet-style LM quality filter (Wenzek et al.,
+  CCNet, 2020): train a smoothed bigram LM on a clean target subset, score
+  every candidate doc by average log-probability / perplexity.
+- ``dsir_importance``   — DSIR-style importance weights (Xie et al., "Data
+  Selection for Language Models via Importance Resampling", 2023): hashed
+  bigram features, per-doc log importance weight log p_target(f)/p_raw(f).
+- ``quality_logreg_score`` — fixed-weight logistic classifier over the
+  rule-based quality features (the fasttext-classifier filtering shape with
+  deterministic stand-in weights; the Spark plumbing — feature projection,
+  codegen sigmoid, no Python — is the real surface).
+- ``token_budget_selection`` — per-source token-budget fill (the data-mixing
+  step): order docs by fluency, keep the prefix that fits the budget.
+
+All dual-dialect SQL templates (functions/dialect.py): the Spark query and
+its DuckDB oracle are the same expression tree, and every float emitted is
+either rounded(6) or an exact decimal-sum derivative, so hashes match.
+
+Scale design (100 TB):
+- LM training aggregates only the TARGET subset (benchmarks/clean corpora
+  are thousands of docs, not billions) — the model tables are small and the
+  scoring joins broadcast; corpus text never shuffles, only (doc_id, logp)
+  pairs aggregate on doc_id (map-side partials apply).
+- DSIR's feature space is a FIXED 4096-bucket hash table — the bucket
+  stats table is O(B) regardless of corpus size, built in one pass with
+  FILTER-ed counts (no per-distribution rescan), and the scoring join is a
+  broadcast by construction.
+- per-term log-probabilities are rounded then summed as exact DECIMAL(18,6)
+  — order-independent across partitions (the same trick as
+  moment_statistics), so results are hash-stable under any partitioning.
+- token_budget_selection's only wide op is a window SUM partitioned by
+  source (the natural parallel unit; skewed sources would use the salted
+  variant in operators/scale.py), cast to BIGINT at emission (DuckDB types
+  integer window SUMs as HUGEINT — the round-3 driver-hash trap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.dialect import DUCKDB, SPARK, Dialect
+from ..functions.text import quality_fields_sql, stopword_ratio_sql
+from ..registry import register
+from .curation import BENCH_MOD, _doc_view
+
+LM_K2 = 1  # add-k smoothing with k = 1/2: P = (2c2 + 1) / (2c1 + V)
+DSIR_BUCKETS = 4096
+TOKEN_BUDGET_PER_SOURCE = 1000  # binds on the test corpus (max source ~1.7k tokens)
+
+
+def _word_rel(d: Dialect, table: str, pred: str = "") -> str:
+    """(doc_id, word) — one row per token occurrence."""
+    base = f"SELECT doc_id, {d.splitws('lower(text)')} AS w FROM {table}{pred}"
+    if d.name == "spark":
+        return f"SELECT doc_id, word FROM ({base}) s LATERAL VIEW explode(w) t AS word"
+    return f"SELECT doc_id, unnest(w) AS word FROM ({base}) s"
+
+
+def _bigram_rel(d: Dialect, table: str, pred: str = "") -> str:
+    """(doc_id, w1, w2) — one row per adjacent word pair.  Spark's sequence()
+    raises on an empty range and LATERAL VIEW evaluates before WHERE, so the
+    upper bound is clamped and the 1-word bogus row dropped after."""
+    base = f"SELECT doc_id, {d.splitws('lower(text)')} AS w FROM {table}{pred}"
+    if d.name == "spark":
+        return (
+            f"SELECT doc_id, {d.get1('w', 'i')} AS w1, {d.get1('w', 'i + 1')} AS w2 "
+            f"FROM ({base}) s "
+            f"LATERAL VIEW explode(sequence(1, greatest(1, {d.alen('w')} - 1))) t AS i "
+            f"WHERE {d.alen('w')} >= 2"
+        )
+    return (
+        "SELECT doc_id, list_extract(w, i) AS w1, list_extract(w, i + 1) AS w2 "
+        "FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i "
+        f"      FROM ({base}) s WHERE len(w) >= 2) x"
+    )
+
+
+# --------------------------------------------------------------------------
+# CCNet-style bigram LM scoring
+# --------------------------------------------------------------------------
+def _bigram_lm_sql(d: Dialect, table: str) -> str:
+    """Two-phase train/score: the clean target subset (the frozen benchmark
+    set, doc_id % BENCH_MOD = 0 — same convention as contamination_overlap)
+    trains unigram + bigram counts; every other doc is scored by average
+    add-1/2-smoothed conditional log-probability and perplexity.  Per-term
+    logp is rounded then decimal-summed so the per-doc aggregate is
+    order-independent."""
+    tgt = f" WHERE doc_id % {BENCH_MOD} = 0"
+    rest = f" WHERE doc_id % {BENCH_MOD} <> 0"
+    return f"""
+WITH tgt_uni AS (
+  SELECT word, COUNT(*) AS c1 FROM ({_word_rel(d, table, tgt)}) tw GROUP BY word
+),
+tgt_bi AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM ({_bigram_rel(d, table, tgt)}) tb GROUP BY w1, w2
+),
+vocab AS (SELECT COUNT(*) AS v FROM tgt_uni),
+scored AS (
+  SELECT cb.doc_id,
+         LN((2.0 * COALESCE(b.c2, 0) + 1) / (2.0 * COALESCE(u.c1, 0) + v.v)) AS logp
+  FROM ({_bigram_rel(d, table, rest)}) cb
+  LEFT JOIN tgt_bi b ON b.w1 = cb.w1 AND b.w2 = cb.w2
+  LEFT JOIN tgt_uni u ON u.word = cb.w1
+  CROSS JOIN vocab v
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         SUM(CAST(ROUND(logp, 6) AS DECIMAL(18,6))) AS sum_logp
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(ROUND(CAST(sum_logp AS DOUBLE) / n_bigrams, 6) AS DOUBLE) AS avg_logp,
+       CAST(ROUND(EXP(-(CAST(sum_logp AS DOUBLE) / n_bigrams)), 6) AS DOUBLE) AS ppl
+FROM agg
+ORDER BY doc_id
+"""
+
+
+@register(
+    "bigram_lm_score",
+    oracle=_bigram_lm_sql(DUCKDB, "documents"),
+    doc="CCNet-style LM quality filter: add-1/2-smoothed bigram LM trained "
+    f"on the frozen target subset (doc_id % {BENCH_MOD} = 0), every other "
+    "doc scored by avg conditional log-prob + perplexity.  Model tables are "
+    "small (target-only) -> broadcast scoring joins; corpus text never "
+    "shuffles; per-term logp decimal-summed for order-independence.",
+    tags=("quality", "lm", "text"),
+)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_bigram_lm_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# DSIR-style hashed-n-gram importance weights
+# --------------------------------------------------------------------------
+def _dsir_sql(d: Dialect, table: str) -> str:
+    """Hashed bigram features (portable md5 hash % B); per-bucket target/raw
+    counts in ONE FILTER-ed aggregation pass; per-doc importance weight =
+    sum of add-1-smoothed log probability ratios over its features.  The
+    bucket table is O(B) = 4096 rows however large the corpus — a broadcast
+    join by construction."""
+    h = d.md5_prefix_int("(w1 || ' ' || w2)")
+    feats = (
+        f"SELECT doc_id, ({h}) % {DSIR_BUCKETS} AS f FROM ({_bigram_rel(d, table)}) bg"
+    )
+    return f"""
+WITH buckets AS (
+  SELECT f,
+         COUNT(*) FILTER (WHERE doc_id % {BENCH_MOD} = 0) AS tc,
+         COUNT(*) FILTER (WHERE doc_id % {BENCH_MOD} <> 0) AS rc
+  FROM ({feats}) fe GROUP BY f
+),
+tot AS (
+  SELECT CAST(SUM(tc) AS BIGINT) AS tt, CAST(SUM(rc) AS BIGINT) AS rt FROM buckets
+),
+scored AS (
+  SELECT fe.doc_id,
+         LN((COALESCE(b.tc, 0) + 1.0) / (tot.tt + {DSIR_BUCKETS}))
+           - LN((COALESCE(b.rc, 0) + 1.0) / (tot.rt + {DSIR_BUCKETS})) AS lr
+  FROM ({feats}) fe
+  LEFT JOIN buckets b ON b.f = fe.f
+  CROSS JOIN tot
+  WHERE fe.doc_id % {BENCH_MOD} <> 0
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_feats,
+       CAST(ROUND(CAST(SUM(CAST(ROUND(lr, 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS DOUBLE)
+         AS log_weight,
+       CAST(ROUND(CAST(SUM(CAST(ROUND(lr, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+            AS DOUBLE) AS avg_log_ratio
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register(
+    "dsir_importance",
+    oracle=_dsir_sql(DUCKDB, "documents"),
+    doc=f"DSIR-style importance weights: {DSIR_BUCKETS}-bucket hashed bigram "
+    "features, one-pass FILTERed target/raw bucket counts, per-doc log "
+    "importance weight log p_target/p_raw (add-1 smoothing).  Bucket table "
+    "is O(B) regardless of corpus size -> broadcast scoring join; decimal-"
+    "summed log ratios for order-independence.",
+    tags=("quality", "sampling", "text"),
+)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_dsir_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# fixed-weight logistic quality classifier
+# --------------------------------------------------------------------------
+# Stand-in coefficients for a classifier trained offline (fasttext-style
+# quality filtering); deterministic by construction, documented as a stub —
+# the engine surface is the vectorized codegen scoring projection.
+LOGREG_W = {
+    "bias": -1.8,
+    "stopword_ratio": 14.0,  # fluent English -> high stopword density
+    "type_token_ratio": 1.5,  # vocabulary diversity
+    "avg_token_len": -0.12,  # penalize very long average tokens
+    "punct_per_token": -2.0,  # spammy punctuation
+}
+
+
+def _logreg_sql(d: Dialect, table: str) -> str:
+    """Pure projection: rule-based quality features -> linear score ->
+    sigmoid.  Every feature is rounded(6) before the linear combination, so
+    the arithmetic is the same exact doubles in both engines."""
+    q = quality_fields_sql(d, "text")
+    punct_per_tok = (
+        f"cast(round({q['punct_count']} * 1.0 / nullif({q['n_tokens']}, 0), 6) as double)"
+    )
+    z = (
+        f"({LOGREG_W['bias']} + {LOGREG_W['stopword_ratio']} * COALESCE({q['stopword_ratio']}, 0) "
+        f"+ {LOGREG_W['type_token_ratio']} * COALESCE({q['type_token_ratio']}, 0) "
+        f"+ {LOGREG_W['avg_token_len']} * COALESCE({q['avg_token_len']}, 0) "
+        f"+ {LOGREG_W['punct_per_token']} * COALESCE({punct_per_tok}, 0))"
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {q['n_tokens']} AS n_tokens,
+         {q['stopword_ratio']} AS stopword_ratio,
+         {q['type_token_ratio']} AS type_token_ratio,
+         CAST(ROUND(1.0 / (1.0 + EXP(-{z})), 6) AS DOUBLE) AS quality_prob
+  FROM {table}
+)
+SELECT doc_id, lang, n_tokens, stopword_ratio, type_token_ratio, quality_prob,
+       quality_prob >= 0.5 AS quality_keep
+FROM scored
+ORDER BY doc_id
+"""
+
+
+@register(
+    "quality_logreg_score",
+    oracle=_logreg_sql(DUCKDB, "documents"),
+    doc="Classifier-based quality filtering (fasttext-classifier shape, "
+    "deterministic stand-in weights): rule-based features -> codegen "
+    "sigmoid -> keep flag.  Pure projection, shuffle-free, no Python.",
+    tags=("quality", "scalar", "text"),
+)
+def quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_logreg_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# per-source token-budget selection (data mixing)
+# --------------------------------------------------------------------------
+def _token_budget_sql(d: Dialect, table: str) -> str:
+    """Fill each source's token budget with its most fluent docs: order by
+    (fluency DESC, doc_id), running token total via a source-partitioned
+    window SUM, keep the prefix whose cumulative total fits.  The window SUM
+    is cast to BIGINT at emission (DuckDB HUGEINT trap)."""
+    n_tokens = d.alen(d.splitws("text"))
+    fluency = stopword_ratio_sql(d, "text")
+    return f"""
+WITH scored AS (
+  SELECT source, doc_id, CAST({n_tokens} AS BIGINT) AS n_tokens,
+         COALESCE({fluency}, 0.0) AS fluency
+  FROM {table}
+),
+ranked AS (
+  SELECT source, doc_id, n_tokens, fluency,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source
+                                  ORDER BY fluency DESC, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_tokens
+  FROM scored
+)
+SELECT source, doc_id, n_tokens, fluency, cum_tokens
+FROM ranked
+WHERE cum_tokens <= {TOKEN_BUDGET_PER_SOURCE}
+ORDER BY source, doc_id
+"""
+
+
+@register(
+    "token_budget_selection",
+    oracle=_token_budget_sql(DUCKDB, "documents"),
+    doc=f"Data mixing: fill each source's {TOKEN_BUDGET_PER_SOURCE}-token "
+    "budget with its most fluent docs — source-partitioned window cumsum "
+    "(source is the parallel unit; skewed sources -> salted variant in "
+    "operators/scale.py), prefix selection, fully deterministic.",
+    tags=("curation", "sampling", "window"),
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_token_budget_sql(SPARK, _doc_view(spark, sf_dir)))
