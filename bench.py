@@ -51,8 +51,10 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_jaccard_stopshingle",
     "simhash_neardup",
+    "dedup_duplicate_spans",
     "knn_cosine_bruteforce",
     "knn_cosine_ivf",
+    "knn_cosine_sq8",
     "semantic_dedup",
     "kmeans_lloyd",
     "dedup_connected_components",

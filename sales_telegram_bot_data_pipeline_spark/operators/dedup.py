@@ -595,3 +595,87 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source", "n_chars", "cluster_size")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# exact duplicate-span detection (substring-level dedup)
+# --------------------------------------------------------------------------
+SPAN_W = 8  # span gram width in words
+
+
+def _dup_spans_sql(d: Dialect, table: str) -> str:
+    """Substring-level duplication metrics in the style of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better" (2022):
+    slide a SPAN_W-word window over every doc, hash each window, mark
+    windows whose hash occurs in MORE THAN ONE doc, and report per doc the
+    duplicated-window count/fraction and the LONGEST consecutive duplicated
+    run (the span an aggressive substring dedup would cut).
+
+    Scale shape: the explode is O(tokens); window hashes are engine-native
+    64-bit ints computed INSIDE the projection (gram text never shuffles —
+    same design note as _shingles_sql); the document-frequency aggregation
+    is a map-side-combinable groupBy on an 8-byte key; the df>1 join back
+    is an equi-join on that key (sort-merge at full scale — both sides are
+    corpus-sized, the honest shape).  Run detection is the classic islands
+    trick (i - ROW_NUMBER per doc/flag), one window partitioned by doc_id;
+    the final per-doc rollup aggregates RUNS, not grams, so the island
+    chain is consumed exactly once."""
+    w = d.splitws("lower(text)")
+    n = d.alen("w")
+    if d.name == "spark":
+        gram = f"array_join(slice(w, i, {SPAN_W}), ' ')"
+        grams_rel = (
+            f"SELECT doc_id, i, {d.fast_hash(gram)} AS g "
+            f"FROM (SELECT doc_id, {w} AS w FROM {table}) s "
+            f"LATERAL VIEW explode(sequence(1, greatest(1, {n} - {SPAN_W} + 1))) t AS i "
+            f"WHERE {n} >= {SPAN_W}"
+        )
+    else:
+        gram = f"array_to_string(list_slice(w, i, i + {SPAN_W} - 1), ' ')"
+        grams_rel = (
+            f"SELECT doc_id, i, {d.fast_hash(gram)} AS g "
+            f"FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - {SPAN_W} + 1)) AS i "
+            f"      FROM (SELECT doc_id, {w} AS w FROM {table}) s WHERE len(w) >= {SPAN_W}) x"
+        )
+    return f"""
+WITH grams AS ({grams_rel}),
+df AS (
+  SELECT g, COUNT(DISTINCT doc_id) AS n_docs FROM grams GROUP BY g
+),
+marked AS (
+  SELECT gr.doc_id, gr.i, CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END AS dup
+  FROM grams gr JOIN df ON df.g = gr.g
+),
+islands AS (
+  SELECT doc_id, dup,
+         i - ROW_NUMBER() OVER (PARTITION BY doc_id, dup ORDER BY i) AS grp
+  FROM marked
+),
+runs AS (
+  SELECT doc_id, dup, COUNT(*) AS run_len
+  FROM islands GROUP BY doc_id, dup, grp
+)
+SELECT doc_id,
+       CAST(SUM(run_len) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN dup = 1 THEN run_len ELSE 0 END) AS BIGINT) AS n_dup_grams,
+       CAST(ROUND(SUM(CASE WHEN dup = 1 THEN run_len ELSE 0 END) * 1.0 / SUM(run_len), 6)
+            AS DOUBLE) AS dup_frac,
+       CAST(COALESCE(MAX(CASE WHEN dup = 1 THEN run_len END), 0) AS BIGINT) AS max_dup_run
+FROM runs
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register(
+    "dedup_duplicate_spans",
+    oracle=_dup_spans_sql(DUCKDB, "documents"),
+    doc=f"Substring-level dedup metrics (Lee et al. 2022 shape): sliding "
+    f"{SPAN_W}-word window hashes, corpus-wide document frequency, per-doc "
+    "duplicated-window fraction and longest duplicated run via the islands "
+    "trick — explode O(tokens), 8-byte join keys, runs (not grams) rolled "
+    "up so the window chain is consumed once.",
+    tags=("dedup", "text", "window"),
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_dup_spans_sql(SPARK, _doc_view(spark, sf_dir)))

@@ -103,7 +103,7 @@ def _banded_view(d: Dialect, table: str, where: str = "") -> str:
 # --------------------------------------------------------------------------
 # ranking: oracle window form vs Spark two-stage top-k
 # --------------------------------------------------------------------------
-def _rank_window_sql(scored: str) -> str:
+def _rank_window_sql(scored: str, k: int = TOP_K) -> str:
     """Oracle form: plain per-query ranking window (fine in DuckDB on
     sf-scale data; values identical to the two-stage form by construction)."""
     return f"""
@@ -115,7 +115,7 @@ FROM (
                             ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
   FROM scored
 ) t
-WHERE rank <= {TOP_K}
+WHERE rank <= {k}
 ORDER BY query_id, rank
 """
 
@@ -123,7 +123,7 @@ ORDER BY query_id, rank
 FOLD = 1024  # fan-in cap for the merge stage
 
 
-def _rank_twostage_sql(scored: str) -> str:
+def _rank_twostage_sql(scored: str, k: int = TOP_K) -> str:
     """Spark form: staged top-k with BOUNDED memory at every stage.
 
     Stage 1 ranks per (query, input-partition) via a ROW_NUMBER window —
@@ -144,20 +144,20 @@ local_top AS (
   SELECT query_id, neighbor_id, cosine, pid FROM (
     SELECT query_id, neighbor_id, cosine, pid, {rn.format(by='pid')} AS rn
     FROM with_pid
-  ) t WHERE rn <= {TOP_K}
+  ) t WHERE rn <= {k}
 ),
 fold_top AS (
   SELECT query_id, neighbor_id, cosine FROM (
     SELECT query_id, neighbor_id, cosine, {rn.format(by=f'pmod(pid, {FOLD})')} AS rn
     FROM local_top
-  ) t WHERE rn <= {TOP_K}
+  ) t WHERE rn <= {k}
 )
 SELECT query_id, neighbor_id, cosine, rank FROM (
   SELECT query_id, neighbor_id, cosine,
          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                                  ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
   FROM fold_top
-) t WHERE rank <= {TOP_K}
+) t WHERE rank <= {k}
 ORDER BY query_id, rank
 """
 
@@ -679,3 +679,91 @@ def standardize_embeddings_by_label(spark: SparkSession, sf_dir: str) -> DataFra
     return emb.groupBy("label").applyInPandas(
         _standardize, schema="vec_id long, label int, embedding array<float>"
     )
+
+
+# --------------------------------------------------------------------------
+# int8 scalar-quantization ANN (quantized scan + exact rerank)
+# --------------------------------------------------------------------------
+SQ8_CAND = 4 * TOP_K  # candidates surviving the quantized pass, per query
+
+
+def _sq8_quant_rel(d: Dialect, table: str) -> str:
+    """Per-vector symmetric int8 quantization: scale = 127/max|x_i|,
+    code_i = floor(x_i * scale).  floor(double * double) is identical IEEE
+    arithmetic in both engines, so the codes — and therefore the candidate
+    sets — are deterministic cross-engine."""
+    if d.name == "spark":
+        maxabs = "aggregate(embedding, cast(0 as double), (a, x) -> greatest(a, abs(cast(x as double))))"
+        codes = "transform(embedding, x -> cast(floor(cast(x as double) * sc) as int))"
+    else:
+        maxabs = "list_max(list_transform(embedding, x -> abs(cast(x as double))))"
+        codes = "list_transform(embedding, x -> cast(floor(cast(x as double) * sc) as int))"
+    return (
+        f"SELECT vec_id, {codes} AS codes "
+        f"FROM (SELECT vec_id, embedding, 127.0 / nullif({maxabs}, 0.0) AS sc FROM {table}) p"
+    )
+
+
+def _sq8_intdot(d: Dialect, a: str, b: str) -> str:
+    """Σ aᵢ·bᵢ over int8 code arrays — EXACT integer arithmetic (max
+    127²·dim ≈ 10⁶, far inside int64)."""
+    if d.name == "spark":
+        prods = f"zip_with({a}, {b}, (x, y) -> cast(x as bigint) * y)"
+        return f"aggregate({prods}, cast(0 as bigint), (acc, v) -> acc + v)"
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> cast({a}[i] as bigint) * {b}[i]))"
+    )
+
+
+def _sq8_sql(d: Dialect, table: str) -> str:
+    """Quantized scan + exact rerank, the classic SQ8 ANN layout:
+
+    1. quantize every vector to int8 codes (4× smaller than float32 — at
+       100 TB this is the difference between a scan that fits page cache
+       and one that doesn't; the integer dot is also SIMD-friendly);
+    2. rank candidates per query by the EXACT-integer quantized cosine
+       (deterministic — no float accumulation order), keep SQ8_CAND;
+    3. re-join the float embeddings BY ID for the survivors only and
+       rerank exactly — full-precision vectors cross the network
+       O(candidates), never O(corpus).
+
+    The rerank window partitions query_id over SQ8_CAND rows per query —
+    bounded by construction, unlike a corpus-wide per-query window."""
+    quant = _sq8_quant_rel(d, table)
+    intdot = _sq8_intdot(d, "q.codes", "c.codes")
+    qq = _sq8_intdot(d, "q.codes", "q.codes")
+    cc = _sq8_intdot(d, "c.codes", "c.codes")
+    approx = (
+        f"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+        f"round(({intdot}) / nullif(sqrt({qq}) * sqrt({cc}), 0.0), 6) AS cosine "
+        f"FROM ({quant}) q JOIN ({quant}) c "
+        f"ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id"
+    )
+    cand = (
+        _rank_twostage_sql(approx, k=SQ8_CAND)
+        if d.name == "spark"
+        else _rank_window_sql(approx, k=SQ8_CAND)
+    )
+    exact = _cosine(d, "q.embedding", "c.embedding")
+    rerank = f"""
+SELECT cand.query_id, cand.neighbor_id, {exact} AS cosine
+FROM ({cand}) cand
+JOIN {table} q ON q.vec_id = cand.query_id
+JOIN {table} c ON c.vec_id = cand.neighbor_id
+"""
+    return _rank_window_sql(rerank)
+
+
+@register(
+    "knn_cosine_sq8",
+    oracle=_sq8_sql(DUCKDB, "embeddings"),
+    doc=f"Scalar-quantized ANN: per-vector int8 codes (4x memory cut), "
+    "exact-integer quantized cosine ranks candidates (two-stage top-k on "
+    f"the Spark side), top-{SQ8_CAND} survivors rerank at full precision "
+    "via an id equi-join — float vectors cross the network O(candidates), "
+    "never O(corpus).",
+    tags=("similarity", "topk", "quantization"),
+)
+def knn_cosine_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_sq8_sql(SPARK, _emb_view(spark, sf_dir)))

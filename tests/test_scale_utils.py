@@ -236,3 +236,44 @@ def test_standardize_embeddings_grouped_map(spark):
     )
     assert stats["worst_mu"] < 1e-5
     assert stats["worst_sd"] < 1e-3
+
+
+def test_sq8_ann_recall_vs_bruteforce(spark):
+    """SQ8 scans the full pair universe with int8 codes, then reranks the
+    top candidates at full precision — int8 quantization error on 64-dim
+    vectors is small, so recall@k against brute force should be near-exact
+    (well above the banded/IVF floors)."""
+    from sales_telegram_bot_data_pipeline_spark.registry import REGISTRY
+    import sales_telegram_bot_data_pipeline_spark.queries  # noqa: F401
+
+    sf = "/root/testdata/sf0.01"
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in REGISTRY["knn_cosine_bruteforce"].fn(spark, sf).collect()
+    }
+    sq8 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in REGISTRY["knn_cosine_sq8"].fn(spark, sf).collect()
+    }
+    recall = len(brute & sq8) / len(brute)
+    assert len(sq8) == len(brute) and recall >= 0.8, f"SQ8 recall {recall}"
+
+
+def test_duplicate_spans_structure(spark):
+    """Structural invariants of the span detector on the fixture corpus
+    (which has near-dup docs but no byte-identical pairs): duplication is
+    mutual (≥2 docs flagged), some doc is FULLY duplicated (its near-dup
+    twin shares every window: dup_frac = 1.0 ⇔ max_dup_run = n_grams), and
+    per-row bounds hold (runs ≤ dup grams ≤ grams)."""
+    from sales_telegram_bot_data_pipeline_spark.registry import REGISTRY
+    import sales_telegram_bot_data_pipeline_spark.queries  # noqa: F401
+
+    sf = "/root/testdata/sf0.01"
+    rows = REGISTRY["dedup_duplicate_spans"].fn(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["max_dup_run"] <= r["n_dup_grams"] <= r["n_grams"]
+        assert (r["dup_frac"] == 1.0) == (r["n_dup_grams"] == r["n_grams"])
+    flagged = [r for r in rows if r["n_dup_grams"] > 0]
+    assert len(flagged) >= 2  # a duplicated span needs two carriers
+    assert any(r["dup_frac"] == 1.0 for r in flagged)  # full near-dup twins
