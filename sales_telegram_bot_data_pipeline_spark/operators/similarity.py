@@ -767,3 +767,41 @@ JOIN {table} c ON c.vec_id = cand.neighbor_id
 )
 def knn_cosine_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_sq8_sql(SPARK, _emb_view(spark, sf_dir)))
+
+
+def standardize_embeddings_by_label_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native grouped-map twin of ``standardize_embeddings_by_label``
+    (``applyInArrow``: one pyarrow.Table per group in, one out — the
+    zero-copy variant of applyInPandas, completing the Python API matrix:
+    scalar pandas UDF / mapInPandas / applyInPandas / applyInPandasWithState
+    / UDTF / applyInArrow).  Same whitening semantics, pinned row-for-row
+    against the pandas form in tests/test_scale_utils.py; same ONE-shuffle-
+    on-label scale shape.  Prefer this form when the per-group kernel is
+    pure numpy: it skips the Arrow->pandas materialization both ways."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.tables import load_table as _lt
+
+    emb = _lt(spark, sf_dir, "embeddings")
+
+    def _standardize(tbl: pa.Table) -> pa.Table:
+        vec_id = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+        label = tbl.column("label").to_numpy(zero_copy_only=False)
+        order = np.argsort(vec_id, kind="stable")
+        m = np.asarray(tbl.column("embedding").to_pylist(), dtype="float64")[order]
+        mu = m.mean(axis=0)
+        sd = m.std(axis=0, ddof=0)
+        sd[sd == 0.0] = 1.0
+        white = ((m - mu) / sd).astype("float32")
+        return pa.table(
+            {
+                "vec_id": pa.array(vec_id[order], type=pa.int64()),
+                "label": pa.array(label[order], type=pa.int32()),
+                "embedding": pa.array(list(white), type=pa.list_(pa.float32())),
+            }
+        )
+
+    return emb.groupBy("label").applyInArrow(
+        _standardize, schema="vec_id long, label int, embedding array<float>"
+    )

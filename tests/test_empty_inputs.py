@@ -43,6 +43,14 @@ EMPTY_OK_ZERO = [
     "text_quality_stats",
     "token_count",
     "doc_fingerprint",
+    # round-4 additions
+    "dedup_duplicate_spans",
+    "knn_cosine_sq8",
+    "bigram_lm_score",
+    "dsir_importance",
+    "quality_logreg_score",
+    "token_budget_selection",
+    "standardize_embeddings",
 ]
 
 

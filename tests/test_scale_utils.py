@@ -277,3 +277,21 @@ def test_duplicate_spans_structure(spark):
     flagged = [r for r in rows if r["n_dup_grams"] > 0]
     assert len(flagged) >= 2  # a duplicated span needs two carriers
     assert any(r["dup_frac"] == 1.0 for r in flagged)  # full near-dup twins
+
+
+def test_standardize_arrow_matches_pandas(spark):
+    """applyInArrow twin must reproduce the applyInPandas whitening
+    bit-for-bit (same float64 kernel, float32 emission)."""
+    from sales_telegram_bot_data_pipeline_spark.operators.similarity import (
+        standardize_embeddings_by_label,
+        standardize_embeddings_by_label_arrow,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    pd_rows = {r["vec_id"]: r for r in standardize_embeddings_by_label(spark, sf).collect()}
+    ar_rows = {r["vec_id"]: r for r in standardize_embeddings_by_label_arrow(spark, sf).collect()}
+    assert set(pd_rows) == set(ar_rows)
+    for vid, pr in pd_rows.items():
+        ar = ar_rows[vid]
+        assert pr["label"] == ar["label"]
+        assert pr["embedding"] == ar["embedding"], vid
