@@ -191,3 +191,45 @@ def test_attribution_join_is_user_keyed(spark):
     plan = _plan(spark, "attribution_interval_join")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_lm_scoring_joins_are_broadcast_and_native(spark):
+    """bigram_lm_score's model tables (target-subset uni/bigram counts)
+    must broadcast against the corpus-bigram stream — the shape that keeps
+    corpus text from shuffling at 100 TB — and the whole chain stays
+    JVM-side (no Python)."""
+    plan = _plan(spark, "bigram_lm_score")
+    assert plan.count("BroadcastHashJoin") >= 2, "LM model joins lost broadcast"
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dsir_bucket_join_is_broadcast(spark):
+    """The 4096-bucket stats table is O(B) by construction; its scoring
+    join must be a broadcast, never a shuffle of the corpus features."""
+    plan = _plan(spark, "dsir_importance")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_duplicate_spans_no_python_and_islands_window(spark):
+    plan = _plan(spark, "dedup_duplicate_spans")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" in plan  # islands row_number
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sq8_rerank_joins_by_id_no_python(spark):
+    plan = _plan(spark, "knn_cosine_sq8")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan or "BuildRight" in plan
+
+
+def test_token_budget_single_window_no_join(spark):
+    """Pure window-cumsum selection: no join at all, one shuffle to the
+    source-partitioned window plus the output ordering."""
+    plan = _plan(spark, "token_budget_selection")
+    assert "Join" not in plan
+    # one Window node (it prints in both the initial and final AQE plan)
+    assert "Window" in plan and plan.count("Window (") <= 2
