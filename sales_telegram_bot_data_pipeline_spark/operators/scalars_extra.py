@@ -345,3 +345,35 @@ def set_ops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = rows[0].unionAll(rows[1]).unionAll(rows[2])
     return out.orderBy("op")
+
+
+_SKETCH_AUDIT_SQL = """
+WITH agg AS (
+  SELECT event_type,
+         COUNT(DISTINCT user_id) AS n_exact,
+         approx_count_distinct(user_id) AS n_approx
+  FROM {table} GROUP BY event_type
+)
+SELECT event_type, n_exact,
+       ABS(n_approx - n_exact) <= CAST(CEIL(0.05 * n_exact) AS BIGINT)
+         AS sketch_within_5pct
+FROM agg ORDER BY event_type
+"""
+
+
+@register(
+    "sketch_cardinality_audit",
+    oracle=_SKETCH_AUDIT_SQL.format(table="events"),
+    doc="HLL sketch audit: per-group approx_count_distinct next to the "
+    "exact COUNT(DISTINCT), emitting the exact value plus a within-5% "
+    "contract flag.  The sketch value itself is engine-specific and never "
+    "emitted — the CONTRACT is the cross-engine-checkable surface.  At "
+    "100 TB the sketch is the only affordable distinct count: fixed-size "
+    "mergeable state, map-side partials, no distinct-expand shuffle.",
+    tags=("agg", "sketch", "approx"),
+)
+def sketch_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_ev_sketch"
+    )
+    return spark.sql(_SKETCH_AUDIT_SQL.format(table="sales_telegram_bot_data_pipeline_ev_sketch"))
