@@ -1089,3 +1089,61 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
     )
+
+
+@register(
+    "full_outer_reconciliation",
+    oracle="""
+WITH a AS (
+  SELECT o_custkey, COUNT(*) AS n_1994 FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1994-01-01' AND o_orderdate < TIMESTAMP '1995-01-01'
+  GROUP BY o_custkey
+),
+b AS (
+  SELECT o_custkey, COUNT(*) AS n_1995 FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+  GROUP BY o_custkey
+)
+SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
+       COALESCE(a.n_1994, 0) AS n_1994,
+       COALESCE(b.n_1995, 0) AS n_1995,
+       CASE WHEN a.o_custkey IS NULL THEN 'only_1995'
+            WHEN b.o_custkey IS NULL THEN 'only_1994'
+            ELSE 'both' END AS presence
+FROM a FULL OUTER JOIN b ON b.o_custkey = a.o_custkey
+ORDER BY custkey
+""",
+    doc="Period-over-period reconciliation via FULL OUTER join: per-customer "
+    "1994 vs 1995 order counts with coalesced keys and presence routing — "
+    "the audit/diff shape (both sides pre-aggregated to one row per key "
+    "BEFORE the join, so the wide join input is bounded by key cardinality, "
+    "not fact rows).",
+    tags=("relational", "join", "full-outer"),
+)
+def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year_counts(y: int, alias: str) -> DataFrame:
+        return (
+            orders.where(
+                (F.col("o_orderdate") >= f"{y}-01-01") & (F.col("o_orderdate") < f"{y + 1}-01-01")
+            )
+            .groupBy("o_custkey")
+            .agg(F.count("*").alias(alias))
+        )
+
+    a = year_counts(1994, "n_1994").withColumnRenamed("o_custkey", "k_a")
+    b = year_counts(1995, "n_1995").withColumnRenamed("o_custkey", "k_b")
+    return (
+        a.join(b, a.k_a == b.k_b, "full_outer")
+        .select(
+            F.coalesce("k_a", "k_b").alias("custkey"),
+            F.coalesce("n_1994", F.lit(0)).alias("n_1994"),
+            F.coalesce("n_1995", F.lit(0)).alias("n_1995"),
+            F.when(F.col("k_a").isNull(), "only_1995")
+            .when(F.col("k_b").isNull(), "only_1994")
+            .otherwise("both")
+            .alias("presence"),
+        )
+        .orderBy("custkey")
+    )
