@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.dialect import DUCKDB, SPARK
 from ..registry import register
 from ..sources.tables import load_table
 
@@ -578,3 +579,94 @@ def attribution_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("view_id", "purchase_id", "user_id", "view_ts", "purchase_ts")
         .orderBy("view_id", "purchase_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Date-spine gap filling + daily/cumulative user rollups (time-series
+# staples: report tables must have a row for EVERY (type, day) even when no
+# events arrived — a LEFT JOIN against a generated calendar spine).
+# ---------------------------------------------------------------------------
+def _gap_fill_sql(d, table: str) -> str:
+    """Zero-filled daily counts per event_type over the observed date range.
+    Scale: the spine is days x types — generated, never scanned (O(range),
+    not O(events)); daily counts partial-aggregate on (type, day); the fill
+    join's build side is the tiny spine, so it broadcasts."""
+    if d.name == "spark":
+        spine = (
+            "SELECT explode(sequence(b.d0, b.d1, interval 1 day)) AS day FROM bounds b"
+        )
+    else:
+        spine = (
+            "SELECT CAST(unnest(generate_series(CAST(b.d0 AS TIMESTAMP), "
+            "CAST(b.d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM bounds b"
+        )
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM {table} GROUP BY event_type, CAST(ts AS DATE)
+),
+bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+spine AS ({spine}),
+types AS (SELECT DISTINCT event_type FROM daily)
+SELECT t.event_type, s.day,
+       COALESCE(dl.n, 0) AS n_events,
+       dl.n IS NULL AS is_gap
+FROM spine s
+CROSS JOIN types t
+LEFT JOIN daily dl ON dl.event_type = t.event_type AND dl.day = s.day
+ORDER BY t.event_type, s.day
+"""
+
+
+@register(
+    "date_spine_gap_fill",
+    oracle=_gap_fill_sql(DUCKDB, "events"),
+    doc="Calendar gap filling: zero-filled daily counts per event_type via "
+    "a generated date spine (O(range), never scanned) CROSS JOIN types, "
+    "LEFT JOIN daily partial-aggregates — the report-table densification "
+    "every time-series pipeline needs; spine side broadcasts.",
+    tags=("temporal", "timeseries", "join"),
+)
+def date_spine_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_ev_spine"
+    )
+    return spark.sql(_gap_fill_sql(SPARK, "sales_telegram_bot_data_pipeline_ev_spine"))
+
+
+_DAU_SQL = """
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM {table} GROUP BY user_id
+),
+dau AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS dau
+  FROM {table} GROUP BY CAST(ts AS DATE)
+),
+new_users AS (
+  SELECT first_day AS day, COUNT(*) AS new_users FROM first_seen GROUP BY first_day
+)
+SELECT d.day, d.dau,
+       COALESCE(n.new_users, 0) AS new_users,
+       CAST(SUM(COALESCE(n.new_users, 0))
+            OVER (ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cumulative_users
+FROM dau d LEFT JOIN new_users n ON n.day = d.day
+ORDER BY d.day
+"""
+
+
+@register(
+    "daily_active_cumulative_users",
+    oracle=_DAU_SQL.format(table="events"),
+    doc="DAU + new users + cumulative registered users per day: first-seen "
+    "day per user (one groupBy on the user key), daily distincts, and a "
+    "running SUM over the DAY axis — the window is O(days), not O(events), "
+    "so the single-partition ordering is bounded by the calendar, not the "
+    "corpus (cast BIGINT: DuckDB HUGEINT window-SUM trap).",
+    tags=("temporal", "timeseries", "window"),
+)
+def daily_active_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_ev_dau"
+    )
+    return spark.sql(_DAU_SQL.format(table="sales_telegram_bot_data_pipeline_ev_dau"))
