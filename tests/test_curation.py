@@ -146,3 +146,22 @@ def test_embedding_centroids_shape(spark):
         # synthetic N(0,·) clusters: per-dim means are small but not all zero
         assert all(abs(v) < 1.0 for v in r["centroid"])
         assert any(v != 0.0 for v in r["centroid"])
+
+
+def test_sequence_packing_shard_count_derives_from_corpus(spark):
+    """The docstring's 'shard count scales with the corpus' must be
+    structural: at 500 docs and PACK_TARGET_DOCS_PER_SHARD=125 the window
+    partitions into exactly ceil(500/125)=4 shards, all populated."""
+    import math
+
+    from sales_telegram_bot_data_pipeline_spark.operators.curation import (
+        PACK_TARGET_DOCS_PER_SHARD,
+        sequence_packing,
+    )
+    from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    n_docs = load_table(spark, sf, "documents").count()
+    want = max(1, math.ceil(n_docs / PACK_TARGET_DOCS_PER_SHARD))
+    shards = {r["shard"] for r in sequence_packing(spark, sf).select("shard").distinct().collect()}
+    assert shards == set(range(want))
