@@ -58,6 +58,7 @@ HEADLINE = [
     "semantic_dedup",
     "kmeans_lloyd",
     "dedup_connected_components",
+    "pagerank_neardup_graph",
     "bm25_topk_search",
     "word_segmentation",
     "contamination_overlap",

@@ -679,3 +679,78 @@ ORDER BY doc_id
 )
 def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_dup_spans_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# PageRank over the near-dup pair graph (bounded-iteration dataflow)
+# --------------------------------------------------------------------------
+PR_ITERS = 3
+PR_DAMP = 0.85
+
+
+def _pagerank_sql(d: Dialect, table: str) -> str:
+    """Damped PageRank over the symmetric embedding near-dup graph (the
+    banded-candidate pair generation from operators/similarity.py; richer
+    degree structure than the LSH text graph, whose components are regular
+    and therefore rank uniformly) — centrality identifies the 'template'
+    items at the heart of big duplicate clusters (the ones worth keeping
+    or hand-reviewing).
+
+    Iterations are UNROLLED as a linear CTE chain (r0 -> it1 -> ... ), the
+    bounded-dataflow twin of the loop-with-checkpoint form used by
+    connected_components: same per-iteration shape (edges JOIN ranks JOIN
+    degrees, one shuffle per iteration), fixed iteration count so the
+    whole computation is one oracle-checkable query.  Cross-engine hash
+    stability: each node's incoming contributions are rounded then summed
+    as exact DECIMAL(18,9) — partition-order-independent — so every
+    iteration's ranks are bit-identical in both engines by induction.
+    Symmetric edges mean no dangling nodes; nodes outside the pair graph
+    hold the base rank and are not emitted (same edge-touching-only
+    convention as connected_components)."""
+    from .similarity import _neardup_banded_sql  # no import cycle: similarity does not import dedup
+
+    pairs = _neardup_banded_sql(d, table).replace("ORDER BY vec_a, vec_b", "")
+    prev = "r0"
+    its = []
+    for i in range(1, PR_ITERS + 1):
+        its.append(f"""
+it{i} AS (
+  SELECT e.dst AS node,
+         CAST({1 - PR_DAMP} + {PR_DAMP} * CAST(SUM(CAST(ROUND(r.r / dg.d, 9) AS DECIMAL(18,9))) AS DOUBLE) AS DOUBLE) AS r
+  FROM edges e
+  JOIN {prev} r ON r.node = e.src
+  JOIN deg dg ON dg.src = e.src
+  GROUP BY e.dst
+)""")
+        prev = f"it{i}"
+    return f"""
+WITH pairs AS ({pairs}),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION ALL
+  SELECT vec_b AS src, vec_a AS dst FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS r FROM deg),
+{",".join(its)}
+SELECT node AS vec_id, CAST(ROUND(r, 6) AS DOUBLE) AS pagerank
+FROM {prev}
+ORDER BY vec_id
+"""
+
+
+@register(
+    "pagerank_neardup_graph",
+    oracle=_pagerank_sql(DUCKDB, "embeddings"),
+    doc=f"Damped PageRank ({PR_ITERS} unrolled iterations, d={PR_DAMP}) over "
+    "the symmetric embedding near-dup graph — duplicate-cluster centrality. "
+    "One shuffle per iteration (edges JOIN ranks JOIN degrees), decimal-"
+    "summed contributions for partition-order independence; the loop+"
+    "checkpoint form (connected_components) is the unbounded-iteration "
+    "sibling.",
+    tags=("dedup", "graph", "iterative"),
+)
+def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _emb_view
+
+    return spark.sql(_pagerank_sql(SPARK, _emb_view(spark, sf_dir)))

@@ -377,3 +377,44 @@ def sketch_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sales_telegram_bot_data_pipeline_ev_sketch"
     )
     return spark.sql(_SKETCH_AUDIT_SQL.format(table="sales_telegram_bot_data_pipeline_ev_sketch"))
+
+
+def _sketch_quantile_sql(approx_fn: str) -> str:
+    """Quantile-sketch audit: engine quantile sketch (Spark: approx_percentile
+    / GK; DuckDB: approx_quantile / t-digest) next to the exact interpolated
+    median, emitting the exact value and a within-5% contract flag — the
+    same never-emit-the-sketch pattern as sketch_cardinality_audit.  At
+    100 TB a quantile sketch is the only affordable percentile: fixed-size
+    mergeable state instead of a per-group sort."""
+    return f"""
+WITH agg AS (
+  SELECT o_orderpriority,
+         CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE) AS exact_p50,
+         CAST({approx_fn}(o_totalprice, 0.5) AS DOUBLE) AS approx_p50
+  FROM {{table}} GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       CAST(ROUND(exact_p50, 6) AS DOUBLE) AS exact_p50,
+       ABS(approx_p50 - exact_p50) <= 0.05 * exact_p50 AS sketch_within_5pct
+FROM agg ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "sketch_quantile_audit",
+    oracle=_sketch_quantile_sql("approx_quantile").format(table="orders"),
+    doc="Quantile-sketch audit: approx median vs exact interpolated median "
+    "per group with a within-5% contract flag; sketch values are engine-"
+    "specific and never emitted — the contract is the checkable surface. "
+    "Fixed-size mergeable sketch state replaces a per-group sort at scale.",
+    tags=("agg", "sketch", "approx", "percentile"),
+)
+def sketch_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_ord_sketch"
+    )
+    return spark.sql(
+        _sketch_quantile_sql("approx_percentile").format(
+            table="sales_telegram_bot_data_pipeline_ord_sketch"
+        )
+    )

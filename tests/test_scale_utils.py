@@ -295,3 +295,21 @@ def test_standardize_arrow_matches_pandas(spark):
         ar = ar_rows[vid]
         assert pr["label"] == ar["label"]
         assert pr["embedding"] == ar["embedding"], vid
+
+
+def test_pagerank_invariants(spark):
+    """PageRank over the symmetric near-dup graph: node set = edge-touching
+    docs of the LSH pair graph; every rank >= the base (1-d) since every
+    node has an in-edge; ranks discriminate (hubs of big dup clusters score
+    higher than leaf nodes)."""
+    from sales_telegram_bot_data_pipeline_spark.registry import REGISTRY
+    import sales_telegram_bot_data_pipeline_spark.queries  # noqa: F401
+
+    sf = "/root/testdata/sf0.01"
+    pr = {r["vec_id"]: r["pagerank"] for r in REGISTRY["pagerank_neardup_graph"].fn(spark, sf).collect()}
+    pairs = REGISTRY["embedding_cosine_neardup"].fn(spark, sf).collect()
+    touching = {r["vec_a"] for r in pairs} | {r["vec_b"] for r in pairs}
+    assert set(pr) == touching
+    assert all(v >= 0.15 for v in pr.values())
+    # the embedding graph has degree diversity (1..4), so ranks discriminate
+    assert len(set(pr.values())) > 1
