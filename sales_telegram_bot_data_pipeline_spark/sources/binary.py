@@ -143,3 +143,91 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "byte_len", "mime", "width", "height", "n_frames", "features")
         .orderBy("doc_id")
     )
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, resized binary, resized_len long"
+)
+
+
+def resize_images(df: DataFrame, width: int, height: int, real_decode: bool = False) -> DataFrame:
+    """Batch image resize over ``mapInPandas`` — the thumbnail/normalize
+    step before a vision encoder.  Input rows carry (doc_id, content);
+    output is the target-dimension binary.  Real resampling needs PIL/cv2
+    (gated behind ``real_decode``); the stub emits a deterministic
+    byte-resampling (stride-sampled content padded/truncated to a
+    width*height-proportional length) so the Spark surface — schema, Arrow
+    batching, row-parallel partitioning, binary output — is real and
+    tested.  Row-parallel, shuffle-free: resize never needs a shuffle at
+    any corpus size."""
+
+    target_len = max(1, width * height // 64)
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rec in pdf.itertuples(index=False):
+                content = bytes(rec.content) if rec.content is not None else b""
+                if real_decode:
+                    raise NotImplementedError(
+                        "real resize needs PIL/cv2 (not in this container); "
+                        "wire it here — schema and batching are already correct"
+                    )
+                if content:
+                    stride = max(1, len(content) // target_len)
+                    resized = content[::stride][:target_len]
+                    resized = resized + b"\x00" * (target_len - len(resized))
+                else:
+                    resized = b"\x00" * target_len
+                out.append(
+                    {
+                        "doc_id": rec.doc_id,
+                        "width": width,
+                        "height": height,
+                        "resized": resized,
+                        "resized_len": len(resized),
+                    }
+                )
+            yield pd.DataFrame(out, columns=[c.split(" ")[0] for c in RESIZE_SCHEMA.split(", ")])
+
+    return df.mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary, frame_len long"
+
+
+def sample_frames(df: DataFrame, every_n: int = 2, real_decode: bool = False) -> DataFrame:
+    """Video frame sampling as a 1→N ``mapInPandas`` generator (the same
+    fan-out shape as the PDF→pages source, SURVEY.md §2 op 3): each input
+    row with ``n_frames`` metadata emits one row per sampled frame index
+    (0, every_n, 2*every_n, ...).  Real frame extraction needs ffmpeg/cv2
+    (gated); the stub slices the content bytes into n_frames equal chunks
+    and emits the sampled chunks, so the row-explosion contract, schema,
+    and batch shapes are real.  Output size is O(frames/every_n) — the
+    knob that keeps 100 TB of video tractable."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rec in pdf.itertuples(index=False):
+                content = bytes(rec.content) if rec.content is not None else b""
+                if real_decode:
+                    raise NotImplementedError(
+                        "real frame extraction needs ffmpeg/cv2 (not in this "
+                        "container); wire it here — the 1->N contract is already correct"
+                    )
+                n = max(int(rec.n_frames), 1)
+                chunk = max(1, len(content) // n)
+                for idx in range(0, n, every_n):
+                    frame = content[idx * chunk : (idx + 1) * chunk]
+                    out.append(
+                        {
+                            "doc_id": rec.doc_id,
+                            "frame_idx": idx,
+                            "frame": frame,
+                            "frame_len": len(frame),
+                        }
+                    )
+            yield pd.DataFrame(out, columns=[c.split(" ")[0] for c in FRAME_SCHEMA.split(", ")])
+
+    return df.mapInPandas(_frames, schema=FRAME_SCHEMA)

@@ -109,3 +109,53 @@ def test_udtf_matches_native(spark):
     viaudtf = synthesize_pages_udtf(spark, SF_SMOKE)
     assert viaudtf.columns == native.columns
     assert sorted(map(tuple, viaudtf.collect())) == sorted(map(tuple, native.collect()))
+
+
+def test_resize_images_contract(spark):
+    """Resize is row-parallel 1:1 with fixed output dims and deterministic
+    stub bytes; the real path is a clearly-gated NotImplementedError."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sales_telegram_bot_data_pipeline_spark.sources.binary import resize_images
+    from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
+    from conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    binary = docs.select("doc_id", F.encode("text", "utf-8").alias("content"))
+    out = resize_images(binary, 64, 48).collect()
+    assert len(out) == 20
+    want_len = 64 * 48 // 64
+    assert all(r.width == 64 and r.height == 48 and r.resized_len == want_len for r in out)
+    again = {r.doc_id: bytes(r.resized) for r in resize_images(binary, 64, 48).collect()}
+    assert all(bytes(r.resized) == again[r.doc_id] for r in out)  # deterministic
+    with pytest.raises(Exception, match="NotImplementedError|PIL|cv2"):
+        resize_images(binary, 64, 48, real_decode=True).collect()
+
+
+def test_sample_frames_fanout(spark):
+    """Frame sampling is a 1->N generator: row count equals the sum of
+    ceil(n_frames / every_n) over inputs, frame indices are the sampled
+    arithmetic sequence."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sales_telegram_bot_data_pipeline_spark.sources.binary import (
+        decode_stub,
+        sample_frames,
+        with_binary_metadata,
+    )
+    from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
+    from conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(30)
+    binary = docs.select("doc_id", F.encode("text", "utf-8").alias("content"))
+    meta = decode_stub(with_binary_metadata(binary).select("doc_id", "content", "mime"))
+    n_frames = {r.doc_id: r.n_frames for r in meta.select("doc_id", "n_frames").collect()}
+    src = binary.join(meta.select("doc_id", "n_frames"), "doc_id")
+    out = sample_frames(src, every_n=2).collect()
+    want = sum(math.ceil(n / 2) for n in n_frames.values())
+    assert len(out) == want
+    for r in out:
+        assert r.frame_idx % 2 == 0 and r.frame_idx < n_frames[r.doc_id]
