@@ -28,7 +28,14 @@ import sales_telegram_bot_data_pipeline_spark.queries  # noqa: F401  (populate r
 from sales_telegram_bot_data_pipeline_spark.oracle import compare_query, duckdb_connection
 
 con = duckdb_connection({SF_SMOKE!r})
-for name in ("detected_data_native", "price_dispatcher_suite"):
+# flagship + the queries whose driver rows changed in round 4 (capstone
+# promotion, sequence_packing re-hash)
+for name in (
+    "detected_data_native",
+    "price_dispatcher_suite",
+    "curation_pipeline_end2end",
+    "sequence_packing",
+):
     r = compare_query(spark, con, name, {SF_SMOKE!r})
     assert r.ok, f"{{name}} failed on a DEFAULT session: {{r.detail}}"
     print("OK", name)
@@ -45,4 +52,4 @@ def test_default_session_oracle_parity():
         cwd="/root/repo",
     )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-3000:]}"
-    assert proc.stdout.count("OK") == 2
+    assert proc.stdout.count("OK") == 4
