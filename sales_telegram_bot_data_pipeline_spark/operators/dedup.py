@@ -688,7 +688,7 @@ PR_ITERS = 3
 PR_DAMP = 0.85
 
 
-def _pagerank_sql(d: Dialect, table: str) -> str:
+def _pagerank_sql(d: Dialect, table: str, pairs_rel: str | None = None) -> str:
     """Damped PageRank over the symmetric embedding near-dup graph (the
     banded-candidate pair generation from operators/similarity.py; richer
     degree structure than the LSH text graph, whose components are regular
@@ -706,10 +706,15 @@ def _pagerank_sql(d: Dialect, table: str) -> str:
     iteration's ranks are bit-identical in both engines by induction.
     Symmetric edges mean no dangling nodes; nodes outside the pair graph
     hold the base rank and are not emitted (same edge-touching-only
-    convention as connected_components)."""
+    convention as connected_components).
+
+    ``pairs_rel`` overrides the pair-generation CTE: the Spark fn passes a
+    MATERIALIZED (localCheckpoint) pair table so the banded candidate
+    generation runs once, not once per unrolled iteration (Spark inlines
+    CTEs; DuckDB's oracle keeps the inline form — same values)."""
     from .similarity import _neardup_banded_sql  # no import cycle: similarity does not import dedup
 
-    pairs = _neardup_banded_sql(d, table).replace("ORDER BY vec_a, vec_b", "")
+    pairs = pairs_rel or _neardup_banded_sql(d, table).replace("ORDER BY vec_a, vec_b", "")
     prev = "r0"
     its = []
     for i in range(1, PR_ITERS + 1):
@@ -751,6 +756,18 @@ ORDER BY vec_id
     tags=("dedup", "graph", "iterative"),
 )
 def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .similarity import _emb_view
+    from .similarity import _emb_view, _neardup_banded_sql
 
-    return spark.sql(_pagerank_sql(SPARK, _emb_view(spark, sf_dir)))
+    view = _emb_view(spark, sf_dir)
+    # materialize the pair generation ONCE (it feeds every unrolled
+    # iteration via the edges CTE, which Spark would otherwise inline and
+    # recompute PR_ITERS times); localCheckpoint truncates the banded-
+    # candidate lineage exactly as connected_components does
+    spark.sql(
+        _neardup_banded_sql(SPARK, view).replace("ORDER BY vec_a, vec_b", "")
+    ).localCheckpoint().createOrReplaceTempView("sales_telegram_bot_data_pipeline_pr_pairs")
+    return spark.sql(
+        _pagerank_sql(
+            SPARK, view, pairs_rel="SELECT * FROM sales_telegram_bot_data_pipeline_pr_pairs"
+        )
+    )
