@@ -52,3 +52,23 @@ def test_bpe_token_count_spark(spark):
     # determinism across runs
     again = {r.doc_id: r.n_bpe_tokens for r in REGISTRY["bpe_token_count"].fn(spark, SF_SMOKE).collect()}
     assert all(again[r.doc_id] == r.n_bpe_tokens for r in rows)
+
+
+def test_bpe_encode_property_fuzz():
+    """Property (hypothesis): for ANY trained merge table and ANY word,
+    encoding is lossless (concatenation restores word + EOW) and token
+    count is in [1, len(word) + 1]."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    vocab = {"alpha": 9, "alps": 4, "beta": 7, "betamax": 2, "gamma": 5}
+    ranks = {p: i for i, p in enumerate(train_bpe_merges(vocab, n_merges=40))}
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet=st.characters(min_codepoint=97, max_codepoint=122), min_size=1, max_size=12))
+    def check(word):
+        toks = encode_word(word, ranks)
+        assert "".join(toks) == word + EOW
+        assert 1 <= len(toks) <= len(word) + 1
+
+    check()
