@@ -48,3 +48,45 @@ def write_dataset(
         .partitionBy(*partition_by)
         .parquet(root)
     )
+
+
+def compact_dataset(
+    spark,
+    root: str,
+    partition_by: tuple[str, ...] = ("split_name",),
+    target_rows_per_file: int = 1_000_000,
+) -> dict[str, int]:
+    """Small-file compaction — the table-maintenance pass every long-lived
+    100 TB dataset needs: incremental appends and per-executor writes leave
+    partitions with many small files, and scan cost becomes dominated by
+    file-open overhead rather than bytes.
+
+    Reads the dataset back (partition columns recovered from directory
+    names), recomputes a bounded shard count per partition from actual row
+    counts (ceil(rows / target_rows_per_file) — the same derive-don't-guess
+    rule as sequence_packing's shard count), and rewrites with dynamic
+    partition overwrite, so the compaction is idempotent and touches every
+    partition at most once.  Returns {'files_before', 'files_after',
+    'rows'} for observability.
+
+    Production caveat: this rewrites the path it reads (dynamic overwrite
+    stages output before replacing partition directories, and the test
+    pins row preservation + idempotency, but a crash mid-commit can lose
+    partitions) — on a real cluster, stage to a sibling directory and
+    swap, or run through a table format with atomic commits."""
+    import math
+    import os
+
+    def _parquet_files(path: str) -> int:
+        total = 0
+        for dirpath, _dirs, files in os.walk(path):
+            total += sum(1 for f in files if f.endswith(".parquet"))
+        return total
+
+    before = _parquet_files(root)
+    df = spark.read.parquet(root)
+    rows = df.count()
+    n_parts = max(1, df.select(*partition_by).distinct().count())
+    shards = max(1, math.ceil(rows / max(1, n_parts) / target_rows_per_file))
+    write_dataset(df, root, partition_by=partition_by, n_shards=shards)
+    return {"files_before": before, "files_after": _parquet_files(root), "rows": rows}

@@ -159,3 +159,51 @@ def test_sample_frames_fanout(spark):
     assert len(out) == want
     for r in out:
         assert r.frame_idx % 2 == 0 and r.frame_idx < n_frames[r.doc_id]
+
+
+def test_compact_dataset_reduces_files_preserves_rows(spark, tmp_path):
+    """Compaction must shrink the file count to ceil(rows/target) per
+    partition, keep every row byte-identical, and be idempotent."""
+    from pyspark.sql import functions as F
+
+    from sales_telegram_bot_data_pipeline_spark.sinks.dataset import (
+        compact_dataset,
+        write_dataset,
+    )
+    from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
+    from conftest import SF_SMOKE
+
+    root = str(tmp_path / "corpus")
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", "n_chars", F.expr("doc_id % 3").alias("bucket")
+    )
+    # fragment the real-world way: four incremental appends, each leaving
+    # its own small files in every partition directory
+    for i in range(4):
+        docs.where(F.col("doc_id") % 4 == i).repartition(2).write.mode(
+            "append"
+        ).partitionBy("bucket").parquet(root)
+    stats = compact_dataset(spark, root, partition_by=("bucket",), target_rows_per_file=10**6)
+    assert stats["files_before"] > stats["files_after"]
+    assert stats["files_after"] <= 3  # one file per partition at this size
+    back = spark.read.parquet(root)
+    assert back.count() == stats["rows"] == docs.count()
+    assert {r.doc_id for r in back.select("doc_id").collect()} == {
+        r.doc_id for r in docs.select("doc_id").collect()
+    }
+    again = compact_dataset(spark, root, partition_by=("bucket",), target_rows_per_file=10**6)
+    assert again["files_after"] == stats["files_after"]  # idempotent
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Long-lived datasets accrete columns; mergeSchema reads must surface
+    the union schema with NULLs for the missing side."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v1 string").write.parquet(p + "/batch=1")
+    spark.createDataFrame([(2, "b", 9.5)], "id long, v1 string, v2 double").write.parquet(
+        p + "/batch=2"
+    )
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    assert {f.name for f in df.schema.fields} >= {"id", "v1", "v2"}
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].v2 is None and rows[2].v2 == 9.5
