@@ -1147,3 +1147,50 @@ def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+def _hierarchy_sql(idiv) -> str:
+    """Recursive-CTE hierarchy walk (Spark 4.1's WITH RECURSIVE — UNION ALL
+    form, which both engines share; Spark does not yet support UNION
+    inside recursion, so the cyclic-graph closure stays the CC loop's job).
+    A synthetic acyclic forest over customers: parent(custkey) =
+    custkey div 10, roots are custkey < 10 — strictly decreasing, so depth
+    is bounded by log10(max key) and recursion terminates by construction.
+    Per-root rollup: members, max depth, exact-decimal balance total."""
+    return f"""
+WITH RECURSIVE chain (custkey, root, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM {{table}} WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, ch.root, ch.depth + 1
+  FROM {{table}} c JOIN chain ch ON {idiv} = ch.custkey
+  WHERE c.c_custkey >= 10
+)
+SELECT ch.root,
+       COUNT(*) AS n_members,
+       MAX(ch.depth) AS max_depth,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM chain ch JOIN {{table}} c ON c.c_custkey = ch.custkey
+GROUP BY ch.root
+ORDER BY ch.root
+"""
+
+
+@register(
+    "recursive_hierarchy_rollup",
+    oracle=_hierarchy_sql("(c.c_custkey // 10)").format(table="customer"),
+    doc="WITH RECURSIVE hierarchy walk (Spark 4.1 recursive CTE, UNION ALL "
+    "form shared verbatim with the DuckDB oracle): an acyclic customer "
+    "forest (parent = custkey div 10), per-root member count / max depth / "
+    "exact-decimal balance rollup. Termination bounded by construction; "
+    "the cyclic-graph closure remains connected_components' iterative job.",
+    tags=("relational", "recursive", "hierarchy"),
+)
+def recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_cust_hier"
+    )
+    return spark.sql(
+        _hierarchy_sql("(c.c_custkey div 10)").format(
+            table="sales_telegram_bot_data_pipeline_cust_hier"
+        )
+    )
