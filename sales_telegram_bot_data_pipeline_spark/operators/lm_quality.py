@@ -137,14 +137,14 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # DSIR-style hashed-n-gram importance weights
 # --------------------------------------------------------------------------
-def _dsir_sql(d: Dialect, table: str) -> str:
+def _dsir_sql(d: Dialect, table: str, feats_rel: str | None = None) -> str:
     """Hashed bigram features (portable md5 hash % B); per-bucket target/raw
     counts in ONE FILTER-ed aggregation pass; per-doc importance weight =
     sum of add-1-smoothed log probability ratios over its features.  The
     bucket table is O(B) = 4096 rows however large the corpus — a broadcast
     join by construction."""
     h = d.md5_prefix_int("(w1 || ' ' || w2)")
-    feats = (
+    feats = feats_rel or (
         f"SELECT doc_id, ({h}) % {DSIR_BUCKETS} AS f FROM ({_bigram_rel(d, table)}) bg"
     )
     return f"""
@@ -189,7 +189,28 @@ ORDER BY doc_id
     tags=("quality", "sampling", "text"),
 )
 def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(_dsir_sql(SPARK, _doc_view(spark, sf_dir)))
+    # The feats relation (bigram explode + md5 per occurrence) is referenced
+    # TWICE in the template (bucket counts + scoring); Spark inlines CTEs,
+    # so the naive plan runs the explode+hash pass twice over the corpus.
+    # Materialize it once — (doc_id, bucket) integer pairs, far smaller than
+    # the text they came from.  localCheckpoint locally; on a cluster this
+    # is persist(MEMORY_AND_DISK) / a reliable checkpoint, same shape.
+    view = _doc_view(spark, sf_dir)
+    h = SPARK.md5_prefix_int("(w1 || ' ' || w2)")
+    feats = (
+        f"SELECT doc_id, ({h}) % {DSIR_BUCKETS} AS f "
+        f"FROM ({_bigram_rel(SPARK, view)}) bg"
+    )
+    spark.sql(feats).localCheckpoint().createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_dsir_feats"
+    )
+    return spark.sql(
+        _dsir_sql(
+            SPARK,
+            view,
+            feats_rel="SELECT doc_id, f FROM sales_telegram_bot_data_pipeline_dsir_feats",
+        )
+    )
 
 
 # --------------------------------------------------------------------------
