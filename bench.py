@@ -48,6 +48,7 @@ HEADLINE = [
     "price_dispatcher_suite",
     "preprocess_text_normalize",
     "dedup_minhash_lsh",
+    "dedup_incremental_lsh",
     "dedup_simhash",
     "dedup_jaccard_stopshingle",
     "simhash_neardup",

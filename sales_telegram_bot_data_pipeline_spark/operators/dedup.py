@@ -255,11 +255,12 @@ def _minhash_sig_sql(d: Dialect, table: str) -> str:
     )
 
 
-def _lsh_pairs_sql(d: Dialect, table: str) -> str:
-    # Bands expand via a single explode over the signature row (NOT a
-    # UNION ALL of per-band selects — that made Spark recompute the whole
-    # shingle+minhash CTE once per band per join side, 8x; with one explode
-    # the self-join's two identical sides also hit exchange reuse).
+def _bands_rel_sql(d: Dialect, table: str) -> str:
+    """(doc_id, band, band_key) — one row per doc per LSH band.  Bands
+    expand via a single explode over the signature row (NOT a UNION ALL of
+    per-band selects — that made Spark recompute the whole shingle+minhash
+    CTE once per band per join side, 8x; with one explode a self-join's two
+    identical sides also hit exchange reuse)."""
     sig = _minhash_sig_sql(d, table)
     n_bands = N_HASHES // BAND_SIZE
 
@@ -270,21 +271,22 @@ def _lsh_pairs_sql(d: Dialect, table: str) -> str:
         entries = ", ".join(
             f"named_struct('band', {b}, 'band_key', {band_key(b)})" for b in range(n_bands)
         )
-        bands = (
+        return (
             f"SELECT doc_id, e.band AS band, e.band_key AS band_key "
-            f"FROM sig LATERAL VIEW explode(array({entries})) t AS e"
+            f"FROM ({sig}) sig LATERAL VIEW explode(array({entries})) t AS e"
         )
-    else:
-        entries = ", ".join(
-            f"{{'band': {b}, 'band_key': {band_key(b)}}}" for b in range(n_bands)
-        )
-        bands = (
-            f"SELECT doc_id, u.band AS band, u.band_key AS band_key "
-            f"FROM (SELECT doc_id, unnest([{entries}]) AS u FROM sig) s"
-        )
+    entries = ", ".join(
+        f"{{'band': {b}, 'band_key': {band_key(b)}}}" for b in range(n_bands)
+    )
+    return (
+        f"SELECT doc_id, u.band AS band, u.band_key AS band_key "
+        f"FROM (SELECT doc_id, unnest([{entries}]) AS u FROM ({sig}) sig) s"
+    )
+
+
+def _lsh_pairs_sql(d: Dialect, table: str) -> str:
     return f"""
-WITH sig AS ({sig}),
-bands AS ({bands})
+WITH bands AS ({_bands_rel_sql(d, table)})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
@@ -769,5 +771,75 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _pagerank_sql(
             SPARK, view, pairs_rel="SELECT * FROM sales_telegram_bot_data_pipeline_pr_pairs"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# incremental dedup: new batch vs. existing corpus index
+# --------------------------------------------------------------------------
+INC_MOD = 10  # doc_id % INC_MOD = 0 -> "new batch"; everything else -> index
+
+
+def _incremental_lsh_sql(d: Dialect, table: str, bands_rel: str | None = None) -> str:
+    """Admission-control dedup for a continuously-ingested corpus: the new
+    batch (doc_id % INC_MOD = 0) is checked against the MinHash band INDEX
+    of the existing corpus (everything else); a batch doc is admitted only
+    if none of its band keys collide with an indexed doc.
+
+    This is the production shape of near-dup dedup at 100 TB: the corpus is
+    never re-paired against itself on ingest — the band index (band,
+    band_key, doc_id) is a stored table bucketed on the band key, the
+    incoming batch (orders of magnitude smaller) computes signatures for
+    its own text only, and the probe is a band-key equi-join against the
+    bucketed index (or a broadcast of the batch's keys).  Corpus text is
+    never reshuffled; join input is 4 small rows per doc per side.  Here
+    both sides derive from one table so the oracle can replay the split,
+    but the operator IS the batch-vs-index join.
+    """
+    bands = bands_rel or _bands_rel_sql(d, table)
+    return f"""
+WITH bands AS ({bands}),
+idx AS (SELECT band, band_key, doc_id FROM bands WHERE doc_id % {INC_MOD} <> 0),
+batch AS (SELECT band, band_key, doc_id FROM bands WHERE doc_id % {INC_MOD} = 0),
+hits AS (
+  SELECT b.doc_id, COUNT(DISTINCT i.doc_id) AS n_index_dups
+  FROM batch b JOIN idx i ON i.band = b.band AND i.band_key = b.band_key
+  GROUP BY b.doc_id
+),
+batch_docs AS (SELECT doc_id FROM {table} WHERE doc_id % {INC_MOD} = 0)
+SELECT bd.doc_id,
+       CAST(COALESCE(h.n_index_dups, 0) AS BIGINT) AS n_index_dups,
+       h.doc_id IS NULL AS admit
+FROM batch_docs bd LEFT JOIN hits h ON h.doc_id = bd.doc_id
+ORDER BY bd.doc_id
+"""
+
+
+@register(
+    "dedup_incremental_lsh",
+    oracle=_incremental_lsh_sql(DUCKDB, "documents"),
+    doc="Incremental (batch-vs-index) MinHash dedup: the new batch "
+    f"(doc_id % {INC_MOD} = 0) probes the existing corpus's LSH band index; "
+    "a doc is admitted iff no band key collides with an indexed doc.  The "
+    "ingest-time shape for a continuously-growing corpus: corpus text is "
+    "never re-paired, the probe is a band-key equi-join against a stored "
+    "(bucketed) index table.",
+    tags=("dedup", "lsh", "incremental"),
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    view = _doc_view(spark, sf_dir)
+    # bands is referenced twice (idx + batch); materialize once — the same
+    # move every multi-consumer relation in this module makes.  On a real
+    # deployment idx is ALREADY a stored table; only the batch's bands are
+    # computed at ingest.
+    spark.sql(_bands_rel_sql(SPARK, view)).localCheckpoint().createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_inc_bands"
+    )
+    return spark.sql(
+        _incremental_lsh_sql(
+            SPARK,
+            view,
+            bands_rel="SELECT doc_id, band, band_key FROM sales_telegram_bot_data_pipeline_inc_bands",
         )
     )

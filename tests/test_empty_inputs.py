@@ -51,6 +51,7 @@ EMPTY_OK_ZERO = [
     "quality_logreg_score",
     "token_budget_selection",
     "standardize_embeddings",
+    "dedup_incremental_lsh",
 ]
 
 
