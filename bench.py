@@ -41,6 +41,7 @@ HEADLINE = [
     "pivot_last_event_value",
     "nested_collect_event_types",
     "json_extract_props",
+    "json_variant_props",
     "set_ops_customer_cohorts",
     "interval_join_shipments",
     "asof_join_purchase_signup",
@@ -66,6 +67,7 @@ HEADLINE = [
     "sequence_packing",
     "vocab_coverage_score",
     "scd2_dimension_update",
+    "sketch_rollup_distinct",
     "funnel_conversion",
     "attribution_interval_join",
     "q18_large_volume_customers",

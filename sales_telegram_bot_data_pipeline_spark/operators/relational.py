@@ -911,6 +911,43 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "json_variant_props",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(*) FILTER (WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL) AS n_null_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="VARIANT twin of json_extract_props (Spark 4 semi-structured type): "
+    "try_parse_json parses each props value ONCE into the binary-encoded "
+    "VARIANT, then typed paths read fields without re-parsing the string — "
+    "the scale answer when multiple fields are extracted per row (string "
+    "JSON pays a full parse per get_json_object call; VARIANT pays one "
+    "parse per row, and Parquet VARIANT shredding pushes field reads into "
+    "the scan).  Malformed/missing values degrade to NULL (try_ forms), "
+    "matching the string path's semantics — same oracle, same results.",
+    tags=("json", "variant"),
+)
+def json_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v", F.try_parse_json("props")
+    )
+    k = F.try_variant_get("v", "$.k", "bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.count(F.when(k.isNull(), 1)).alias("n_null_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H shape suite (adapted to the driver schema: no commitdate/shipmode/
 # partsupp columns, so each query keeps the CLASSIC PLAN SHAPE — the thing

@@ -418,3 +418,59 @@ def sketch_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             table="sales_telegram_bot_data_pipeline_ord_sketch"
         )
     )
+
+
+@register(
+    "sketch_rollup_distinct",
+    oracle="""
+WITH agg AS (
+  SELECT event_type,
+         COUNT(DISTINCT user_id) AS n_exact,
+         approx_count_distinct(user_id) AS n_approx
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n_exact,
+       ABS(n_approx - n_exact) <= CAST(CEIL(0.05 * n_exact) AS BIGINT)
+         AS sketch_within_5pct
+FROM agg ORDER BY event_type
+""",
+    doc="Sketch RE-AGGREGATION (the distinct-count OLAP-cube shape): "
+    "per-day DataSketches HLL sketches are built once — the stored, "
+    "mergeable daily aggregate table — then hll_union_agg merges them per "
+    "event_type to answer the full-span distinct count WITHOUT rescanning "
+    "raw events.  Emits the exact count plus a within-5% contract flag "
+    "(sketch values are engine-specific and never emitted).  At 100 TB "
+    "this is how distinct-count dashboards work: the raw scan happens once "
+    "per partition at ingest; every later query over any date range merges "
+    "kilobyte sketches instead of re-shuffling user ids.",
+    tags=("agg", "sketch", "approx", "rollup"),
+)
+def sketch_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # phase 1: the stored daily sketch table (binary, mergeable, tiny).
+    # localCheckpoint stands in for the real persisted table a deployment
+    # would keep per ingest partition.
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .localCheckpoint()
+    )
+    # phase 2: answer the span query by MERGING sketches (no raw rescan).
+    approx = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_approx")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        exact.join(approx, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("n_approx") - F.col("n_exact"))
+                <= F.ceil(0.05 * F.col("n_exact")).cast("bigint")
+            ).alias("sketch_within_5pct"),
+        )
+        .orderBy("event_type")
+    )
