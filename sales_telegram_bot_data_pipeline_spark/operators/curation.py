@@ -526,3 +526,56 @@ def curation_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
             _S, view, "SELECT doc_id FROM sales_telegram_bot_data_pipeline_cur_reps"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# per-source document cap (domain-cap sampling)
+# --------------------------------------------------------------------------
+SOURCE_CAP = 15  # max docs admitted per source
+
+
+def _source_cap_sql(d: Dialect, table: str) -> str:
+    """RefinedWeb/C4-style per-domain cap: within each source, rank docs by
+    fluency (stopword ratio — the cheap quality proxy shared with
+    token_budget_selection) and admit at most SOURCE_CAP.  Prevents any one
+    domain from dominating the corpus mix regardless of its crawl volume.
+
+    Scale: one window partitioned by source — the natural parallel unit,
+    and the partition size is the pre-cap docs-per-source, not the corpus.
+    A pathologically hot source (spam domain with 10^9 pages) would first
+    pass through a coarse pre-filter (per-(source, salt) local rank <=
+    CAP, union, re-rank — the two-phase top-k in operators/scale.py);
+    admitting only CAP rows per salt bounds the final window's input at
+    salt_count * CAP rows per source by construction."""
+    from ..functions.text import stopword_ratio_sql
+
+    fluency = stopword_ratio_sql(d, "text")
+    return f"""
+WITH scored AS (
+  SELECT source, doc_id, COALESCE({fluency}, 0.0) AS fluency
+  FROM {table}
+),
+ranked AS (
+  SELECT source, doc_id, fluency,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY fluency DESC, doc_id) AS rk
+  FROM scored
+)
+SELECT source, doc_id, fluency, CAST(rk AS BIGINT) AS source_rank
+FROM ranked WHERE rk <= {SOURCE_CAP}
+ORDER BY source, source_rank
+"""
+
+
+@register(
+    "source_cap_sample",
+    oracle=_source_cap_sql(DUCKDB, "documents"),
+    doc=f"Per-source document cap (domain-cap sampling): within each source "
+    f"keep the {SOURCE_CAP} most fluent docs (ROW_NUMBER over a source-"
+    "partitioned window).  The data-mixing guard that stops one hot domain "
+    "from dominating the corpus; the count-capped sibling of "
+    "token_budget_selection's token-budget fill.",
+    tags=("curation", "sampling", "window"),
+)
+def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_source_cap_sql(SPARK, _doc_view(spark, sf_dir)))

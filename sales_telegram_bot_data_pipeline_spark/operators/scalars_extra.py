@@ -474,3 +474,47 @@ def sketch_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "hot_key_profile",
+    oracle="""
+WITH counts AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS t, CAST(AVG(n) AS DOUBLE) AS mean_n
+  FROM counts
+)
+SELECT user_id, n,
+       CAST(ROUND(n * 1.0 / t, 6) AS DOUBLE) AS share,
+       CAST(ROUND(n / mean_n, 6) AS DOUBLE) AS x_mean
+FROM counts CROSS JOIN tot
+ORDER BY n DESC, user_id
+LIMIT 10
+""",
+    doc="Skew diagnostic: top-10 hottest join/shuffle keys with their "
+    "traffic share and multiple-of-mean — the profile that decides WHEN to "
+    "salt (operators/scale.py's salted join) or isolate a hot key.  One "
+    "map-side-combined count per key, a one-row total, TakeOrdered top-10; "
+    "the profiling pass itself never shuffles raw events.",
+    tags=("agg", "skew", "audit"),
+)
+def hot_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    tot = counts.agg(
+        F.sum("n").cast("bigint").alias("t"),
+        F.avg("n").cast("double").alias("mean_n"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n",
+            F.round(F.col("n") * 1.0 / F.col("t"), 6).cast("double").alias("share"),
+            F.round(F.col("n") / F.col("mean_n"), 6).cast("double").alias("x_mean"),
+        )
+        .orderBy(F.desc("n"), "user_id")
+        .limit(10)
+    )

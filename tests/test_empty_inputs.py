@@ -52,6 +52,7 @@ EMPTY_OK_ZERO = [
     "token_budget_selection",
     "standardize_embeddings",
     "dedup_incremental_lsh",
+    "source_cap_sample",
 ]
 
 
