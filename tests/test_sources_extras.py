@@ -207,3 +207,71 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert {f.name for f in df.schema.fields} >= {"id", "v1", "v2"}
     rows = {r.id: r for r in df.collect()}
     assert rows[1].v2 is None and rows[2].v2 == 9.5
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-order layout: parquet footer min/max stats must let a box filter on
+    EITHER clustered column skip files, where a single-column sort only
+    prunes its own column.  Measured directly from the written footers —
+    the same stats a 100-TB scan's file-skipping uses."""
+    import pyarrow.parquet as pq
+
+    from sales_telegram_bot_data_pipeline_spark.sinks.dataset import write_zordered
+    from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
+
+    orders = load_table(spark, str(SF_SMOKE), "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+    zdir, sdir = str(tmp_path / "zorder"), str(tmp_path / "single")
+    write_zordered(orders, zdir, cols=("o_custkey", "o_totalprice"), n_files=8)
+    (
+        orders.repartitionByRange(8, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(sdir)
+    )
+
+    def file_ranges(root, col):
+        out = []
+        for p in sorted(os.listdir(root)):
+            if not p.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, p)).metadata
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        los.append(c.statistics.min)
+                        his.append(c.statistics.max)
+            out.append((min(los), max(his)))
+        return out
+
+    def touched(ranges, lo, hi):
+        return sum(1 for a, b in ranges if not (b < lo or a > hi))
+
+    # the box sits inside the lower half of BOTH dimensions: a box that
+    # straddles a curve-split boundary (e.g. the 45-55%% band crossing the
+    # top bit at 50%%) legitimately touches both sides and proves nothing
+    stats = orders.agg(
+        F.expr("percentile(o_custkey, array(0.20, 0.30))").alias("ck"),
+        F.expr("percentile(o_totalprice, array(0.20, 0.30))").alias("tp"),
+    ).first()
+    (ck_lo, ck_hi), (tp_lo, tp_hi) = stats["ck"], stats["tp"]
+
+    z_ck = touched(file_ranges(zdir, "o_custkey"), ck_lo, ck_hi)
+    z_tp = touched(file_ranges(zdir, "o_totalprice"), tp_lo, tp_hi)
+    s_ck = touched(file_ranges(sdir, "o_custkey"), ck_lo, ck_hi)
+    s_tp = touched(file_ranges(sdir, "o_totalprice"), tp_lo, tp_hi)
+
+    n_z = len(file_ranges(zdir, "o_custkey"))
+    n_s = len(file_ranges(sdir, "o_custkey"))
+    # single-column sort: its own column prunes hard, the other not at all
+    assert s_ck <= n_s // 2
+    assert s_tp == n_s
+    # z-order: BOTH columns prune (neither box touches every file)
+    assert z_ck < n_z
+    assert z_tp < n_z
+    # rows survive the layout rewrite
+    assert spark.read.parquet(zdir).count() == orders.count()
