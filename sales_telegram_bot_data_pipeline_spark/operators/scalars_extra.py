@@ -518,3 +518,46 @@ def hot_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "user_id")
         .limit(10)
     )
+
+
+@register(
+    "unpivot_flag_metrics",
+    oracle="""
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         CAST(COUNT(*) AS DOUBLE) AS n_rows
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, metric, value FROM (
+  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+  UNION ALL
+  SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM wide
+  UNION ALL
+  SELECT l_returnflag, 'n_rows' AS metric, n_rows AS value FROM wide
+) u
+ORDER BY l_returnflag, metric
+""",
+    doc="Wide-to-tall UNPIVOT (DataFrame.unpivot / melt): per-returnflag "
+    "metric columns rotate into (metric, value) rows — the metrics-table "
+    "shape dashboards and quality monitors consume.  Unpivot is a 1->N "
+    "local projection (no shuffle beyond the feeding aggregate); the "
+    "oracle spells it as the equivalent UNION ALL.",
+    tags=("reshape", "agg"),
+)
+def unpivot_flag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.count("*").cast("double").alias("n_rows"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "n_rows"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).orderBy("l_returnflag", "metric")

@@ -275,3 +275,19 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     assert z_tp < n_z
     # rows survive the layout rewrite
     assert spark.read.parquet(zdir).count() == orders.count()
+
+
+def test_write_dataset_observed_metrics(spark, tmp_path):
+    """observe() metrics ride the write job itself — values must match an
+    independent count without having cost a second scan."""
+    from sales_telegram_bot_data_pipeline_spark.sinks.dataset import write_dataset_observed
+    from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, str(SF_SMOKE), "documents").select(
+        "doc_id", "text", "lang"
+    )
+    root = str(tmp_path / "observed")
+    metrics = write_dataset_observed(docs, root, partition_by=("lang",), n_shards=2)
+    assert metrics["rows_written"] == docs.count()
+    assert metrics["null_partition_keys"] == 0
+    assert spark.read.parquet(root).count() == docs.count()
