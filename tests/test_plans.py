@@ -233,3 +233,40 @@ def test_token_budget_single_window_no_join(spark):
     assert "Join" not in plan
     # one Window node (it prints in both the initial and final AQE plan)
     assert "Window" in plan and plan.count("Window (") <= 2
+
+
+def test_hot_key_profile_is_take_ordered_no_global_sort(spark):
+    plan = _plan(spark, "hot_key_profile")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "PythonUDF" not in plan
+
+
+def test_source_cap_single_window_no_python(spark):
+    plan = _plan(spark, "source_cap_sample")
+    assert plan.count("Window") >= 1
+    assert "PythonUDF" not in plan
+    # one shuffle on source feeds the window; no join anywhere
+    assert "SortMergeJoin" not in plan
+
+
+def test_unpivot_is_local_expand(spark):
+    plan = _plan(spark, "unpivot_flag_metrics")
+    # unpivot plans as Expand/Generate over the aggregate — no extra join
+    assert "Expand" in plan or "Generate" in plan
+    assert "Join" not in plan
+
+
+def test_json_variant_single_parse_no_python(spark):
+    plan = _plan(spark, "json_variant_props")
+    assert "PythonUDF" not in plan
+    # the variant parse is projected once, not per extracted field
+    assert plan.count("try_parse_json") <= 1
+
+
+def test_incremental_dedup_probe_is_equi_join(spark):
+    plan = _plan(spark, "dedup_incremental_lsh")
+    # band-key probe must be an equi-join (hash or sort-merge), never a
+    # nested-loop over the index
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
