@@ -121,7 +121,10 @@ _DRIVER_WINDOW = [
     "token_count",
     "doc_fingerprint",
     "dedup_exact",
-    "dedup_ngram_jaccard",
+    # dedup_ngram_jaccard stays registered + locally swept; its slot goes to
+    # the model-based-quality family rep (dsir_importance) — the stopshingle
+    # twin is the stronger (skew-safe) Jaccard row and keeps that covered
+    "dsir_importance",
     "dedup_jaccard_stopshingle",
     "dedup_minhash_lsh",
     "dedup_connected_components",
@@ -132,7 +135,10 @@ _DRIVER_WINDOW = [
     "curation_pipeline_end2end",
     "simhash_neardup",
     "knn_cosine_bruteforce",
-    "knn_cosine_lsh_bucketed",
+    # knn_cosine_lsh_bucketed stays registered + locally swept; its slot goes
+    # to the incremental batch-vs-index dedup (bruteforce exactness baseline
+    # + IVF keep the ANN family double-covered)
+    "dedup_incremental_lsh",
     "knn_cosine_ivf",
     "embedding_cosine_neardup",
     "semantic_dedup",
