@@ -7,13 +7,17 @@ Each query is collected (fully materialized) so the measured time includes
 the whole plan, not just lazy construction.  A warm-up run of the flagship
 absorbs JVM/session startup so per-query numbers reflect steady state.
 
-Per-query time is the MIN of two steady-state runs: the host is shared, and
-multi-second scheduler transients land on a random query per run (verified:
-the same query is 1.1 s in one run and 7.9 s in the next with identical
-plans and zero >200 ms JVM GC pauses).  min-of-2 reports the query's actual
-cost rather than whichever query the noise happened to hit.  Python gc runs
-between timings so py4j reference-release backlogs aren't attributed to an
-innocent query.
+Per-query time is the MIN of three steady-state runs: the host is shared,
+and multi-second scheduler transients land on a random query per run
+(verified: the same query is 1.1 s in one run and 7.9 s in the next with
+identical plans and zero >200 ms JVM GC pauses).  Two samples proved too
+few for the Python-stage-heavy queries, where a transient can hit both
+(measured on detected_data_pipeline: consecutive runs 5.2 / 8.1 / 2.6 s
+with a 2.6 s steady state and a constant 34-process worker pool — the pool
+is warm, the stall is scheduler noise landing on the longest-task query).
+min-of-3 reports the query's actual cost rather than whichever query the
+noise happened to hit.  Python gc runs between timings so py4j
+reference-release backlogs aren't attributed to an innocent query.
 """
 
 from __future__ import annotations
@@ -77,6 +81,10 @@ HEADLINE = [
     "curation_pipeline_end2end",
     "document_chunking",
     "pii_redaction",
+    "symspell_name_correction",
+    "pit_join_scd2",
+    "lexical_diversity",
+    "mixture_weights_alpha",
     "standardize_embeddings",
     "detected_data_pipeline",
 ]
@@ -103,7 +111,7 @@ def main() -> int:
     times: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             gc.collect()
             t0 = time.perf_counter()
             q.REGISTRY[name].fn(spark, sf_dir).collect()

@@ -579,3 +579,57 @@ ORDER BY source, source_rank
 )
 def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_source_cap_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# temperature-scaled source mixture weights (data-mixing math)
+# --------------------------------------------------------------------------
+MIX_ALPHA = "0.3e0"  # sampling temperature: weight_i ∝ n_tokens_i ^ alpha
+
+
+def _mixture_weights_sql(d: Dialect, table: str) -> str:
+    """Per-source sampling weights for corpus mixing: weight_i ∝ tokens_i^α
+    (α < 1 upsamples tail sources — the standard multilingual/multi-source
+    temperature rebalancing), plus the effective epochs each source would
+    run at that mix (weight_i * total_tokens / tokens_i, the oversampling
+    factor reviewers check against memorization risk).
+
+    Scale: one scan → per-source token totals (map-side partial agg,
+    O(sources) rows out), a one-row total joined back by broadcast.  The
+    heavy input never shuffles; all the mixing math runs on the tiny
+    per-source relation."""
+    n_tokens = d.alen(d.splitws("text"))
+    return f"""
+WITH per_source AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM({n_tokens}) AS BIGINT) AS n_tokens
+  FROM {table} GROUP BY source
+),
+pw AS (
+  SELECT source, n_docs, n_tokens,
+         POW(CAST(n_tokens AS DOUBLE), {MIX_ALPHA}) AS w
+  FROM per_source
+),
+tot AS (
+  SELECT SUM(w) AS tw, CAST(SUM(n_tokens) AS DOUBLE) AS tt FROM pw
+)
+SELECT source, n_docs, n_tokens,
+       CAST(ROUND(w / tw, 6) AS DOUBLE) AS mix_weight,
+       CAST(ROUND((w / tw) * tt / n_tokens, 6) AS DOUBLE) AS effective_epochs
+FROM pw CROSS JOIN tot
+ORDER BY source
+"""
+
+
+@register(
+    "mixture_weights_alpha",
+    oracle=_mixture_weights_sql(DUCKDB, "documents"),
+    doc="Temperature-scaled data-mixing weights: per-source token counts in "
+    "one scan, weight ∝ tokens^0.3 normalized over sources, plus effective "
+    "epochs (oversampling factor) — the corpus-mixing math run before "
+    "training; O(sources) output, broadcast total.",
+    tags=("curation", "sampling", "agg"),
+)
+def mixture_weights_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_mixture_weights_sql(SPARK, _doc_view(spark, sf_dir)))

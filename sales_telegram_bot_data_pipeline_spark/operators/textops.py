@@ -187,3 +187,50 @@ ORDER BY p.doc_id
 )
 def vocab_coverage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_vocab_coverage_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# lexical diversity (entropy / type-token / hapax quality signals)
+# --------------------------------------------------------------------------
+def _lexical_diversity_sql(d: Dialect, table: str) -> str:
+    """Per-doc lexical-diversity signals complementary to curation.py's
+    repetition metrics: type/token ratio, hapax fraction, and unigram
+    Shannon entropy.  Entropy uses the ln(n) - sum(c*ln(c))/n identity so
+    the per-word relation aggregates in ONE pass (no join back for the
+    total); ln() already has oracle precedent (bm25, bigram_lm) and the
+    result rounds to 6 places for cross-engine hash stability."""
+    w = d.splitws("lower(text)")
+    words_rel = f"(SELECT doc_id, {w} AS ws FROM {table}) src"
+    if d.name == "spark":
+        word_rel = f"SELECT doc_id, word FROM {words_rel} LATERAL VIEW explode(ws) t AS word"
+    else:
+        word_rel = f"SELECT doc_id, unnest(ws) AS word FROM {words_rel}"
+    return f"""
+WITH wc AS (
+  SELECT doc_id, word, COUNT(*) AS c FROM ({word_rel}) x GROUP BY doc_id, word
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(ROUND(COUNT(*) * 1.0 / SUM(c), 6) AS DOUBLE) AS type_token_ratio,
+       CAST(ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS DOUBLE)
+         AS hapax_frac,
+       CAST(ROUND(LN(CAST(SUM(c) AS DOUBLE))
+                  - SUM(c * LN(CAST(c AS DOUBLE))) / SUM(c), 6) AS DOUBLE)
+         AS word_entropy
+FROM wc GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register(
+    "lexical_diversity",
+    oracle=_lexical_diversity_sql(DUCKDB, "documents"),
+    doc="Per-doc lexical diversity: type/token ratio, hapax fraction, "
+    "unigram Shannon entropy via the one-pass ln(n) - sum(c ln c)/n "
+    "identity — the low-entropy/low-diversity gate next to the repetition "
+    "metrics; only shuffle key is doc_id, partial agg applies.",
+    tags=("text", "quality"),
+)
+def lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_lexical_diversity_sql(SPARK, _doc_view(spark, sf_dir)))

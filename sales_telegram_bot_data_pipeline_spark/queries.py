@@ -79,6 +79,10 @@ try:
     from .operators import scale  # noqa: F401  (scd2_dimension_update)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from .operators import linkage  # noqa: F401  (symspell, PIT join)
+except ImportError:  # pragma: no cover
+    pass
 
 
 # --------------------------------------------------------------------------

@@ -53,6 +53,9 @@ EMPTY_OK_ZERO = [
     "standardize_embeddings",
     "dedup_incremental_lsh",
     "source_cap_sample",
+    "symspell_name_correction",
+    "lexical_diversity",
+    "mixture_weights_alpha",
 ]
 
 

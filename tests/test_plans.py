@@ -270,3 +270,29 @@ def test_incremental_dedup_probe_is_equi_join(spark):
     # nested-loop over the index
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_symspell_candidates_are_equi_join(spark):
+    plan = _plan(spark, "symspell_name_correction")
+    # SymSpell's whole point: candidate generation is a key equi-join, never
+    # an all-pairs comparison, and the refine stays JVM-native
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PythonUDF" not in plan
+    assert "levenshtein" in plan.lower()
+
+
+def test_pit_join_is_keyed_not_range_only(spark):
+    plan = _plan(spark, "pit_join_scd2")
+    # the version-interval containment must ride a custkey equi-join as a
+    # residual predicate — a range-only plan would nested-loop the corpus
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PythonUDF" not in plan
+
+
+def test_mixture_weights_native_single_pass(spark):
+    plan = _plan(spark, "mixture_weights_alpha")
+    assert "PythonUDF" not in plan
+    # the heavy side aggregates map-side before any join with the total
+    assert "HashAggregate" in plan
