@@ -85,6 +85,9 @@ HEADLINE = [
     "pit_join_scd2",
     "lexical_diversity",
     "mixture_weights_alpha",
+    "triangle_count_neardup",
+    "column_profile_lineitem",
+    "split_balance_audit",
     "standardize_embeddings",
     "detected_data_pipeline",
 ]

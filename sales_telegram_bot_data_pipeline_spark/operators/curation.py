@@ -633,3 +633,144 @@ ORDER BY source
 )
 def mixture_weights_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_mixture_weights_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# one-pass column profiler (ANALYZE-style table statistics)
+# --------------------------------------------------------------------------
+_PROFILE_AGG = """
+  SELECT COUNT(*) AS n,
+    COUNT(l_orderkey) AS nn_ok, COUNT(DISTINCT l_orderkey) AS ndv_ok,
+    CAST(MIN(l_orderkey) AS DOUBLE) AS min_ok, CAST(MAX(l_orderkey) AS DOUBLE) AS max_ok,
+    COUNT(l_partkey) AS nn_pk, COUNT(DISTINCT l_partkey) AS ndv_pk,
+    CAST(MIN(l_partkey) AS DOUBLE) AS min_pk, CAST(MAX(l_partkey) AS DOUBLE) AS max_pk,
+    COUNT(l_quantity) AS nn_q, COUNT(DISTINCT l_quantity) AS ndv_q,
+    CAST(MIN(l_quantity) AS DOUBLE) AS min_q, CAST(MAX(l_quantity) AS DOUBLE) AS max_q,
+    COUNT(l_extendedprice) AS nn_ep, COUNT(DISTINCT l_extendedprice) AS ndv_ep,
+    CAST(MIN(l_extendedprice) AS DOUBLE) AS min_ep, CAST(MAX(l_extendedprice) AS DOUBLE) AS max_ep,
+    COUNT(l_discount) AS nn_d, COUNT(DISTINCT l_discount) AS ndv_d,
+    CAST(MIN(l_discount) AS DOUBLE) AS min_d, CAST(MAX(l_discount) AS DOUBLE) AS max_d,
+    COUNT(l_returnflag) AS nn_rf, COUNT(DISTINCT l_returnflag) AS ndv_rf
+  FROM {table}
+"""
+
+# the six (column, null, ndv, min, max) tuples the unpivot emits
+_PROFILE_COLS = [
+    ("l_orderkey", "ok", True),
+    ("l_partkey", "pk", True),
+    ("l_quantity", "q", True),
+    ("l_extendedprice", "ep", True),
+    ("l_discount", "d", True),
+    ("l_returnflag", "rf", False),
+]
+
+
+def _profile_tuples(sep: str) -> str:
+    rows = []
+    for col, sfx, numeric in _PROFILE_COLS:
+        mn = f"min_{sfx}" if numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"max_{sfx}" if numeric else "CAST(NULL AS DOUBLE)"
+        rows.append(
+            f"'{col}', CAST(n - nn_{sfx} AS BIGINT), CAST(ndv_{sfx} AS BIGINT), {mn}, {mx}"
+        )
+    return sep.join(rows)
+
+
+def _profile_sql(d: Dialect, table: str) -> str:
+    """Spark unpivots the ONE-row aggregate with ``stack`` so the aggregate
+    (and therefore the table scan) is referenced exactly once — a WITH-CTE
+    UNION ALL form inlines the CTE per branch and re-scans the table six
+    times (measured: 18 parquet scans).  DuckDB keeps the UNION ALL form
+    (same values; the oracle's plan is not under test)."""
+    agg = _PROFILE_AGG.format(table=table)
+    if d.name == "spark":
+        return f"""
+SELECT column_name, n_null, ndv, min_val, max_val FROM (
+  SELECT stack({len(_PROFILE_COLS)},
+    {_profile_tuples(',' + chr(10) + '    ')}
+  ) AS (column_name, n_null, ndv, min_val, max_val)
+  FROM ({agg}) agg
+) u
+ORDER BY column_name
+"""
+    branches = " UNION ALL ".join(
+        f"SELECT '{col}' AS column_name, CAST(n - nn_{sfx} AS BIGINT) AS n_null, "
+        f"CAST(ndv_{sfx} AS BIGINT) AS ndv, "
+        + (f"min_{sfx} AS min_val, max_{sfx} AS max_val"
+           if numeric
+           else "CAST(NULL AS DOUBLE) AS min_val, CAST(NULL AS DOUBLE) AS max_val")
+        + " FROM agg"
+        for col, sfx, numeric in _PROFILE_COLS
+    )
+    return f"WITH agg AS ({agg}) {branches} ORDER BY column_name"
+
+
+@register(
+    "column_profile_lineitem",
+    oracle=_profile_sql(DUCKDB, "lineitem"),
+    doc="ANALYZE-style column profiler: per-column null count, exact NDV, "
+    "min/max for six lineitem columns, stack()-unpivoted from ONE wide "
+    "aggregate so the scan is referenced once (the UNION-ALL-per-column "
+    "form re-scanned the table 18x). Exact multi-DISTINCT plans via "
+    "Expand; at 100 TB the exact NDVs swap for approx_count_distinct HLL "
+    "sketches (see sketch_cardinality_audit) and the Expand disappears — "
+    "same query shape. Column-level sibling of table_audit_orders.",
+    tags=("curation", "audit", "agg"),
+)
+def column_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_prof_li"
+    )
+    return spark.sql(_profile_sql(SPARK, "sales_telegram_bot_data_pipeline_prof_li"))
+
+
+# --------------------------------------------------------------------------
+# split-balance audit (chi-square stratification check)
+# --------------------------------------------------------------------------
+def _split_balance_sql(d: Dialect, table: str) -> str:
+    """Did the hash split stay stratified?  Contingency table of split x
+    lang with expected counts under independence and per-cell chi-square
+    contributions — the audit run after dataset_hash_split to verify the
+    hash didn't correlate with a stratum (a skewed split silently biases
+    eval sets).  One pass to the O(splits x langs) contingency table
+    (map-side partial agg); the marginals join back on the tiny aggregated
+    relation, never on the corpus."""
+    h = d.md5_prefix_int(d.strcast("doc_id"))
+    return f"""
+WITH routed AS (
+  SELECT lang,
+         CASE WHEN ({h}) % 100 < {TRAIN_PCT} THEN 'train'
+              WHEN ({h}) % 100 < {VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split_name
+  FROM {table}
+),
+obs AS (SELECT split_name, lang, COUNT(*) AS o FROM routed GROUP BY split_name, lang),
+splits AS (SELECT split_name, CAST(SUM(o) AS BIGINT) AS ns FROM obs GROUP BY split_name),
+langs AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS nl FROM obs GROUP BY lang),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+cells AS (
+  SELECT o.split_name, o.lang, o.o, s.ns * 1.0 * l.nl / t.n AS e
+  FROM obs o
+  JOIN splits s ON s.split_name = o.split_name
+  JOIN langs l ON l.lang = o.lang
+  CROSS JOIN tot t
+)
+SELECT split_name, lang, CAST(o AS BIGINT) AS observed,
+       CAST(ROUND(e, 6) AS DOUBLE) AS expected,
+       CAST(ROUND((o - e) * (o - e) / e, 6) AS DOUBLE) AS chi2_term
+FROM cells
+ORDER BY split_name, lang
+"""
+
+
+@register(
+    "split_balance_audit",
+    oracle=_split_balance_sql(DUCKDB, "documents"),
+    doc="Stratification audit of the hash split: split x lang contingency "
+    "table with expected-under-independence counts and chi-square terms — "
+    "flags a hash that correlates with a stratum.  One corpus pass to an "
+    "O(cells) table; marginals join on the aggregate, not the corpus.",
+    tags=("curation", "audit", "sampling"),
+)
+def split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_split_balance_sql(SPARK, _doc_view(spark, sf_dir)))

@@ -843,3 +843,67 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             bands_rel="SELECT doc_id, band, band_key FROM sales_telegram_bot_data_pipeline_inc_bands",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# triangle counting over the near-dup graph (clustering structure)
+# --------------------------------------------------------------------------
+def _triangle_sql(d: Dialect, table: str, pairs_rel: str | None = None) -> str:
+    """Per-node triangle counts over the embedding near-dup graph — the
+    clustering-structure audit next to connected_components (cluster
+    membership) and pagerank (centrality): a node in many triangles sits in
+    a dense duplicate clique, not a chain of borderline pairs.
+
+    Scale: edges are stored once in canonical orientation (vec_a < vec_b,
+    inherited from the banded candidate join), so each triangle a<b<c is
+    counted exactly once by two EQUI-joins: wedges (a-b)x(b-c) then closure
+    against (a-c).  No cross join, no symmetric blow-up; the join inputs
+    are the O(|E|) edge list.  At skewed scale the standard refinement is
+    degree ordering (orient each edge low-degree -> high-degree) which
+    bounds wedge fan-out by sqrt(|E|) per node — id ordering here keeps the
+    oracle deterministic, and the degree-ordered variant only changes the
+    orientation CTE."""
+    from .similarity import _neardup_banded_sql
+
+    pairs = pairs_rel or _neardup_banded_sql(d, table).replace("ORDER BY vec_a, vec_b", "")
+    return f"""
+WITH pairs AS ({pairs}),
+e AS (SELECT vec_a AS a, vec_b AS b FROM pairs),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+members AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM members GROUP BY node
+ORDER BY vec_id
+"""
+
+
+@register(
+    "triangle_count_neardup",
+    oracle=_triangle_sql(DUCKDB, "embeddings"),
+    doc="Per-node triangle counts over the canonical (a<b) near-dup edge "
+    "list: wedge equi-join + closure equi-join, each triangle counted "
+    "once — dense-clique detection for duplicate clusters; degree "
+    "ordering is the documented skew refinement at scale.",
+    tags=("dedup", "graph", "join"),
+)
+def triangle_count_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _emb_view, _neardup_banded_sql
+
+    view = _emb_view(spark, sf_dir)
+    # same materialize-once pattern as pagerank: the pair generation feeds
+    # three aliases of the edges CTE, which Spark would inline and recompute
+    spark.sql(
+        _neardup_banded_sql(SPARK, view).replace("ORDER BY vec_a, vec_b", "")
+    ).localCheckpoint().createOrReplaceTempView("sales_telegram_bot_data_pipeline_tri_pairs")
+    return spark.sql(
+        _triangle_sql(SPARK, view, pairs_rel="SELECT * FROM sales_telegram_bot_data_pipeline_tri_pairs")
+    )

@@ -56,6 +56,8 @@ EMPTY_OK_ZERO = [
     "symspell_name_correction",
     "lexical_diversity",
     "mixture_weights_alpha",
+    "triangle_count_neardup",
+    "split_balance_audit",
 ]
 
 

@@ -296,3 +296,26 @@ def test_mixture_weights_native_single_pass(spark):
     assert "PythonUDF" not in plan
     # the heavy side aggregates map-side before any join with the total
     assert "HashAggregate" in plan
+
+
+def test_triangle_count_no_cartesian(spark):
+    plan = _plan(spark, "triangle_count_neardup")
+    # wedge + closure are equi-joins over the canonical edge list
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PythonUDF" not in plan
+
+
+def test_column_profile_scans_once_not_per_column(spark):
+    plan = _plan(spark, "column_profile_lineitem")
+    # the stack() unpivot references the wide aggregate once; the CTE
+    # UNION ALL form inlined to 18 scans of lineitem
+    assert plan.count("Scan parquet") <= 3
+    # exact multi-DISTINCT goes through a single Expand-based aggregate
+    assert "Expand" in plan
+
+
+def test_split_balance_joins_on_aggregates(spark):
+    plan = _plan(spark, "split_balance_audit")
+    assert "PythonUDF" not in plan
+    assert "CartesianProduct" not in plan  # the tot join is a 1-row broadcast
