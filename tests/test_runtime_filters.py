@@ -1,0 +1,77 @@
+"""Runtime-filtering proofs: dynamic partition pruning (DPP) and Bloom-filter
+runtime filters — the two Spark mechanisms that turn a selective dimension
+predicate into fact-side data skipping at execution time.  At 100 TB these
+are the difference between scanning a year and scanning a day: DPP prunes
+whole partitions of a partitioned fact table from the dim side's broadcast
+result; the Bloom filter pre-filters shuffle-join probe rows at the scan.
+Neither needs operator code — they are planner features the engine's layout
+(partitioned datasets, selective dim filters) must be SHAPED to trigger,
+which is exactly what these tests pin."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sales_telegram_bot_data_pipeline_spark.sinks.dataset import write_dataset
+from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
+
+from conftest import SF_SMOKE
+
+
+def _plan_of(df) -> str:
+    df.collect()
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    orders = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    root = str(tmp_path / "orders_by_year")
+    write_dataset(orders, root, partition_by=("o_year",), n_shards=2)
+    fact = spark.read.parquet(root)
+
+    dim = spark.createDataFrame(
+        [(y, "hot" if y == 1995 else "cold") for y in range(1992, 1999)],
+        "o_year int, temp string",
+    ).where(F.col("temp") == "hot")
+
+    joined = fact.join(dim, "o_year").agg(
+        F.count("*").alias("n"), F.countDistinct("o_year").alias("n_years")
+    )
+    plan = _plan_of(joined)
+    assert "dynamicpruning" in plan.lower(), "partition filter was not injected from the dim side"
+    row = joined.collect()[0]
+    assert row["n_years"] == 1  # only the 1995 partition survived
+
+
+def test_bloom_filter_runtime_filter_on_shuffle_join(spark):
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # local test tables are far below the 10 GB production default
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # force a shuffle join so the bloom filter (not a broadcast) does the work
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        orders = load_table(spark, SF_SMOKE, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).agg(
+            F.count("*").alias("n")
+        )
+        plan = _plan_of(joined)
+        assert "bloomfilter" in plan.lower() or "might_contain" in plan.lower(), (
+            "no runtime bloom filter was injected on the probe side"
+        )
+        assert joined.collect()[0]["n"] > 0
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
