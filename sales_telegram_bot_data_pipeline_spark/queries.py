@@ -149,7 +149,10 @@ _DRIVER_WINDOW = [
     "kmeans_lloyd",
     "sequence_packing",
     "dataset_hash_split",
-    "stratified_sample",
+    # stratified_sample stays registered + locally swept; its slot goes to
+    # the record-linkage family rep (symspell fuzzy correction) —
+    # dataset_hash_split keeps the salted-hash-routing projection covered
+    "symspell_name_correction",
     "contamination_overlap",
     "quality_repetition",
     "document_chunking",
