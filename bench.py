@@ -88,6 +88,8 @@ HEADLINE = [
     "triangle_count_neardup",
     "column_profile_lineitem",
     "split_balance_audit",
+    "table_checksum_audit",
+    "content_defined_chunks",
     "standardize_embeddings",
     "detected_data_pipeline",
 ]

@@ -774,3 +774,131 @@ ORDER BY split_name, lang
 )
 def split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_split_balance_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# order-independent table checksums (anti-entropy / replication audit)
+# --------------------------------------------------------------------------
+def _checksum_sql(d: Dialect) -> str:
+    """One row per table: row count plus two order-independent checksums
+    (bit_xor and modular sum of a 60-bit row hash).  This is the
+    anti-entropy audit run after a backfill, replication, or engine
+    migration: both aggregates are commutative and partial-aggregable, so
+    the checksum is identical under ANY partitioning or row order — and
+    because the row hash is the portable md5 form, the same query on a
+    different engine (here: the DuckDB oracle itself) must reproduce it
+    bit-for-bit.  Money columns fold in as exact cents via DECIMAL(18,2)*100
+    — a raw double→BIGINT cast truncates in Spark but ROUNDS in DuckDB, so
+    the decimal hop is what makes the hash portable — and never as rendered
+    strings, so formatting differences can't leak in either."""
+    c = d.strcast
+
+    def row_hash(parts: list[str]) -> str:
+        return d.md5_prefix_int(" || '|' || ".join(c(p) for p in parts))
+
+    li = row_hash(["l_orderkey", "l_linenumber", "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"])
+    orders = row_hash(["o_orderkey", "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)", "o_orderstatus"])
+    cust = row_hash(["c_custkey", "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)", "c_mktsegment"])
+    branches = []
+    for name, h in (("lineitem", li), ("orders", orders), ("customer", cust)):
+        branches.append(f"""
+SELECT '{name}' AS table_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(BIT_XOR({h}) AS BIGINT) AS xor_checksum,
+       CAST(SUM(({h}) % 1000000007) AS BIGINT) AS sum_checksum
+FROM {{{name}}}""")
+    return " UNION ALL ".join(branches) + " ORDER BY table_name"
+
+
+@register(
+    "table_checksum_audit",
+    oracle=_checksum_sql(DUCKDB).format(
+        lineitem="lineitem", orders="orders", customer="customer"
+    ),
+    doc="Anti-entropy table checksums: count + bit_xor + modular-sum of a "
+    "portable 60-bit row hash per table — commutative, partial-aggregable, "
+    "identical under any partitioning/order/engine; the post-backfill "
+    "integrity check, O(1) output per table.",
+    tags=("curation", "audit", "agg"),
+)
+def table_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = {}
+    for t in ("lineitem", "orders", "customer"):
+        v = f"sales_telegram_bot_data_pipeline_cksum_{t}"
+        load_table(spark, sf_dir, t).createOrReplaceTempView(v)
+        views[t] = v
+    return spark.sql(_checksum_sql(SPARK).format(**views))
+
+
+# --------------------------------------------------------------------------
+# content-defined chunking (hash-boundary variable-size chunks)
+# --------------------------------------------------------------------------
+CDC_BOUNDARY_MOD = 16  # expected chunk length in tokens
+
+
+def _cdc_sql(d: Dialect, table: str) -> str:
+    """Content-defined chunking: chunk boundaries fall where a token's hash
+    is 0 mod CDC_BOUNDARY_MOD, not at fixed offsets — so an insertion or
+    deletion reshapes only the chunks it touches, while fixed-stride
+    chunking (document_chunking) shifts every later boundary.  This is the
+    rsync/storage-dedup primitive applied to text: chunk-level hashes of
+    CDC chunks catch partially-edited near-duplicates that doc-level
+    hashing misses and survive re-crawls of mutated pages.
+
+    Scale: tokenize → per-token boundary flag (pure projection) → chunk id
+    as a running SUM of flags windowed per doc (the only shuffle key is
+    doc_id, the natural unit) → per-chunk aggregate.  The chunk-content
+    hash is a commutative modular sum of token hashes, so it partial-
+    aggregates and never re-materializes chunk text."""
+    w = d.splitws("lower(text)")
+    h = d.md5_prefix_int("word")
+    word_at = d.get1("ws", "pos")
+    if d.name == "spark":
+        tok = (
+            f"SELECT doc_id, pos, {word_at} AS word FROM words "
+            f"LATERAL VIEW explode(sequence(1, greatest(1, {d.alen('ws')}))) t AS pos "
+            f"WHERE {d.alen('ws')} >= 1"
+        )
+    else:
+        tok = (
+            f"SELECT doc_id, pos, {word_at} AS word FROM "
+            f"(SELECT doc_id, ws, unnest(generate_series(1, {d.alen('ws')})) AS pos "
+            f"FROM words WHERE {d.alen('ws')} >= 1) z"
+        )
+    return f"""
+WITH words AS (SELECT doc_id, {w} AS ws FROM {table}),
+toks AS ({tok}),
+flags AS (
+  SELECT doc_id, pos, word,
+         CASE WHEN ({h}) % {CDC_BOUNDARY_MOD} = 0 THEN 1 ELSE 0 END AS is_boundary
+  FROM toks
+),
+chunked AS (
+  SELECT doc_id, pos, word,
+         SUM(is_boundary) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS chunk_id
+  FROM flags
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(COUNT(*) AS INT) AS n_tokens,
+       CAST(MIN(pos) AS INT) AS first_pos, CAST(MAX(pos) AS INT) AS last_pos,
+       CAST(SUM(({h}) % 1000000007) AS BIGINT) AS chunk_hash
+FROM chunked
+GROUP BY doc_id, chunk_id
+ORDER BY doc_id, chunk_id
+"""
+
+
+@register(
+    "content_defined_chunks",
+    oracle=_cdc_sql(DUCKDB, "documents"),
+    doc=f"Content-defined chunking: boundaries where token hash % "
+    f"{CDC_BOUNDARY_MOD} = 0 (edit-stable, unlike fixed-stride chunking) — "
+    "running boundary SUM per doc assigns chunk ids, per-chunk commutative "
+    "modular hash enables chunk-level dedup of partially-edited docs; "
+    "shuffle key is doc_id only.",
+    tags=("curation", "dedup", "window"),
+)
+def content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_cdc_sql(SPARK, _doc_view(spark, sf_dir)))

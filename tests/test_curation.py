@@ -165,3 +165,32 @@ def test_sequence_packing_shard_count_derives_from_corpus(spark):
     want = max(1, math.ceil(n_docs / PACK_TARGET_DOCS_PER_SHARD))
     shards = {r["shard"] for r in sequence_packing(spark, sf).select("shard").distinct().collect()}
     assert shards == set(range(want))
+
+
+def test_cdc_chunks_edit_stability(spark):
+    """The content-defined chunker's reason to exist: inserting a word
+    mid-document must leave every chunk BEFORE the edited chunk untouched
+    (same chunk hash), where fixed-stride chunking would shift every later
+    boundary.  Build the same doc with and without a mid-doc insertion and
+    compare per-chunk hashes up to the edit point."""
+    from sales_telegram_bot_data_pipeline_spark.functions.dialect import SPARK as _S
+    from sales_telegram_bot_data_pipeline_spark.operators.curation import _cdc_sql
+
+    base_words = [f"w{i}token" for i in range(400)]
+    edited_words = base_words[:200] + ["INSERTEDZZZ"] + base_words[200:]
+    spark.createDataFrame(
+        [(1, " ".join(base_words)), (2, " ".join(edited_words))],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("cdc_edit_docs")
+    rows = spark.sql(_cdc_sql(_S, "cdc_edit_docs")).collect()
+    orig = sorted((r for r in rows if r["doc_id"] == 1), key=lambda r: r["chunk_id"])
+    edit = sorted((r for r in rows if r["doc_id"] == 2), key=lambda r: r["chunk_id"])
+
+    # which chunk of the original contains the insertion point (pos 201)?
+    edit_chunk = next(i for i, r in enumerate(orig) if r["first_pos"] <= 201 <= r["last_pos"])
+    assert edit_chunk > 0, "need a prefix chunk before the edit to compare"
+    for i in range(edit_chunk):
+        assert orig[i]["chunk_hash"] == edit[i]["chunk_hash"]
+        assert orig[i]["n_tokens"] == edit[i]["n_tokens"]
+    # and the edit really changed the touched chunk
+    assert orig[edit_chunk]["chunk_hash"] != edit[edit_chunk]["chunk_hash"]

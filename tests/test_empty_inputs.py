@@ -58,6 +58,7 @@ EMPTY_OK_ZERO = [
     "mixture_weights_alpha",
     "triangle_count_neardup",
     "split_balance_audit",
+    "content_defined_chunks",
 ]
 
 

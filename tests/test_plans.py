@@ -319,3 +319,10 @@ def test_split_balance_joins_on_aggregates(spark):
     plan = _plan(spark, "split_balance_audit")
     assert "PythonUDF" not in plan
     assert "CartesianProduct" not in plan  # the tot join is a 1-row broadcast
+
+
+def test_table_checksum_is_native_partial_agg(spark):
+    plan = _plan(spark, "table_checksum_audit")
+    assert "PythonUDF" not in plan
+    # commutative checksums partial-aggregate map-side in every branch
+    assert plan.count("HashAggregate") >= 3
