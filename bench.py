@@ -90,6 +90,7 @@ HEADLINE = [
     "split_balance_audit",
     "table_checksum_audit",
     "content_defined_chunks",
+    "lateral_topk_orders",
     "standardize_embeddings",
     "detected_data_pipeline",
 ]

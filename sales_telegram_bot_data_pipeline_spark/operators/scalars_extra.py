@@ -561,3 +561,44 @@ def unpivot_flag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     ).orderBy("l_returnflag", "metric")
+
+
+_LATERAL_TOPK_SQL = """
+WITH sample_cust AS (
+  SELECT c_custkey FROM {customer}
+  WHERE c_mktsegment = 'BUILDING' AND c_custkey % 50 = 0
+)
+SELECT c.c_custkey, l.o_orderkey, l.total_price
+FROM sample_cust c,
+LATERAL (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+  FROM {orders} o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) l
+ORDER BY c.c_custkey, total_price DESC, o_orderkey
+"""
+
+
+@register(
+    "lateral_topk_orders",
+    oracle=_LATERAL_TOPK_SQL.format(customer="customer", orders="orders"),
+    doc="Correlated LATERAL subquery with ORDER BY + LIMIT: top-2 orders "
+    "per sampled customer expressed as a per-row subquery — the SQL:2016 "
+    "lateral surface of the same semantics topk_orders_per_segment writes "
+    "as a ranked window.  Catalyst decorrelates the lateral into a "
+    "set-oriented join+rank plan (plan-asserted: no nested-loop per-row "
+    "execution survives), so the per-row FORM costs nothing at scale.",
+    tags=("relational", "subquery", "lateral"),
+)
+def lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("sales_telegram_bot_data_pipeline_lat_cust")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sales_telegram_bot_data_pipeline_lat_ord")
+    return spark.sql(
+        _LATERAL_TOPK_SQL.format(
+            customer="sales_telegram_bot_data_pipeline_lat_cust",
+            orders="sales_telegram_bot_data_pipeline_lat_ord",
+        )
+    )

@@ -326,3 +326,11 @@ def test_table_checksum_is_native_partial_agg(spark):
     assert "PythonUDF" not in plan
     # commutative checksums partial-aggregate map-side in every branch
     assert plan.count("HashAggregate") >= 3
+
+
+def test_lateral_topk_decorrelates_to_window(spark):
+    plan = _plan(spark, "lateral_topk_orders")
+    # the per-row LATERAL form must not survive as per-row execution
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan  # decorrelated into the ranked-window plan
