@@ -29,7 +29,8 @@ from sales_telegram_bot_data_pipeline_spark.oracle import compare_query, duckdb_
 
 con = duckdb_connection({SF_SMOKE!r})
 # flagship + the queries whose driver rows changed in round 4 (capstone
-# promotion, sequence_packing re-hash, dsir/incremental-dedup window swaps)
+# promotion, sequence_packing re-hash, dsir/incremental-dedup/symspell
+# window swaps)
 for name in (
     "detected_data_native",
     "price_dispatcher_suite",
@@ -37,6 +38,7 @@ for name in (
     "sequence_packing",
     "dsir_importance",
     "dedup_incremental_lsh",
+    "symspell_name_correction",
 ):
     r = compare_query(spark, con, name, {SF_SMOKE!r})
     assert r.ok, f"{{name}} failed on a DEFAULT session: {{r.detail}}"
@@ -54,4 +56,4 @@ def test_default_session_oracle_parity():
         cwd="/root/repo",
     )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-3000:]}"
-    assert proc.stdout.count("OK") == 6
+    assert proc.stdout.count("OK") == 7
