@@ -547,13 +547,14 @@ def _source_cap_sql(d: Dialect, table: str) -> str:
     CAP, union, re-rank — the two-phase top-k in operators/scale.py);
     admitting only CAP rows per salt bounds the final window's input at
     salt_count * CAP rows per source by construction."""
-    from ..functions.text import stopword_ratio_sql
+    from ..functions.text import stopword_ratio_over_sql, words_sql
 
-    fluency = stopword_ratio_sql(d, "text")
+    fluency = stopword_ratio_over_sql(d, "ws")
     return f"""
-WITH scored AS (
+WITH words AS (SELECT source, doc_id, {words_sql(d, "text")} AS ws FROM {table}),
+scored AS (
   SELECT source, doc_id, COALESCE({fluency}, 0.0) AS fluency
-  FROM {table}
+  FROM words
 ),
 ranked AS (
   SELECT source, doc_id, fluency,
