@@ -91,6 +91,7 @@ HEADLINE = [
     "table_checksum_audit",
     "content_defined_chunks",
     "lateral_topk_orders",
+    "event_transition_matrix",
     "standardize_embeddings",
     "detected_data_pipeline",
 ]

@@ -1231,3 +1231,47 @@ def recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             table="sales_telegram_bot_data_pipeline_cust_hier"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# event-transition matrix (first-order Markov chain over user sessions)
+# --------------------------------------------------------------------------
+_TRANSITION_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM {events}
+),
+trans AS (
+  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY event_type, next_type
+),
+row_tot AS (
+  SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM trans GROUP BY from_type
+)
+SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n_transitions,
+       CAST(ROUND(t.n * 1.0 / r.tot, 6) AS DOUBLE) AS p_transition
+FROM trans t JOIN row_tot r ON r.from_type = t.from_type
+ORDER BY t.from_type, t.to_type
+"""
+
+
+@register(
+    "event_transition_matrix",
+    oracle=_TRANSITION_SQL.format(events="events"),
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: LEAD window per user (user_id is the natural parallel "
+    "unit, ties broken by event_id for determinism), transition counts "
+    "aggregate map-side to an O(types^2) matrix, row-normalized "
+    "probabilities joined on the tiny aggregate — the behavioral-flow "
+    "summary next to funnel_conversion/retention_cohorts, and the "
+    "transition-prior a sequence model trains against.",
+    tags=("relational", "events", "window", "agg"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_trans_events"
+    )
+    return spark.sql(
+        _TRANSITION_SQL.format(events="sales_telegram_bot_data_pipeline_trans_events")
+    )
