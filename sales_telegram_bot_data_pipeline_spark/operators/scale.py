@@ -12,6 +12,11 @@ needs snapshot semantics instead of append.
   snapshot by key (full-outer-join + coalesce) — the batch-table shape of
   the idempotent KV sink (sinks/kv.py); swap in Delta/Iceberg MERGE INTO on
   a cluster with a table format.
+- ``two_phase_topk``: per-group top-k whose window partition size is
+  BOUNDED for pathologically hot groups — phase 1 ranks within
+  (group, salt) and keeps k per salt, phase 2 re-ranks the <= salts*k
+  survivors; row-identical to the single-window top-k given a total
+  (deterministic) ordering.
 """
 
 from __future__ import annotations
@@ -168,3 +173,37 @@ ORDER BY c_custkey, valid_from
 
 
 _scd2_register()
+
+
+def two_phase_topk(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list,
+    k: int,
+    salts: int = DEFAULT_SALT,
+) -> DataFrame:
+    """Per-group top-k with BOUNDED window partitions: a single
+    ``row_number() OVER (PARTITION BY group)`` sorts every row of the
+    hottest group in one task, which a spam domain with 10^9 pages breaks.
+    Phase 1 scatters each group across ``salts`` deterministic shards and
+    keeps the local top-k per (group, salt) — each window sees at most
+    rows/salts of the hot group; phase 2 re-ranks the <= salts*k
+    survivors per group, a window whose input is bounded by construction.
+
+    ``order_cols`` must be a TOTAL ordering (include a unique tiebreaker),
+    which makes the result row-identical to the one-window form — pinned
+    by test_two_phase_topk_matches_single_window.  Emits the final
+    per-group rank as ``rank``."""
+    from pyspark.sql import Window
+
+    salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salts))
+    w1 = Window.partitionBy(group_col, "__salt").orderBy(*order_cols)
+    w2 = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        df.withColumn("__salt", salt_col)
+        .withColumn("__r", F.row_number().over(w1))
+        .where(F.col("__r") <= k)
+        .drop("__salt", "__r")
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+    )

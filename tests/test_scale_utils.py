@@ -313,3 +313,29 @@ def test_pagerank_invariants(spark):
     assert all(v >= 0.15 for v in pr.values())
     # the embedding graph has degree diversity (1..4), so ranks discriminate
     assert len(set(pr.values())) > 1
+
+
+def test_two_phase_topk_matches_single_window(spark):
+    """The salted two-phase per-group top-k must be ROW-identical to the
+    single-window form under a total ordering — the bounded-partition
+    rewrite source_cap_sample documents for hot sources."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sales_telegram_bot_data_pipeline_spark.operators.scale import two_phase_topk
+    from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
+
+    from conftest import SF_ORACLE
+
+    orders = load_table(spark, SF_ORACLE, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    order_cols = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    got = two_phase_topk(orders, "o_custkey", order_cols, k=3, salts=4)
+    w = Window.partitionBy("o_custkey").orderBy(*order_cols)
+    want = (
+        orders.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 3)
+    )
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, want.collect()))
+    assert a == b and len(a) > 0
