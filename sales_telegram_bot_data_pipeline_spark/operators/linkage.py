@@ -69,21 +69,30 @@ def _explode_keys(d: Dialect, rel: str, col: str, out: str) -> str:
     return f"SELECT DISTINCT {col} AS {out}, key FROM ({inner}) e"
 
 
-def _symspell_sql(d: Dialect, table: str) -> str:
-    """Vocabulary = the corpus's distinct words (len >= MIN_TOKEN_LEN);
-    query tokens = a deterministic OCR-style corruption of each vocabulary
-    word (one character deleted at an md5-chosen position — the same
+def _symspell_sql(d: Dialect, table: str, part_table: str) -> str:
+    """Vocabulary = the corpus's distinct words UNION the part-name
+    vocabulary (the engine's stand-in for the reference's 24k-word item
+    vocabulary, data_pipeline.py:25-33), len >= MIN_TOKEN_LEN; query
+    tokens = a deterministic OCR-style corruption of each vocabulary word
+    (one character deleted at an md5-chosen position — the same
     fixture-injection pattern as pii_redaction).  Correction = SymSpell
     candidate join + levenshtein refine + best-match (min distance, then
     lexicographic) per token."""
     w = d.splitws("lower(text)")
+    pn = d.splitws("lower(p_name)")
     if d.name == "spark":
         word_rel = (
             f"SELECT word FROM (SELECT {w} AS ws FROM {table}) s "
+            f"LATERAL VIEW explode(ws) t AS word "
+            f"UNION ALL "
+            f"SELECT word FROM (SELECT {pn} AS ws FROM {part_table}) p "
             f"LATERAL VIEW explode(ws) t AS word"
         )
     else:
-        word_rel = f"SELECT unnest({w}) AS word FROM {table}"
+        word_rel = (
+            f"SELECT unnest({w}) AS word FROM {table} "
+            f"UNION ALL SELECT unnest({pn}) AS word FROM {part_table}"
+        )
     h = d.md5_prefix_int("word")
     qk = _explode_keys(d, "SELECT q FROM queries", "q", "q")
     vk = _explode_keys(d, "SELECT word FROM vocab", "word", "word")
@@ -119,16 +128,22 @@ ORDER BY token
 
 @register(
     "symspell_name_correction",
-    oracle=_symspell_sql(DUCKDB, "documents"),
+    oracle=_symspell_sql(DUCKDB, "documents", "part"),
     doc="SymSpell fuzzy name correction as a delete-neighborhood EQUI-join: "
     "every string expands to its k=1 deletion keys, distance<=1 pairs "
     "necessarily collide on a key, levenshtein refines candidates only — "
     "the set-oriented, no-cross-join form of the reference's per-word OCR "
-    "name correction (correct_names.py:52-114).",
+    "name correction (correct_names.py:52-114) against a corpus+part-name "
+    "vocabulary.",
     tags=("linkage", "text", "join"),
 )
 def symspell_name_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(_symspell_sql(SPARK, _doc_view(spark, sf_dir)))
+    load_table(spark, sf_dir, "part").createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_sym_part"
+    )
+    return spark.sql(
+        _symspell_sql(SPARK, _doc_view(spark, sf_dir), "sales_telegram_bot_data_pipeline_sym_part")
+    )
 
 
 # --------------------------------------------------------------------------

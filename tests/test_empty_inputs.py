@@ -67,7 +67,8 @@ def empty_sf_dir(spark, tmp_path_factory):
     """A scale-factor dir whose documents/embeddings tables have the real
     schemas but zero rows."""
     d = str(tmp_path_factory.mktemp("sf_empty"))
-    for t in ("documents", "embeddings"):
+    # part: symspell builds its vocabulary from documents UNION part names
+    for t in ("documents", "embeddings", "part"):
         load_table(spark, SF_SMOKE, t).limit(0).write.parquet(os.path.join(d, f"{t}.parquet"))
     return d
 
