@@ -92,6 +92,8 @@ HEADLINE = [
     "content_defined_chunks",
     "lateral_topk_orders",
     "event_transition_matrix",
+    "top_event_paths",
+    "price_histogram_equiwidth",
     "standardize_embeddings",
     "detected_data_pipeline",
 ]

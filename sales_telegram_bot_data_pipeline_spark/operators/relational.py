@@ -1275,3 +1275,69 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _TRANSITION_SQL.format(events="sales_telegram_bot_data_pipeline_trans_events")
     )
+
+
+# --------------------------------------------------------------------------
+# top event paths (ordered sequence / path analysis)
+# --------------------------------------------------------------------------
+PATH_PREFIX_LEN = 4  # compare the first N events of each user's journey
+PATH_TOP_K = 20
+
+
+def _event_paths_sql(d, events: str) -> str:
+    """Top-k most common event-path prefixes: each user's first
+    PATH_PREFIX_LEN events in (ts, event_id) order joined into a path
+    string, path frequencies ranked.  The ordered aggregation differs by
+    dialect (DuckDB has ORDER BY inside string_agg; Spark sorts an array
+    of (ts, event_id, type) structs — struct comparison is lexicographic
+    by field order, so both orderings are identical and total).
+
+    Scale: one shuffle on user_id to build paths (bounded by the per-user
+    event count), one map-side-combinable count on the path string, then
+    TakeOrdered for the top-k — never a global sort of the paths."""
+    if d.name == "spark":
+        path = (
+            "array_join(slice(transform(array_sort("
+            "collect_list(struct(ts, event_id, event_type))), s -> s.event_type), "
+            f"1, {PATH_PREFIX_LEN}), '>')"
+        )
+    else:
+        path = (
+            "array_to_string(list_slice(list(event_type ORDER BY ts, event_id), "
+            f"1, {PATH_PREFIX_LEN}), '>')"
+        )
+    return f"""
+WITH paths AS (
+  SELECT user_id, {path} AS path FROM {events} GROUP BY user_id
+),
+freq AS (
+  SELECT path, COUNT(*) AS n_users FROM paths GROUP BY path
+)
+SELECT path, CAST(n_users AS BIGINT) AS n_users
+FROM freq ORDER BY n_users DESC, path LIMIT {PATH_TOP_K}
+"""
+
+
+def _register_paths():
+    from ..functions.dialect import DUCKDB, SPARK
+
+    @register(
+        "top_event_paths",
+        oracle=_event_paths_sql(DUCKDB, "events"),
+        doc=f"Path analysis: each user's first {PATH_PREFIX_LEN}-event "
+        "journey as an ordered path string, top-"
+        f"{PATH_TOP_K} paths by user count — one user_id shuffle + "
+        "map-side path counts + TakeOrdered; the sequence-mining "
+        "companion to funnel_conversion and event_transition_matrix.",
+        tags=("relational", "events", "agg", "topk"),
+    )
+    def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_table(spark, sf_dir, "events").createOrReplaceTempView(
+            "sales_telegram_bot_data_pipeline_path_events"
+        )
+        return spark.sql(
+            _event_paths_sql(SPARK, "sales_telegram_bot_data_pipeline_path_events")
+        )
+
+
+_register_paths()

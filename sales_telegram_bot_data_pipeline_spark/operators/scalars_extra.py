@@ -602,3 +602,49 @@ def lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders="sales_telegram_bot_data_pipeline_lat_ord",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# equi-width histogram (two-phase: bounds scan + bucket counts)
+# --------------------------------------------------------------------------
+HIST_BUCKETS = 20
+
+_HISTOGRAM_SQL = f"""
+WITH stats AS (
+  SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS mn,
+         CAST(MAX(o_totalprice) AS DOUBLE) AS mx
+  FROM {{orders}}
+),
+bucketed AS (
+  SELECT CAST(LEAST(FLOOR((CAST(o_totalprice AS DOUBLE) - s.mn)
+                          / NULLIF((s.mx - s.mn) / {HIST_BUCKETS}, 0)),
+                    {HIST_BUCKETS - 1}) AS INT) AS bucket,
+         s.mn, s.mx
+  FROM {{orders}} CROSS JOIN stats s
+)
+SELECT bucket,
+       CAST(ROUND(mn + bucket * (mx - mn) / {HIST_BUCKETS}, 2) AS DOUBLE) AS bucket_lo,
+       CAST(ROUND(mn + (bucket + 1) * (mx - mn) / {HIST_BUCKETS}, 2) AS DOUBLE) AS bucket_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM bucketed
+GROUP BY bucket, mn, mx
+ORDER BY bucket
+"""
+
+
+@register(
+    "price_histogram_equiwidth",
+    oracle=_HISTOGRAM_SQL.format(orders="orders"),
+    doc=f"Equi-width histogram of order totals in {HIST_BUCKETS} buckets — "
+    "the classic two-phase shape: an O(1) bounds aggregate broadcast into "
+    "a single bucketing scan with map-side combinable counts; the "
+    "exact-layout sibling of the quantile sketch (sketch_quantile_audit). "
+    "All bucket math in IEEE doubles from identical inputs, so both "
+    "engines bucket identically.",
+    tags=("agg", "stats", "two-phase"),
+)
+def price_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_hist_ord"
+    )
+    return spark.sql(_HISTOGRAM_SQL.format(orders="sales_telegram_bot_data_pipeline_hist_ord"))
