@@ -75,6 +75,9 @@ HEADLINE = [
     "funnel_conversion",
     "attribution_interval_join",
     "q18_large_volume_customers",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
     "bigram_lm_score",
     "dsir_importance",
     "token_budget_selection",
