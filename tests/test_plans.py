@@ -334,3 +334,12 @@ def test_lateral_topk_decorrelates_to_window(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan  # decorrelated into the ranked-window plan
+
+
+def test_q6_all_predicates_pushed_no_shuffle_join(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    # Q6's whole point: every predicate reaches the parquet scan
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+    assert "Join" not in plan  # scan→filter→agg only
