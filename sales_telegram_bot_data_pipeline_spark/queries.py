@@ -110,7 +110,11 @@ _DRIVER_WINDOW = [
     "user_shop_regrouping",
     "validity_revalidation",
     "cascade_validity_update",
-    "revalidation_changed_set",
+    # revalidation_changed_set stays registered + locally swept; op 46
+    # keeps two driver rows (validity_revalidation, cascade_validity_update)
+    # and its slot gives the audit family its driver rep: the cross-engine
+    # anti-entropy checksum is the single strongest typed-hash row
+    "table_checksum_audit",
     "parse_price_core",
     "price_dispatcher_suite",
     "preprocess_text_normalize",

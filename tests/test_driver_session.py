@@ -39,6 +39,7 @@ for name in (
     "dsir_importance",
     "dedup_incremental_lsh",
     "symspell_name_correction",
+    "table_checksum_audit",
 ):
     r = compare_query(spark, con, name, {SF_SMOKE!r})
     assert r.ok, f"{{name}} failed on a DEFAULT session: {{r.detail}}"
@@ -56,4 +57,4 @@ def test_default_session_oracle_parity():
         cwd="/root/repo",
     )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-3000:]}"
-    assert proc.stdout.count("OK") == 7
+    assert proc.stdout.count("OK") == 8
