@@ -231,3 +231,24 @@ def sample_frames(df: DataFrame, every_n: int = 2, real_decode: bool = False) ->
             yield pd.DataFrame(out, columns=[c.split(" ")[0] for c in FRAME_SCHEMA.split(", ")])
 
     return df.mapInPandas(_frames, schema=FRAME_SCHEMA)
+
+
+@register(
+    "video_frame_sample",
+    oracle=None,  # mapInPandas 1→N generator over binary — not SQL-expressible
+    doc="Rows-only: the multimodal 1→N fan-out end to end — documents as "
+    "binary content, stub decode for n_frames metadata, then frame "
+    "sampling (every 2nd frame) through the mapInPandas generator; emits "
+    "(doc_id, frame_idx, frame_len).  Gives the video path's Arrow "
+    "batching and row-explosion contract a registry row next to "
+    "multimodal_features (the 1:1 decode rep).",
+    tags=("multimodal", "explode", "python"),
+)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    binary = docs.select("doc_id", F.encode("text", "utf-8").alias("content"))
+    decoded = decode_stub(with_binary_metadata(binary).select("doc_id", "content", "mime"))
+    frames = sample_frames(
+        binary.join(decoded.select("doc_id", "n_frames"), "doc_id"), every_n=2
+    )
+    return frames.select("doc_id", "frame_idx", "frame_len").orderBy("doc_id", "frame_idx")

@@ -59,6 +59,7 @@ EMPTY_OK_ZERO = [
     "triangle_count_neardup",
     "split_balance_audit",
     "content_defined_chunks",
+    "video_frame_sample",
 ]
 
 
