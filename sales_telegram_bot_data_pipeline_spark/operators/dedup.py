@@ -703,9 +703,12 @@ def _pagerank_sql(d: Dialect, table: str, pairs_rel: str | None = None) -> str:
     connected_components: same per-iteration shape (edges JOIN ranks JOIN
     degrees, one shuffle per iteration), fixed iteration count so the
     whole computation is one oracle-checkable query.  Cross-engine hash
-    stability: each node's incoming contributions are rounded then summed
-    as exact DECIMAL(18,9) — partition-order-independent — so every
-    iteration's ranks are bit-identical in both engines by induction.
+    stability: each node's incoming contributions quantize to integer
+    1e-9 units via FLOOR (pure IEEE multiply+floor — unlike ROUND(double,
+    n), whose decimal-string path differs between engines and flipped one
+    rank's last digit at sf0.1) and sum exactly as BIGINT, so every
+    iteration's ranks are bit-identical in both engines by induction; the
+    emitted rank floors to 5 decimals for the same reason.
     Symmetric edges mean no dangling nodes; nodes outside the pair graph
     hold the base rank and are not emitted (same edge-touching-only
     convention as connected_components).
@@ -723,7 +726,7 @@ def _pagerank_sql(d: Dialect, table: str, pairs_rel: str | None = None) -> str:
         its.append(f"""
 it{i} AS (
   SELECT e.dst AS node,
-         CAST({1 - PR_DAMP} + {PR_DAMP} * CAST(SUM(CAST(ROUND(r.r / dg.d, 9) AS DECIMAL(18,9))) AS DOUBLE) AS DOUBLE) AS r
+         CAST({1 - PR_DAMP} + {PR_DAMP} * (CAST(SUM(CAST(FLOOR(r.r / dg.d * 1e9) AS BIGINT)) AS DOUBLE) / 1e9) AS DOUBLE) AS r
   FROM edges e
   JOIN {prev} r ON r.node = e.src
   JOIN deg dg ON dg.src = e.src
@@ -740,7 +743,7 @@ edges AS (
 deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
 r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS r FROM deg),
 {",".join(its)}
-SELECT node AS vec_id, CAST(ROUND(r, 6) AS DOUBLE) AS pagerank
+SELECT node AS vec_id, CAST(FLOOR(r * 1e5) / 1e5 AS DOUBLE) AS pagerank
 FROM {prev}
 ORDER BY vec_id
 """

@@ -28,9 +28,11 @@ Scale design (100 TB):
   stats table is O(B) regardless of corpus size, built in one pass with
   FILTER-ed counts (no per-distribution rescan), and the scoring join is a
   broadcast by construction.
-- per-term log-probabilities are rounded then summed as exact DECIMAL(18,6)
-  — order-independent across partitions (the same trick as
-  moment_statistics), so results are hash-stable under any partitioning.
+- per-term log-probabilities quantize to integer 1e-6 units via FLOOR
+  (pure IEEE multiply+floor; ROUND(double, n) takes a decimal-string path
+  that differs between engines and flipped a last digit at sf0.1) and sum
+  exactly as BIGINT — order-independent across partitions and bit-stable
+  across engines; emitted floats floor to 5 decimals for the same reason.
 - token_budget_selection's only wide op is a window SUM partitioned by
   source (the natural parallel unit; skewed sources would use the salted
   variant in operators/scale.py), cast to BIGINT at emission (DuckDB types
@@ -86,8 +88,8 @@ def _bigram_lm_sql(d: Dialect, table: str) -> str:
     set, doc_id % BENCH_MOD = 0 — same convention as contamination_overlap)
     trains unigram + bigram counts; every other doc is scored by average
     add-1/2-smoothed conditional log-probability and perplexity.  Per-term
-    logp is rounded then decimal-summed so the per-doc aggregate is
-    order-independent."""
+    logp is floor-quantized to integer 1e-6 units and summed as BIGINT so
+    the per-doc aggregate is order-independent and engine-exact."""
     tgt = f" WHERE doc_id % {BENCH_MOD} = 0"
     rest = f" WHERE doc_id % {BENCH_MOD} <> 0"
     return f"""
@@ -108,13 +110,13 @@ scored AS (
 ),
 agg AS (
   SELECT doc_id, COUNT(*) AS n_bigrams,
-         SUM(CAST(ROUND(logp, 6) AS DECIMAL(18,6))) AS sum_logp
+         SUM(CAST(FLOOR(logp * 1e6) AS BIGINT)) AS logp_units
   FROM scored GROUP BY doc_id
 )
 SELECT doc_id,
        CAST(n_bigrams AS BIGINT) AS n_bigrams,
-       CAST(ROUND(CAST(sum_logp AS DOUBLE) / n_bigrams, 6) AS DOUBLE) AS avg_logp,
-       CAST(ROUND(EXP(-(CAST(sum_logp AS DOUBLE) / n_bigrams)), 6) AS DOUBLE) AS ppl
+       CAST(FLOOR(CAST(logp_units AS DOUBLE) / 1e6 / n_bigrams * 1e5) / 1e5 AS DOUBLE) AS avg_logp,
+       CAST(FLOOR(EXP(-(CAST(logp_units AS DOUBLE) / 1e6 / n_bigrams)) * 1e5) / 1e5 AS DOUBLE) AS ppl
 FROM agg
 ORDER BY doc_id
 """
@@ -127,7 +129,8 @@ ORDER BY doc_id
     f"on the frozen target subset (doc_id % {BENCH_MOD} = 0), every other "
     "doc scored by avg conditional log-prob + perplexity.  Model tables are "
     "small (target-only) -> broadcast scoring joins; corpus text never "
-    "shuffles; per-term logp decimal-summed for order-independence.",
+    "shuffles; per-term logp floor-quantized to integer units and "
+    "BIGINT-summed for order-independence and cross-engine exactness.",
     tags=("quality", "lm", "text"),
 )
 def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:

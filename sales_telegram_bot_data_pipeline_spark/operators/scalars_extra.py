@@ -355,8 +355,8 @@ WITH agg AS (
   FROM {table} GROUP BY event_type
 )
 SELECT event_type, n_exact,
-       ABS(n_approx - n_exact) <= CAST(CEIL(0.05 * n_exact) AS BIGINT)
-         AS sketch_within_5pct
+       ABS(n_approx - n_exact) <= CAST(CEIL(0.15 * n_exact) AS BIGINT)
+         AS sketch_within_3sigma
 FROM agg ORDER BY event_type
 """
 
@@ -365,9 +365,12 @@ FROM agg ORDER BY event_type
     "sketch_cardinality_audit",
     oracle=_SKETCH_AUDIT_SQL.format(table="events"),
     doc="HLL sketch audit: per-group approx_count_distinct next to the "
-    "exact COUNT(DISTINCT), emitting the exact value plus a within-5% "
-    "contract flag.  The sketch value itself is engine-specific and never "
-    "emitted — the CONTRACT is the cross-engine-checkable surface.  At "
+    "exact COUNT(DISTINCT), emitting the exact value plus a 3-sigma "
+    "contract flag (15% = 3x the function's default 5% rsd — a 1-sigma "
+    "band flips the flag on ~1/3 of groups by design, which is exactly "
+    "what a sweep at sf0.1 caught).  The sketch value itself is engine-"
+    "specific and never emitted — the CONTRACT is the cross-engine-"
+    "checkable surface.  At "
     "100 TB the sketch is the only affordable distinct count: fixed-size "
     "mergeable state, map-side partials, no distinct-expand shuffle.",
     tags=("agg", "sketch", "approx"),
