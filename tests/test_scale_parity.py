@@ -1,0 +1,21 @@
+"""Scale-parity regression net: the two queries whose cross-engine
+determinism broke ONLY at sf0.1 (ROUND(double, n)'s decimal-string path
+differs between engines; fixed with FLOOR integer-unit quantization) are
+re-checked at sf0.1 — the driver gate runs sf0.01 and would not see a
+recurrence of this class."""
+
+from __future__ import annotations
+
+import pytest
+
+import sales_telegram_bot_data_pipeline_spark.queries  # noqa: F401  (populate REGISTRY)
+from sales_telegram_bot_data_pipeline_spark.oracle import compare_query, duckdb_connection
+
+SF_BENCH = "/root/testdata/sf0.1"
+
+
+@pytest.mark.parametrize("name", ["pagerank_neardup_graph", "bigram_lm_score"])
+def test_floor_quantized_queries_match_at_sf01(spark, name):
+    con = duckdb_connection(SF_BENCH)
+    r = compare_query(spark, con, name, SF_BENCH)
+    assert r.ok, f"{name} diverged at sf0.1: {r.detail}"
