@@ -171,9 +171,9 @@ scored AS (
 )
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_feats,
-       CAST(ROUND(CAST(SUM(CAST(ROUND(lr, 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS DOUBLE)
-         AS log_weight,
-       CAST(ROUND(CAST(SUM(CAST(ROUND(lr, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+       CAST(FLOOR(CAST(SUM(CAST(FLOOR(lr * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 * 1e5) / 1e5
+            AS DOUBLE) AS log_weight,
+       CAST(FLOOR(CAST(SUM(CAST(FLOOR(lr * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*) * 1e5) / 1e5
             AS DOUBLE) AS avg_log_ratio
 FROM scored
 GROUP BY doc_id
