@@ -14,7 +14,9 @@ from sales_telegram_bot_data_pipeline_spark.oracle import compare_query, duckdb_
 SF_BENCH = "/root/testdata/sf0.1"
 
 
-@pytest.mark.parametrize("name", ["pagerank_neardup_graph", "bigram_lm_score"])
+@pytest.mark.parametrize(
+    "name", ["pagerank_neardup_graph", "bigram_lm_score", "dsir_importance"]
+)
 def test_floor_quantized_queries_match_at_sf01(spark, name):
     con = duckdb_connection(SF_BENCH)
     r = compare_query(spark, con, name, SF_BENCH)
