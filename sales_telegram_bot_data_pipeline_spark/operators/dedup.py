@@ -705,10 +705,13 @@ def _pagerank_sql(d: Dialect, table: str, pairs_rel: str | None = None) -> str:
     whole computation is one oracle-checkable query.  Cross-engine hash
     stability: each node's incoming contributions quantize to integer
     1e-9 units via FLOOR (pure IEEE multiply+floor — unlike ROUND(double,
-    n), whose decimal-string path differs between engines and flipped one
-    rank's last digit at sf0.1) and sum exactly as BIGINT, so every
+    n)→DECIMAL cast chain, which flipped one rank's last digit at
+    sf0.1) and sum exactly as BIGINT, so every
     iteration's ranks are bit-identical in both engines by induction; the
-    emitted rank floors to 5 decimals for the same reason.
+    emitted rank floors to 5 decimals for the same reason.  (Empirically
+    ROUND itself agrees on 2M random doubles; the old chain's divergence
+    sat in ROUND→DECIMAL(18,9) double-to-decimal casting, which the
+    integer-unit form avoids entirely.)
     Symmetric edges mean no dangling nodes; nodes outside the pair graph
     hold the base rank and are not emitted (same edge-touching-only
     convention as connected_components).

@@ -29,8 +29,8 @@ Scale design (100 TB):
   FILTER-ed counts (no per-distribution rescan), and the scoring join is a
   broadcast by construction.
 - per-term log-probabilities quantize to integer 1e-6 units via FLOOR
-  (pure IEEE multiply+floor; ROUND(double, n) takes a decimal-string path
-  that differs between engines and flipped a last digit at sf0.1) and sum
+  (pure IEEE multiply+floor; the old ROUND(double, n)→DECIMAL cast chain
+  diverged between engines and flipped a last digit at sf0.1) and sum
   exactly as BIGINT — order-independent across partitions and bit-stable
   across engines; emitted floats floor to 5 decimals for the same reason.
 - token_budget_selection's only wide op is a window SUM partitioned by
