@@ -23,6 +23,14 @@ def get_spark(
     AQE on (runtime re-plan, skew-join splitting, partition coalescing),
     Arrow on (vectorized pandas_udf transfer), broadcast threshold left at
     default 10 MB so small dims broadcast automatically.
+
+    shuffle.partitions defaults to the core count (>= 32): MEASURED on the
+    four heaviest sf0.1 queries (capstone, connected components, q1,
+    semantic dedup) — 32 partitions 10.9 s vs 11.8 s at 8 (undersplit:
+    idle cores) and 13.0 s at 128 (oversplit: per-task overhead; AQE
+    coalescing recovers some but not the scheduling cost).  On a cluster
+    the same rule holds per-executor-core, with
+    spark.sql.adaptive.coalescePartitions sizing the small stages down.
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
