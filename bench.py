@@ -97,6 +97,7 @@ HEADLINE = [
     "event_transition_matrix",
     "top_event_paths",
     "price_histogram_equiwidth",
+    "ngram_novelty",
     "standardize_embeddings",
     "detected_data_pipeline",
 ]

@@ -903,3 +903,103 @@ ORDER BY doc_id, chunk_id
 )
 def content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_cdc_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# n-gram novelty (cross-doc uniqueness / memorization-risk signal)
+# --------------------------------------------------------------------------
+def _novelty_sql(d: Dialect, table: str) -> str:
+    """Per-doc novelty: the fraction of a doc's distinct word-3-grams that
+    occur in NO other document (corpus df = 1).  Low novelty marks
+    boilerplate assembled from corpus-common phrasing (a dedup-adjacent
+    quality gate); high novelty marks content whose n-grams would be
+    memorized from exactly one source — the span-memorization risk signal
+    next to contamination_overlap (cross-set) and quality_repetition
+    (within-doc).
+
+    Scale: reuses the dedup family's shingle relation — hashes computed at
+    the explode, so only (doc_id, 8-byte shingle) pairs shuffle; df is a
+    map-side-combinable count on the shingle key; the join back to docs is
+    an equi-join on that key."""
+    sh = _shingles_sql(d, table)
+    return f"""
+WITH shingles AS ({sh}),
+df AS (SELECT sh, COUNT(*) AS n_docs FROM shingles GROUP BY sh),
+per_doc AS (
+  SELECT s.doc_id,
+         COUNT(*) AS n_shingles,
+         COALESCE(SUM(CASE WHEN f.n_docs = 1 THEN 1 ELSE 0 END), 0) AS n_unique
+  FROM shingles s JOIN df f ON f.sh = s.sh
+  GROUP BY s.doc_id
+)
+SELECT doc_id,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_unique AS BIGINT) AS n_unique,
+       CAST(ROUND(n_unique * 1.0 / n_shingles, 6) AS DOUBLE) AS novelty_frac
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
+@register(
+    "ngram_novelty",
+    oracle=_novelty_sql(DUCKDB, "documents"),
+    doc="Per-doc n-gram novelty: fraction of the doc's distinct 3-gram "
+    "shingles with corpus document-frequency 1 — the span-memorization "
+    "risk / boilerplate signal beside contamination (cross-set) and "
+    "repetition (within-doc); int-keyed shingle shuffle, map-side df.",
+    tags=("curation", "text", "dedup", "quality"),
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_novelty_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# compression-ratio quality (zlib entropy proxy; rows-only)
+# --------------------------------------------------------------------------
+def compression_ratio(df: DataFrame, text_col: str = "text", level: int = 6) -> DataFrame:
+    """Per-doc zlib compression ratio — the CCNet/RefinedWeb-style entropy
+    proxy: highly repetitive boilerplate compresses far below natural
+    prose, so a low ratio is a cheap, language-agnostic low-quality flag.
+    REAL compression (stdlib zlib, fixed level → deterministic bytes), not
+    a stub; runs as an Arrow-batched mapInPandas stage because no SQL
+    engine exposes a compressor.  Row-parallel, shuffle-free at any
+    corpus size."""
+    import zlib
+
+    import pandas as pd
+
+    schema = "doc_id long, raw_len int, compressed_len int, compression_ratio double"
+
+    def _compress(batches):
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            comp = raw.map(lambda b: len(zlib.compress(b, level)))
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_len": raw.map(len),
+                    "compressed_len": comp,
+                }
+            )
+            out["compression_ratio"] = (
+                (out["compressed_len"] / out["raw_len"].clip(lower=1)).round(6)
+            )
+            yield out
+
+    return df.select("doc_id", text_col).mapInPandas(_compress, schema=schema)
+
+
+@register(
+    "compression_ratio_quality",
+    oracle=None,  # no SQL engine exposes zlib — rows-only, golden-tested
+    doc="Rows-only: per-doc zlib compression ratio (REAL stdlib "
+    "compression at a fixed level, deterministic) — the entropy-proxy "
+    "quality gate: boilerplate compresses far below natural prose. "
+    "Arrow-batched mapInPandas projection, shuffle-free; pinned against "
+    "direct zlib calls in test_curation.py.",
+    tags=("curation", "quality", "python"),
+)
+def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return compression_ratio(docs).orderBy("doc_id")

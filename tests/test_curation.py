@@ -194,3 +194,23 @@ def test_cdc_chunks_edit_stability(spark):
         assert orig[i]["n_tokens"] == edit[i]["n_tokens"]
     # and the edit really changed the touched chunk
     assert orig[edit_chunk]["chunk_hash"] != edit[edit_chunk]["chunk_hash"]
+
+
+def test_compression_ratio_matches_direct_zlib(spark):
+    """The mapInPandas compressor must agree byte-for-byte with direct
+    zlib calls on the same text (REAL compression, not a stub)."""
+    import zlib
+
+    from sales_telegram_bot_data_pipeline_spark.operators.curation import compression_ratio
+
+    rows = [(1, "natural prose with varied words and structure here"),
+            (2, "spam spam spam spam spam spam spam spam spam spam"),
+            (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    for doc_id, text in rows:
+        want = len(zlib.compress(text.encode("utf-8"), 6))
+        assert got[doc_id]["compressed_len"] == want
+        assert got[doc_id]["raw_len"] == len(text.encode("utf-8"))
+    # the quality signal orders as designed: boilerplate < prose
+    assert got[2]["compression_ratio"] < got[1]["compression_ratio"]

@@ -60,6 +60,8 @@ EMPTY_OK_ZERO = [
     "split_balance_audit",
     "content_defined_chunks",
     "video_frame_sample",
+    "ngram_novelty",
+    "compression_ratio_quality",
 ]
 
 
