@@ -214,3 +214,37 @@ def test_compression_ratio_matches_direct_zlib(spark):
         assert got[doc_id]["raw_len"] == len(text.encode("utf-8"))
     # the quality signal orders as designed: boilerplate < prose
     assert got[2]["compression_ratio"] < got[1]["compression_ratio"]
+
+
+def test_table_checksum_invariant_under_repartitioning(spark):
+    """The anti-entropy checksum's core claim: identical under ANY
+    partitioning/row order.  Same tables, shuffled into 3 vs 64 partitions
+    with opposite sort orders, must produce byte-identical checksum rows."""
+    from pyspark.sql import functions as F
+
+    from sales_telegram_bot_data_pipeline_spark.queries import REGISTRY
+    from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
+
+    from conftest import SF_ORACLE
+
+    def run(parts, order_col):
+        for t in ("lineitem", "orders", "customer"):
+            df = load_table(spark, SF_ORACLE, t)
+            df.repartition(parts).sortWithinPartitions(order_col[t]).createOrReplaceTempView(
+                f"sales_telegram_bot_data_pipeline_cksum_{t}"
+            )
+        # the registered fn re-registers views from parquet, so rebuild the
+        # query on OUR views via the same SQL template
+        from sales_telegram_bot_data_pipeline_spark.functions.dialect import SPARK as _S
+        from sales_telegram_bot_data_pipeline_spark.operators.curation import _checksum_sql
+
+        sql = _checksum_sql(_S).format(
+            lineitem="sales_telegram_bot_data_pipeline_cksum_lineitem",
+            orders="sales_telegram_bot_data_pipeline_cksum_orders",
+            customer="sales_telegram_bot_data_pipeline_cksum_customer",
+        )
+        return sorted(map(tuple, spark.sql(sql).collect()))
+
+    a = run(3, {"lineitem": "l_orderkey", "orders": "o_orderkey", "customer": "c_custkey"})
+    b = run(64, {"lineitem": F.desc("l_partkey"), "orders": F.desc("o_custkey"), "customer": F.desc("c_name")})
+    assert a == b and len(a) == 3
