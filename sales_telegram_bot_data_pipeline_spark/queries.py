@@ -76,6 +76,10 @@ try:
 except ImportError:  # pragma: no cover
     pass
 try:
+    from .streaming import windows as _streaming_windows  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+try:
     from .operators import scale  # noqa: F401  (scd2_dimension_update)
 except ImportError:  # pragma: no cover
     pass

@@ -9,8 +9,13 @@ batch parity, not oracle, validates streaming state).
 
 from __future__ import annotations
 
+import itertools
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..registry import register
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -127,3 +132,30 @@ def run_to_completion(stream_df: DataFrame, query_name: str, output_mode: str = 
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+_MEMSINK_SEQ = itertools.count()
+
+
+@register(
+    "streaming_tumbling_counts",
+    oracle=None,  # executed through the streaming engine — rows-only
+    doc="Rows-only: the tumbling-window aggregation EXECUTED as a real "
+    "Structured Streaming job (readStream over the events parquet, "
+    "Trigger.AvailableNow, complete mode into a memory sink) rather than "
+    "its batch twin — final table is arrival-order-independent by "
+    "construction; batch equivalence is pinned in "
+    "test_streaming_parity.py::test_tumbling_stream_matches_batch.",
+    tags=("streaming", "window"),
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the testdata ships events as a single parquet FILE; FileStreamSource
+    # wants a directory, so stream the parent dir with a glob pinned to it
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    name = f"sales_telegram_bot_data_pipeline_stream_tumb_{next(_MEMSINK_SEQ)}"
+    out = run_to_completion(tumbling_counts(stream), name)
+    return out.orderBy("window_start", "event_type")

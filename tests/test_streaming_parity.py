@@ -359,3 +359,15 @@ def test_stream_checkpoint_resume_exactly_once(spark, scratch):
     assert sorted(r["event_id"] for r in got.collect()) == sorted(
         r["event_id"] for r in want.collect()
     )
+
+
+def test_registered_streaming_query_matches_batch_twin(spark):
+    """The REGISTERED streaming query (rows-only registry entry) must equal
+    the oracle-checked batch twin on the same events table."""
+    from sales_telegram_bot_data_pipeline_spark.queries import REGISTRY
+
+    got = REGISTRY["streaming_tumbling_counts"].fn(spark, SF_SMOKE)
+    want = REGISTRY["tumbling_window_stats"].fn(spark, SF_SMOKE)
+    g = sorted(map(tuple, got.select("window_start", "event_type", "n_events").collect()))
+    w = sorted(map(tuple, want.select("window_start", "event_type", "n_events").collect()))
+    assert g == w and len(g) > 0
