@@ -88,3 +88,32 @@ def test_oracle_declares_no_int128(con, name):
     rel = con.sql(q.REGISTRY[name].oracle)
     offenders = {c: str(t) for c, t in zip(rel.columns, rel.types) if _type_class(t) == "int128"}
     assert not offenders, f"int128-typed oracle columns (driver hash can never match): {offenders}"
+
+
+def test_type_guard_trips_on_seeded_hugeint_drift(spark):
+    """Negative self-test of the round-3 postmortem fix: a query whose
+    values match but whose DuckDB oracle emits an uncast integer SUM
+    (HUGEINT) while Spark emits BIGINT must FAIL the local replica — this
+    is exactly the drift class that sailed through 187 green tests and
+    broke three driver rows in round 3."""
+    from sales_telegram_bot_data_pipeline_spark.oracle import compare_query
+    from sales_telegram_bot_data_pipeline_spark.registry import REGISTRY, Query
+
+    name = "__selftest_hugeint_drift"
+
+    def fn(sp, sf_dir):
+        from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
+
+        load_table(sp, sf_dir, "documents").createOrReplaceTempView("__st_docs")
+        # Spark SUM(int) -> BIGINT
+        return sp.sql("SELECT SUM(n_chars) AS total FROM __st_docs")
+
+    # DuckDB SUM(int) -> HUGEINT (uncast on purpose)
+    REGISTRY[name] = Query(name=name, fn=fn, oracle="SELECT SUM(n_chars) AS total FROM documents")
+    try:
+        con = duckdb_connection(SF_SMOKE)
+        r = compare_query(spark, con, name, SF_SMOKE)
+        assert not r.ok, "type guard failed to trip on BIGINT-vs-HUGEINT drift"
+        assert "int" in r.detail.lower() or "type" in r.detail.lower(), r.detail
+    finally:
+        del REGISTRY[name]
