@@ -145,7 +145,29 @@ def main() -> int:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    print(json.dumps(out))
+    # The driver captures only the TAIL of stdout; with ~68 per-query
+    # entries the full map once overflowed the capture and the head of the
+    # line (metric/value) was cut off, leaving the driver with parsed:null
+    # (round 4).  So: write the full per-query map to a file artifact, and
+    # make the FINAL stdout line a compact total-only JSON whose last bytes
+    # always carry the headline number.
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError:
+        pass  # bench result still goes to stdout below
+    print(json.dumps(out))  # full line first: head may be lost to tail capture
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "n_queries": len(times),
+        "sf": out["sf"],
+        "detail": detail_path,
+    }
+    print(json.dumps(compact))  # LAST line is short: always survives capture
     spark.stop()
     return 0
 

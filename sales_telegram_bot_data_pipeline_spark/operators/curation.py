@@ -788,7 +788,13 @@ def _checksum_sql(d: Dialect) -> str:
     the checksum is identical under ANY partitioning or row order — and
     because the row hash is the portable md5 form, the same query on a
     different engine (here: the DuckDB oracle itself) must reproduce it
-    bit-for-bit.  Money columns fold in as exact cents via DECIMAL(18,2)*100
+    bit-for-bit.  The modular sum accumulates per-row residues in
+    DECIMAL(38,0) and reduces mod p once at the end: a raw BIGINT running
+    sum of ~1e9 residues overflows past ~9.2e9 rows, where Spark (non-ANSI)
+    wraps silently but DuckDB errors — the decimal accumulator keeps the
+    checksum bounded and engine-portable at any realistic row count
+    (overflow now needs ~1e29 rows).  Money columns fold in as exact cents
+    via DECIMAL(18,2)*100
     — a raw double→BIGINT cast truncates in Spark but ROUNDS in DuckDB, so
     the decimal hop is what makes the hash portable — and never as rendered
     strings, so formatting differences can't leak in either."""
@@ -806,7 +812,7 @@ def _checksum_sql(d: Dialect) -> str:
 SELECT '{name}' AS table_name,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(BIT_XOR({h}) AS BIGINT) AS xor_checksum,
-       CAST(SUM(({h}) % 1000000007) AS BIGINT) AS sum_checksum
+       CAST(SUM(CAST(({h}) % 1000000007 AS DECIMAL(38,0))) % 1000000007 AS BIGINT) AS sum_checksum
 FROM {{{name}}}""")
     return " UNION ALL ".join(branches) + " ORDER BY table_name"
 
@@ -1003,3 +1009,53 @@ def compression_ratio(df: DataFrame, text_col: str = "text", level: int = 6) -> 
 def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return compression_ratio(docs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis-Spirakis A-ES)
+# --------------------------------------------------------------------------
+WSAMP_K = 100  # sample size
+
+
+def _weighted_sample_sql(d: Dialect, table: str) -> str:
+    """Deterministic weighted sampling WITHOUT replacement: the A-ES scheme
+    (Efraimidis & Spirakis 2006) assigns each row the key u^(1/w) for
+    u ~ Uniform(0,1] and keeps the top-K keys — inclusion probability is
+    proportional to weight, no sequential pass, no replacement bookkeeping.
+
+    Engine shape: u derives from the salted portable row hash (no RNG, no
+    seed — membership is reproducible from the row alone, the same
+    property as the hash split), and the ranking uses the log-domain
+    equivalent key ln(u)/w (monotone in u^(1/w)), FLOOR-quantized to 1e9
+    integer units with doc_id tie-break so the top-K frontier is
+    deterministic under any partitioning.  LN is libm — cross-engine
+    agreement is empirically verified (sf<=0.1), not guaranteed, the same
+    contract as the other transcendental scores.  The top-K is ORDER BY +
+    LIMIT: TakeOrdered per partition + driver merge of K-row heads, never
+    a global sort of the corpus."""
+    h = d.md5_prefix_int(f"('wsamp|' || {d.strcast('doc_id')})")
+    # (h + 1) / 2^60 in (0, 1]: md5_prefix_int is 60-bit
+    u = f"(CAST({h} AS DOUBLE) + 1.0e0) / 1152921504606846976.0e0"
+    key_units = f"CAST(FLOOR(LN({u}) / CAST(n_chars AS DOUBLE) * 1.0e9) AS BIGINT)"
+    return f"""
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight, {key_units} AS key_units
+FROM {table}
+WHERE n_chars > 0
+ORDER BY key_units DESC, doc_id
+LIMIT {WSAMP_K}
+"""
+
+
+@register(
+    "weighted_sample_aes",
+    oracle=_weighted_sample_sql(DUCKDB, "documents"),
+    doc=f"Deterministic weighted sample without replacement, K={WSAMP_K} "
+    "(Efraimidis-Spirakis A-ES): key = u^(1/weight) from a salted portable "
+    "row hash, ranked in the log domain with FLOOR integer-unit "
+    "quantization; inclusion probability proportional to n_chars. "
+    "TakeOrdered top-K — no RNG, no global sort, reproducible under "
+    "repartitioning/appends.",
+    tags=("curation", "sampling"),
+)
+def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_weighted_sample_sql(SPARK, _doc_view(spark, sf_dir)))

@@ -913,3 +913,196 @@ def triangle_count_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _triangle_sql(SPARK, view, pairs_rel="SELECT * FROM sales_telegram_bot_data_pipeline_tri_pairs")
     )
+
+
+# --------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS scheme)
+# --------------------------------------------------------------------------
+WNW_K = 4  # words per k-gram
+WNW_W = 4  # winnowing window: one fingerprint guaranteed per W consecutive grams
+WNW_DF_CAP = 50  # stop-fingerprint cap on the inverted index (same rationale
+#                  as the shingle df cap: boilerplate grams pair everything)
+WNW_MIN_SHARED = 2  # doc pair emitted when it shares >= this many fingerprints
+
+
+def _wnw_grams_rel(d: Dialect, table: str) -> str:
+    """(doc_id, i, h, G): position-indexed k-gram hashes plus the per-doc
+    gram count.  The hash is the PORTABLE md5 prefix, not the engine-native
+    fast_hash: winnowing SELECTS fingerprints by hash ORDER (min of a
+    window), so the choice of hash changes which grams are emitted — the
+    value influences the output and must agree across engines.  (A
+    production deployment that never cross-checks engines would swap in
+    xxhash64 for ~10x cheaper hashing; selection quality is unaffected by
+    the hash family.)"""
+    w = d.splitws("lower(text)")
+    if d.name == "spark":
+        gram = "array_join(slice(w, i, {k}), ' ')".format(k=WNW_K)
+        return (
+            f"SELECT doc_id, i, {d.md5_prefix_int(gram)} AS h, G FROM "
+            f"(SELECT doc_id, w, size(w) - {WNW_K} + 1 AS G "
+            f" FROM (SELECT doc_id, {w} AS w FROM {table}) s0 "
+            f" WHERE size(w) >= {WNW_K}) s "
+            f"LATERAL VIEW explode(sequence(1, G)) t AS i"
+        )
+    gram = f"array_to_string(list_slice(w, i, i + {WNW_K} - 1), ' ')"
+    return (
+        f"SELECT doc_id, i, {d.md5_prefix_int(gram)} AS h, G FROM "
+        f"(SELECT doc_id, w, len(w) - {WNW_K} + 1 AS G, "
+        f"        unnest(generate_series(1, len(w) - {WNW_K} + 1)) AS i "
+        f" FROM (SELECT doc_id, {w} AS w FROM {table}) s0 "
+        f" WHERE len(w) >= {WNW_K}) s"
+    )
+
+
+def _wnw_selected_rel(d: Dialect, table: str) -> str:
+    """Grams annotated with the winnowing selection flag.
+
+    Standard winnowing rule: in every complete window of W consecutive gram
+    hashes select the MINIMUM, breaking ties by RIGHTMOST position; the
+    fingerprint set is the union over windows.  Instead of materializing
+    every (window x member) pair (an O(n*W) range join), selection is
+    decided per gram from fixed-frame window minima: gram i is selected by
+    window ending at e = i+s  iff  min(h[i-(W-1-s)..i-1]) >= h  AND
+    min(h[i+1..i+s]) > h  (equal-before/strictly-less-after is exactly the
+    rightmost-tie-break), so 'selected' = OR over s in [0, W-1] of that
+    term, guarded by window completeness (W <= i+s <= G).  2*(W-1)
+    fixed-frame MINs over one (doc_id, i) sort — a single per-doc
+    sequential pass, no self-join, no explode amplification."""
+    frames = []
+    for t in range(1, WNW_W):
+        frames.append(
+            f"MIN(h) OVER (PARTITION BY doc_id ORDER BY i "
+            f"ROWS BETWEEN {t} PRECEDING AND 1 PRECEDING) AS pm{t}"
+        )
+        frames.append(
+            f"MIN(h) OVER (PARTITION BY doc_id ORDER BY i "
+            f"ROWS BETWEEN 1 FOLLOWING AND {t} FOLLOWING) AS nm{t}"
+        )
+    terms = []
+    for s in range(WNW_W):
+        prev_len, next_len = WNW_W - 1 - s, s
+        conds = [f"i + {s} >= {WNW_W}", f"i + {s} <= G"]
+        if prev_len:
+            conds.append(f"pm{prev_len} >= h")
+        if next_len:
+            conds.append(f"nm{next_len} > h")
+        terms.append("(" + " AND ".join(conds) + ")")
+    return f"""
+SELECT doc_id, i, h, G,
+       CASE WHEN {" OR ".join(terms)} THEN 1 ELSE 0 END AS sel
+FROM (SELECT doc_id, i, h, G, {", ".join(frames)}
+      FROM ({_wnw_grams_rel(d, table)}) g) fr
+"""
+
+
+def _wnw_density_sql(d: Dialect, table: str) -> str:
+    return f"""
+SELECT doc_id,
+       CAST(MAX(G) AS BIGINT) AS n_grams,
+       CAST(SUM(sel) AS BIGINT) AS n_fingerprints,
+       CAST(ROUND(SUM(sel) * 1.0 / MAX(G), 6) AS DOUBLE) AS density
+FROM ({_wnw_selected_rel(d, table)}) s
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register(
+    "winnowing_fingerprint_density",
+    oracle=_wnw_density_sql(DUCKDB, "documents"),
+    doc=f"Winnowing fingerprint selection (Schleimer et al. 2003 / MOSS): "
+    f"{WNW_K}-word gram hashes, rightmost-min selection over every "
+    f"{WNW_W}-gram window via 2*(W-1) fixed-frame MINs on one per-doc sort "
+    "(no range self-join); per-doc fingerprint count and density — the "
+    "guaranteed-coverage sparse sketch for substring-level matching.",
+    tags=("dedup", "text", "fingerprint", "window"),
+)
+def winnowing_fingerprint_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_wnw_density_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+def _wnw_matches_sql(d: Dialect, table: str) -> str:
+    """Cross-doc matching over the winnowed fingerprint index: distinct
+    (doc, hash) fingerprints -> df-capped inverted index -> pair counts.
+    The index join is an equi-join on the 8-byte hash; the df cap bounds
+    per-key fan-out exactly like the shingle index (a fingerprint shared by
+    f docs contributes f^2 pairs — capped, boilerplate can't explode the
+    join), so the pair relation is O(sum of capped df^2), never corpus^2."""
+    sel = _wnw_selected_rel(d, table)
+    return f"""
+WITH fp AS (
+  SELECT DISTINCT doc_id, h FROM ({sel}) s WHERE sel = 1
+),
+idx AS (
+  SELECT h FROM fp GROUP BY h
+  HAVING COUNT(*) BETWEEN 2 AND {WNW_DF_CAP}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.h
+  FROM fp a JOIN idx USING (h) JOIN fp b USING (h)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS shared_fingerprints
+FROM pairs
+GROUP BY doc_a, doc_b
+HAVING COUNT(*) >= {WNW_MIN_SHARED}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "winnowing_doc_matches",
+    oracle=_wnw_matches_sql(DUCKDB, "documents"),
+    doc="MOSS-style document matching: winnowed fingerprints -> df-capped "
+    f"inverted index (2..{WNW_DF_CAP} docs per hash) -> equi-join pair "
+    f"generation -> pairs sharing >= {WNW_MIN_SHARED} fingerprints. "
+    "Candidate volume bounded by the df cap, document text never joins.",
+    tags=("dedup", "text", "fingerprint"),
+)
+def winnowing_doc_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_wnw_matches_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+def _cluster_size_histogram_sql(d: Dialect, table: str) -> str:
+    """Distribution audit over the near-dup clustering: cluster size ->
+    number of clusters (the power-law sanity check run after any dedup
+    pass; a fat tail means boilerplate is gluing unrelated docs).  Derived
+    from the same components relation as dedup_connected_components, two
+    further O(|clusters|) aggregations."""
+    cc = _cc_oracle_sql(d, table).replace("ORDER BY doc_id", "")
+    return f"""
+WITH cc AS ({cc}),
+sizes AS (SELECT cluster_rep, COUNT(*) AS csize FROM cc GROUP BY cluster_rep)
+SELECT CAST(csize AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM sizes
+GROUP BY csize
+ORDER BY cluster_size
+"""
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=_cluster_size_histogram_sql(DUCKDB, "documents"),
+    doc="Near-dup cluster-size histogram: LSH pairs -> connected "
+    "components -> per-cluster size -> size distribution. The post-dedup "
+    "audit that catches boilerplate-glued megaclusters; output is "
+    "O(distinct sizes).",
+    tags=("dedup", "clustering", "audit"),
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    view = _doc_view(spark, sf_dir)
+    docs = spark.table(view).select("doc_id")
+    pairs = spark.sql(_lsh_pairs_sql(SPARK, view))
+    labels = connected_components(spark, docs, pairs)
+    return (
+        labels.groupBy("cluster_rep")
+        .agg(F.count(F.lit(1)).alias("csize"))
+        .groupBy("csize")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("csize").cast("bigint").alias("cluster_size"),
+            F.col("n_clusters").cast("bigint").alias("n_clusters"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -37,6 +37,12 @@ from ..sources.tables import load_table
 
 MODEL2_CLASSES = ("item_name", "item_price", "item_member_price", "item_initial_price")
 
+# The engine's stand-in for the reference's STATIC vocabulary file
+# (data_pipeline.py:25-33 reads vocabulary.txt once and builds the trie):
+# the stub OCR draws item-name words from this list, and the pipeline's
+# segmentation trie (op 20 wiring) is built from the same list.
+ITEM_NAME_VOCAB = ["mleko", "jogurt", "cerstve", "smetanovy", "florian", "sparkline"]
+
 DETECTION_SCHEMA = (
     "image_id string, shop_name string, width int, height int, det_idx int, "
     "class_name string, x1 int, y1 int, x2 int, y2 int, "
@@ -53,7 +59,7 @@ def _fake_ocr(seed: int, class_name: str) -> str:
     """Deterministic OCR-ish text per class — price classes produce strings
     the parser suite handles; names produce vocabulary-ish words."""
     if class_name == "item_name":
-        words = ["mleko", "jogurt", "cerstve", "smetanovy", "florian", "sparkline"]
+        words = ITEM_NAME_VOCAB
         return " ".join(words[(seed >> k) % len(words)] for k in (0, 5, 9))
     n = seed % 5
     whole, cents = 5 + seed % 495, seed % 100
@@ -292,6 +298,11 @@ def detected_data(spark: SparkSession, sf_dir: str, padding: float = 0.10) -> Da
             "image_id",
             "shop_name",
             F.col("item_name"),
+            # Deviation (documented): the NATIVE/SQL-expressible twin keeps
+            # lower() here; the full reference composition (op 20
+            # process_single_word, data_pipeline.py:113-115) is wired into
+            # detected_data_pipeline, which routes this column through the
+            # broadcast-trie DP segmenter.
             F.lower(F.col("item_name")).alias("processed_item_name"),
             F.col("item_price"),
             "processed_item_price",
@@ -304,16 +315,49 @@ def detected_data(spark: SparkSession, sf_dir: str, padding: float = 0.10) -> Da
     )
 
 
+# op-20 trie: build-once-per-application broadcast of the static item
+# vocabulary (the reference reads vocabulary.txt once per DAG run,
+# data_pipeline.py:25-33) — repeated pipeline runs in a session reuse it.
+_ITEM_TRIE_BC: dict = {}
+
+
+def _item_trie_bc(spark: SparkSession):
+    from .segmentation import build_vocab_trie
+
+    key = spark.sparkContext.applicationId
+    if key not in _ITEM_TRIE_BC:
+        _ITEM_TRIE_BC.clear()  # one live application trie per process
+        _ITEM_TRIE_BC[key] = spark.sparkContext.broadcast(
+            build_vocab_trie(ITEM_NAME_VOCAB)
+        )
+    return _ITEM_TRIE_BC[key]
+
+
 @register(
     "detected_data_pipeline",
     oracle=None,  # mapInPandas inference stubs → rows-only driver check
-    doc="Reference DAG #1 end-to-end (ops 3, 8-14, 41, 43-45): synthesized "
-    "pages → stubbed model2+OCR mapInPandas → pad/clamp → last-wins pivot → "
-    "price dispatcher → wide detected_data records with typed NULLs.",
+    doc="Reference DAG #1 end-to-end (ops 3, 8-14, 16-18, 20, 41, 43-45): "
+    "synthesized pages → stubbed model2+OCR mapInPandas → pad/clamp → "
+    "last-wins pivot → price dispatcher → processed_item_name via the "
+    "reference's process_single_word composition (preprocess_text → "
+    "space-strip → broadcast-trie DP segmentation, data_pipeline.py:113-115 "
+    "→ correct_names.py:117-143; hunspell off) → wide detected_data records "
+    "with typed NULLs.",
     tags=("udf", "pipeline", "inference"),
 )
 def detected_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return detected_data(spark, sf_dir).orderBy("image_id")
+    from ..functions.text import normalize_col
+    from .segmentation import segment_column
+
+    wide = detected_data(spark, sf_dir).withColumn(
+        "__norm_name", normalize_col("item_name")
+    )
+    # withColumn on an existing name replaces IN PLACE, so the wide-record
+    # column order is unchanged from the native twin.
+    wide = segment_column(
+        spark, wide, "__norm_name", "processed_item_name", [], trie_bc=_item_trie_bc(spark)
+    ).drop("__norm_name")
+    return wide.orderBy("image_id")
 
 
 @register(

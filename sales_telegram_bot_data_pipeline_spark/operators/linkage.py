@@ -109,19 +109,24 @@ vk AS ({vk}),
 cand AS (
   SELECT DISTINCT qk.q, vk.word FROM qk JOIN vk ON vk.key = qk.key
 ),
-scored AS (
-  SELECT q, word, levenshtein(q, word) AS dist
-  FROM cand WHERE levenshtein(q, word) <= 1
-),
 ranked AS (
+  -- levenshtein is evaluated exactly ONCE per candidate pair: it is
+  -- projected below the window, and the dist filter sits ABOVE the window
+  -- in the final SELECT, where Catalyst cannot push it back through the
+  -- PARTITION BY q boundary (a plain project+filter form relied on engine
+  -- CSE, and Spark's filter pushdown re-inlined the call into the
+  -- predicate — measured 2 levenshtein evals per pair in the plan).
+  -- (dist > 1) sorts refuted collisions last and the conditional count
+  -- keeps n_cand = |dist<=1 candidates|, so the output is row-identical
+  -- to the filter-below-window form.
   SELECT q, word, dist,
-         ROW_NUMBER() OVER (PARTITION BY q ORDER BY dist, word) AS rk,
-         COUNT(*) OVER (PARTITION BY q) AS n_cand
-  FROM scored
+         ROW_NUMBER() OVER (PARTITION BY q ORDER BY (dist > 1), dist, word) AS rk,
+         COUNT(CASE WHEN dist <= 1 THEN 1 END) OVER (PARTITION BY q) AS n_cand
+  FROM (SELECT q, word, levenshtein(q, word) AS dist FROM cand) lev
 )
 SELECT q AS token, word AS corrected, CAST(dist AS INT) AS edit_distance,
        CAST(n_cand AS INT) AS n_candidates
-FROM ranked WHERE rk = 1
+FROM ranked WHERE rk = 1 AND dist <= 1
 ORDER BY token
 """
 

@@ -130,7 +130,9 @@ ORDER BY doc_id
     "doc scored by avg conditional log-prob + perplexity.  Model tables are "
     "small (target-only) -> broadcast scoring joins; corpus text never "
     "shuffles; per-term logp floor-quantized to integer units and "
-    "BIGINT-summed for order-independence and cross-engine exactness.",
+    "BIGINT-summed for order-independence (LN/EXP terms go through engine "
+    "libm, so cross-engine exactness is empirically verified at sf<=0.1, "
+    "not guaranteed by construction).",
     tags=("quality", "lm", "text"),
 )
 def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:

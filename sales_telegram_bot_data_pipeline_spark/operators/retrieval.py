@@ -97,3 +97,80 @@ LIMIT {k}
 )
 def bm25_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_bm25_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# hybrid retrieval: BM25 (sparse) + cosine (dense) fused by reciprocal rank
+# --------------------------------------------------------------------------
+RRF_C = 60  # the standard RRF constant (Cormack/Clarke/Buettcher 2009)
+RRF_ARM_K = 25  # per-arm candidate depth
+RRF_OUT_K = 15
+DENSE_QUERY_ID = 0  # query-by-example: the corpus vector standing in for an
+#                     encoded query (the engine has no text encoder; the
+#                     embeddings table is keyed 1:1 with documents.doc_id)
+
+
+def _rrf_sql(d: Dialect, docs_table: str, emb_table: str) -> str:
+    """Reciprocal-rank-fusion hybrid search: each arm contributes
+    1/(C + rank) for its top-``RRF_ARM_K``; docs found by both arms rise.
+
+    Scale shape: both arms are already bounded top-k relations — the BM25
+    arm is the inverted-index-shaped plan above (candidates = union of the
+    query terms' posting lists), the dense arm is one broadcast query
+    vector against the corpus with a TakeOrdered tail — so the fusion
+    FULL OUTER JOIN sees at most 2*RRF_ARM_K rows, trivially
+    broadcastable.  Rank arithmetic is integer-in/exact-in-double, so the
+    fused score is cross-engine exact after round(6)."""
+    from .similarity import _cosine
+
+    bm25 = _bm25_sql(d, docs_table, k=RRF_ARM_K)
+    cos = _cosine(d, "e.embedding", "q.embedding")
+    return f"""
+WITH bm_top AS ({bm25}),
+bm AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS r
+  FROM bm_top
+),
+dn_top AS (
+  SELECT e.vec_id AS doc_id, {cos} AS cosine
+  FROM {emb_table} e CROSS JOIN (SELECT embedding FROM {emb_table} WHERE vec_id = {DENSE_QUERY_ID}) q
+  WHERE e.vec_id <> {DENSE_QUERY_ID}
+  ORDER BY cosine DESC, doc_id
+  LIMIT {RRF_ARM_K}
+),
+dn AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS INT) AS r
+  FROM dn_top
+),
+fused AS (
+  SELECT COALESCE(bm.doc_id, dn.doc_id) AS doc_id,
+         bm.r AS sparse_rank,
+         dn.r AS dense_rank,
+         COALESCE(1.0e0 / ({RRF_C} + bm.r), 0.0e0)
+           + COALESCE(1.0e0 / ({RRF_C} + dn.r), 0.0e0) AS rrf
+  FROM bm FULL OUTER JOIN dn ON bm.doc_id = dn.doc_id
+)
+SELECT doc_id, sparse_rank, dense_rank,
+       CAST(ROUND(rrf, 6) AS DOUBLE) AS rrf_score
+FROM fused
+ORDER BY rrf DESC, doc_id
+LIMIT {RRF_OUT_K}
+"""
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    oracle=_rrf_sql(DUCKDB, "documents", "embeddings"),
+    doc=f"Hybrid sparse+dense retrieval fused by reciprocal rank "
+    f"(1/({RRF_C}+rank), Cormack et al. 2009): BM25 top-{RRF_ARM_K} "
+    f"(inverted-index-shaped) + query-by-example cosine top-{RRF_ARM_K} "
+    "(one broadcast vector, TakeOrdered), FULL OUTER fusion over <= "
+    f"2x{RRF_ARM_K} candidate rows.  The RAG retrieval stack in one plan.",
+    tags=("retrieval", "similarity", "text"),
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _emb_view
+
+    docs = _doc_view(spark, sf_dir)
+    emb = _emb_view(spark, sf_dir)
+    return spark.sql(_rrf_sql(SPARK, docs, emb))

@@ -196,6 +196,14 @@ def two_phase_topk(
     per-group rank as ``rank``."""
     from pyspark.sql import Window
 
+    # withColumn REPLACES a same-named existing column, which would silently
+    # corrupt caller data carrying any of the working/output names
+    reserved = {"__salt", "__r", "rank"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"two_phase_topk: input already has reserved column(s) {sorted(reserved)}; "
+            "rename them before calling ('rank' is the output column)"
+        )
     salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salts))
     w1 = Window.partitionBy(group_col, "__salt").orderBy(*order_cols)
     w2 = Window.partitionBy(group_col).orderBy(*order_cols)

@@ -97,6 +97,25 @@ except ImportError:  # pragma: no cover
 # not listed stay registered (pytest + the local oracle replica still sweep
 # ALL of them at sf0.001/sf0.01); rows-only queries (no oracle) sort last so
 # they never burn a checked slot on a weaker rows-only row.
+#
+# ROTATION POLICY (round 5+): each round, ~10 slots rotate among
+# equivalence-class representatives so driver-grade evidence reaches queries
+# outside the static window over time.  A slot may rotate only if its
+# operator family keeps at least one driver row; parked queries stay
+# registered and swept by the local replica (LOCAL_CORRECTNESS_r{N}.json).
+# Round-5 rotation — in: q6_forecast_revenue, q7_volume_shipping,
+# q10_returned_items, recursive_hierarchy_rollup, lateral_topk_orders,
+# pagerank_neardup_graph, bigram_lm_score, pit_join_scd2,
+# full_outer_reconciliation, sketch_rollup_distinct; parked (family cover in
+# parens): dedup_jaccard_stopshingle (dedup_minhash_lsh),
+# simhash_neardup (pagerank_neardup_graph runs the simhash pairing),
+# dedup_keep_canonical (dedup_connected_components + capstone),
+# embedding_cosine_neardup (semantic_dedup), knn_cosine_ivf
+# (knn_cosine_bruteforce + dedup_incremental_lsh), parse_price_core
+# (price_dispatcher_suite subsumes), tumbling_window_stats
+# (session_window_stats + watermark_tail_stats), token_count +
+# doc_fingerprint (text_quality_stats + dedup_exact), quality_repetition
+# (bigram_lm_score + dsir_importance carry model-based quality).
 # --------------------------------------------------------------------------
 _DRIVER_WINDOW = [
     # core relational / TPC-H
@@ -119,40 +138,31 @@ _DRIVER_WINDOW = [
     # and its slot gives the audit family its driver rep: the cross-engine
     # anti-entropy checksum is the single strongest typed-hash row
     "table_checksum_audit",
-    "parse_price_core",
     "price_dispatcher_suite",
     "preprocess_text_normalize",
     "interval_join_shipments",
     "asof_join_purchase_signup",
-    "tumbling_window_stats",
     "session_window_stats",
     "watermark_tail_stats",
+    "pit_join_scd2",
     # LLM-data-pipeline family
     "lang_id_heuristic",
     "text_quality_stats",
-    "token_count",
-    "doc_fingerprint",
     "dedup_exact",
+    "bigram_lm_score",
     # dedup_ngram_jaccard stays registered + locally swept; its slot goes to
     # the model-based-quality family rep (dsir_importance) — the stopshingle
     # twin is the stronger (skew-safe) Jaccard row and keeps that covered
     "dsir_importance",
-    "dedup_jaccard_stopshingle",
     "dedup_minhash_lsh",
     "dedup_connected_components",
-    "dedup_keep_canonical",
-    # dedup_simhash stays registered + locally swept; its slot goes to the
-    # end-to-end curation capstone (simhash_neardup is the stronger simhash
-    # row and keeps the pairing covered)
     "curation_pipeline_end2end",
-    "simhash_neardup",
+    "pagerank_neardup_graph",
     "knn_cosine_bruteforce",
     # knn_cosine_lsh_bucketed stays registered + locally swept; its slot goes
     # to the incremental batch-vs-index dedup (bruteforce exactness baseline
-    # + IVF keep the ANN family double-covered)
+    # keeps the ANN family double-covered)
     "dedup_incremental_lsh",
-    "knn_cosine_ivf",
-    "embedding_cosine_neardup",
     "semantic_dedup",
     "kmeans_lloyd",
     "sequence_packing",
@@ -162,7 +172,6 @@ _DRIVER_WINDOW = [
     # dataset_hash_split keeps the salted-hash-routing projection covered
     "symspell_name_correction",
     "contamination_overlap",
-    "quality_repetition",
     "document_chunking",
     "pii_redaction",
     "bm25_topk_search",
@@ -171,6 +180,14 @@ _DRIVER_WINDOW = [
     # row_number over a partitioned ordering)
     "topk_orders_per_segment",
     "rollup_returnflag_status",
+    # round-5 rotation swap-ins (see policy comment above)
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "recursive_hierarchy_rollup",
+    "lateral_topk_orders",
+    "full_outer_reconciliation",
+    "sketch_rollup_distinct",
 ]
 
 

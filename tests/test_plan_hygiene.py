@@ -23,6 +23,7 @@ _ONE_ROW_BNLJ_OK = {
     "dedup_incremental_lsh",
     "curation_pipeline_end2end",
     "watermark_tail_stats",  # one-row watermark-cutoff aggregate
+    "bigram_lm_score",  # vocabulary-size scalar (CROSS JOIN one-row COUNT)
     # bounded-broadcast designs: every corpus row scores a TINY broadcast
     # side (|Q| query vectors / K centroids) map-side — O(|Q|)/O(K) work
     # per row by construction, never corpus x corpus
@@ -30,8 +31,11 @@ _ONE_ROW_BNLJ_OK = {
     "knn_cosine_ivf",
 }
 
-# mapInPandas / pandas-UDF operators: Python stages are their design
-_PYTHON_OK = {"detected_data_native", "word_segmentation"}
+# mapInPandas / pandas-UDF operators: Python stages are their design.
+# detected_data_native is deliberately NOT here: it is pure spark.sql
+# (pipeline_native.py), so a Python stage sneaking into the flagship
+# native query must trip this test.
+_PYTHON_OK = {"word_segmentation"}
 
 
 @pytest.mark.parametrize("name", _DRIVER_WINDOW)

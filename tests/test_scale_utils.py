@@ -339,3 +339,16 @@ def test_two_phase_topk_matches_single_window(spark):
     a = sorted(map(tuple, got.collect()))
     b = sorted(map(tuple, want.collect()))
     assert a == b and len(a) > 0
+
+
+def test_two_phase_topk_rejects_reserved_columns(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sales_telegram_bot_data_pipeline_spark.operators.scale import two_phase_topk
+
+    df = spark.range(10).select(
+        (F.col("id") % 2).alias("g"), F.col("id").alias("v"), F.lit(1).alias("rank")
+    )
+    with pytest.raises(ValueError, match="reserved column"):
+        two_phase_topk(df, "g", [F.col("v")], 2)

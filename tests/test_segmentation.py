@@ -141,3 +141,37 @@ def test_vocab_bound_parity(spark):
         .select("doc_id", "segmented").collect()
     }
     assert bounded == unbounded and len(bounded) > 0
+
+
+def test_pipeline_wide_record_name_is_segmented(spark):
+    # Op-20 wiring (round-5): detected_data_pipeline's processed_item_name
+    # must be the reference composition process_single_word (preprocess →
+    # space-strip → trie DP segmentation, data_pipeline.py:113-115), NOT the
+    # native twin's lower().  The stub OCR emits space-joined vocab words,
+    # so stripping + resegmenting must round-trip — which only happens if
+    # the segmenter really runs (lower() would also round-trip here, so we
+    # additionally pin the segmenter on a concatenated name below).
+    from sales_telegram_bot_data_pipeline_spark.operators.inference import (
+        ITEM_NAME_VOCAB,
+        _item_trie_bc,
+        detected_data_pipeline,
+    )
+
+    wide = detected_data_pipeline(spark, "/root/testdata/sf0.001")
+    rows = (
+        wide.select("item_name", "processed_item_name")
+        .where("item_name is not null")
+        .limit(20)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        words = r.item_name.split()
+        assert set(words) <= set(ITEM_NAME_VOCAB)
+        assert r.processed_item_name == " ".join(words)
+
+    # a CONCATENATED OCR name comes back segmented through the same trie
+    # broadcast the pipeline uses
+    trie = _item_trie_bc(spark).value
+    assert " ".join(best_segmentation(trie, "mlekojogurtcerstve")) == "mleko jogurt cerstve"
+    assert " ".join(best_segmentation(trie, "smetanovysparkline")) == "smetanovy sparkline"
