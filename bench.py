@@ -99,6 +99,15 @@ HEADLINE = [
     "price_histogram_equiwidth",
     "ngram_novelty",
     "standardize_embeddings",
+    # round-5 additions (one tripwire per new family)
+    "winnowing_fingerprint_density",
+    "winnowing_doc_matches",
+    "dedup_cluster_size_histogram",
+    "label_propagation_communities",
+    "hybrid_rrf_retrieval",
+    "weighted_sample_aes",
+    "countmin_heavy_hitters",
+    "zipf_fit_audit",
     "detected_data_pipeline",
 ]
 

@@ -1059,3 +1059,159 @@ LIMIT {WSAMP_K}
 )
 def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_weighted_sample_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# count-min sketch heavy-hitter audit
+# --------------------------------------------------------------------------
+CMS_D = 4  # hash rows
+CMS_W = 64  # buckets per row
+CMS_TOPN = 20  # tracked heavy hitters
+
+
+def _countmin_sql(d: Dialect, table: str, wc_rel: str | None = None) -> str:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over the corpus word
+    stream, audited against exact counts for the top heavy hitters.
+
+    Scale shape: the sketch is a {CMS_D}x{CMS_W} grid of counts — COUNT
+    grouped by (row, bucket), commutative and map-side-combinable, so at
+    100 TB it builds in one pass with O(D*W) fixed-size state per partition
+    and merges by addition (the property that makes CMS the streaming/
+    distributed answer to 'how often does each key occur' when the key
+    space is unbounded).  The word relation is referenced ONCE: the D hash
+    rows come from an explode over the row index, not a D-way UNION that
+    would rescan the corpus.  Point queries (the audit side) join the
+    tracked keys' (row, bucket) coordinates against the sketch and take
+    MIN over rows — CMS guarantees estimate >= true count (overcount
+    only), which the emitted overcount column makes auditable.  Integer
+    arithmetic end-to-end, portable md5 bucket hashes.
+
+    ``wc_rel`` overrides the word-count CTE: wc is referenced by sketch,
+    tracked AND the audit join, and Spark inlines multi-referenced CTEs
+    (measured: 6 corpus scans inline) — the Spark fn passes a MATERIALIZED
+    (localCheckpoint) vocab table so the corpus collapses exactly once;
+    DuckDB's oracle keeps the inline form (same values)."""
+    w = d.splitws("lower(text)")
+    if d.name == "spark":
+        words_rel = (
+            f"SELECT word FROM (SELECT {w} AS ws FROM {table}) s "
+            f"LATERAL VIEW explode(ws) t AS word WHERE length(word) > 0"
+        )
+        rows_explode = f"LATERAL VIEW explode(sequence(0, {CMS_D - 1})) t AS i"
+    else:
+        words_rel = (
+            f"SELECT word FROM (SELECT unnest({w}) AS word FROM {table}) s "
+            f"WHERE length(word) > 0"
+        )
+        rows_explode = None
+    bucket = d.md5_prefix_int(f"('cms' || CAST(i AS STRING) || '|' || word)") if d.name == "spark" else d.md5_prefix_int("('cms' || CAST(i AS VARCHAR) || '|' || word)")
+    if d.name == "spark":
+        coords = f"SELECT word, cnt, i, ({bucket}) % {CMS_W} AS bucket FROM wc {rows_explode}"
+    else:
+        coords = (
+            f"SELECT word, cnt, i, ({bucket}) % {CMS_W} AS bucket "
+            f"FROM (SELECT word, cnt, unnest(generate_series(0, {CMS_D - 1})) AS i FROM wc) x"
+        )
+    wc = wc_rel or f"SELECT word, COUNT(*) AS cnt FROM ({words_rel}) ws GROUP BY word"
+    return f"""
+WITH wc AS ({wc}),
+coords AS ({coords}),
+sketch AS (
+  SELECT i, bucket, SUM(cnt) AS c FROM coords GROUP BY i, bucket
+),
+tracked AS (
+  SELECT word, cnt FROM wc ORDER BY cnt DESC, word LIMIT {CMS_TOPN}
+),
+est AS (
+  SELECT t.word, t.cnt, MIN(s.c) AS e
+  FROM tracked t
+  JOIN coords co ON co.word = t.word
+  JOIN sketch s ON s.i = co.i AND s.bucket = co.bucket
+  GROUP BY t.word, t.cnt
+)
+SELECT word, CAST(cnt AS BIGINT) AS true_count,
+       CAST(e AS BIGINT) AS cms_estimate,
+       CAST(e - cnt AS BIGINT) AS overcount
+FROM est
+ORDER BY true_count DESC, word
+"""
+
+
+@register(
+    "countmin_heavy_hitters",
+    oracle=_countmin_sql(DUCKDB, "documents"),
+    doc=f"Count-min sketch audit: {CMS_D}x{CMS_W} mergeable count grid over "
+    f"the corpus word stream (one scan, map-side combinable), top-{CMS_TOPN} "
+    "heavy hitters' point-query estimates vs exact counts with the "
+    "guaranteed-overcount column. The fixed-size-state answer to unbounded "
+    "key spaces at 100 TB; integer-only, portable hashes.",
+    tags=("curation", "sketch", "agg", "text"),
+)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    view = _doc_view(spark, sf_dir)
+    w = SPARK.splitws("lower(text)")
+    words_rel = (
+        f"SELECT word FROM (SELECT {w} AS ws FROM {view}) s "
+        f"LATERAL VIEW explode(ws) t AS word WHERE length(word) > 0"
+    )
+    spark.sql(
+        f"SELECT word, COUNT(*) AS cnt FROM ({words_rel}) ws GROUP BY word"
+    ).localCheckpoint().createOrReplaceTempView("sales_telegram_bot_data_pipeline_cms_wc")
+    return spark.sql(
+        _countmin_sql(SPARK, view, wc_rel="SELECT * FROM sales_telegram_bot_data_pipeline_cms_wc")
+    )
+
+
+# --------------------------------------------------------------------------
+# Zipf-fit corpus audit
+# --------------------------------------------------------------------------
+def _zipf_sql(d: Dialect, table: str) -> str:
+    """Zipf's-law fit over the corpus word-frequency distribution: OLS of
+    ln(freq) on ln(rank) via the built-in REGR_* aggregates — the one-pass
+    corpus-health audit (a natural-language corpus fits slope ~ -1; a
+    templated/boilerplate corpus bends the tail).
+
+    Scale shape: the corpus collapses to the vocabulary ONCE (word counts,
+    map-side combinable); ranking uses a single global ROW_NUMBER over the
+    AGGREGATED vocab — O(|vocab|), not O(corpus), and at extreme vocab
+    sizes the two-stage top-k rank pattern applies; the regression is a
+    scalar aggregate.  LN is libm: slope/intercept/r2 floor-quantize to
+    1e-6 and the cross-engine agreement is empirical (sf<=0.1), same
+    contract as the other transcendental scores."""
+    w = d.splitws("lower(text)")
+    if d.name == "spark":
+        words_rel = (
+            f"SELECT word FROM (SELECT {w} AS ws FROM {table}) s "
+            f"LATERAL VIEW explode(ws) t AS word WHERE length(word) > 0"
+        )
+    else:
+        words_rel = (
+            f"SELECT word FROM (SELECT unnest({w}) AS word FROM {table}) s "
+            f"WHERE length(word) > 0"
+        )
+    q = "CAST(FLOOR({x} * 1e6) / 1e6 AS DOUBLE)"
+    return f"""
+WITH wc AS (SELECT word, COUNT(*) AS cnt FROM ({words_rel}) ws GROUP BY word),
+ranked AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rk FROM wc
+),
+xy AS (SELECT LN(CAST(rk AS DOUBLE)) AS x, LN(CAST(cnt AS DOUBLE)) AS y FROM ranked)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+       {q.format(x="REGR_SLOPE(y, x)")} AS zipf_slope,
+       {q.format(x="REGR_INTERCEPT(y, x)")} AS zipf_intercept,
+       {q.format(x="REGR_R2(y, x)")} AS fit_r2
+FROM xy
+"""
+
+
+@register(
+    "zipf_fit_audit",
+    oracle=_zipf_sql(DUCKDB, "documents"),
+    doc="Zipf-law corpus audit: OLS fit of ln(freq) ~ ln(rank) over the "
+    "aggregated vocabulary via REGR_SLOPE/INTERCEPT/R2 — one corpus scan "
+    "to O(|vocab|), one scalar regression; flags templated corpora whose "
+    "frequency curve departs from the power law.",
+    tags=("curation", "audit", "agg", "text"),
+)
+def zipf_fit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_zipf_sql(SPARK, _doc_view(spark, sf_dir)))

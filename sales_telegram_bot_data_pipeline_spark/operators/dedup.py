@@ -1021,18 +1021,24 @@ def winnowing_fingerprint_density(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.sql(_wnw_density_sql(SPARK, _doc_view(spark, sf_dir)))
 
 
-def _wnw_matches_sql(d: Dialect, table: str) -> str:
+def _wnw_matches_sql(d: Dialect, table: str, fp_rel: str | None = None) -> str:
     """Cross-doc matching over the winnowed fingerprint index: distinct
     (doc, hash) fingerprints -> df-capped inverted index -> pair counts.
     The index join is an equi-join on the 8-byte hash; the df cap bounds
     per-key fan-out exactly like the shingle index (a fingerprint shared by
     f docs contributes f^2 pairs — capped, boilerplate can't explode the
-    join), so the pair relation is O(sum of capped df^2), never corpus^2."""
-    sel = _wnw_selected_rel(d, table)
+    join), so the pair relation is O(sum of capped df^2), never corpus^2.
+
+    ``fp_rel`` overrides the fingerprint CTE: fp feeds the index build AND
+    both sides of the pair join, and Spark inlines multi-referenced CTEs —
+    the Spark fn passes a MATERIALIZED (localCheckpoint) fingerprint table
+    so winnowing selection (the expensive windowed pass) runs once; the
+    DuckDB oracle keeps the inline form (same values)."""
+    fp = fp_rel or (
+        f"SELECT DISTINCT doc_id, h FROM ({_wnw_selected_rel(d, table)}) s WHERE sel = 1"
+    )
     return f"""
-WITH fp AS (
-  SELECT DISTINCT doc_id, h FROM ({sel}) s WHERE sel = 1
-),
+WITH fp AS ({fp}),
 idx AS (
   SELECT h FROM fp GROUP BY h
   HAVING COUNT(*) BETWEEN 2 AND {WNW_DF_CAP}
@@ -1060,7 +1066,13 @@ ORDER BY doc_a, doc_b
     tags=("dedup", "text", "fingerprint"),
 )
 def winnowing_doc_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(_wnw_matches_sql(SPARK, _doc_view(spark, sf_dir)))
+    view = _doc_view(spark, sf_dir)
+    spark.sql(
+        f"SELECT DISTINCT doc_id, h FROM ({_wnw_selected_rel(SPARK, view)}) s WHERE sel = 1"
+    ).localCheckpoint().createOrReplaceTempView("sales_telegram_bot_data_pipeline_wnw_fp")
+    return spark.sql(
+        _wnw_matches_sql(SPARK, view, fp_rel="SELECT * FROM sales_telegram_bot_data_pipeline_wnw_fp")
+    )
 
 
 def _cluster_size_histogram_sql(d: Dialect, table: str) -> str:
@@ -1105,4 +1117,83 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_clusters").cast("bigint").alias("n_clusters"),
         )
         .orderBy("cluster_size")
+    )
+
+
+# --------------------------------------------------------------------------
+# label propagation communities (the third graph op: CC / PageRank / LPA)
+# --------------------------------------------------------------------------
+LPA_ITERS = 2
+
+
+def _lpa_sql(d: Dialect, table: str, pairs_rel: str | None = None) -> str:
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    symmetric embedding near-dup graph: every node starts as its own label;
+    each iteration a node adopts the most frequent label among its
+    neighbors, ties broken by SMALLEST label — fully deterministic, so a
+    fixed iteration count is one oracle-checkable query (the classic
+    randomized-order LPA is not reproducible across engines by design;
+    the deterministic synchronous variant is the distributed form).
+
+    Per iteration: edges JOIN labels (shuffle on node id), COUNT per
+    (node, neighbor label) with map-side partial agg, then a per-node
+    argmax via ROW_NUMBER over (count DESC, label ASC) — a window whose
+    partitions are single nodes (bounded by degree, never corpus-wide).
+    Pure integer arithmetic end-to-end: no libm, cross-engine exact by
+    construction.  Same edge-touching-node convention and materialized-
+    pairs discipline as PageRank."""
+    from .similarity import _neardup_banded_sql
+
+    pairs = pairs_rel or _neardup_banded_sql(d, table).replace("ORDER BY vec_a, vec_b", "")
+    prev = "l0"
+    its = []
+    for i in range(1, LPA_ITERS + 1):
+        its.append(f"""
+cnt{i} AS (
+  SELECT e.dst AS node, l.label, COUNT(*) AS c
+  FROM edges e JOIN {prev} l ON l.node = e.src
+  GROUP BY e.dst, l.label
+),
+l{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+    FROM cnt{i}
+  ) r WHERE rn = 1
+)""")
+        prev = f"l{i}"
+    return f"""
+WITH pairs AS ({pairs}),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION ALL
+  SELECT vec_b AS src, vec_a AS dst FROM pairs
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+{",".join(its)}
+SELECT node AS vec_id, CAST(label AS BIGINT) AS community
+FROM {prev}
+ORDER BY vec_id
+"""
+
+
+@register(
+    "label_propagation_communities",
+    oracle=_lpa_sql(DUCKDB, "embeddings"),
+    doc=f"Deterministic synchronous label propagation ({LPA_ITERS} unrolled "
+    "iterations, min-label tie-break) over the embedding near-dup graph — "
+    "community detection next to connected components (which merges "
+    "everything reachable) and PageRank (centrality). One shuffle + one "
+    "degree-bounded window per iteration, integer-only.",
+    tags=("dedup", "graph", "iterative"),
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _emb_view, _neardup_banded_sql
+
+    view = _emb_view(spark, sf_dir)
+    spark.sql(
+        _neardup_banded_sql(SPARK, view).replace("ORDER BY vec_a, vec_b", "")
+    ).localCheckpoint().createOrReplaceTempView("sales_telegram_bot_data_pipeline_lpa_pairs")
+    return spark.sql(
+        _lpa_sql(SPARK, view, pairs_rel="SELECT * FROM sales_telegram_bot_data_pipeline_lpa_pairs")
     )

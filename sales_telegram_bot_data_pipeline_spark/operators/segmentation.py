@@ -243,16 +243,26 @@ def segment_column(
             sp = _executor_speller(HUNSPELL_DIC, HUNSPELL_AFF)
         else:
             sp = None
+        # Per-batch memo: OCR name strings repeat heavily (price-tag text
+        # comes from a bounded product vocabulary), so the trie DP runs once
+        # per DISTINCT input in the Arrow batch, not once per row.  Batch-
+        # scoped (not process-global) so memory is bounded by batch
+        # cardinality and stale-broadcast reuse is impossible.
+        memo: dict[str, str] = {}
         out = []
         for s in texts:
             if s is None:
                 out.append(None)
                 continue
-            concatenated = "".join(s.split())
-            words = best_segmentation(t, concatenated)
-            if sp is not None:
-                words = apply_spell_fallback(t, words, sp)
-            out.append(" ".join(words))
+            cached = memo.get(s)
+            if cached is None:
+                concatenated = "".join(s.split())
+                words = best_segmentation(t, concatenated)
+                if sp is not None:
+                    words = apply_spell_fallback(t, words, sp)
+                cached = " ".join(words)
+                memo[s] = cached
+            out.append(cached)
         return pd.Series(out, dtype="object")
 
     return df.withColumn(out_col, seg(F.col(text_col)))
