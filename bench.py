@@ -108,6 +108,10 @@ HEADLINE = [
     "weighted_sample_aes",
     "countmin_heavy_hitters",
     "zipf_fit_audit",
+    "lsh_recall_audit",
+    "snapshot_diff_audit",
+    "incremental_agg_maintenance",
+    "price_histogram_equidepth",
     "detected_data_pipeline",
 ]
 

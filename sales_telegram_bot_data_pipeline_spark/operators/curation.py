@@ -1215,3 +1215,118 @@ FROM xy
 )
 def zipf_fit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_zipf_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# snapshot diff (table reconciliation between two corpus versions)
+# --------------------------------------------------------------------------
+SNAP_DEL_MOD = 11  # rows missing from snapshot A ("added" in B)
+SNAP_MISS_MOD = 7  # rows missing from snapshot B ("removed" since A)
+SNAP_CHG_MOD = 13  # rows whose content changed between snapshots
+
+
+def _snapshot_diff_sql(d: Dialect, table: str) -> str:
+    """Keyed snapshot reconciliation — the diff report a pipeline runs
+    after a backfill or replication: FULL OUTER join two corpus versions on
+    the primary key, classify every key as added / removed / changed /
+    unchanged by comparing a portable content hash, and emit the O(1)
+    summary.  (The two 'snapshots' derive deterministically from one table
+    so the oracle can replay them: A drops doc_id%{SNAP_DEL_MOD}=0, B drops
+    doc_id%{SNAP_MISS_MOD}=0 and rewrites text for doc_id%{SNAP_CHG_MOD}=0.)
+
+    Scale shape: each side collapses to (key, hash) in its scan projection
+    — 16 bytes/row into the join regardless of document size; the join is a
+    key equi-join (sort-merge at corpus scale, DPP-prunable if snapshots
+    are partition-aligned); the classification aggregate is map-side
+    combinable.  This is the row-level sibling of table_checksum_audit
+    (which answers 'equal or not' in O(1) state; this answers 'what
+    changed' in O(diff) output)."""
+    h = d.md5_prefix_int("text")
+    h_chg = d.md5_prefix_int("('v2|' || text)")
+    return f"""
+WITH snap_a AS (
+  SELECT doc_id, {h} AS content_hash FROM {table}
+  WHERE doc_id % {SNAP_DEL_MOD} <> 0
+),
+snap_b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {SNAP_CHG_MOD} = 0 THEN {h_chg} ELSE {h} END AS content_hash
+  FROM {table}
+  WHERE doc_id % {SNAP_MISS_MOD} <> 0
+),
+cls AS (
+  SELECT CASE
+           WHEN a.doc_id IS NULL THEN 'added'
+           WHEN b.doc_id IS NULL THEN 'removed'
+           WHEN a.content_hash <> b.content_hash THEN 'changed'
+           ELSE 'unchanged'
+         END AS change_type
+  FROM snap_a a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id
+)
+SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM cls
+GROUP BY change_type
+ORDER BY change_type
+"""
+
+
+@register(
+    "snapshot_diff_audit",
+    oracle=_snapshot_diff_sql(DUCKDB, "documents"),
+    doc="Keyed snapshot diff: two corpus versions collapse to (key, "
+    "portable content hash) at the scan, FULL OUTER equi-join on the key, "
+    "added/removed/changed/unchanged counts. The row-level sibling of "
+    "table_checksum_audit — O(16 bytes/row) join input, O(classes) output.",
+    tags=("curation", "audit", "join"),
+)
+def snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_snapshot_diff_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# incremental aggregate maintenance (IVM merge check)
+# --------------------------------------------------------------------------
+IVM_DELTA_MOD = 10  # doc_id % 10 = 0 -> the newly-ingested delta batch
+
+
+def _ivm_merge_sql(d: Dialect, table: str) -> str:
+    """Incremental view maintenance for distributive aggregates: the
+    per-language corpus stats are maintained as base + delta partials
+    merged by ADDITION — never by rescanning the base corpus.  The query
+    computes base partials (existing corpus), delta partials (the new
+    batch), their merge, AND the from-scratch full aggregate, emitting a
+    consistency flag per group: merged == full is the algebraic property
+    (COUNT/SUM are distributive) that makes O(delta) ingest maintenance
+    correct at 100 TB.  One scan: base/delta partials come from conditional
+    aggregation over a single pass, the 'full' recomputation folds into the
+    same aggregate."""
+    return f"""
+SELECT lang,
+       CAST(SUM(CASE WHEN doc_id % {IVM_DELTA_MOD} <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS base_docs,
+       CAST(SUM(CASE WHEN doc_id % {IVM_DELTA_MOD} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS delta_docs,
+       CAST(SUM(CASE WHEN doc_id % {IVM_DELTA_MOD} <> 0 THEN n_chars ELSE 0 END) AS BIGINT) AS base_chars,
+       CAST(SUM(CASE WHEN doc_id % {IVM_DELTA_MOD} = 0 THEN n_chars ELSE 0 END) AS BIGINT) AS delta_chars,
+       CAST(COUNT(*) AS BIGINT) AS full_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS full_chars,
+       (SUM(CASE WHEN doc_id % {IVM_DELTA_MOD} <> 0 THEN 1 ELSE 0 END)
+          + SUM(CASE WHEN doc_id % {IVM_DELTA_MOD} = 0 THEN 1 ELSE 0 END) = COUNT(*))
+         AND (SUM(CASE WHEN doc_id % {IVM_DELTA_MOD} <> 0 THEN n_chars ELSE 0 END)
+          + SUM(CASE WHEN doc_id % {IVM_DELTA_MOD} = 0 THEN n_chars ELSE 0 END) = SUM(n_chars))
+         AS merge_consistent
+FROM {table}
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "incremental_agg_maintenance",
+    oracle=_ivm_merge_sql(DUCKDB, "documents"),
+    doc="Incremental view maintenance check for distributive aggregates: "
+    "base + delta partials merged by addition vs the from-scratch full "
+    "aggregate, per group, with a consistency flag — the O(delta) ingest "
+    "maintenance contract, verified in one conditional-aggregation scan.",
+    tags=("curation", "audit", "agg"),
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_ivm_merge_sql(SPARK, _doc_view(spark, sf_dir)))

@@ -1197,3 +1197,79 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.sql(
         _lpa_sql(SPARK, view, pairs_rel="SELECT * FROM sales_telegram_bot_data_pipeline_lpa_pairs")
     )
+
+
+# --------------------------------------------------------------------------
+# LSH quality audit: candidate recall/precision vs exact Jaccard truth
+# --------------------------------------------------------------------------
+def _lsh_recall_sql(d: Dialect, table: str, truth_rel: str | None = None,
+                    cand_rel: str | None = None) -> str:
+    """Parameter-tuning audit for the MinHash-LSH band configuration:
+    compare the LSH candidate pairs against the EXACT Jaccard>=threshold
+    ground truth and emit the confusion counts + recall/precision — the
+    number that tells you whether (bands x rows) matches your threshold
+    before you commit a 100-TB dedup run to it.
+
+    Scale shape: both inputs are PAIR relations (already sub-corpus-sized);
+    the classification is one FULL OUTER equi-join on the pair key and one
+    scalar aggregate.  The exact-truth side is the uncapped inverted-index
+    join — affordable on a SAMPLE, which is how this audit is meant to run
+    at scale (tune on a slice, then trust the bound); the audit composes
+    the existing relations rather than introducing new machinery.
+
+    ``truth_rel`` / ``cand_rel`` override the CTEs with materialized temp
+    views on the Spark side (each inline relation re-derives corpus
+    shingles; the oracle keeps the inline form, same values)."""
+    truth = truth_rel or (
+        f"SELECT doc_a, doc_b FROM ({_jaccard_sql(d, table).replace('ORDER BY doc_a, doc_b', '')}) tj"
+    )
+    cand = cand_rel or (
+        f"SELECT doc_a, doc_b FROM ({_lsh_pairs_sql(d, table).replace('ORDER BY doc_a, doc_b', '')}) cj"
+    )
+    return f"""
+WITH truth AS ({truth}),
+cand AS ({cand}),
+cls AS (
+  SELECT (t.doc_a IS NOT NULL) AS in_truth, (c.doc_a IS NOT NULL) AS in_cand
+  FROM truth t FULL OUTER JOIN cand c
+    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+)
+SELECT CAST(SUM(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+       CAST(SUM(CASE WHEN in_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(SUM(CASE WHEN in_truth AND NOT in_cand THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       CAST(SUM(CASE WHEN in_cand AND NOT in_truth THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(ROUND(SUM(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END) * 1.0
+                  / NULLIF(SUM(CASE WHEN in_truth THEN 1 ELSE 0 END), 0), 6) AS DOUBLE) AS recall,
+       CAST(ROUND(SUM(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END) * 1.0
+                  / NULLIF(SUM(CASE WHEN in_cand THEN 1 ELSE 0 END), 0), 6) AS DOUBLE) AS precision_
+FROM cls
+"""
+
+
+@register(
+    "lsh_recall_audit",
+    oracle=_lsh_recall_sql(DUCKDB, "documents"),
+    doc="LSH parameter audit: MinHash band candidates vs exact "
+    f"Jaccard>={JACCARD_THRESHOLD} ground truth — TP/FN/FP plus "
+    "recall/precision in one FULL OUTER pair join + scalar aggregate. "
+    "Run on a sample to validate (bands x rows) before a full dedup pass.",
+    tags=("dedup", "lsh", "audit"),
+)
+def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    view = _doc_view(spark, sf_dir)
+    rel = _materialized_shingles(spark, view, "sales_telegram_bot_data_pipeline_sh_ra")
+    spark.sql(
+        _jaccard_sql(SPARK, view, shingles_rel=rel).replace("ORDER BY doc_a, doc_b", "")
+    ).localCheckpoint().createOrReplaceTempView("sales_telegram_bot_data_pipeline_ra_truth")
+    spark.sql(
+        _lsh_pairs_sql(SPARK, view).replace("ORDER BY doc_a, doc_b", "")
+    ).localCheckpoint().createOrReplaceTempView("sales_telegram_bot_data_pipeline_ra_cand")
+    return spark.sql(
+        _lsh_recall_sql(
+            SPARK,
+            view,
+            truth_rel="SELECT doc_a, doc_b FROM sales_telegram_bot_data_pipeline_ra_truth",
+            cand_rel="SELECT doc_a, doc_b FROM sales_telegram_bot_data_pipeline_ra_cand",
+        )
+    )

@@ -651,3 +651,43 @@ def price_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sales_telegram_bot_data_pipeline_hist_ord"
     )
     return spark.sql(_HISTOGRAM_SQL.format(orders="sales_telegram_bot_data_pipeline_hist_ord"))
+
+
+# --------------------------------------------------------------------------
+# equi-depth histogram (NTILE — the frequency-balanced sibling)
+# --------------------------------------------------------------------------
+DEPTH_BUCKETS = 16
+
+_EQUIDEPTH_SQL = f"""
+WITH tiled AS (
+  SELECT o_totalprice,
+         NTILE({DEPTH_BUCKETS}) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM {{orders}}
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS bucket_lo,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS bucket_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM tiled
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@register(
+    "price_histogram_equidepth",
+    oracle=_EQUIDEPTH_SQL.format(orders="orders"),
+    doc=f"Equi-depth histogram of order totals ({DEPTH_BUCKETS} "
+    "equal-frequency buckets via NTILE over a total order): the "
+    "selectivity-estimation layout, exact bucket bounds from the data. "
+    "The single-partition NTILE window is the oracle-checkable EXACT form; "
+    "at 100 TB the same output comes from approx_percentile boundaries "
+    "(sketch_quantile_audit's machinery) + one bucketing scan — this query "
+    "documents the exact semantics that sketch must approximate.",
+    tags=("agg", "stats", "window"),
+)
+def price_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_hist_ord_d"
+    )
+    return spark.sql(_EQUIDEPTH_SQL.format(orders="sales_telegram_bot_data_pipeline_hist_ord_d"))

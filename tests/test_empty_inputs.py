@@ -62,6 +62,15 @@ EMPTY_OK_ZERO = [
     "video_frame_sample",
     "ngram_novelty",
     "compression_ratio_quality",
+    # round-5 additions (documents/embeddings-only inputs, zero-row output)
+    "winnowing_fingerprint_density",
+    "winnowing_doc_matches",
+    "dedup_cluster_size_histogram",
+    "label_propagation_communities",
+    "countmin_heavy_hitters",
+    "weighted_sample_aes",
+    "snapshot_diff_audit",
+    "incremental_agg_maintenance",
 ]
 
 
