@@ -30,7 +30,9 @@ the network once per surviving candidate, not once per band.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions.dialect import DUCKDB, SPARK, Dialect
 from ..registry import register
@@ -804,4 +806,137 @@ def standardize_embeddings_by_label_arrow(spark: SparkSession, sf_dir: str) -> D
 
     return emb.groupBy("label").applyInArrow(
         _standardize, schema="vec_id long, label int, embedding array<float>"
+    )
+
+
+# --------------------------------------------------------------------------
+# PCA projection (distributed Gram partials -> driver eigensolve -> project)
+# --------------------------------------------------------------------------
+PCA_COMPONENTS = 2
+PCA_UNITS = 1_000_000  # integer quantization: makes every distributed sum
+#                        exact, so the covariance matrix (and therefore the
+#                        eigensolve) is independent of partitioning/order
+
+
+def _pca_model(spark: SparkSession, sf_dir: str):
+    """Fit PCA over the embedding corpus with the bounded-collect pattern:
+
+    1. DISTRIBUTED: each partition reduces its vectors to one d x d Gram
+       partial plus a d-vector column sum and a count — computed in numpy
+       over integer-quantized coordinates (round(x * PCA_UNITS)), emitted
+       as (i, j, s) triples.  Per-partition int64 sums are safe by
+       construction (|q| <= ~PCA_UNITS, so a partition needs > ~9e6 rows
+       per pair to overflow — two orders beyond a 128 MB split); the
+       CROSS-partition reduction runs in Spark as SUM(DECIMAL(38,0)),
+       which never wraps.
+    2. BOUNDED COLLECT: d^2 + d + 1 rows (d=64 -> 4161) come to the
+       driver regardless of corpus size — the same O(model) collect
+       contract as the vocab trie and k-means centroids.
+    3. Driver eigensolve on the exact covariance (numpy eigh, deterministic
+       for a bit-identical input matrix); component signs are fixed by
+       making each component's largest-|loading| coordinate positive.
+
+    Returns (mu, components[d, k]) as float64 numpy arrays."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def _partials(batches):
+        S = None
+        colsum = None
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.rint(
+                np.vstack(pdf["embedding"].to_numpy()).astype("float64") * PCA_UNITS
+            ).astype("int64")
+            if S is None:
+                d = q.shape[1]
+                S = np.zeros((d, d), dtype="int64")
+                colsum = np.zeros(d, dtype="int64")
+            S += q.T @ q
+            colsum += q.sum(axis=0)
+            n += len(pdf)
+        if S is None:
+            return
+        d = S.shape[0]
+        i_idx, j_idx = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        out = pd.DataFrame(
+            {"i": i_idx.ravel(), "j": j_idx.ravel(), "s": S.ravel()}
+        )
+        means = pd.DataFrame({"i": np.arange(d), "j": np.full(d, -1), "s": colsum})
+        count = pd.DataFrame({"i": [-1], "j": [-1], "s": [n]})
+        yield pd.concat([out, means, count], ignore_index=True)
+
+    triples = (
+        emb.mapInPandas(_partials, schema="i int, j int, s long")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("s"))
+        .collect()
+    )
+    import numpy as np
+
+    n = next(int(r.s) for r in triples if r.i == -1 and r.j == -1)
+    d = max(r.i for r in triples) + 1
+    S = np.zeros((d, d), dtype="float64")
+    colsum = np.zeros(d, dtype="float64")
+    for r in triples:
+        if r.i == -1:
+            continue
+        if r.j == -1:
+            colsum[r.i] = float(r.s)
+        else:
+            S[r.i, r.j] = float(r.s)
+    mu = colsum / (n * PCA_UNITS)
+    cov = S / (n * PCA_UNITS**2) - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)  # ascending eigenvalues
+    comps = vecs[:, ::-1][:, :PCA_COMPONENTS]  # top-k columns
+    for k in range(comps.shape[1]):
+        pivot = int(np.argmax(np.abs(comps[:, k])))
+        if comps[pivot, k] < 0:
+            comps[:, k] = -comps[:, k]
+    return mu, comps
+
+
+@register(
+    "embedding_pca_project",
+    oracle=None,  # eigendecomposition isn't SQL-expressible — rows-only;
+    # exact parity vs a single-node numpy PCA over the same quantized
+    # pipeline is pinned by tests/test_scale_utils.py::test_pca_projection
+    doc=f"PCA to {PCA_COMPONENTS} components over the embedding corpus: "
+    "distributed integer-quantized Gram partials (one d x d matrix per "
+    "partition via mapInPandas, DECIMAL cross-partition reduce), O(d^2) "
+    "bounded collect, driver eigensolve with deterministic sign fix, "
+    "broadcast projection. The dimensionality-reduction step before "
+    "visualization/indexing, in the same O(model)-collect shape as "
+    "k-means and the vocab trie.",
+    tags=("similarity", "python-api", "iterative"),
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    mu, comps = _pca_model(spark, sf_dir)
+    bc = spark.sparkContext.broadcast((mu, comps))
+
+    @F.pandas_udf("array<double>")
+    def project(cols: pd.Series) -> pd.Series:
+        import numpy as np
+
+        m, w = bc.value
+        x = np.vstack(cols.to_numpy()).astype("float64")
+        y = np.round((x - m) @ w, 6)
+        return pd.Series([row for row in y])
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("vec_id", "label", project(F.col("embedding")).alias("pcs"))
+        .select(
+            "vec_id",
+            "label",
+            F.col("pcs")[0].alias("pc1"),
+            F.col("pcs")[1].alias("pc2"),
+        )
+        .orderBy("vec_id")
     )

@@ -15,7 +15,20 @@ SF_BENCH = "/root/testdata/sf0.1"
 
 
 @pytest.mark.parametrize(
-    "name", ["pagerank_neardup_graph", "bigram_lm_score", "dsir_importance"]
+    "name",
+    [
+        "pagerank_neardup_graph",
+        "bigram_lm_score",
+        "dsir_importance",
+        # round-5 transcendental/quantized additions: LN through libm
+        # (weighted_sample_aes, zipf_fit_audit) and hash-order-sensitive
+        # selection (winnowing) — exactly the classes that only break at
+        # scale, so they join the sf0.1 net
+        "weighted_sample_aes",
+        "zipf_fit_audit",
+        "winnowing_doc_matches",
+        "label_propagation_communities",
+    ],
 )
 def test_floor_quantized_queries_match_at_sf01(spark, name):
     con = duckdb_connection(SF_BENCH)

@@ -352,3 +352,43 @@ def test_two_phase_topk_rejects_reserved_columns(spark):
     )
     with pytest.raises(ValueError, match="reserved column"):
         two_phase_topk(df, "g", [F.col("v")], 2)
+
+
+def test_pca_projection(spark):
+    """The distributed PCA (mapInPandas Gram partials -> decimal reduce ->
+    driver eigh) must match a single-node numpy PCA running the SAME
+    quantized pipeline exactly: integer sums make the covariance matrix
+    independent of partitioning, so the eigensolve inputs are bit-identical
+    and the rounded projections must be equal, not just close."""
+    import numpy as np
+
+    from sales_telegram_bot_data_pipeline_spark.operators.similarity import (
+        PCA_UNITS,
+        embedding_pca_project,
+    )
+    from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {r.vec_id: (r.pc1, r.pc2) for r in embedding_pca_project(spark, sf_dir).collect()}
+
+    rows = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    x = np.vstack([r.embedding for r in rows]).astype("float64")
+    q = np.rint(x * PCA_UNITS).astype("int64")
+    n = len(q)
+    S = (q.T @ q).astype("float64")
+    colsum = q.sum(axis=0).astype("float64")
+    mu = colsum / (n * PCA_UNITS)
+    cov = S / (n * PCA_UNITS**2) - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
+    comps = vecs[:, ::-1][:, :2]
+    for k in range(2):
+        pivot = int(np.argmax(np.abs(comps[:, k])))
+        if comps[pivot, k] < 0:
+            comps[:, k] = -comps[:, k]
+    want_mat = np.round((x - mu) @ comps, 6)
+    want = {int(i): (w[0], w[1]) for i, w in zip(ids, want_mat)}
+    assert got == want
+    # eigenvalue ordering surfaces as projected variance ordering
+    pcs = np.array([got[i] for i in sorted(got)])
+    assert pcs[:, 0].var() >= pcs[:, 1].var()
