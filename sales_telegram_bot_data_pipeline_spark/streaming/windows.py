@@ -159,3 +159,77 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"sales_telegram_bot_data_pipeline_stream_tumb_{next(_MEMSINK_SEQ)}"
     out = run_to_completion(tumbling_counts(stream), name)
     return out.orderBy("window_start", "event_type")
+
+
+def lsh_admission_stream(spark, batch_stream: DataFrame, index_df: DataFrame) -> DataFrame:
+    """STREAM-STATIC join: incoming documents (a stream) probe the STORED
+    MinHash band index of the existing corpus (a static DataFrame) — the
+    streaming twin of operators/dedup.dedup_incremental_lsh and the
+    remaining Structured Streaming join pattern next to stream-stream
+    (attribution_join_stream).
+
+    The static side is a plain bounded DataFrame: Spark re-plans it per
+    micro-batch (so a refreshed index is picked up on restart) and the join
+    itself keeps NO streaming state — each micro-batch equi-joins its band
+    keys against the index and emits, which is why stream-static inner
+    joins need no watermark.  Admission = no band-key collision: computed
+    per-doc with a streaming groupBy whose aggregate state is exact across
+    micro-batches (complete mode), so band rows may arrive in any batch.
+
+    At 100 TB the static side is the bucketed band-index table; the
+    per-batch join is then a co-located probe, and admitted docs append
+    their own band rows back to the index out-of-band (the write path of
+    the incremental dedup)."""
+    hits = batch_stream.join(
+        index_df.withColumnRenamed("doc_id", "index_doc_id"),
+        ["band", "band_key"],
+        "left",
+    )
+    # COUNT(DISTINCT) is not supported on streams; collect_set (null-
+    # ignoring, so a no-collision left-join row adds nothing) keeps exact
+    # per-doc distinct state — bounded by the doc's index collisions, the
+    # same quantity the batch twin counts
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.size(F.collect_set("index_doc_id")).alias("n_hits"))
+        .select(
+            "doc_id",
+            F.col("n_hits").cast("bigint").alias("n_index_dups"),
+            (F.col("n_hits") == 0).alias("admit"),
+        )
+    )
+
+
+@register(
+    "streaming_lsh_admission",
+    oracle=None,  # executed through the streaming engine — rows-only
+    doc="Rows-only: incremental LSH dedup admission EXECUTED as a real "
+    "stream-static join — the new batch's band rows replayed as a file-"
+    "source stream probing the STATIC corpus band index (readStream -> "
+    "left join -> per-doc collect_set aggregation, Trigger.AvailableNow, "
+    "complete mode). Batch equivalence pinned in test_streaming_parity.py::"
+    "test_lsh_admission_stream_matches_batch.",
+    tags=("streaming", "dedup", "join"),
+)
+def streaming_lsh_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..functions.dialect import SPARK as SPARK_D
+    from ..operators.dedup import INC_MOD, _bands_rel_sql, _doc_view
+
+    view = _doc_view(spark, sf_dir)
+    bands = spark.sql(_bands_rel_sql(SPARK_D, view)).localCheckpoint()
+    index_df = bands.where(F.col("doc_id") % INC_MOD != 0)
+    batch_bands = bands.where(F.col("doc_id") % INC_MOD == 0)
+    # the band rows live only in-plan; the file-source stream needs them on
+    # disk, so spool the (small) batch side to a deterministic scratch dir
+    # (overwritten on re-run — repeated bench invocations don't accumulate)
+    src = os.path.join(
+        tempfile.gettempdir(),
+        "sales_telegram_bot_data_pipeline_lsh_stream_" + sf_dir.strip("/").replace("/", "_"),
+    )
+    batch_bands.repartition(3).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch_bands.schema).parquet(src)
+    name = f"sales_telegram_bot_data_pipeline_lsh_adm_{next(_MEMSINK_SEQ)}"
+    out = run_to_completion(lsh_admission_stream(spark, stream, index_df), name)
+    return out.orderBy("doc_id")

@@ -371,3 +371,47 @@ def test_registered_streaming_query_matches_batch_twin(spark):
     g = sorted(map(tuple, got.select("window_start", "event_type", "n_events").collect()))
     w = sorted(map(tuple, want.select("window_start", "event_type", "n_events").collect()))
     assert g == w and len(g) > 0
+
+
+def test_lsh_admission_stream_matches_batch(spark, scratch):
+    """Stream-static join parity: the new-batch docs' band rows streamed
+    through lsh_admission_stream against the STATIC corpus band index must
+    equal the batch dedup_incremental_lsh admission decisions (for docs
+    that have band rows — docs too short to shingle never reach the stream
+    and are admitted trivially by the batch query)."""
+    from sales_telegram_bot_data_pipeline_spark.functions.dialect import SPARK as SPARK_D
+    from sales_telegram_bot_data_pipeline_spark.operators.dedup import (
+        INC_MOD,
+        _bands_rel_sql,
+        _doc_view,
+    )
+    from sales_telegram_bot_data_pipeline_spark.queries import REGISTRY
+    from sales_telegram_bot_data_pipeline_spark.streaming.windows import (
+        lsh_admission_stream,
+        run_to_completion,
+    )
+
+    view = _doc_view(spark, SF_SMOKE)
+    bands = spark.sql(_bands_rel_sql(SPARK_D, view)).localCheckpoint()
+    index_df = bands.where(F.col("doc_id") % INC_MOD != 0)
+    batch_bands = bands.where(F.col("doc_id") % INC_MOD == 0)
+
+    src = os.path.join(scratch, "bands_src")
+    # several files so the stream replays as multiple micro-batches
+    batch_bands.repartition(3).write.parquet(src)
+    stream = spark.readStream.schema(batch_bands.schema).parquet(src)
+
+    got = {
+        (r.doc_id, r.n_index_dups, r.admit)
+        for r in run_to_completion(
+            lsh_admission_stream(spark, stream, index_df),
+            f"sales_telegram_bot_data_pipeline_lsh_adm_{uuid.uuid4().hex[:8]}",
+        ).collect()
+    }
+    streamed_docs = {r.doc_id for r in batch_bands.select("doc_id").distinct().collect()}
+    want = {
+        (r.doc_id, r.n_index_dups, r.admit)
+        for r in REGISTRY["dedup_incremental_lsh"].fn(spark, SF_SMOKE).collect()
+        if r.doc_id in streamed_docs
+    }
+    assert got == want and len(got) > 0
