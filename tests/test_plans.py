@@ -343,3 +343,48 @@ def test_q6_all_predicates_pushed_no_shuffle_join(spark):
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
     assert "l_shipdate" in pushed and "l_quantity" in pushed
     assert "Join" not in plan  # scan→filter→agg only
+
+
+def test_winnowing_selection_is_one_window_pass_no_join(spark):
+    """The fixed-frame winnowing formulation must plan as window functions
+    over ONE per-doc sort — no self-join, no cartesian, no Python."""
+    import re
+
+    plan = _plan(spark, "winnowing_fingerprint_density")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    # exactly one scan OPERATOR (the tree may print the shared subtree once
+    # per referencing Window branch — same node id, one execution)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+
+
+def test_lsh_recall_final_plan_reads_materialized_pairs_only(spark):
+    """Both pair relations are localCheckpoint-materialized, so the audit's
+    executed plan must touch NO parquet (no shingle re-derivation)."""
+    plan = _plan(spark, "lsh_recall_audit")
+    assert "Scan parquet" not in plan
+    assert "Generate" not in plan  # no explode re-run downstream
+
+
+def test_countmin_builds_vocab_once(spark):
+    plan = _plan(spark, "countmin_heavy_hitters")
+    assert "Scan parquet" not in plan  # vocab materialized upstream
+
+
+def test_hybrid_rrf_arms_are_bounded(spark):
+    """Each fusion arm ends in a top-k (GlobalLimit/TakeOrdered) before the
+    FULL OUTER fusion; the plan must not contain a cartesian product."""
+    plan = _plan(spark, "hybrid_rrf_retrieval")
+    assert "CartesianProduct" not in plan
+    assert ("TakeOrderedAndProject" in plan) or ("GlobalLimit" in plan)
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
+
+
+def test_snapshot_diff_join_input_is_key_hash_projection(spark):
+    """Each snapshot side must collapse to (doc_id, content_hash) BEFORE the
+    join: the scans' ReadSchema carries only doc_id + text, and no other
+    document column survives into the join."""
+    plan = _plan(spark, "snapshot_diff_audit")
+    assert "lang" not in plan and "n_chars" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
