@@ -252,3 +252,147 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         binary.join(decoded.select("doc_id", "n_frames"), "doc_id"), every_n=2
     )
     return frames.select("doc_id", "frame_idx", "frame_len").orderBy("doc_id", "frame_idx")
+
+
+# --------------------------------------------------------------------------
+# audio: stub PCM decode -> windowed frame features (1→N)
+# --------------------------------------------------------------------------
+AUDIO_SCHEMA = "doc_id long, window_idx int, n_samples int, rms double, zcr double"
+AUDIO_WIN = 64  # samples per analysis window
+AUDIO_HOP = 32  # hop (50% overlap)
+
+
+def audio_window_features(df: DataFrame, real_decode: bool = False) -> DataFrame:
+    """Audio feature extraction as a 1→N ``mapInPandas`` generator — the
+    audio member of the multimodal triple (image decode 1:1, video frames
+    1→N, audio windows 1→N with OVERLAP, the hop/window shape every
+    speech pipeline uses).  Real decode (wav/mp3 → PCM) needs soundfile/
+    ffmpeg (gated); the stub interprets the content bytes as little-endian
+    int16 PCM — deterministic from the bytes, so features are testable —
+    and the windowing, overlap arithmetic, schema, and Arrow batch
+    contracts are the real ones.  Per-window RMS and zero-crossing rate
+    are the classic energy/voicing features; output size is
+    O(samples/hop), bounded per row.
+
+    100 TB shape: row-parallel, no shuffle, feature rows are tiny relative
+    to the audio bytes — the decode stage is where the bytes die."""
+    import numpy as np
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rec in pdf.itertuples(index=False):
+                content = bytes(rec.content) if rec.content is not None else b""
+                if real_decode:
+                    raise NotImplementedError(
+                        "real audio decode needs soundfile/ffmpeg (not in this "
+                        "container); wire it here — windowing and schema are "
+                        "already correct"
+                    )
+                pcm = np.frombuffer(
+                    content[: (len(content) // 2) * 2], dtype="<i2"
+                ).astype("float64") / 32768.0
+                idx = 0
+                for start in range(0, max(len(pcm) - AUDIO_WIN + 1, 0), AUDIO_HOP):
+                    w = pcm[start : start + AUDIO_WIN]
+                    rms = float(np.sqrt(np.mean(w * w)))
+                    zcr = float(np.mean(np.abs(np.diff(np.signbit(w).astype("int8")))))
+                    out.append(
+                        {
+                            "doc_id": rec.doc_id,
+                            "window_idx": idx,
+                            "n_samples": len(w),
+                            "rms": round(rms, 6),
+                            "zcr": round(zcr, 6),
+                        }
+                    )
+                    idx += 1
+            yield pd.DataFrame(
+                out, columns=[c.split(" ")[0] for c in AUDIO_SCHEMA.split(", ")]
+            )
+
+    return df.mapInPandas(_features, schema=AUDIO_SCHEMA)
+
+
+@register(
+    "audio_window_features",
+    oracle=None,  # mapInPandas over binary — not SQL-expressible
+    doc="Rows-only: the audio member of the multimodal triple — documents "
+    "as binary content, stub int16-PCM decode, overlapping "
+    f"{AUDIO_WIN}-sample windows at hop {AUDIO_HOP}, per-window RMS + "
+    "zero-crossing rate through a 1→N mapInPandas generator. Windowing/"
+    "overlap arithmetic and Arrow contracts are real; decode is gated.",
+    tags=("multimodal", "explode", "python"),
+)
+def audio_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    binary = docs.select("doc_id", F.encode("text", "utf-8").alias("content"))
+    return audio_window_features(binary).orderBy("doc_id", "window_idx")
+
+
+# --------------------------------------------------------------------------
+# image perceptual hash (aHash) -> exact perceptual-dup groups
+# --------------------------------------------------------------------------
+PHASH_GRID = 8  # 8x8 luma grid -> 64-bit hash
+
+
+def perceptual_hash(df: DataFrame, real_decode: bool = False) -> DataFrame:
+    """Average-hash (aHash) perceptual image fingerprint: decode to an
+    {PHASH_GRID}x{PHASH_GRID} luma grid, threshold each cell against the
+    grid mean, pack the bits — near-identical images (recompression,
+    minor edits) collide.  The stub derives the luma grid deterministically
+    from the content bytes (md5-seeded), so the hashing/packing path and
+    the downstream dedup join are fully testable; real decode is gated.
+
+    Bit-packing detail: bits pack row-major MSB-first into a BIGINT —
+    documented so an external system can reproduce the hash."""
+    import numpy as np
+
+    def _phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_cells = PHASH_GRID * PHASH_GRID
+        for pdf in batches:
+            out = []
+            for rec in pdf.itertuples(index=False):
+                content = bytes(rec.content) if rec.content is not None else b""
+                if real_decode:
+                    raise NotImplementedError(
+                        "real image decode needs PIL/cv2 (not in this container); "
+                        "wire it here — grid/threshold/packing are already correct"
+                    )
+                digest = hashlib.md5(content).digest()
+                # deterministic fake luma grid: repeat the digest to 64 bytes
+                grid = np.frombuffer((digest * 4)[:n_cells], dtype="uint8").astype("float64")
+                bits = grid > grid.mean()
+                h = 0
+                for b in bits:
+                    h = (h << 1) | int(b)
+                # fold to signed 64-bit (Spark BIGINT)
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                out.append({"doc_id": rec.doc_id, "phash": h})
+            yield pd.DataFrame(out, columns=["doc_id", "phash"])
+
+    return df.mapInPandas(_phash, schema="doc_id long, phash long")
+
+
+@register(
+    "image_phash_dedup",
+    oracle=None,  # stub decode + numpy thresholding — not SQL-expressible
+    doc="Rows-only: perceptual image dedup — aHash fingerprints "
+    f"({PHASH_GRID}x{PHASH_GRID} luma grid, mean threshold, MSB-first "
+    "bit-pack) via mapInPandas, then an exact groupBy on the 64-bit hash "
+    "for perceptual-dup group sizes. The image member of the dedup family "
+    "next to text MinHash and embedding cosine; banded Hamming join is "
+    "the near-dup extension (same machinery as simhash_neardup).",
+    tags=("multimodal", "dedup", "python"),
+)
+def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    binary = docs.select("doc_id", F.encode("text", "utf-8").alias("content"))
+    hashes = perceptual_hash(binary)
+    sizes = hashes.groupBy("phash").agg(F.count(F.lit(1)).alias("n_images"))
+    return (
+        hashes.join(sizes, "phash")
+        .select("doc_id", "phash", F.col("n_images").cast("bigint").alias("n_images"))
+        .orderBy("doc_id")
+    )

@@ -291,3 +291,65 @@ def test_write_dataset_observed_metrics(spark, tmp_path):
     assert metrics["rows_written"] == docs.count()
     assert metrics["null_partition_keys"] == 0
     assert spark.read.parquet(root).count() == docs.count()
+
+
+def test_audio_window_features_match_numpy(spark):
+    """The Arrow-batched windowing must equal a single-node numpy
+    recomputation: same window/hop arithmetic, same RMS/ZCR."""
+    import numpy as np
+
+    from sales_telegram_bot_data_pipeline_spark.queries import REGISTRY
+    from sales_telegram_bot_data_pipeline_spark.sources.binary import AUDIO_HOP, AUDIO_WIN
+    from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.doc_id, r.window_idx): (r.n_samples, r.rms, r.zcr)
+        for r in REGISTRY["audio_window_features"].fn(spark, sf).collect()
+    }
+    assert got
+    want = {}
+    for r in load_table(spark, sf, "documents").select("doc_id", "text").collect():
+        content = r.text.encode()
+        pcm = np.frombuffer(content[: (len(content) // 2) * 2], dtype="<i2").astype("float64") / 32768.0
+        idx = 0
+        for start in range(0, max(len(pcm) - AUDIO_WIN + 1, 0), AUDIO_HOP):
+            w = pcm[start : start + AUDIO_WIN]
+            rms = round(float(np.sqrt(np.mean(w * w))), 6)
+            zcr = round(float(np.mean(np.abs(np.diff(np.signbit(w).astype("int8"))))), 6)
+            want[(r.doc_id, idx)] = (len(w), rms, zcr)
+            idx += 1
+    assert got == want
+
+
+def test_phash_packing_and_dedup_groups(spark):
+    """aHash bit-packing (row-major MSB-first, signed-64 fold) must match a
+    pure-python recomputation, and group sizes must be consistent."""
+    import hashlib
+
+    import numpy as np
+
+    from sales_telegram_bot_data_pipeline_spark.queries import REGISTRY
+    from sales_telegram_bot_data_pipeline_spark.sources.binary import PHASH_GRID
+    from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["image_phash_dedup"].fn(spark, sf).collect()
+    got = {r.doc_id: (r.phash, r.n_images) for r in rows}
+    n_cells = PHASH_GRID * PHASH_GRID
+    want_hash = {}
+    for r in load_table(spark, sf, "documents").select("doc_id", "text").collect():
+        digest = hashlib.md5(r.text.encode()).digest()
+        grid = np.frombuffer((digest * 4)[:n_cells], dtype="uint8").astype("float64")
+        bits = grid > grid.mean()
+        h = 0
+        for b in bits:
+            h = (h << 1) | int(b)
+        if h >= 1 << 63:
+            h -= 1 << 64
+        want_hash[r.doc_id] = h
+    assert {k: v[0] for k, v in got.items()} == want_hash
+    from collections import Counter
+
+    sizes = Counter(want_hash.values())
+    assert all(v[1] == sizes[v[0]] for v in got.values())
