@@ -112,6 +112,8 @@ HEADLINE = [
     "snapshot_diff_audit",
     "incremental_agg_maintenance",
     "price_histogram_equidepth",
+    "embedding_pca_project",
+    "streaming_lsh_admission",
     "detected_data_pipeline",
 ]
 

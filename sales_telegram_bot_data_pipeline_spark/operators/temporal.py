@@ -670,3 +670,77 @@ def daily_active_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame
         "sales_telegram_bot_data_pipeline_ev_dau"
     )
     return spark.sql(_DAU_SQL.format(table="sales_telegram_bot_data_pipeline_ev_dau"))
+
+
+# --------------------------------------------------------------------------
+# per-user event cadence profile (inter-arrival statistics / bot heuristic)
+# --------------------------------------------------------------------------
+CADENCE_MIN_EVENTS = 5
+BURST_MEDIAN_S = 60  # median gap under a minute + regularity -> bot-like
+
+
+def _cadence_sql(d) -> str:
+    """Per-user inter-arrival-time profile — the bot/automation heuristic
+    every event pipeline runs: LAG the user's event times, aggregate the
+    gaps to median / p90 / regularity (p90/median close to 1 means
+    metronome-like traffic), flag users whose cadence is too fast and too
+    regular to be human.
+
+    Engine notes: gaps are DIFFERENCES of epoch seconds, so the session-
+    timezone interpretation of naive timestamps cancels (absolute epochs
+    would differ between a non-UTC driver session and DuckDB; deltas do
+    not).  Quantiles use the ANSI ``PERCENTILE_CONT ... WITHIN GROUP``
+    form, IDENTICAL SQL text in both engines — verified bit-for-bit
+    (7.900000000000001 on both) where the engines' NATIVE spellings
+    diverged: Spark's percentile() and DuckDB's quantile_cont() gave p90s
+    one gap apart (92283.3 vs 92282.3) on the same 70-gap series.  The LAG
+    window partitions per user (the natural parallel unit); the aggregate
+    is one groupBy."""
+    if d.name == "spark":
+        ep = "unix_timestamp(ts)"  # floor-to-second by definition
+    else:
+        # epoch() carries the fractional second and CAST(double AS BIGINT)
+        # ROUNDS in DuckDB (Spark truncates) — FLOOR first, or every
+        # half-second-offset event lands one second late
+        ep = "CAST(FLOOR(epoch(ts)) AS BIGINT)"
+    q50 = "PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY gap_s)"
+    q90 = "PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY gap_s)"
+    return f"""
+WITH gaps AS (
+  SELECT user_id,
+         {ep} - LAG({ep}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+  FROM {{table}}
+),
+agg AS (
+  SELECT user_id, COUNT(*) AS n_gaps,
+         {q50} AS med, {q90} AS p90
+  FROM gaps WHERE gap_s IS NOT NULL
+  GROUP BY user_id
+  HAVING COUNT(*) >= {CADENCE_MIN_EVENTS - 1}
+)
+SELECT user_id,
+       CAST(n_gaps + 1 AS BIGINT) AS n_events,
+       CAST(ROUND(med, 6) AS DOUBLE) AS median_gap_s,
+       CAST(ROUND(p90, 6) AS DOUBLE) AS p90_gap_s,
+       CAST(ROUND(p90 / NULLIF(med, 0), 6) AS DOUBLE) AS regularity,
+       (med < {BURST_MEDIAN_S} AND p90 < 3 * med) AS bot_like
+FROM agg
+ORDER BY user_id
+"""
+
+
+@register(
+    "user_cadence_profile",
+    oracle=_cadence_sql(DUCKDB).format(table="events"),
+    doc="Per-user inter-arrival cadence: LAG gaps (user-partitioned "
+    "window), continuous median/p90 quantiles, regularity ratio, and a "
+    "too-fast-too-regular bot flag. Gap DELTAS cancel session-timezone "
+    "epoch interpretation; quantiles are the interpolated form in both "
+    "engines.",
+    tags=("temporal", "window", "agg"),
+)
+def user_cadence_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_ev_cad"
+    )
+    return spark.sql(_cadence_sql(SPARK).format(table="sales_telegram_bot_data_pipeline_ev_cad"))

@@ -234,3 +234,72 @@ ORDER BY doc_id
 )
 def lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_lexical_diversity_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# collocation mining: adjacent-bigram PMI
+# --------------------------------------------------------------------------
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 30
+
+
+def _pmi_sql(d: Dialect, table: str) -> str:
+    """Pointwise-mutual-information collocations over adjacent word pairs —
+    the classic phrase-mining signal (Church & Hanks 1990): PMI =
+    ln(P(a,b) / (P(a)P(b))), high when a pair co-occurs far above chance.
+
+    ONE corpus scan: the bigram relation is the only explode, and the
+    unigram margins derive from it (n_a = bigrams starting with a, n_b =
+    bigrams ending with b — the bigram-margin convention, documented so the
+    probabilities are well-defined on exactly the relation that is
+    aggregated).  Margins join back BROADCAST (vocabulary-sized); the
+    final ranking is TakeOrdered top-K on the FLOOR-quantized PMI with a
+    word tie-break (LN is libm — empirical cross-engine contract, same as
+    the other transcendental scores)."""
+    w = d.splitws("lower(text)")
+    if d.name == "spark":
+        bigrams = (
+            f"SELECT w[i] AS w1, w[i+1] AS w2 "
+            f"FROM (SELECT {w} AS w FROM {table}) s "
+            f"LATERAL VIEW explode(sequence(0, size(w) - 2)) t AS i "
+            f"WHERE size(w) >= 2"
+        )
+    else:
+        bigrams = (
+            f"SELECT w[i] AS w1, w[i+1] AS w2 "
+            f"FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i "
+            f"      FROM (SELECT {w} AS w FROM {table}) s0 WHERE len(w) >= 2) s"
+        )
+    return f"""
+WITH bg AS (SELECT w1, w2, COUNT(*) AS n_ab FROM ({bigrams}) b GROUP BY w1, w2),
+tot AS (SELECT SUM(n_ab) AS n FROM bg),
+ma AS (SELECT w1, SUM(n_ab) AS n_a FROM bg GROUP BY w1),
+mb AS (SELECT w2, SUM(n_ab) AS n_b FROM bg GROUP BY w2),
+scored AS (
+  SELECT bg.w1, bg.w2, bg.n_ab,
+         CAST(FLOOR(LN(bg.n_ab * t.n * 1.0e0 / (ma.n_a * mb.n_b)) * 1e6) AS BIGINT) AS pmi_units
+  FROM bg
+  JOIN ma ON ma.w1 = bg.w1
+  JOIN mb ON mb.w2 = bg.w2
+  CROSS JOIN tot t
+  WHERE bg.n_ab >= {PMI_MIN_COUNT}
+)
+SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_pair,
+       CAST(pmi_units / 1e6 AS DOUBLE) AS pmi
+FROM scored
+ORDER BY pmi_units DESC, w1, w2
+LIMIT {PMI_TOP_K}
+"""
+
+
+@register(
+    "collocation_pmi",
+    oracle=_pmi_sql(DUCKDB, "documents"),
+    doc=f"PMI collocation mining (Church & Hanks): adjacent-bigram counts "
+    "in ONE corpus explode, unigram margins derived from the same bigram "
+    f"relation (broadcast join-back), top-{PMI_TOP_K} pairs with count >= "
+    f"{PMI_MIN_COUNT} by FLOOR-quantized PMI, TakeOrdered.",
+    tags=("text", "agg", "retrieval"),
+)
+def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_pmi_sql(SPARK, _doc_view(spark, sf_dir)))

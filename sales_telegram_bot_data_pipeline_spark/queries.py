@@ -87,6 +87,14 @@ try:
     from .operators import linkage  # noqa: F401  (symspell, PIT join)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from .operators import blocklist  # noqa: F401  (Aho-Corasick scan)
+except ImportError:  # pragma: no cover
+    pass
+try:
+    from .sources import kvstream  # noqa: F401  (streaming DataSource)
+except ImportError:  # pragma: no cover
+    pass
 
 
 # --------------------------------------------------------------------------

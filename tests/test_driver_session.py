@@ -28,18 +28,29 @@ import sales_telegram_bot_data_pipeline_spark.queries  # noqa: F401  (populate r
 from sales_telegram_bot_data_pipeline_spark.oracle import compare_query, duckdb_connection
 
 con = duckdb_connection({SF_SMOKE!r})
-# flagship + the queries whose driver rows changed in round 4 (capstone
-# promotion, sequence_packing re-hash, dsir/incremental-dedup/symspell
-# window swaps)
+# flagship + the queries whose driver rows changed this round (round-5
+# window rotation swap-ins) + representatives of the round-5 operator
+# families (ANSI mode is the risk: arithmetic that wraps on the tuned
+# session ERRORS on the driver's)
 for name in (
     "detected_data_native",
     "price_dispatcher_suite",
     "curation_pipeline_end2end",
-    "sequence_packing",
-    "dsir_importance",
-    "dedup_incremental_lsh",
-    "symspell_name_correction",
     "table_checksum_audit",
+    "pagerank_neardup_graph",
+    "bigram_lm_score",
+    "recursive_hierarchy_rollup",
+    "lateral_topk_orders",
+    "pit_join_scd2",
+    "sketch_rollup_distinct",
+    "winnowing_doc_matches",
+    "label_propagation_communities",
+    "countmin_heavy_hitters",
+    "weighted_sample_aes",
+    "hybrid_rrf_retrieval",
+    "lsh_recall_audit",
+    "snapshot_diff_audit",
+    "zipf_fit_audit",
 ):
     r = compare_query(spark, con, name, {SF_SMOKE!r})
     assert r.ok, f"{{name}} failed on a DEFAULT session: {{r.detail}}"
@@ -57,4 +68,4 @@ def test_default_session_oracle_parity():
         cwd="/root/repo",
     )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-3000:]}"
-    assert proc.stdout.count("OK") == 8
+    assert proc.stdout.count("OK") == 18
