@@ -114,6 +114,9 @@ HEADLINE = [
     "price_histogram_equidepth",
     "embedding_pca_project",
     "streaming_lsh_admission",
+    "blocklist_scan",
+    "collocation_pmi",
+    "user_cadence_profile",
     "detected_data_pipeline",
 ]
 

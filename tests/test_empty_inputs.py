@@ -71,6 +71,10 @@ EMPTY_OK_ZERO = [
     "weighted_sample_aes",
     "snapshot_diff_audit",
     "incremental_agg_maintenance",
+    "blocklist_scan",
+    "collocation_pmi",
+    "audio_window_features",
+    "image_phash_dedup",
 ]
 
 
