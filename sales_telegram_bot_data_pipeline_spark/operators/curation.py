@@ -1330,3 +1330,71 @@ ORDER BY lang
 )
 def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_ivm_merge_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# split-leakage audit (near-dups crossing the train/val/test boundary)
+# --------------------------------------------------------------------------
+def _split_leakage_sql(d: Dialect, table: str, pairs_rel: str | None = None) -> str:
+    """The train/test-leakage audit every eval pipeline needs and most
+    skip: exact-contamination scans (contamination_overlap) catch verbatim
+    copies, but a NEAR-duplicate of a test doc inside train leaks just as
+    hard.  Route both ends of every MinHash-LSH near-dup pair through the
+    SAME hash split the corpus ships with, and count pairs whose ends land
+    in different splits — per (split_a, split_b) cell plus the leaking-pair
+    rate per boundary.
+
+    Compose-don't-rebuild: the pair relation is dedup's LSH candidate
+    generation, the routing is curation's split predicate, the audit is one
+    equi-join + O(cells) aggregate.  ``pairs_rel`` takes the materialized
+    pair table on the Spark side (same discipline as pagerank/LPA)."""
+    from .dedup import _lsh_pairs_sql
+
+    pairs = pairs_rel or _lsh_pairs_sql(d, table).replace("ORDER BY doc_a, doc_b", "")
+    h = d.md5_prefix_int(d.strcast("doc_id"))
+    return f"""
+WITH pairs AS ({pairs}),
+routed AS (
+  SELECT doc_id,
+         CASE WHEN ({h}) % 100 < {TRAIN_PCT} THEN 'train'
+              WHEN ({h}) % 100 < {VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split_name
+  FROM {table}
+),
+cells AS (
+  SELECT LEAST(ra.split_name, rb.split_name) AS split_a,
+         GREATEST(ra.split_name, rb.split_name) AS split_b,
+         COUNT(*) AS n_pairs
+  FROM pairs p
+  JOIN routed ra ON ra.doc_id = p.doc_a
+  JOIN routed rb ON rb.doc_id = p.doc_b
+  GROUP BY LEAST(ra.split_name, rb.split_name), GREATEST(ra.split_name, rb.split_name)
+)
+SELECT split_a, split_b, CAST(n_pairs AS BIGINT) AS n_pairs,
+       (split_a <> split_b) AS leaking
+FROM cells
+ORDER BY split_a, split_b
+"""
+
+
+@register(
+    "split_leakage_audit",
+    oracle=_split_leakage_sql(DUCKDB, "documents"),
+    doc="Near-dup split-leakage audit: every MinHash-LSH pair routed "
+    "through the corpus hash split; cross-split pairs ARE eval leakage "
+    "that exact-contamination scans miss. One equi-join over the pair "
+    "relation + O(cells) aggregate.",
+    tags=("curation", "dedup", "audit"),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _lsh_pairs_sql
+
+    view = _doc_view(spark, sf_dir)
+    spark.sql(
+        _lsh_pairs_sql(SPARK, view).replace("ORDER BY doc_a, doc_b", "")
+    ).localCheckpoint().createOrReplaceTempView("sales_telegram_bot_data_pipeline_leak_pairs")
+    return spark.sql(
+        _split_leakage_sql(
+            SPARK, view, pairs_rel="SELECT * FROM sales_telegram_bot_data_pipeline_leak_pairs"
+        )
+    )

@@ -744,3 +744,59 @@ def user_cadence_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sales_telegram_bot_data_pipeline_ev_cad"
     )
     return spark.sql(_cadence_sql(SPARK).format(table="sales_telegram_bot_data_pipeline_ev_cad"))
+
+
+# --------------------------------------------------------------------------
+# interval coalescing (union of validity windows per key)
+# --------------------------------------------------------------------------
+_COALESCE_SQL = """
+WITH iv AS (
+  SELECT o_custkey AS custkey,
+         o_orderdate AS v_from,
+         o_orderdate + INTERVAL 90 DAY AS v_to,
+         o_orderkey
+  FROM {table}
+),
+marked AS (
+  SELECT custkey, v_from, v_to, o_orderkey,
+         CASE WHEN v_from > MAX(v_to) OVER (
+                PARTITION BY custkey ORDER BY v_from, v_to, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_period
+  FROM iv
+),
+islands AS (
+  SELECT custkey, v_from, v_to,
+         SUM(new_period) OVER (
+           PARTITION BY custkey ORDER BY v_from, v_to, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS period_id
+  FROM marked
+)
+SELECT custkey, CAST(period_id AS BIGINT) AS period_id,
+       CAST(MIN(v_from) AS DATE) AS period_start,
+       CAST(MAX(v_to) AS DATE) AS period_end,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM islands
+GROUP BY custkey, period_id
+ORDER BY custkey, period_id
+"""
+
+
+@register(
+    "validity_interval_coalesce",
+    oracle=_COALESCE_SQL.format(table="orders"),
+    doc="Interval-union coalescing: each order opens a [orderdate, +90d) "
+    "validity window (the reference's op-46 window semantics); overlapping "
+    "windows per customer merge into coverage periods via the running-max "
+    "islands trick — one per-key sort, two windows, no self-join (the "
+    "naive overlap join is O(n^2) per key). Each key's first row compares "
+    "against MAX over an empty frame (NULL): '> NULL' is false in both "
+    "engines' three-valued logic, so the first interval lands in period 0 "
+    "consistently. Pure date/integer arithmetic, engine-portable.",
+    tags=("temporal", "window"),
+)
+def validity_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_ord_iv"
+    )
+    return spark.sql(_COALESCE_SQL.format(table="sales_telegram_bot_data_pipeline_ord_iv"))
