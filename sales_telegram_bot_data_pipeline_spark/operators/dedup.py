@@ -1273,3 +1273,59 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             cand_rel="SELECT doc_a, doc_b FROM sales_telegram_bot_data_pipeline_ra_cand",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# asymmetric containment (quote-inclusion dedup)
+# --------------------------------------------------------------------------
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def _containment_sql(d: Dialect, table: str, shingles_rel: str | None = None) -> str:
+    """ASYMMETRIC near-dup detection: containment(A in B) = |A∩B| / |A| —
+    high when document A is mostly INCLUDED in B even though their Jaccard
+    is low (a quote, a wrapped boilerplate page, a doc embedded in a
+    digest).  Jaccard-threshold dedup misses exactly this case: a 50-word
+    doc fully contained in a 5000-word doc has Jaccard ~0.01.
+
+    Same inverted-shingle machinery as the Jaccard operator (candidate
+    generation per shared shingle, counts joined back), but normalized by
+    the CONTAINED side only, and emitted directionally (contained_doc,
+    container_doc) — both directions are checked, so a pair can appear
+    twice with different scores."""
+    sh = shingles_rel or _shingles_sql(d, table)
+    return f"""
+WITH shingles AS ({sh}),
+counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shingles a JOIN shingles b
+    ON a.sh = b.sh AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a AS contained_doc, doc_b AS container_doc,
+       CAST(ca.n_sh AS BIGINT) AS n_shingles,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(ROUND(n_common * 1.0 / ca.n_sh, 6) AS DOUBLE) AS containment
+FROM common
+JOIN counts ca ON ca.doc_id = doc_a
+WHERE n_common * 1.0 / ca.n_sh >= {CONTAINMENT_THRESHOLD}
+ORDER BY contained_doc, container_doc
+"""
+
+
+@register(
+    "dedup_containment",
+    oracle=_containment_sql(DUCKDB, "documents"),
+    doc=f"Asymmetric containment dedup: |A∩B|/|A| >= "
+    f"{CONTAINMENT_THRESHOLD} flags docs mostly INCLUDED in another "
+    "(quotes, wrapped boilerplate) that Jaccard-threshold dedup "
+    "structurally misses (a 50-word doc inside a 5000-word doc has "
+    "Jaccard ~0.01). Same inverted-shingle candidate machinery, "
+    "directional output.",
+    tags=("dedup", "join", "text"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    view = _doc_view(spark, sf_dir)
+    rel = _materialized_shingles(spark, view, "sales_telegram_bot_data_pipeline_sh_ct")
+    return spark.sql(_containment_sql(SPARK, view, shingles_rel=rel))

@@ -138,3 +138,38 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "bpe_fertility_by_source",
+    oracle=None,  # consumes the Python BPE encoder — rows-only (like
+    # bpe_token_count; golden encode behavior pinned in test_tokenizer.py)
+    doc="Rows-only: tokenizer-efficiency audit — per (lang, source) BPE "
+    "fertility (tokens/word) and compression (chars/token) over the "
+    "corpus-trained merges. The number that decides whether a tokenizer "
+    "needs retraining for a new source/language mix; per-doc counts "
+    "aggregate map-side, the Python stage is the same cached Arrow encode "
+    "as bpe_token_count.",
+    tags=("tokenizer", "text", "python", "audit"),
+)
+def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = bpe_token_count(spark, sf_dir)  # doc_id, n_words, n_bpe_tokens
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.length("text").alias("n_chars_exact")
+    )
+    return (
+        per_doc.join(docs, "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum("n_bpe_tokens") / F.sum("n_words"), 6
+            ).alias("fertility_tokens_per_word"),
+            F.round(
+                F.sum("n_chars_exact") / F.sum("n_bpe_tokens"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang", "source")
+    )

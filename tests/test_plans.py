@@ -388,3 +388,12 @@ def test_snapshot_diff_join_input_is_key_hash_projection(spark):
     plan = _plan(spark, "snapshot_diff_audit")
     assert "lang" not in plan and "n_chars" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_topk_window_uses_group_limit_pushdown(spark):
+    """Spark's WindowGroupLimit optimization (rank-filter pushdown into the
+    window sort) must fire on the per-group top-k — each partition keeps
+    only k rows per group BEFORE the full sort, the difference between
+    O(k·groups) and O(rows) window state at scale."""
+    plan = _plan(spark, "topk_orders_per_segment")
+    assert "WindowGroupLimit" in plan
