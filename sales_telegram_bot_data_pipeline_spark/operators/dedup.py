@@ -1329,3 +1329,81 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = _doc_view(spark, sf_dir)
     rel = _materialized_shingles(spark, view, "sales_telegram_bot_data_pipeline_sh_ct")
     return spark.sql(_containment_sql(SPARK, view, shingles_rel=rel))
+
+
+# --------------------------------------------------------------------------
+# quality-aware canonical selection (keep the BEST doc per near-dup cluster)
+# --------------------------------------------------------------------------
+def _keep_best_quality_sql(d: Dialect, table: str) -> str:
+    """dedup_keep_canonical keeps the MIN-doc_id representative — simple
+    and deterministic, but production pipelines keep the highest-QUALITY
+    member of each near-dup cluster (the cleanest OCR, the un-truncated
+    copy).  Same clustering, different selection rule: per-cluster argmax
+    of a quality score (here lexical richness = distinct-word count, a
+    pure projection both engines compute identically) with doc_id as the
+    deterministic tie-break.
+
+    The per-cluster ranking window partitions by cluster (bounded by
+    cluster size); the quality projection never joins — it rides the
+    corpus scan."""
+    w = d.splitws("lower(text)")
+    q = f"{d.alen(d.adistinct(w))}"
+    cc = _cc_oracle_sql(d, table).replace("ORDER BY doc_id", "")
+    return f"""
+WITH cc AS ({cc}),
+quality AS (SELECT doc_id, {q} AS n_distinct_words FROM {table}),
+ranked AS (
+  SELECT cc.doc_id, cc.cluster_rep, qu.n_distinct_words,
+         ROW_NUMBER() OVER (PARTITION BY cc.cluster_rep
+                            ORDER BY qu.n_distinct_words DESC, cc.doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY cc.cluster_rep) AS cluster_size
+  FROM cc JOIN quality qu ON qu.doc_id = cc.doc_id
+)
+SELECT doc_id, cluster_rep,
+       CAST(n_distinct_words AS BIGINT) AS n_distinct_words,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM ranked WHERE rk = 1
+ORDER BY doc_id
+"""
+
+
+@register(
+    "dedup_keep_best_quality",
+    oracle=_keep_best_quality_sql(DUCKDB, "documents"),
+    doc="Quality-aware canonical dedup: per near-dup cluster keep the "
+    "highest-lexical-richness member (distinct-word count, doc_id "
+    "tie-break) instead of min-id — the selection rule production "
+    "pipelines actually want. Cluster-partitioned ranking window, quality "
+    "rides the corpus scan.",
+    tags=("dedup", "clustering", "window"),
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    view = _doc_view(spark, sf_dir)
+    docs = spark.table(view)
+    pairs = spark.sql(_lsh_pairs_sql(SPARK, view))
+    labels = connected_components(spark, docs.select("doc_id"), pairs)
+    quality = docs.select(
+        "doc_id",
+        F.expr(
+            SPARK.alen(SPARK.adistinct(SPARK.splitws("lower(text)")))
+        ).alias("n_distinct_words"),
+    )
+    wrk = Window.partitionBy("cluster_rep").orderBy(
+        F.desc("n_distinct_words"), F.col("doc_id")
+    )
+    wsz = Window.partitionBy("cluster_rep")
+    return (
+        labels.join(quality, "doc_id")
+        .withColumn("rk", F.row_number().over(wrk))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wsz))
+        .where(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            "cluster_rep",
+            F.col("n_distinct_words").cast("bigint").alias("n_distinct_words"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        )
+        .orderBy("doc_id")
+    )
