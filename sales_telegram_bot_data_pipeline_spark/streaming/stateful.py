@@ -60,3 +60,55 @@ def running_user_totals(
         outputMode="update",
         timeoutConf=mode,
     )
+
+
+# --------------------------------------------------------------------------
+# the SAME operator on Spark 4's transformWithStateInPandas (StatefulProcessor)
+# --------------------------------------------------------------------------
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """Spark 4 ``StatefulProcessor`` twin of ``running_user_totals`` —
+    the arbitrary-stateful-processing API that succeeds
+    ``applyInPandasWithState``: named typed state handles (ValueState /
+    ListState / MapState) acquired from a handle in ``init`` instead of one
+    positional state tuple, per-key Arrow iterators in
+    ``handleInputRows``, explicit timers instead of a timeout conf.
+
+    Both twins are kept: applyInPandasWithState is the stable API teams run
+    today; transformWithState is where new stateful operators land (state
+    evolution, multiple typed handles, timers).  Batch parity for BOTH is
+    pinned by test_stateful_streaming.py."""
+
+    def init(self, handle) -> None:
+        self.totals = handle.getValueState("totals", "n bigint, total double")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        (user_id,) = key
+        n, total = self.totals.get() if self.totals.exists() else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        self.totals.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [total], "finalized": [False]}
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):  # pragma: no cover
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_totals_tws(grouped_stream) -> DataFrame:
+    """``transformWithStateInPandas`` wiring of RunningTotalsProcessor."""
+    return grouped_stream.transformWithStateInPandas(
+        RunningTotalsProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
