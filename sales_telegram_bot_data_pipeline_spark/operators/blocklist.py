@@ -82,7 +82,9 @@ class AhoCorasick:
                 f = self.fail[r]
                 while f and ch not in self.goto[f]:
                     f = self.fail[f]
-                self.fail[u] = self.goto[f].get(ch, 0) if self.goto[f].get(ch, 0) != u else 0
+                # goto[f][ch] can never be u itself: f is strictly shallower
+                # than u's parent r, and the goto structure is a trie
+                self.fail[u] = self.goto[f].get(ch, 0)
                 self.out[u] = self.out[u] + self.out[self.fail[u]]
 
     def find_all(self, text: str):
@@ -95,15 +97,10 @@ class AhoCorasick:
                 yield (i, pat)
 
 
-_AC_BC_CACHE: dict = {}
-
-
 def _blocklist_bc(spark: SparkSession):
-    key = spark.sparkContext.applicationId
-    if key not in _AC_BC_CACHE:
-        _AC_BC_CACHE.clear()
-        _AC_BC_CACHE[key] = spark.sparkContext.broadcast(AhoCorasick(BLOCKLIST))
-    return _AC_BC_CACHE[key]
+    from ..functions.broadcast_cache import broadcast_once
+
+    return broadcast_once(spark, "blocklist", (), lambda: AhoCorasick(BLOCKLIST))
 
 
 def scan_blocklist(spark: SparkSession, df: DataFrame, text_col: str) -> DataFrame:

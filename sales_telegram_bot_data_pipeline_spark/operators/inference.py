@@ -318,19 +318,13 @@ def detected_data(spark: SparkSession, sf_dir: str, padding: float = 0.10) -> Da
 # op-20 trie: build-once-per-application broadcast of the static item
 # vocabulary (the reference reads vocabulary.txt once per DAG run,
 # data_pipeline.py:25-33) — repeated pipeline runs in a session reuse it.
-_ITEM_TRIE_BC: dict = {}
-
-
 def _item_trie_bc(spark: SparkSession):
+    from ..functions.broadcast_cache import broadcast_once
     from .segmentation import build_vocab_trie
 
-    key = spark.sparkContext.applicationId
-    if key not in _ITEM_TRIE_BC:
-        _ITEM_TRIE_BC.clear()  # one live application trie per process
-        _ITEM_TRIE_BC[key] = spark.sparkContext.broadcast(
-            build_vocab_trie(ITEM_NAME_VOCAB)
-        )
-    return _ITEM_TRIE_BC[key]
+    return broadcast_once(
+        spark, "item_trie", (), lambda: build_vocab_trie(ITEM_NAME_VOCAB)
+    )
 
 
 @register(

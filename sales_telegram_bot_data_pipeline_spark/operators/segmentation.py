@@ -272,33 +272,29 @@ def segment_column(
 # (the reference reads a STATIC vocabulary file, data_pipeline.py:25-33):
 # cache per (application, corpus) so repeated segmentation jobs in one
 # session pay the vocab aggregation + trie build + broadcast exactly once.
-_TRIE_BC_CACHE: dict = {}
-
-
 def _corpus_trie_bc(spark: SparkSession, sf_dir: str):
-    key = (spark.sparkContext.applicationId, sf_dir, VOCAB_LIMIT)
-    if key in _TRIE_BC_CACHE:
-        return _TRIE_BC_CACHE[key]
-    docs = load_table(spark, sf_dir, "documents")
-    # Bounded vocabulary: top-VOCAB_LIMIT words by corpus frequency (ties
-    # broken by word for determinism), aggregated distributively before the
-    # single driver collect.  The collect is O(VOCAB_LIMIT) regardless of
-    # corpus size — at 100 TB the distinct-token set is unbounded, the
-    # broadcast vocab is not.
-    vocab = [
-        r[0]
-        for r in docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
-        .where(F.length("w") > 0)
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), "w")
-        .limit(VOCAB_LIMIT)
-        .collect()
-    ]
-    bc = spark.sparkContext.broadcast(build_vocab_trie(vocab))
-    _TRIE_BC_CACHE.clear()  # one live corpus trie per process is plenty
-    _TRIE_BC_CACHE[key] = bc
-    return bc
+    from ..functions.broadcast_cache import broadcast_once
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        # Bounded vocabulary: top-VOCAB_LIMIT words by corpus frequency
+        # (ties broken by word for determinism), aggregated distributively
+        # before the single driver collect.  The collect is O(VOCAB_LIMIT)
+        # regardless of corpus size — at 100 TB the distinct-token set is
+        # unbounded, the broadcast vocab is not.
+        vocab = [
+            r[0]
+            for r in docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+            .where(F.length("w") > 0)
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "w")
+            .limit(VOCAB_LIMIT)
+            .collect()
+        ]
+        return build_vocab_trie(vocab)
+
+    return broadcast_once(spark, "corpus_trie", (sf_dir, VOCAB_LIMIT), build)
 
 
 @register(

@@ -878,7 +878,9 @@ def _pca_model(spark: SparkSession, sf_dir: str):
     )
     import numpy as np
 
-    n = next(int(r.s) for r in triples if r.i == -1 and r.j == -1)
+    n = next((int(r.s) for r in triples if r.i == -1 and r.j == -1), 0)
+    if n == 0:
+        return None, None  # empty corpus: no model (caller yields 0 rows)
     d = max(r.i for r in triples) + 1
     S = np.zeros((d, d), dtype="float64")
     colsum = np.zeros(d, dtype="float64")
@@ -918,6 +920,12 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     mu, comps = _pca_model(spark, sf_dir)
+    if mu is None:
+        # empty corpus: no model to fit — the well-defined result is an
+        # empty projection with the declared schema (empty-ingest doctrine)
+        return spark.createDataFrame(
+            [], "vec_id long, label int, pc1 double, pc2 double"
+        )
     bc = spark.sparkContext.broadcast((mu, comps))
 
     @F.pandas_udf("array<double>")

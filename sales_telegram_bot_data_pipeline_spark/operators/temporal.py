@@ -686,10 +686,15 @@ def _cadence_sql(d) -> str:
     metronome-like traffic), flag users whose cadence is too fast and too
     regular to be human.
 
-    Engine notes: gaps are DIFFERENCES of epoch seconds, so the session-
-    timezone interpretation of naive timestamps cancels (absolute epochs
-    would differ between a non-UTC driver session and DuckDB; deltas do
-    not).  Quantiles use the ANSI ``PERCENTILE_CONT ... WITHIN GROUP``
+    Engine notes: ts is TIMESTAMP_NTZ (naive), and Spark's
+    ``unix_timestamp(ntz)`` interprets it in the SESSION timezone — under a
+    DST zone two events straddling a transition would gap 3600 s away from
+    DuckDB's fixed-offset ``epoch()`` (deltas only cancel for fixed-offset
+    zones).  So the epoch derives from FIELD EXTRACTION
+    (days*86400 + hour*3600 + minute*60 + second), which is
+    timezone-independent by construction in both engines and equals
+    FLOOR(epoch(ts)) on the DuckDB side.  Quantiles use the ANSI
+    ``PERCENTILE_CONT ... WITHIN GROUP``
     form, IDENTICAL SQL text in both engines — verified bit-for-bit
     (7.900000000000001 on both) where the engines' NATIVE spellings
     diverged: Spark's percentile() and DuckDB's quantile_cont() gave p90s
@@ -697,7 +702,10 @@ def _cadence_sql(d) -> str:
     window partitions per user (the natural parallel unit); the aggregate
     is one groupBy."""
     if d.name == "spark":
-        ep = "unix_timestamp(ts)"  # floor-to-second by definition
+        ep = (
+            "(unix_date(CAST(ts AS DATE)) * 86400L"
+            " + hour(ts) * 3600 + minute(ts) * 60 + second(ts))"
+        )
     else:
         # epoch() carries the fractional second and CAST(double AS BIGINT)
         # ROUNDS in DuckDB (Spark truncates) — FLOOR first, or every
@@ -723,7 +731,9 @@ SELECT user_id,
        CAST(ROUND(med, 6) AS DOUBLE) AS median_gap_s,
        CAST(ROUND(p90, 6) AS DOUBLE) AS p90_gap_s,
        CAST(ROUND(p90 / NULLIF(med, 0), 6) AS DOUBLE) AS regularity,
-       (med < {BURST_MEDIAN_S} AND p90 < 3 * med) AS bot_like
+       -- med = 0 (same-second bursts, the MOST bot-like cadence) would fail
+       -- a strict p90 < 3*med (0 < 0 is false) — flag it unconditionally
+       (med < {BURST_MEDIAN_S} AND (med = 0 OR p90 < 3 * med)) AS bot_like
 FROM agg
 ORDER BY user_id
 """

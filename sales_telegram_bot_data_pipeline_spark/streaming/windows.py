@@ -222,11 +222,17 @@ def streaming_lsh_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_df = bands.where(F.col("doc_id") % INC_MOD != 0)
     batch_bands = bands.where(F.col("doc_id") % INC_MOD == 0)
     # the band rows live only in-plan; the file-source stream needs them on
-    # disk, so spool the (small) batch side to a deterministic scratch dir
-    # (overwritten on re-run — repeated bench invocations don't accumulate)
+    # disk, so spool the (small) batch side to a scratch dir keyed by
+    # APPLICATION + sf_dir: stable within one app (repeated bench runs
+    # overwrite instead of accumulating) but disjoint across concurrent
+    # Spark apps — a shared fixed path raced (one app's overwrite deleting
+    # files mid-read under another app's micro-batch)
     src = os.path.join(
         tempfile.gettempdir(),
-        "sales_telegram_bot_data_pipeline_lsh_stream_" + sf_dir.strip("/").replace("/", "_"),
+        "sales_telegram_bot_data_pipeline_lsh_stream_"
+        + spark.sparkContext.applicationId
+        + "_"
+        + sf_dir.strip("/").replace("/", "_"),
     )
     batch_bands.repartition(3).write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(batch_bands.schema).parquet(src)

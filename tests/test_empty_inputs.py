@@ -75,6 +75,7 @@ EMPTY_OK_ZERO = [
     "collocation_pmi",
     "audio_window_features",
     "image_phash_dedup",
+    "embedding_pca_project",
 ]
 
 
