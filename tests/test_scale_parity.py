@@ -28,6 +28,9 @@ SF_BENCH = "/root/testdata/sf0.1"
         "zipf_fit_audit",
         "winnowing_doc_matches",
         "label_propagation_communities",
+        # timezone-free epoch + ANSI WITHIN GROUP quantiles — the two
+        # engine-divergence classes this query dodged, netted at sf0.1
+        "user_cadence_profile",
     ],
 )
 def test_floor_quantized_queries_match_at_sf01(spark, name):
