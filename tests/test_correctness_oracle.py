@@ -117,3 +117,15 @@ def test_type_guard_trips_on_seeded_hugeint_drift(spark):
         assert "int" in r.detail.lower() or "type" in r.detail.lower(), r.detail
     finally:
         del REGISTRY[name]
+
+
+def test_registry_md_is_fresh():
+    """REGISTRY.md (the generated query index) must match the live
+    registry — regenerate with
+    `python -m sales_telegram_bot_data_pipeline_spark.registry_report`."""
+    import pathlib
+
+    from sales_telegram_bot_data_pipeline_spark.registry_report import render
+
+    path = pathlib.Path(__file__).resolve().parent.parent / "REGISTRY.md"
+    assert path.read_text() == render()

@@ -36,6 +36,19 @@ def _reference_winnow(words: list[str]) -> set[int]:
     return selected
 
 
+def _seeded_random_docs(n_docs: int = 30, seed: int = 20260814) -> list[str]:
+    """Deterministic fuzz corpus: small alphabet (forces hash ties and
+    repeated grams), varied lengths including G < W edges."""
+    import random
+
+    rng = random.Random(seed)
+    alphabet = ["aa", "bb", "cc", "dd", "ee"]
+    return [
+        " ".join(rng.choice(alphabet) for _ in range(rng.randint(2, 40)))
+        for _ in range(n_docs)
+    ]
+
+
 DOCS = [
     "the quick brown fox jumps over the lazy dog again and again and again",
     "a b c d e f g h i j k l m n o p",
@@ -43,7 +56,7 @@ DOCS = [
     "one two three four",  # exactly one gram, G < W: no complete window
     "alpha beta gamma delta epsilon zeta eta theta iota kappa",
     "x y x y x y x y x y x y",  # periodic
-]
+] + _seeded_random_docs()
 
 
 def test_winnowing_matches_textbook_reference(spark):
