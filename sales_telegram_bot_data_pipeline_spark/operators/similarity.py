@@ -948,3 +948,117 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# margin-based bitext mining (Artetxe & Schwenk 2019)
+# --------------------------------------------------------------------------
+BITEXT_MARGIN_UNITS = 1_020_000  # margin >= 1.02 in 1e6 units
+BITEXT_MIN_NEIGHBORS = 2  # a margin needs a neighborhood to normalize by
+
+
+def _bitext_scored_sql(d: Dialect, emb_table: str) -> str:
+    """Banded candidate pairs with integer-unit cosines — the shared input
+    of the neighborhood aggregates and the final margin projection."""
+    return f"""
+SELECT cand.vec_a, cand.vec_b,
+       CAST(FLOOR(({_dots(d, "x.embedding", "y.embedding")})
+                  / (na.nrm * nb.nrm) * 1e6) AS BIGINT) AS cos_units
+FROM (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM ({_banded_view(d, emb_table)}) a JOIN ({_banded_view(d, emb_table)}) b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+) cand
+JOIN {emb_table} x ON x.vec_id = cand.vec_a
+JOIN {emb_table} y ON y.vec_id = cand.vec_b
+JOIN (SELECT vec_id, sqrt({_dots(d, "embedding", "embedding")}) AS nrm FROM {emb_table}) na
+  ON na.vec_id = cand.vec_a
+JOIN (SELECT vec_id, sqrt({_dots(d, "embedding", "embedding")}) AS nrm FROM {emb_table}) nb
+  ON nb.vec_id = cand.vec_b
+"""
+
+
+def _bitext_mining_sql(d: Dialect, emb_table: str, docs_table: str,
+                       pairs_rel: str | None = None) -> str:
+    """Parallel-corpus mining with the MARGIN criterion (Artetxe & Schwenk
+    2019): a cross-lingual pair is kept when its cosine stands out from
+    each side's candidate neighborhood — margin = cos(x,y) / ((mean_x +
+    mean_y)/2) — which suppresses hub vectors that score high against
+    EVERYTHING (raw cosine thresholds mine hubs, the classic failure).
+
+    Engine shape: candidates come from the same sign-sketch band join as
+    the near-dup family (never all-pairs), filtered to CROSS-LANG pairs by
+    joining doc language; neighborhood means aggregate over the candidate
+    graph itself (the practical k-NN-free approximation — at mining scale
+    the banded neighborhood IS the candidate k-NN pool).  Determinism:
+    cosines quantize to integer 1e6 units first, the margin is a single
+    double division of exact-integer products (all < 2^53), FLOOR-
+    quantized — no double accumulation anywhere.
+
+    ``pairs_rel`` overrides the scored-pair CTE (Spark materializes it —
+    it feeds both neighborhood aggregates and the final projection)."""
+    scored = pairs_rel or _bitext_scored_sql(d, emb_table)
+    return f"""
+WITH scored AS ({scored}),
+langs AS (SELECT doc_id, lang FROM {docs_table}),
+cross_lang AS (
+  SELECT s.vec_a, s.vec_b, s.cos_units
+  FROM scored s
+  JOIN langs la ON la.doc_id = s.vec_a
+  JOIN langs lb ON lb.doc_id = s.vec_b
+  WHERE la.lang <> lb.lang
+),
+na AS (SELECT vec_a AS v, SUM(cos_units) AS s, COUNT(*) AS c FROM cross_lang GROUP BY vec_a),
+nb AS (SELECT vec_b AS v, SUM(cos_units) AS s, COUNT(*) AS c FROM cross_lang GROUP BY vec_b),
+margins AS (
+  SELECT cl.vec_a, cl.vec_b, cl.cos_units,
+         CAST(FLOOR(cl.cos_units * 2.0e0 * na.c * nb.c
+                    / (na.s * nb.c + nb.s * na.c) * 1e6) AS BIGINT) AS margin_units,
+         na.c AS n_a, nb.c AS n_b
+  FROM cross_lang cl
+  JOIN na ON na.v = cl.vec_a
+  JOIN nb ON nb.v = cl.vec_b
+  WHERE na.c >= {BITEXT_MIN_NEIGHBORS} AND nb.c >= {BITEXT_MIN_NEIGHBORS}
+    AND na.s > 0 AND nb.s > 0
+)
+SELECT vec_a AS doc_a, vec_b AS doc_b,
+       CAST(cos_units / 1e6 AS DOUBLE) AS cosine,
+       CAST(margin_units / 1e6 AS DOUBLE) AS margin
+FROM margins
+WHERE margin_units >= {BITEXT_MARGIN_UNITS}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "bitext_margin_mining",
+    oracle=_bitext_mining_sql(DUCKDB, "embeddings", "documents"),
+    doc="Margin-based bitext mining (Artetxe & Schwenk 2019): banded "
+    "cross-lingual candidate pairs, cosine normalized by each side's "
+    "candidate-neighborhood mean — margin >= 1.02 suppresses hub vectors "
+    "that raw cosine thresholds mine by mistake. Exact-integer margin "
+    "arithmetic (one double division of <2^53 products), no all-pairs "
+    "stage anywhere.",
+    tags=("similarity", "retrieval", "text"),
+)
+def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_view(spark, sf_dir)
+    from ..sources.tables import load_table
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_bitext_docs"
+    )
+    # materialize the scored pair relation once: it feeds BOTH neighborhood
+    # aggregates and the final projection (inline CTE would re-run the
+    # banded join + cosine three times)
+    spark.sql(_bitext_scored_sql(SPARK, emb)).localCheckpoint().createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_bitext_scored"
+    )
+    return spark.sql(
+        _bitext_mining_sql(
+            SPARK,
+            emb,
+            "sales_telegram_bot_data_pipeline_bitext_docs",
+            pairs_rel="SELECT * FROM sales_telegram_bot_data_pipeline_bitext_scored",
+        )
+    )
