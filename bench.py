@@ -117,6 +117,11 @@ HEADLINE = [
     "blocklist_scan",
     "collocation_pmi",
     "user_cadence_profile",
+    "dedup_containment",
+    "dedup_keep_best_quality",
+    "split_leakage_audit",
+    "validity_interval_coalesce",
+    "bitext_margin_mining",
     "detected_data_pipeline",
 ]
 
