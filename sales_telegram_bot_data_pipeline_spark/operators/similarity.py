@@ -955,6 +955,7 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 BITEXT_MARGIN_UNITS = 1_020_000  # margin >= 1.02 in 1e6 units
 BITEXT_MIN_NEIGHBORS = 2  # a margin needs a neighborhood to normalize by
+BITEXT_NN_K = 4  # normalizer = mean of each node's top-k candidate cosines
 
 
 def _bitext_scored_sql(d: Dialect, emb_table: str) -> str:
@@ -982,15 +983,16 @@ def _bitext_mining_sql(d: Dialect, emb_table: str, docs_table: str,
                        pairs_rel: str | None = None) -> str:
     """Parallel-corpus mining with the MARGIN criterion (Artetxe & Schwenk
     2019): a cross-lingual pair is kept when its cosine stands out from
-    each side's candidate neighborhood — margin = cos(x,y) / ((mean_x +
-    mean_y)/2) — which suppresses hub vectors that score high against
-    EVERYTHING (raw cosine thresholds mine hubs, the classic failure).
+    each side's k-NN neighborhood — margin = cos(x,y) / ((mean_x +
+    mean_y)/2) with means over each node's TOP-k candidate cosines — which
+    suppresses hub vectors that score high against EVERYTHING (raw cosine
+    thresholds mine hubs, the classic failure).
 
     Engine shape: candidates come from the same sign-sketch band join as
     the near-dup family (never all-pairs), filtered to CROSS-LANG pairs by
-    joining doc language; neighborhood means aggregate over the candidate
-    graph itself (the practical k-NN-free approximation — at mining scale
-    the banded neighborhood IS the candidate k-NN pool).  Determinism:
+    joining doc language; the k-NN pool is each node's top-k among its
+    BANDED candidates (the approximation that keeps mining sub-quadratic;
+    exact k-NN would re-rank the full corpus per node).  Determinism:
     cosines quantize to integer 1e6 units first, the margin is a single
     double division of exact-integer products (all < 2^53), FLOOR-
     quantized — no double accumulation anywhere.
@@ -1008,16 +1010,36 @@ cross_lang AS (
   JOIN langs lb ON lb.doc_id = s.vec_b
   WHERE la.lang <> lb.lang
 ),
-na AS (SELECT vec_a AS v, SUM(cos_units) AS s, COUNT(*) AS c FROM cross_lang GROUP BY vec_a),
-nb AS (SELECT vec_b AS v, SUM(cos_units) AS s, COUNT(*) AS c FROM cross_lang GROUP BY vec_b),
+-- each NODE's neighborhood is its candidate set regardless of which side
+-- of the canonical (a<b) pair it sits on — a side-specific GROUP BY
+-- (vec_a only / vec_b only) halves the neighborhood and starves nodes that
+-- mostly appear on one side (caught by the hub-suppression golden test).
+-- The normalizer is the mean of each node's TOP-{BITEXT_NN_K} candidate
+-- cosines (the paper's k-NN pool), NOT the all-candidates mean: junk
+-- candidates from generous banding would deflate every mean and inflate
+-- every margin, letting hub pairs through (also caught by the golden
+-- test).  Per-node ranking window is bounded by candidate degree.
+sym AS (
+  SELECT vec_a AS v, cos_units FROM cross_lang
+  UNION ALL
+  SELECT vec_b AS v, cos_units FROM cross_lang
+),
+topk AS (
+  SELECT v, cos_units FROM (
+    SELECT v, cos_units,
+           ROW_NUMBER() OVER (PARTITION BY v ORDER BY cos_units DESC) AS rk
+    FROM sym
+  ) r WHERE rk <= {BITEXT_NN_K}
+),
+nn AS (SELECT v, SUM(cos_units) AS s, COUNT(*) AS c FROM topk GROUP BY v),
 margins AS (
   SELECT cl.vec_a, cl.vec_b, cl.cos_units,
          CAST(FLOOR(cl.cos_units * 2.0e0 * na.c * nb.c
                     / (na.s * nb.c + nb.s * na.c) * 1e6) AS BIGINT) AS margin_units,
          na.c AS n_a, nb.c AS n_b
   FROM cross_lang cl
-  JOIN na ON na.v = cl.vec_a
-  JOIN nb ON nb.v = cl.vec_b
+  JOIN nn na ON na.v = cl.vec_a
+  JOIN nn nb ON nb.v = cl.vec_b
   WHERE na.c >= {BITEXT_MIN_NEIGHBORS} AND nb.c >= {BITEXT_MIN_NEIGHBORS}
     AND na.s > 0 AND nb.s > 0
 )
@@ -1034,11 +1056,11 @@ ORDER BY doc_a, doc_b
     "bitext_margin_mining",
     oracle=_bitext_mining_sql(DUCKDB, "embeddings", "documents"),
     doc="Margin-based bitext mining (Artetxe & Schwenk 2019): banded "
-    "cross-lingual candidate pairs, cosine normalized by each side's "
-    "candidate-neighborhood mean — margin >= 1.02 suppresses hub vectors "
-    "that raw cosine thresholds mine by mistake. Exact-integer margin "
-    "arithmetic (one double division of <2^53 products), no all-pairs "
-    "stage anywhere.",
+    "cross-lingual candidate pairs, cosine normalized by each node's "
+    f"TOP-{BITEXT_NN_K} neighborhood mean (the paper's k-NN pool; an "
+    "all-candidates mean deflates under generous banding and lets hub "
+    "pairs through — pinned by the hub-suppression golden test). "
+    "Margin >= 1.02, exact-integer arithmetic, no all-pairs stage.",
     tags=("similarity", "retrieval", "text"),
 )
 def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
