@@ -248,3 +248,56 @@ def test_table_checksum_invariant_under_repartitioning(spark):
     a = run(3, {"lineitem": "l_orderkey", "orders": "o_orderkey", "customer": "c_custkey"})
     b = run(64, {"lineitem": F.desc("l_partkey"), "orders": F.desc("o_custkey"), "customer": F.desc("c_name")})
     assert a == b and len(a) == 3
+
+
+def test_aes_log_domain_preserves_key_order():
+    """A-ES ranks by u^(1/w); the operator ranks by ln(u)/w. The transform
+    is order-preserving for u in (0,1], w > 0 — fuzz the equivalence."""
+    import math
+    import random
+
+    rng = random.Random(20260814)
+    pairs = [
+        (rng.random() or 1e-12, rng.randint(1, 10_000)) for _ in range(500)
+    ]
+    by_key = sorted(range(len(pairs)), key=lambda i: pairs[i][0] ** (1.0 / pairs[i][1]))
+    by_log = sorted(range(len(pairs)), key=lambda i: math.log(pairs[i][0]) / pairs[i][1])
+    assert by_key == by_log
+
+
+def test_countmin_overcount_guarantee_for_all_words(spark):
+    """CMS guarantees estimate >= true count for EVERY key (not just the
+    top-20 the registered audit emits): join full exact counts against the
+    sketch point queries and assert the invariant corpus-wide."""
+    from sales_telegram_bot_data_pipeline_spark.functions.dialect import SPARK as D
+    from sales_telegram_bot_data_pipeline_spark.operators.curation import (
+        CMS_D,
+        CMS_W,
+        _doc_view,
+    )
+
+    view = _doc_view(spark, "/root/testdata/sf0.001")
+    w = D.splitws("lower(text)")
+    words_rel = (
+        f"SELECT word FROM (SELECT {w} AS ws FROM {view}) s "
+        f"LATERAL VIEW explode(ws) t AS word WHERE length(word) > 0"
+    )
+    bucket = D.md5_prefix_int("('cms' || CAST(i AS STRING) || '|' || word)")
+    bad = spark.sql(f"""
+        WITH wc AS (SELECT word, COUNT(*) AS cnt FROM ({words_rel}) x GROUP BY word),
+        coords AS (
+          SELECT word, cnt, i, ({bucket}) % {CMS_W} AS bucket
+          FROM wc LATERAL VIEW explode(sequence(0, {CMS_D - 1})) t AS i
+        ),
+        sketch AS (SELECT i, bucket, SUM(cnt) AS c FROM coords GROUP BY i, bucket),
+        est AS (
+          SELECT co.word, co.cnt, MIN(s.c) AS e
+          FROM coords co JOIN sketch s ON s.i = co.i AND s.bucket = co.bucket
+          GROUP BY co.word, co.cnt
+        )
+        SELECT COUNT(*) AS n_total,
+               SUM(CASE WHEN e < cnt THEN 1 ELSE 0 END) AS n_undercount
+        FROM est
+    """).collect()[0]
+    assert bad.n_total > 20  # every distinct corpus word is checked
+    assert bad.n_undercount == 0

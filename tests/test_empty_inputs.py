@@ -76,6 +76,10 @@ EMPTY_OK_ZERO = [
     "audio_window_features",
     "image_phash_dedup",
     "embedding_pca_project",
+    "bitext_margin_mining",
+    "dedup_containment",
+    "dedup_keep_best_quality",
+    "split_leakage_audit",
 ]
 
 

@@ -31,6 +31,8 @@ SF_BENCH = "/root/testdata/sf0.1"
         # timezone-free epoch + ANSI WITHIN GROUP quantiles — the two
         # engine-divergence classes this query dodged, netted at sf0.1
         "user_cadence_profile",
+        # top-k margin arithmetic (integer products + one double division)
+        "bitext_margin_mining",
     ],
 )
 def test_floor_quantized_queries_match_at_sf01(spark, name):
