@@ -1404,3 +1404,109 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             SPARK, view, pairs_rel="SELECT * FROM sales_telegram_bot_data_pipeline_leak_pairs"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# capstone v2: quality gate -> keep-BEST dedup -> weighted selection
+# --------------------------------------------------------------------------
+V2_SAMPLE_K = 50
+V2_MIN_DISTINCT_WORDS = 10  # lexical-richness quality gate
+
+
+def _curation_v2_sql(d: Dialect, table: str, reps_rel: str | None = None) -> str:
+    """CAPSTONE v2 — the round-5 composition as ONE query: a lexical-
+    richness quality gate, near-dup clustering that keeps the BEST-quality
+    member per cluster (not min-id), and an Efraimidis-Spirakis weighted
+    selection of the survivors — i.e. the production selection chain
+    'clean -> dedup keeping the good copy -> sample by quality'.
+
+    Every stage keeps its scale shape: the gate is a scan predicate, the
+    clustering reuses the banded LSH pair machinery over the GATED
+    relation, the per-cluster argmax is a cluster-partitioned window, and
+    the final selection is a TakeOrdered top-K on quantized A-ES keys.
+    ``reps_rel`` takes the Spark side's materialized kept-representative
+    relation (CC runs imperatively there; the oracle replays it as the
+    recursive-CTE closure over the same gated relation)."""
+    from .dedup import _cc_oracle_sql
+
+    w = d.splitws("lower(text)")
+    richness = d.alen(d.adistinct(w))
+    gated = (
+        f"(SELECT * FROM {table} WHERE {richness} >= {V2_MIN_DISTINCT_WORDS}) gated_docs"
+    )
+    if reps_rel is None:
+        cc = _cc_oracle_sql(d, gated).replace("ORDER BY doc_id", "")
+        reps_rel = f"""
+SELECT doc_id, cluster_size FROM (
+  SELECT cc.doc_id, cc.cluster_rep,
+         ROW_NUMBER() OVER (PARTITION BY cc.cluster_rep
+                            ORDER BY q.richness DESC, cc.doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY cc.cluster_rep) AS cluster_size
+  FROM ({cc}) cc
+  JOIN (SELECT doc_id, {richness} AS richness FROM {gated}) q
+    ON q.doc_id = cc.doc_id
+) r WHERE rk = 1
+"""
+    h = d.md5_prefix_int(f"('wsamp|' || {d.strcast('t.doc_id')})")
+    u = f"(CAST({h} AS DOUBLE) + 1.0e0) / 1152921504606846976.0e0"
+    key_units = f"CAST(FLOOR(LN({u}) / CAST(t.n_chars AS DOUBLE) * 1.0e9) AS BIGINT)"
+    return f"""
+WITH reps AS ({reps_rel})
+SELECT t.doc_id, t.lang, CAST(t.n_chars AS BIGINT) AS weight,
+       CAST(r.cluster_size AS BIGINT) AS cluster_size,
+       {key_units} AS key_units
+FROM reps r JOIN {table} t ON t.doc_id = r.doc_id
+WHERE t.n_chars > 0
+ORDER BY key_units DESC, t.doc_id
+LIMIT {V2_SAMPLE_K}
+"""
+
+
+@register(
+    "curation_pipeline_v2",
+    oracle=_curation_v2_sql(DUCKDB, "documents"),
+    doc="CAPSTONE v2 — the round-5 selection chain as ONE query: lexical-"
+    f"richness gate (>= {V2_MIN_DISTINCT_WORDS} distinct words) -> near-dup "
+    "clustering keeping the BEST-quality member per cluster -> "
+    f"Efraimidis-Spirakis weighted top-{V2_SAMPLE_K}. Scan-predicate gate, "
+    "banded pair join + one-shuffle-per-iteration CC, cluster-partitioned "
+    "argmax window, TakeOrdered on quantized A-ES keys.",
+    tags=("curation", "dedup", "sampling", "pipeline"),
+)
+def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.dialect import SPARK as _S
+    from .dedup import _lsh_pairs_sql, connected_components
+
+    view = _doc_view(spark, sf_dir)
+    w = _S.splitws("lower(text)")
+    richness = _S.alen(_S.adistinct(w))
+    gated = spark.sql(
+        f"SELECT *, {richness} AS richness FROM {view} "
+        f"WHERE {richness} >= {V2_MIN_DISTINCT_WORDS}"
+    )
+    gated.createOrReplaceTempView("sales_telegram_bot_data_pipeline_v2_gated")
+    pairs = spark.sql(
+        _lsh_pairs_sql(_S, "sales_telegram_bot_data_pipeline_v2_gated").replace(
+            "ORDER BY doc_a, doc_b", ""
+        )
+    )
+    labels = connected_components(spark, gated.select("doc_id"), pairs)
+    from pyspark.sql.window import Window
+
+    wrk = Window.partitionBy("cluster_rep").orderBy(F.desc("richness"), F.col("doc_id"))
+    wsz = Window.partitionBy("cluster_rep")
+    reps = (
+        labels.join(gated.select("doc_id", "richness"), "doc_id")
+        .withColumn("rk", F.row_number().over(wrk))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wsz))
+        .where(F.col("rk") == 1)
+        .select("doc_id", "cluster_size")
+    )
+    reps.createOrReplaceTempView("sales_telegram_bot_data_pipeline_v2_reps")
+    return spark.sql(
+        _curation_v2_sql(
+            _S,
+            view,
+            reps_rel="SELECT doc_id, cluster_size FROM sales_telegram_bot_data_pipeline_v2_reps",
+        )
+    )
