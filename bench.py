@@ -122,6 +122,7 @@ HEADLINE = [
     "split_leakage_audit",
     "validity_interval_coalesce",
     "bitext_margin_mining",
+    "curation_pipeline_v2",
     "detected_data_pipeline",
 ]
 
