@@ -51,6 +51,10 @@ for name in (
     "lsh_recall_audit",
     "snapshot_diff_audit",
     "zipf_fit_audit",
+    "bitext_margin_mining",
+    "curation_pipeline_v2",
+    "dedup_containment",
+    "user_cadence_profile",
 ):
     r = compare_query(spark, con, name, {SF_SMOKE!r})
     assert r.ok, f"{{name}} failed on a DEFAULT session: {{r.detail}}"
@@ -68,4 +72,4 @@ def test_default_session_oracle_parity():
         cwd="/root/repo",
     )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-3000:]}"
-    assert proc.stdout.count("OK") == 18
+    assert proc.stdout.count("OK") == 22
