@@ -201,15 +201,18 @@ _DRIVER_WINDOW = [
 
 def _ordered_names() -> list[str]:
     rank = {n: i for i, n in enumerate(_DRIVER_WINDOW)}
-    names = list(REGISTRY)
 
-    def key(n: str) -> tuple[int, int]:
+    def key(n: str) -> tuple:
         if n in rank:
-            return (0, rank[n])
-        # unlisted: oracle-backed before rows-only, registration order within
-        return (1 if REGISTRY[n].oracle is not None else 2, names.index(n))
+            return (0, rank[n], "")
+        # unlisted: oracle-backed before rows-only, NAME order within —
+        # registration order looked natural but depends on module IMPORT
+        # order (a test importing an operator module before queries.py
+        # reshuffled the tail, caught by the REGISTRY.md freshness test);
+        # name order is deterministic under any import sequence
+        return (1 if REGISTRY[n].oracle is not None else 2, 0, n)
 
-    return sorted(names, key=key)
+    return sorted(REGISTRY, key=key)
 
 
 def queries():
