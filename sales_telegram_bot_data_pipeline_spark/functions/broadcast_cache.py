@@ -29,8 +29,22 @@ def broadcast_once(
     """Return a Broadcast of ``builder()``, built at most once per
     (applicationId, *key) while that key is ``namespace``'s live entry."""
     ns = _CACHE.setdefault(namespace, {})
-    full_key = (spark.sparkContext.applicationId, *key)
+    app_id = spark.sparkContext.applicationId
+    full_key = (app_id, *key)
     if full_key not in ns:
+        # Evict the namespace's previous entry EXPLICITLY: dropping the
+        # Python reference alone leaves executor-side broadcast blocks
+        # alive until driver GC happens to run the ContextCleaner —
+        # unbounded in practice for a long-lived process cycling corpora.
+        # Only unpersist broadcasts of the LIVE application (a stopped
+        # context's broadcast is gone with its executors; poking it can
+        # only raise), and never let cleanup failure break the build path.
+        for (old_app, *_), old_bc in list(ns.items()):
+            if old_app == app_id:
+                try:
+                    old_bc.unpersist(blocking=False)
+                except Exception:
+                    pass  # already cleaned / context racing shutdown
         ns.clear()  # one live side-input per namespace is plenty
         ns[full_key] = spark.sparkContext.broadcast(builder())
     return ns[full_key]

@@ -1130,18 +1130,30 @@ def _lpa_sql(d: Dialect, table: str, pairs_rel: str | None = None) -> str:
     """Synchronous label propagation (Raghavan et al. 2007) over the
     symmetric embedding near-dup graph: every node starts as its own label;
     each iteration a node adopts the most frequent label among its
-    neighbors, ties broken by SMALLEST label — fully deterministic, so a
-    fixed iteration count is one oracle-checkable query (the classic
-    randomized-order LPA is not reproducible across engines by design;
-    the deterministic synchronous variant is the distributed form).
+    neighbors AND itself, ties broken by SMALLEST label — fully
+    deterministic, so a fixed iteration count is one oracle-checkable
+    query (the classic randomized-order LPA is not reproducible across
+    engines by design; the deterministic synchronous variant is the
+    distributed form).
 
-    Per iteration: edges JOIN labels (shuffle on node id), COUNT per
-    (node, neighbor label) with map-side partial agg, then a per-node
-    argmax via ROW_NUMBER over (count DESC, label ASC) — a window whose
-    partitions are single nodes (bounded by degree, never corpus-wide).
-    Pure integer arithmetic end-to-end: no libm, cross-engine exact by
-    construction.  Same edge-touching-node convention and materialized-
-    pairs discipline as PageRank."""
+    The self-vote (each node's own current label joins the neighbor
+    tally) is load-bearing, not a tweak: without it, synchronous LPA
+    oscillates on bipartite components — an isolated near-dup PAIR swaps
+    labels every iteration, so any even iteration count reports the two
+    connected docs as two separate communities, and that 2-node component
+    is the single most common cluster shape in a near-dup graph.  With
+    the self-vote a pair ties 1-1 and the min-label tie-break collapses
+    both nodes onto the smaller id in one step (pinned by
+    test_curation.py::test_lpa_two_node_component_one_community).
+
+    Per iteration: edges JOIN labels (shuffle on node id) UNION ALL the
+    prior label relation itself (the self-vote — no extra shuffle beyond
+    the agg), COUNT per (node, label) with map-side partial agg, then a
+    per-node argmax via ROW_NUMBER over (count DESC, label ASC) — a
+    window whose partitions are single nodes (bounded by degree, never
+    corpus-wide).  Pure integer arithmetic end-to-end: no libm,
+    cross-engine exact by construction.  Same edge-touching-node
+    convention and materialized-pairs discipline as PageRank."""
     from .similarity import _neardup_banded_sql
 
     pairs = pairs_rel or _neardup_banded_sql(d, table).replace("ORDER BY vec_a, vec_b", "")
@@ -1150,9 +1162,14 @@ def _lpa_sql(d: Dialect, table: str, pairs_rel: str | None = None) -> str:
     for i in range(1, LPA_ITERS + 1):
         its.append(f"""
 cnt{i} AS (
-  SELECT e.dst AS node, l.label, COUNT(*) AS c
-  FROM edges e JOIN {prev} l ON l.node = e.src
-  GROUP BY e.dst, l.label
+  SELECT node, label, COUNT(*) AS c
+  FROM (
+    SELECT e.dst AS node, l.label
+    FROM edges e JOIN {prev} l ON l.node = e.src
+    UNION ALL
+    SELECT node, label FROM {prev}
+  ) v{i}
+  GROUP BY node, label
 ),
 l{i} AS (
   SELECT node, label FROM (
@@ -1181,7 +1198,8 @@ ORDER BY vec_id
     "label_propagation_communities",
     oracle=_lpa_sql(DUCKDB, "embeddings"),
     doc=f"Deterministic synchronous label propagation ({LPA_ITERS} unrolled "
-    "iterations, min-label tie-break) over the embedding near-dup graph — "
+    "iterations, self-vote + min-label tie-break — the self-vote kills the "
+    "bipartite 2-node oscillation) over the embedding near-dup graph — "
     "community detection next to connected components (which merges "
     "everything reachable) and PageRank (centrality). One shuffle + one "
     "degree-bounded window per iteration, integer-only.",
@@ -1279,6 +1297,25 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # asymmetric containment (quote-inclusion dedup)
 # --------------------------------------------------------------------------
 CONTAINMENT_THRESHOLD = 0.8
+CNT_DF_CAP = 20  # candidate-generation df cap.  Containment's stated target
+#                  (wrapped boilerplate, quoted pages) is exactly the
+#                  high-df regime, so the cap is looser than the Jaccard
+#                  DF_CAP=5 — but it must exist: an uncapped self-join emits
+#                  df² rows for a shingle shared by f docs, and one
+#                  corpus-hot shingle alone produces a quadratic straggler.
+#                  Recall survives because a CONTAINED doc shares ALL its
+#                  shingles with its container, including its rarest ones —
+#                  a pair is lost only if every shared shingle has df >
+#                  CNT_DF_CAP, i.e. the "contained" text is itself pure
+#                  corpus boilerplate (which exact-dedup already catches).
+CNT_MIN_COMMON = 3  # a candidate pair must co-occur on >= this many capped
+#                     shingles.  A real containment hit shares >= 0.8·|A|
+#                     shingles, so demanding 3 capped co-occurrences costs
+#                     essentially no recall (measured at sf0.1: identical
+#                     512 hits) while pruning the one-shared-shingle noise
+#                     pairs that dominate the mid-df join — candidate rows
+#                     drop 100x (2.24M -> 20k) and the full-set refine stops
+#                     being the bottleneck.
 
 
 def _containment_sql(d: Dialect, table: str, shingles_rel: str | None = None) -> str:
@@ -1288,20 +1325,39 @@ def _containment_sql(d: Dialect, table: str, shingles_rel: str | None = None) ->
     digest).  Jaccard-threshold dedup misses exactly this case: a 50-word
     doc fully contained in a 5000-word doc has Jaccard ~0.01.
 
-    Same inverted-shingle machinery as the Jaccard operator (candidate
-    generation per shared shingle, counts joined back), but normalized by
-    the CONTAINED side only, and emitted directionally (contained_doc,
-    container_doc) — both directions are checked, so a pair can appear
-    twice with different scores."""
+    Same df-capped inverted-index discipline as the stop-shingle Jaccard
+    twin (``_jaccard_stopshingle_sql``): candidate pairs come only from
+    shingles with document frequency <= ``CNT_DF_CAP`` (bounding every
+    shingle's join fan-out at df² regardless of corpus size) AND must
+    co-occur on >= ``CNT_MIN_COMMON`` of them (prunes the
+    one-shared-shingle noise pairs a mid-df corpus generates
+    quadratically), while ``n_common`` is then counted over the FULL
+    shingle sets of each candidate pair, so the emitted containment score
+    is exact.  Normalized by the CONTAINED side only, emitted
+    directionally (contained_doc, container_doc) — both directions are
+    checked, so a pair can appear twice with different scores.  The
+    oracle runs the identical construction, so the candidate pruning is
+    deterministic cross-engine."""
     sh = shingles_rel or _shingles_sql(d, table)
     return f"""
 WITH shingles AS ({sh}),
+sdf AS (SELECT sh, COUNT(*) AS df FROM shingles GROUP BY sh),
+idx AS (
+  SELECT s.doc_id, s.sh FROM shingles s
+  JOIN sdf ON sdf.sh = s.sh WHERE sdf.df <= {CNT_DF_CAP}
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= {CNT_MIN_COMMON}
+),
 counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
 common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM shingles a JOIN shingles b
-    ON a.sh = b.sh AND a.doc_id <> b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+  GROUP BY c.doc_a, c.doc_b
 )
 SELECT doc_a AS contained_doc, doc_b AS container_doc,
        CAST(ca.n_sh AS BIGINT) AS n_shingles,
@@ -1321,7 +1377,9 @@ ORDER BY contained_doc, container_doc
     f"{CONTAINMENT_THRESHOLD} flags docs mostly INCLUDED in another "
     "(quotes, wrapped boilerplate) that Jaccard-threshold dedup "
     "structurally misses (a 50-word doc inside a 5000-word doc has "
-    "Jaccard ~0.01). Same inverted-shingle candidate machinery, "
+    f"Jaccard ~0.01). Candidates from a df<={CNT_DF_CAP} inverted index "
+    f"with >={CNT_MIN_COMMON} capped co-occurrences (bounded join fan-out, "
+    "noise pairs pruned), exact containment over full shingle sets, "
     "directional output.",
     tags=("dedup", "join", "text"),
 )

@@ -105,9 +105,13 @@ def bm25_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 RRF_C = 60  # the standard RRF constant (Cormack/Clarke/Buettcher 2009)
 RRF_ARM_K = 25  # per-arm candidate depth
 RRF_OUT_K = 15
-DENSE_QUERY_ID = 0  # query-by-example: the corpus vector standing in for an
-#                     encoded query (the engine has no text encoder; the
-#                     embeddings table is keyed 1:1 with documents.doc_id)
+# Query-by-example: a corpus vector stands in for an encoded query (the
+# engine has no text encoder; embeddings are keyed 1:1 with
+# documents.doc_id).  The query vector is selected by RULE — MIN(vec_id)
+# over the corpus — not by a hard-coded id: on a filtered or re-keyed
+# corpus a literal id can simply be absent, and the dense arm would then
+# return zero rows, silently degrading the "hybrid" query to BM25-only
+# fusion with no signal in the output.
 
 
 def _rrf_sql(d: Dialect, docs_table: str, emb_table: str) -> str:
@@ -133,8 +137,10 @@ bm AS (
 ),
 dn_top AS (
   SELECT e.vec_id AS doc_id, {cos} AS cosine
-  FROM {emb_table} e CROSS JOIN (SELECT embedding FROM {emb_table} WHERE vec_id = {DENSE_QUERY_ID}) q
-  WHERE e.vec_id <> {DENSE_QUERY_ID}
+  FROM {emb_table} e CROSS JOIN (
+    SELECT vec_id, embedding FROM {emb_table} ORDER BY vec_id LIMIT 1
+  ) q
+  WHERE e.vec_id <> q.vec_id
   ORDER BY cosine DESC, doc_id
   LIMIT {RRF_ARM_K}
 ),

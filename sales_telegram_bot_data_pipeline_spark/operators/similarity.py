@@ -818,17 +818,21 @@ PCA_UNITS = 1_000_000  # integer quantization: makes every distributed sum
 #                        eigensolve) is independent of partitioning/order
 
 
-def _pca_model(spark: SparkSession, sf_dir: str):
+def _pca_model(spark: SparkSession, sf_dir: str, headroom: int = 2**62):
     """Fit PCA over the embedding corpus with the bounded-collect pattern:
 
-    1. DISTRIBUTED: each partition reduces its vectors to one d x d Gram
-       partial plus a d-vector column sum and a count — computed in numpy
+    1. DISTRIBUTED: each partition reduces its vectors to d x d Gram
+       partials plus a d-vector column sum and a count — computed in numpy
        over integer-quantized coordinates (round(x * PCA_UNITS)), emitted
-       as (i, j, s) triples.  Per-partition int64 sums are safe by
-       construction (|q| <= ~PCA_UNITS, so a partition needs > ~9e6 rows
-       per pair to overflow — two orders beyond a 128 MB split); the
-       CROSS-partition reduction runs in Spark as SUM(DECIMAL(38,0)),
-       which never wraps.
+       as (i, j, s) triples.  int64 overflow is GUARDED, not assumed away:
+       the accumulator tracks the max |quantized coordinate| seen and the
+       row count, and FLUSHES a partial (yielding its triples and
+       resetting) before any S entry could exceed 2^62 — so a partition
+       with anomalously many rows or out-of-range coordinates emits more
+       partials instead of silently wrapping; a single Arrow batch that
+       could overflow within numpy's own matmul raises.  The
+       CROSS-partition (and cross-flush) reduction runs in Spark as
+       SUM(DECIMAL(38,0)), which never wraps.
     2. BOUNDED COLLECT: d^2 + d + 1 rows (d=64 -> 4161) come to the
        driver regardless of corpus size — the same O(model) collect
        contract as the vocab trie and k-means centroids.
@@ -842,25 +846,12 @@ def _pca_model(spark: SparkSession, sf_dir: str):
 
     emb = load_table(spark, sf_dir, "embeddings").select("embedding")
 
-    def _partials(batches):
-        S = None
-        colsum = None
-        n = 0
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            q = np.rint(
-                np.vstack(pdf["embedding"].to_numpy()).astype("float64") * PCA_UNITS
-            ).astype("int64")
-            if S is None:
-                d = q.shape[1]
-                S = np.zeros((d, d), dtype="int64")
-                colsum = np.zeros(d, dtype="int64")
-            S += q.T @ q
-            colsum += q.sum(axis=0)
-            n += len(pdf)
-        if S is None:
-            return
+    # |S_ij| <= n_rows * amax² must stay under the headroom bound; the
+    # parameter exists so tests can shrink it to force the flush path
+    # (captured by value into the mapInPandas closure)
+    HEADROOM = headroom
+
+    def _emit(S, colsum, n):
         d = S.shape[0]
         i_idx, j_idx = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
         out = pd.DataFrame(
@@ -868,7 +859,49 @@ def _pca_model(spark: SparkSession, sf_dir: str):
         )
         means = pd.DataFrame({"i": np.arange(d), "j": np.full(d, -1), "s": colsum})
         count = pd.DataFrame({"i": [-1], "j": [-1], "s": [n]})
-        yield pd.concat([out, means, count], ignore_index=True)
+        return pd.concat([out, means, count], ignore_index=True)
+
+    def _partials(batches):
+        S = None
+        colsum = None
+        n = 0
+        amax = 1  # max |quantized coordinate| folded into S so far
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.rint(
+                np.vstack(pdf["embedding"].to_numpy()).astype("float64") * PCA_UNITS
+            ).astype("int64")
+            b_amax = max(int(np.abs(q).max()), 1)
+            if len(q) > HEADROOM // (b_amax * b_amax):
+                # numpy's own q.T @ q accumulates in int64: a single batch
+                # this far out of the assumed coordinate range cannot be
+                # reduced safely at this quantization — fail loudly rather
+                # than corrupt the covariance silently
+                raise ValueError(
+                    f"PCA Gram partial would overflow int64 within one batch "
+                    f"(rows={len(q)}, max|q|={b_amax}); embedding coordinates "
+                    f"exceed the assumed range for PCA_UNITS={PCA_UNITS}"
+                )
+            if S is None:
+                d = q.shape[1]
+                S = np.zeros((d, d), dtype="int64")
+                colsum = np.zeros(d, dtype="int64")
+            new_amax = max(amax, b_amax)
+            if n and (n + len(q)) > HEADROOM // (new_amax * new_amax):
+                # flush before this batch could wrap an accumulator entry;
+                # the Spark-side DECIMAL(38,0) reduce absorbs extra partials
+                yield _emit(S, colsum, n)
+                S[:] = 0
+                colsum[:] = 0
+                n = 0
+                new_amax = b_amax
+            S += q.T @ q
+            colsum += q.sum(axis=0)
+            n += len(pdf)
+            amax = new_amax
+        if S is not None and n:
+            yield _emit(S, colsum, n)
 
     triples = (
         emb.mapInPandas(_partials, schema="i int, j int, s long")

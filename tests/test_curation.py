@@ -301,3 +301,48 @@ def test_countmin_overcount_guarantee_for_all_words(spark):
     """).collect()[0]
     assert bad.n_total > 20  # every distinct corpus word is checked
     assert bad.n_undercount == 0
+
+
+def test_lpa_two_node_component_one_community(spark):
+    """The self-vote golden: an isolated near-dup PAIR — the most common
+    cluster shape in a near-dup graph — must collapse to ONE community.
+    Without each node voting for its own current label, synchronous LPA
+    oscillates on this bipartite component (labels swap every iteration),
+    so any even iteration count reports two communities; the oracle can't
+    catch that because both engines run the same SQL."""
+    from sales_telegram_bot_data_pipeline_spark.functions.dialect import SPARK
+    from sales_telegram_bot_data_pipeline_spark.operators.dedup import _lpa_sql
+
+    spark.createDataFrame([(10, 20)], "vec_a long, vec_b long").createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_lpa_golden_pair"
+    )
+    rows = spark.sql(
+        _lpa_sql(
+            SPARK,
+            "unused_table",
+            pairs_rel="SELECT vec_a, vec_b FROM sales_telegram_bot_data_pipeline_lpa_golden_pair",
+        )
+    ).collect()
+    got = {r.vec_id: r.community for r in rows}
+    assert got == {10: 10, 20: 10}
+
+
+def test_lpa_four_cycle_converges_single_community(spark):
+    """4-cycle (the textbook bipartite oscillator): with the self-vote and
+    min-label tie-break both unrolled iterations are stable and the whole
+    cycle lands on the smallest node id."""
+    from sales_telegram_bot_data_pipeline_spark.functions.dialect import SPARK
+    from sales_telegram_bot_data_pipeline_spark.operators.dedup import _lpa_sql
+
+    spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "vec_a long, vec_b long"
+    ).createOrReplaceTempView("sales_telegram_bot_data_pipeline_lpa_golden_cycle")
+    rows = spark.sql(
+        _lpa_sql(
+            SPARK,
+            "unused_table",
+            pairs_rel="SELECT vec_a, vec_b FROM sales_telegram_bot_data_pipeline_lpa_golden_cycle",
+        )
+    ).collect()
+    got = {r.vec_id: r.community for r in rows}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}

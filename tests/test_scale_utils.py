@@ -392,3 +392,57 @@ def test_pca_projection(spark):
     # eigenvalue ordering surfaces as projected variance ordering
     pcs = np.array([got[i] for i in sorted(got)])
     assert pcs[:, 0].var() >= pcs[:, 1].var()
+
+
+def test_pca_flush_on_headroom_is_exact(spark):
+    """The overflow guard's flush path must be VALUE-NEUTRAL: shrinking the
+    int64 headroom so the accumulator flushes partials every couple of
+    Arrow batches (and shrinking the Arrow batch size so partitions hold
+    several batches) must reproduce the default model bit-for-bit — extra
+    partials are absorbed exactly by the DECIMAL(38,0) reduce."""
+    import numpy as np
+
+    from sales_telegram_bot_data_pipeline_spark.operators.similarity import (
+        PCA_UNITS,
+        _pca_model,
+    )
+    from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    mu_a, c_a = _pca_model(spark, sf_dir)
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    amax = max(
+        1,
+        int(
+            round(
+                emb.selectExpr(
+                    "max(aggregate(embedding, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(x)))) AS m"
+                ).collect()[0]["m"]
+                * PCA_UNITS
+            )
+        ),
+    )
+    old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+        # headroom admits ~120 rows per accumulated partial: each 50-row
+        # batch passes the single-batch guard, and the accumulator flushes
+        # after every second batch
+        mu_b, c_b = _pca_model(spark, sf_dir, headroom=120 * amax * amax)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old_batch)
+    np.testing.assert_array_equal(mu_a, mu_b)
+    np.testing.assert_array_equal(c_a, c_b)
+
+
+def test_pca_single_batch_overflow_raises(spark):
+    """A single Arrow batch that could wrap numpy's int64 matmul must fail
+    LOUDLY (ValueError from the executor), never corrupt the covariance
+    silently."""
+    import pytest
+
+    from sales_telegram_bot_data_pipeline_spark.operators.similarity import _pca_model
+
+    with pytest.raises(Exception, match="overflow int64 within one batch"):
+        _pca_model(spark, "/root/testdata/sf0.001", headroom=1)
