@@ -343,15 +343,36 @@ def detected_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import normalize_col
     from .segmentation import segment_column
 
-    wide = detected_data(spark, sf_dir).withColumn(
-        "__norm_name", normalize_col("item_name")
+    wide = detected_data(spark, sf_dir)
+    out_cols = wide.columns  # preserve the native twin's column order
+    # The wide relation feeds BOTH the distinct-name branch and the join
+    # probe side; without a materialization point the stubbed-inference
+    # mapInPandas pipeline above would execute twice (measured: +35% at
+    # sf0.1).  localCheckpoint is the natural break — the reference also
+    # materializes detected_data at this point (its DynamoDB sink,
+    # data_pipeline.py:143).
+    wide = wide.withColumn("__norm_name", normalize_col("item_name")).localCheckpoint(
+        eager=False
     )
-    # withColumn on an existing name replaces IN PLACE, so the wide-record
-    # column order is unchanged from the native twin.
-    wide = segment_column(
-        spark, wide, "__norm_name", "processed_item_name", [], trie_bc=_item_trie_bc(spark)
-    ).drop("__norm_name")
-    return wide.orderBy("image_id")
+    # Scale shape: product names repeat heavily (price-tag text draws from
+    # a bounded product vocabulary), so the trie-DP segmenter runs once per
+    # DISTINCT normalized name — O(distinct names) Python-UDF invocations —
+    # and the results equi-join back, instead of segmenting every wide
+    # record (O(records) at 100 TB).  The distinct-name relation is
+    # vocabulary-bounded, so the join broadcasts under the same O(model)
+    # contract as the trie itself; the per-batch memo inside segment_column
+    # still covers the within-batch repeats of the distinct scan.
+    names = wide.select("__norm_name").where(F.col("__norm_name").isNotNull()).distinct()
+    seg = segment_column(
+        spark, names, "__norm_name", "__seg_name", [], trie_bc=_item_trie_bc(spark)
+    )
+    return (
+        wide.drop("processed_item_name")
+        .join(F.broadcast(seg), "__norm_name", "left")
+        .withColumnRenamed("__seg_name", "processed_item_name")
+        .select(*out_cols)
+        .orderBy("image_id")
+    )
 
 
 @register(
