@@ -111,19 +111,25 @@ except ImportError:  # pragma: no cover
 # outside the static window over time.  A slot may rotate only if its
 # operator family keeps at least one driver row; parked queries stay
 # registered and swept by the local replica (LOCAL_CORRECTNESS_r{N}.json).
-# Round-5 rotation — in: q6_forecast_revenue, q7_volume_shipping,
-# q10_returned_items, recursive_hierarchy_rollup, lateral_topk_orders,
-# pagerank_neardup_graph, bigram_lm_score, pit_join_scd2,
-# full_outer_reconciliation, sketch_rollup_distinct; parked (family cover in
-# parens): dedup_jaccard_stopshingle (dedup_minhash_lsh),
-# simhash_neardup (pagerank_neardup_graph runs the simhash pairing),
-# dedup_keep_canonical (dedup_connected_components + capstone),
-# embedding_cosine_neardup (semantic_dedup), knn_cosine_ivf
-# (knn_cosine_bruteforce + dedup_incremental_lsh), parse_price_core
-# (price_dispatcher_suite subsumes), tumbling_window_stats
-# (session_window_stats + watermark_tail_stats), token_count +
-# doc_fingerprint (text_quality_stats + dedup_exact), quality_repetition
-# (bigram_lm_score + dsir_importance carry model-based quality).
+# Round-6 rotation — in (all 10 NEVER previously windowed; the round-5
+# additions get their first driver rows): bitext_margin_mining,
+# curation_pipeline_v2, dedup_containment, dedup_keep_best_quality,
+# weighted_sample_aes, countmin_heavy_hitters,
+# label_propagation_communities, validity_interval_coalesce,
+# split_leakage_audit, winnowing_doc_matches.
+# Parked (family cover in parens — every parked query has r05 driver-grade
+# evidence): q6/q7/q10 (TPC-H keeps q1/q3/q5), bigram_lm_score
+# (dsir_importance keeps model-based quality), pagerank_neardup_graph
+# (graph family: dedup_connected_components stays, LPA rotates in),
+# knn_cosine_bruteforce (ANN: dedup_incremental_lsh + semantic_dedup),
+# sketch_rollup_distinct (sketches: countmin_heavy_hitters in,
+# table_checksum_audit stays), pit_join_scd2 (temporal joins:
+# asof_join_purchase_signup + interval_join_shipments),
+# full_outer_reconciliation (reconciliation audits: table_checksum_audit),
+# kmeans_lloyd (clustering: semantic_dedup + both curation capstones).
+# Round-5 history: in — q6/q7/q10, recursive_hierarchy_rollup,
+# lateral_topk_orders, pagerank_neardup_graph, bigram_lm_score,
+# pit_join_scd2, full_outer_reconciliation, sketch_rollup_distinct.
 # --------------------------------------------------------------------------
 _DRIVER_WINDOW = [
     # core relational / TPC-H
@@ -152,12 +158,10 @@ _DRIVER_WINDOW = [
     "asof_join_purchase_signup",
     "session_window_stats",
     "watermark_tail_stats",
-    "pit_join_scd2",
     # LLM-data-pipeline family
     "lang_id_heuristic",
     "text_quality_stats",
     "dedup_exact",
-    "bigram_lm_score",
     # dedup_ngram_jaccard stays registered + locally swept; its slot goes to
     # the model-based-quality family rep (dsir_importance) — the stopshingle
     # twin is the stronger (skew-safe) Jaccard row and keeps that covered
@@ -165,14 +169,8 @@ _DRIVER_WINDOW = [
     "dedup_minhash_lsh",
     "dedup_connected_components",
     "curation_pipeline_end2end",
-    "pagerank_neardup_graph",
-    "knn_cosine_bruteforce",
-    # knn_cosine_lsh_bucketed stays registered + locally swept; its slot goes
-    # to the incremental batch-vs-index dedup (bruteforce exactness baseline
-    # keeps the ANN family double-covered)
     "dedup_incremental_lsh",
     "semantic_dedup",
-    "kmeans_lloyd",
     "sequence_packing",
     "dataset_hash_split",
     # stratified_sample stays registered + locally swept; its slot goes to
@@ -188,14 +186,21 @@ _DRIVER_WINDOW = [
     # row_number over a partitioned ordering)
     "topk_orders_per_segment",
     "rollup_returnflag_status",
-    # round-5 rotation swap-ins (see policy comment above)
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q10_returned_items",
+    # round-5 swap-ins retained (CTE/LATERAL have no other family cover)
     "recursive_hierarchy_rollup",
     "lateral_topk_orders",
-    "full_outer_reconciliation",
-    "sketch_rollup_distinct",
+    # round-6 rotation swap-ins (see policy comment above): first driver
+    # rows for the round-5 operator families
+    "bitext_margin_mining",
+    "curation_pipeline_v2",
+    "dedup_containment",
+    "dedup_keep_best_quality",
+    "weighted_sample_aes",
+    "countmin_heavy_hitters",
+    "label_propagation_communities",
+    "validity_interval_coalesce",
+    "split_leakage_audit",
+    "winnowing_doc_matches",
 ]
 
 
