@@ -1,23 +1,45 @@
-"""Benchmark runner: executes the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"""Benchmark runner: executes EVERY registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints a
+compact FINAL JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"n_queries": N, "sf": ..., "detail": "BENCH_DETAIL.json"}.  The full
+per-query map goes to BENCH_DETAIL.json (the driver's tail capture once
+truncated a long stdout line — round-4 postmortem).
 
-Each query is collected (fully materialized) so the measured time includes
-the whole plan, not just lazy construction.  A warm-up run of the flagship
-absorbs JVM/session startup so per-query numbers reflect steady state.
+Coverage: the whole registry, not a curated headline set (round-5 verdict
+task 1: 72 registered queries had no bench row, so a perf regression there
+was invisible).  Every query is collected (fully materialized) so measured
+time includes the whole plan, not just lazy construction.
 
-Per-query time is the MIN of three steady-state runs: the host is shared,
-and multi-second scheduler transients land on a random query per run
-(verified: the same query is 1.1 s in one run and 7.9 s in the next with
-identical plans and zero >200 ms JVM GC pauses).  Two samples proved too
-few for the Python-stage-heavy queries, where a transient can hit both
-(measured on detected_data_pipeline: consecutive runs 5.2 / 8.1 / 2.6 s
-with a 2.6 s steady state and a constant 34-process worker pool — the pool
-is warm, the stall is scheduler noise landing on the longest-task query).
-min-of-3 reports the query's actual cost rather than whichever query the
-noise happened to hit.  Python gc runs between timings so py4j
-reference-release backlogs aren't attributed to an innocent query.
+Sampling, sized to fit the driver's ~580 s budget at 161 queries (a
+serial warm-up-everything + min-of-3-everything sweep measured 9m40s and
+timed out):
+
+- A PARALLEL warm-up pass (4 collect threads — the Spark scheduler
+  interleaves the jobs, and whole-stage-codegen compilation is JVM-side
+  parallel work the single-query sweep leaves idle) absorbs per-plan-shape
+  compile cost before any timing: measured, detected_data_pipeline's first
+  sf0.1 run is 9.6 s vs 3.0 s steady state.  Untimed, so job interleaving
+  cannot pollute any number.
+- Each query is then timed CONSECUTIVELY: min of two steady-state runs,
+  plus a third when the second still exceeded SLOW_THRESHOLD — the host is
+  shared and multi-second scheduler transients land on a random query per
+  run, and the Python-stage-heavy queries carry the variance (measured:
+  consecutive runs 5.2 / 8.1 / 2.6 s with a 2.6 s steady state), so the
+  extra sample goes where the variance lives.
+- The timed phase runs SLOWEST-FIRST (ordered by warm-up time): two global
+  deadline guards keep the sweep inside the driver's timeout no matter how
+  noisy the host is — past SOFT (default 400 s) no third samples are
+  granted; past HARD (default 480 s) remaining queries get a single timed
+  run — and slowest-first ordering means any clamp degrades the CHEAP tail
+  (where one sample is fine), never the expensive Python-stage queries
+  whose single sample would carry the most noise.
+- Python gc runs between timings so py4j reference-release backlogs aren't
+  attributed to an innocent query.
+
+Override the benched set with $SPARK_GRAFT_BENCH_QUERIES (comma-separated),
+force a fixed per-query sample count with $SPARK_GRAFT_BENCH_PASSES, and
+tune the guards with $SPARK_GRAFT_BENCH_SOFT_DEADLINE /
+$SPARK_GRAFT_BENCH_HARD_DEADLINE / $SPARK_GRAFT_BENCH_WARM_PAR.
 """
 
 from __future__ import annotations
@@ -27,139 +49,72 @@ import json
 import os
 import sys
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 from sales_telegram_bot_data_pipeline_spark import queries as q
 from sales_telegram_bot_data_pipeline_spark.session import get_spark
 
-# Headline set: one per operator family (join/agg/window/pivot/setop/
-# temporal/scalar/text/dedup/similarity/udf-pipeline).
-HEADLINE = [
-    "q1_pricing_summary",
-    "q3_top_unshipped_revenue",
-    "q5_revenue_by_nation",
-    "broadcast_lookup_join",
-    "semi_join_active_customers",
-    "topk_orders_per_segment",
-    "window_running_total",
-    "rollup_returnflag_status",
-    "pivot_last_event_value",
-    "nested_collect_event_types",
-    "json_extract_props",
-    "json_variant_props",
-    "set_ops_customer_cohorts",
-    "interval_join_shipments",
-    "asof_join_purchase_signup",
-    "session_window_stats",
-    "price_dispatcher_suite",
-    "preprocess_text_normalize",
-    "dedup_minhash_lsh",
-    "dedup_incremental_lsh",
-    "dedup_simhash",
-    "dedup_jaccard_stopshingle",
-    "simhash_neardup",
-    "dedup_duplicate_spans",
-    "knn_cosine_bruteforce",
-    "knn_cosine_ivf",
-    "knn_cosine_sq8",
-    "semantic_dedup",
-    "kmeans_lloyd",
-    "dedup_connected_components",
-    "pagerank_neardup_graph",
-    "bm25_topk_search",
-    "word_segmentation",
-    "contamination_overlap",
-    "sequence_packing",
-    "vocab_coverage_score",
-    "scd2_dimension_update",
-    "sketch_rollup_distinct",
-    "funnel_conversion",
-    "attribution_interval_join",
-    "q18_large_volume_customers",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "bigram_lm_score",
-    "dsir_importance",
-    "token_budget_selection",
-    "curation_pipeline_end2end",
-    "document_chunking",
-    "pii_redaction",
-    "symspell_name_correction",
-    "pit_join_scd2",
-    "lexical_diversity",
-    "mixture_weights_alpha",
-    "triangle_count_neardup",
-    "column_profile_lineitem",
-    "split_balance_audit",
-    "table_checksum_audit",
-    "content_defined_chunks",
-    "lateral_topk_orders",
-    "event_transition_matrix",
-    "top_event_paths",
-    "price_histogram_equiwidth",
-    "ngram_novelty",
-    "standardize_embeddings",
-    # round-5 additions (one tripwire per new family)
-    "winnowing_fingerprint_density",
-    "winnowing_doc_matches",
-    "dedup_cluster_size_histogram",
-    "label_propagation_communities",
-    "hybrid_rrf_retrieval",
-    "weighted_sample_aes",
-    "countmin_heavy_hitters",
-    "zipf_fit_audit",
-    "lsh_recall_audit",
-    "snapshot_diff_audit",
-    "incremental_agg_maintenance",
-    "price_histogram_equidepth",
-    "embedding_pca_project",
-    "streaming_lsh_admission",
-    "blocklist_scan",
-    "collocation_pmi",
-    "user_cadence_profile",
-    "dedup_containment",
-    "dedup_keep_best_quality",
-    "split_leakage_audit",
-    "validity_interval_coalesce",
-    "bitext_margin_mining",
-    "curation_pipeline_v2",
-    "detected_data_pipeline",
-]
+SLOW_THRESHOLD = 0.8  # sec at the warm run; slower queries earn a third sample
 
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    soft_deadline = float(os.environ.get("SPARK_GRAFT_BENCH_SOFT_DEADLINE", "400"))
+    hard_deadline = float(os.environ.get("SPARK_GRAFT_BENCH_HARD_DEADLINE", "480"))
+    forced_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "0"))
+    warm_par = int(os.environ.get("SPARK_GRAFT_BENCH_WARM_PAR", "4"))
+    t_start = time.perf_counter()
     spark = get_spark(app_name="sales_telegram_bot_data_pipeline_spark-bench")
-    names = [n for n in HEADLINE if n in q.REGISTRY]
+    # full registry in driver-facing order (oracle-backed first, rows-only
+    # last — same order __spark_entry__.queries() exposes)
+    names = list(q.queries())
     extra = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     if extra:
         names = [n for n in extra.split(",") if n in q.REGISTRY]
 
-    # Warm-up at the TARGET scale: whole-stage-codegen classes are keyed by
-    # plan shape, and AQE makes the sf0.1 plan shape differ from sf0.001's
-    # (measured: detected_data_pipeline first sf0.1 run 9.6 s vs 3.0 s steady
-    # state — Janino compiles the dispatcher CASE afresh for the big-plan
-    # shape).  One untimed pass per query at sf_dir absorbs that one-time
-    # compile so the timed runs below measure steady state, which is what a
-    # long-running cluster sees.
-    for name in names:
-        q.REGISTRY[name].fn(spark, sf_dir).collect()
+    warm_t: dict[str, float] = {}
 
-    # Timed passes run CONSECUTIVELY per query (measured against the
-    # interleaved-rounds alternative: interleaving lost ~8% on the total —
-    # 67.3 s vs 62.3 s — because heavy Python-stage queries never reach
-    # re-execution locality when 64 other queries evict worker/JIT/page
-    # state between their samples; consecutive min-of-3 measures the warm
-    # steady state a long-running cluster actually sees).
+    def _warm(name: str) -> None:
+        t0 = time.perf_counter()
+        try:
+            q.REGISTRY[name].fn(spark, sf_dir).collect()
+        except Exception:
+            pass  # the timed phase surfaces real failures serially
+        warm_t[name] = time.perf_counter() - t0
+
+    with ThreadPoolExecutor(max_workers=max(1, warm_par)) as pool:
+        list(pool.map(_warm, names))
+
+    # Slowest-first (warm-up times are contention-inflated but fine for
+    # ORDERING): deadline clamps then degrade only the cheap tail.
+    names = sorted(names, key=lambda n: -warm_t.get(n, 0.0))
+
     times: dict[str, float] = {}
     for name in names:
-        best = float("inf")
-        for _ in range(3):
+        fn = q.REGISTRY[name].fn
+        samples: list[float] = []
+        while True:
             gc.collect()
             t0 = time.perf_counter()
-            q.REGISTRY[name].fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+            fn(spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+            elapsed = time.perf_counter() - t_start
+            if forced_passes:
+                if len(samples) >= forced_passes:
+                    break
+                continue
+            if elapsed > hard_deadline:
+                break  # at risk of the driver's timeout: one sample stands
+            if len(samples) == 1:
+                continue  # always take a second steady sample
+            if (
+                len(samples) == 2
+                and samples[-1] > SLOW_THRESHOLD
+                and elapsed < soft_deadline
+            ):
+                continue  # slow query, budget allows: one more steady sample
+            break
+        times[name] = round(min(samples), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -169,9 +124,9 @@ def main() -> int:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    # The driver captures only the TAIL of stdout; with ~68 per-query
-    # entries the full map once overflowed the capture and the head of the
-    # line (metric/value) was cut off, leaving the driver with parsed:null
+    # The driver captures only the TAIL of stdout; with per-query entries
+    # the full map once overflowed the capture and the head of the line
+    # (metric/value) was cut off, leaving the driver with parsed:null
     # (round 4).  So: write the full per-query map to a file artifact, and
     # make the FINAL stdout line a compact total-only JSON whose last bytes
     # always carry the headline number.
