@@ -58,11 +58,21 @@ def test_running_totals_tws_match_batch(spark, scratch):
     parity contract as the applyInPandasWithState form.
 
     Environment gate: the TWS state-server protocol needs a working
-    google.protobuf (the runtime speaks protobuf to the state store); this
-    container ships a broken protobuf install, so the test skips there —
-    the same import-gate pattern as the hunspell path.  The operator code
-    itself is environment-independent."""
-    pytest.importorskip("google.protobuf.descriptor")
+    google.protobuf (pyspark's transformWithStateInPandas serde speaks
+    protobuf to the state store); this container has NO google.protobuf at
+    all (`import google` itself fails — probed, not assumed), and installs
+    are disallowed, so the runtime path cannot execute here.  The
+    PROCESSOR LOGIC is still pinned in this environment by
+    test_tws_processor_logic_matches_batch below, which drives
+    RunningTotalsProcessor directly; this test exercises the real runtime
+    wherever protobuf exists."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithStateInPandas requires google.protobuf for its "
+        "state-store protocol; not installed in this container (and installs "
+        "are disallowed) — processor logic is covered by "
+        "test_tws_processor_logic_matches_batch",
+    )
     from sales_telegram_bot_data_pipeline_spark.streaming.stateful import (
         running_user_totals_tws,
     )
@@ -82,6 +92,73 @@ def test_running_totals_tws_match_batch(spark, scratch):
         .agg(F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value"))
     )
     got = {r["user_id"]: (r["n_events"], round(r["total_value"], 4)) for r in final.collect()}
+    batch = spark.read.parquet(flat).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("t")
+    )
+    want = {r["user_id"]: (r["n"], round(r["t"], 4)) for r in batch.collect()}
+    assert got == want
+
+
+class _FakeValueState:
+    """Duck-type of the TWS ValueState handle surface RunningTotalsProcessor
+    uses: exists() / get() / update()."""
+
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema):
+        return self.states.setdefault(name, _FakeValueState())
+
+
+def test_tws_processor_logic_matches_batch(spark, scratch):
+    """Pins the Spark-4 StatefulProcessor twin's LOGIC in this environment,
+    where the TWS runtime itself cannot run (no google.protobuf — see the
+    skip above): drive RunningTotalsProcessor.handleInputRows directly with
+    per-key Arrow-shaped batches split across two simulated micro-batches,
+    through a duck-typed state handle.  The final emission per user must
+    equal the batch groupBy aggregate — the same parity contract the
+    runtime test asserts where protobuf exists."""
+    import pandas as pd
+
+    from sales_telegram_bot_data_pipeline_spark.streaming.stateful import (
+        RunningTotalsProcessor,
+    )
+
+    flat = _events_as_stream_source(spark, scratch)
+    events = spark.read.parquet(flat).select("user_id", "value").toPandas()
+    users = sorted(events["user_id"].dropna().unique())
+
+    got = {}
+    # two micro-batches: first half / second half of each user's rows, the
+    # second further split into two Arrow chunks (state must accumulate
+    # across handleInputRows calls AND across chunks within one call).
+    # The TWS runtime scopes each named state implicitly to the grouping
+    # key, so the fake gets a fresh handle per key.
+    for user in users:
+        proc = RunningTotalsProcessor()
+        proc.init(_FakeHandle())
+        rows = events[events["user_id"] == user].reset_index(drop=True)
+        half = len(rows) // 2
+        first, second = rows.iloc[:half], rows.iloc[half:]
+        for batch in ([first], [second.iloc[: len(second) // 2], second.iloc[len(second) // 2:]]):
+            out = pd.concat(list(proc.handleInputRows((user,), iter(batch), None)))
+        got[user] = (int(out["n_events"].iloc[-1]), round(float(out["total_value"].iloc[-1]), 4))
+        proc.close()
+
     batch = spark.read.parquet(flat).groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"), F.sum("value").alias("t")
     )
