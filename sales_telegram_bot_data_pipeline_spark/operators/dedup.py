@@ -1465,3 +1465,93 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# MinHash estimator-error audit (is N_HASHES enough for the threshold?)
+# --------------------------------------------------------------------------
+def _minhash_estimate_error_sql(
+    d: Dialect,
+    table: str,
+    pairs_rel: str | None = None,
+    shingles_rel: str | None = None,
+) -> str:
+    """How good is the N_HASHES-component MinHash ESTIMATE of Jaccard on
+    the pairs the LSH stage actually surfaces?  The signature-agreement
+    fraction (matching components / N_HASHES) is an unbiased estimator of
+    Jaccard with stddev ~ sqrt(J(1-J)/N); this audit measures the realized
+    error against the exact Jaccard for every LSH candidate pair — the
+    number that tells you whether to grow the signature before trusting
+    estimate-based filtering at 100 TB (where the exact refine is the
+    expensive step you are trying to skip).
+
+    Scale shape: pairs are the (already sub-corpus) banded candidates;
+    the exact side reuses the per-pair full-shingle-set refine; the
+    signature join is N_HASHES integers per doc.  Per-pair errors quantize
+    to integer micro-units before aggregating, so the summation is
+    order-independent and cross-engine exact; output is ONE row."""
+    pairs = pairs_rel or _lsh_pairs_sql(d, table).replace("ORDER BY doc_a, doc_b", "")
+    sig = _minhash_sig_sql(d, table)
+    sh = shingles_rel or _shingles_sql(d, table)
+    matches = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(N_HASHES)
+    )
+    return f"""
+WITH pairs AS ({pairs}),
+sig AS ({sig}),
+shingles AS ({sh}),
+counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+  FROM pairs p
+  JOIN shingles a ON a.doc_id = p.doc_a
+  JOIN shingles b ON b.doc_id = p.doc_b AND b.sh = a.sh
+  GROUP BY p.doc_a, p.doc_b
+),
+per_pair AS (
+  SELECT ({matches}) * 1.0e0 / {N_HASHES} AS est,
+         COALESCE(c.n_common, 0) * 1.0e0
+           / (ca.n_sh + cb.n_sh - COALESCE(c.n_common, 0)) AS exact_j
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.doc_a
+  JOIN sig sb ON sb.doc_id = p.doc_b
+  LEFT JOIN common c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+  JOIN counts ca ON ca.doc_id = p.doc_a
+  JOIN counts cb ON cb.doc_id = p.doc_b
+),
+err AS (
+  SELECT CAST(ROUND(ABS(est - exact_j) * 1000000) AS BIGINT) AS err_u
+  FROM per_pair
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(ROUND(AVG(err_u) / 1.0e6, 6) AS DOUBLE) AS mean_abs_err,
+       CAST(ROUND(MAX(err_u) / 1.0e6, 6) AS DOUBLE) AS max_abs_err
+FROM err
+"""
+
+
+@register(
+    "minhash_estimate_error_audit",
+    oracle=_minhash_estimate_error_sql(DUCKDB, "documents"),
+    doc=f"MinHash estimator-error audit: signature-agreement Jaccard "
+    f"estimate ({N_HASHES} components) vs exact Jaccard over every LSH "
+    "candidate pair — mean/max absolute error in one output row.  The "
+    "pre-flight check before trusting estimate-based filtering instead of "
+    "the exact refine at scale; errors quantize to integer micro-units so "
+    "aggregation is order-independent.",
+    tags=("dedup", "lsh", "audit"),
+)
+def minhash_estimate_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    view = _doc_view(spark, sf_dir)
+    rel = _materialized_shingles(spark, view, "sales_telegram_bot_data_pipeline_sh_me")
+    spark.sql(
+        _lsh_pairs_sql(SPARK, view).replace("ORDER BY doc_a, doc_b", "")
+    ).localCheckpoint().createOrReplaceTempView("sales_telegram_bot_data_pipeline_me_pairs")
+    return spark.sql(
+        _minhash_estimate_error_sql(
+            SPARK,
+            view,
+            pairs_rel="SELECT doc_a, doc_b FROM sales_telegram_bot_data_pipeline_me_pairs",
+            shingles_rel=rel,
+        )
+    )

@@ -180,3 +180,67 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _doc_view(spark, sf_dir)
     emb = _emb_view(spark, sf_dir)
     return spark.sql(_rrf_sql(SPARK, docs, emb))
+
+
+# --------------------------------------------------------------------------
+# TF-IDF keyword extraction (per-doc top terms)
+# --------------------------------------------------------------------------
+TFIDF_TOP_K = 3
+
+
+def _tfidf_top_terms_sql(d: Dialect, table: str) -> str:
+    """Per-document TF-IDF keyword extraction: rank each doc's terms by
+    tf * smooth-idf and keep the top TFIDF_TOP_K — the labeling/routing
+    primitive next to BM25 (which ranks DOCS for a query; this ranks
+    TERMS for a doc).
+
+    Scale shape: one tf aggregation over the exploded corpus (map-side
+    combinable), df as a term-partitioned window over the (already
+    aggregated, one-row-per-doc-term) tf relation, a one-row corpus-size
+    scalar, and a doc-partitioned ranking window — no joins between
+    documents, nothing global.
+
+    Determinism: idf goes through ln (engine libm — same empirically
+    verified class as BM25), so the RANKING key is the score ROUNDED to 6
+    places with the term as tie-break: two engines whose ln results differ
+    in the last ulp still rank identically."""
+    w = d.splitws("lower(text)")
+    if d.name == "spark":
+        words_rel = f"SELECT doc_id, term FROM {table} LATERAL VIEW explode({w}) t AS term"
+    else:
+        words_rel = f"SELECT doc_id, unnest({w}) AS term FROM {table}"
+    return f"""
+WITH words AS ({words_rel}),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY doc_id, term),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+tfdf AS (
+  SELECT doc_id, term, tf, COUNT(*) OVER (PARTITION BY term) AS df FROM tf
+),
+scored AS (
+  SELECT doc_id, term,
+         ROUND(tf * (ln((n.n_docs + 1.0e0) / (df + 1.0e0)) + 1.0e0), 6) AS score
+  FROM tfdf CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, CAST(rk AS INT) AS rk, term, CAST(score AS DOUBLE) AS score
+FROM ranked WHERE rk <= {TFIDF_TOP_K}
+ORDER BY doc_id, rk
+"""
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=_tfidf_top_terms_sql(DUCKDB, "documents"),
+    doc=f"TF-IDF keyword extraction: top-{TFIDF_TOP_K} terms per document "
+    "by tf x smooth-idf. One map-side tf aggregate, term-partitioned df "
+    "window over the aggregated relation, doc-partitioned ranking window "
+    "keyed on the ROUNDED score (term tie-break) so engine-libm ln ulps "
+    "cannot flip ranks. No doc-doc joins, nothing global.",
+    tags=("retrieval", "text", "window"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_tfidf_top_terms_sql(SPARK, _doc_view(spark, sf_dir)))

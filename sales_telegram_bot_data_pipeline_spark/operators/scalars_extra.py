@@ -654,6 +654,55 @@ def price_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# distributed exact global rank (shared by equi-depth / robust stats)
+# --------------------------------------------------------------------------
+def range_ranked(spark: SparkSession, df: DataFrame, cols: list[str]):
+    """Exact global 1-based rank over ``cols`` WITHOUT a single-partition
+    sort — the distributed-ORDER-BY technique:
+
+    1. ``repartitionByRange`` on the ordering key: partition p's tuples
+       all precede partition p+1's (sampled boundaries; exactness is
+       unaffected by where they fall).  localCheckpoint pins the sampled
+       boundaries so the offset job and the rank job see identical
+       partition assignments.
+    2. Bounded collect of ONE count per partition (<= shuffle-partitions
+       rows regardless of table size) -> cumulative offsets.
+    3. Per-partition ``row_number`` (WindowExec partitioned by partition
+       id — bounded by the range split, never corpus-global) + broadcast
+       offset map = exact global rank.
+
+    Returns ``(ranked_df, n_total)`` where ranked_df carries the input
+    columns plus BIGINT ``r``; ``(None, 0)`` on empty input."""
+    from pyspark.sql.window import Window
+
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    parted = (
+        df.repartitionByRange(nparts, *cols)
+        .localCheckpoint(eager=False)
+        .withColumn("pid", F.spark_partition_id())
+    )
+    pcounts = {
+        r["pid"]: r["n"]
+        for r in parted.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(pcounts.values())
+    if n_total == 0:
+        return None, 0
+    offsets, acc = {}, 0
+    for pid in sorted(pcounts):
+        offsets[pid] = acc
+        acc += pcounts[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+    )
+    w = Window.partitionBy("pid").orderBy(*cols)
+    ranked = parted.withColumn(
+        "r", F.row_number().over(w).cast("bigint") + F.element_at(off_map, F.col("pid"))
+    ).drop("pid")
+    return ranked, n_total
+
+
+# --------------------------------------------------------------------------
 # equi-depth histogram (NTILE — the frequency-balanced sibling)
 # --------------------------------------------------------------------------
 DEPTH_BUCKETS = 16
@@ -707,37 +756,12 @@ def price_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     Replaces the round-5 registered form whose global NTILE moved the
     whole table to one task (VERDICT r5 'What's wrong' #1); the NTILE SQL
     remains the DuckDB oracle, so the exact semantics stay pinned."""
-    from pyspark.sql.window import Window
-
     orders = load_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # localCheckpoint pins the sampled range boundaries so the offset job
-    # and the rank job see identical partition assignments
-    parted = (
-        orders.repartitionByRange(nparts, "o_totalprice", "o_orderkey")
-        .localCheckpoint(eager=False)
-        .withColumn("pid", F.spark_partition_id())
-    )
-    pcounts = {
-        r["pid"]: r["n"]
-        for r in parted.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    n_total = sum(pcounts.values())
+    ranked, n_total = range_ranked(spark, orders, ["o_totalprice", "o_orderkey"])
     if n_total == 0:
         return spark.createDataFrame(
             [], "bucket int, bucket_lo double, bucket_hi double, n_orders bigint"
         )
-    offsets, acc = {}, 0
-    for pid in sorted(pcounts):
-        offsets[pid] = acc
-        acc += pcounts[pid]
-    off_map = F.create_map(
-        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
-    )
-    w = Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
-    ranked = parted.withColumn(
-        "r", F.row_number().over(w).cast("bigint") + F.element_at(off_map, F.col("pid"))
-    )
     # NTILE(B) over n rows: the first (n % B) buckets hold floor(n/B)+1
     # rows, the rest floor(n/B) — integer `div` arithmetic, no FP edges
     base, big = divmod(n_total, DEPTH_BUCKETS)[0], n_total % DEPTH_BUCKETS
@@ -760,4 +784,96 @@ def price_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         )
         .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# robust outlier audit (median / MAD, exact, distributed)
+# --------------------------------------------------------------------------
+OUTLIER_K = 2  # flag |x - median| > K * MAD.  K=2 exercises both tails of
+#                the wide flat-ish synthetic price distribution (whose MAD
+#                is ~half the median, so the classic K=5 flags nothing);
+#                the operator's K is a constant parameter, not a semantic.
+
+# Oracle note: `/` on integers is FLOAT division in DuckDB — `//` keeps the
+# middle-rank arithmetic integral (a float rank silently matches no row).
+_ROBUST_OUTLIER_SQL = f"""
+WITH v AS (
+  SELECT CAST(o_totalprice * 100 AS BIGINT) AS v FROM {{orders}}
+),
+n AS (SELECT COUNT(*) AS c FROM v),
+ranked AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS r FROM v),
+med AS (
+  SELECT SUM(CASE WHEN r = (c + 1) // 2 THEN v ELSE 0 END)
+       + SUM(CASE WHEN r = (c + 2) // 2 THEN v ELSE 0 END) AS med2
+  FROM ranked CROSS JOIN n
+),
+dev AS (SELECT ABS(2 * v - med2) AS d, v FROM v CROSS JOIN med),
+dranked AS (SELECT d, ROW_NUMBER() OVER (ORDER BY d) AS r FROM dev),
+mad AS (
+  SELECT SUM(CASE WHEN r = (c + 1) // 2 THEN d ELSE 0 END)
+       + SUM(CASE WHEN r = (c + 2) // 2 THEN d ELSE 0 END) AS mad2
+  FROM dranked CROSS JOIN n
+)
+SELECT CAST(n.c AS BIGINT) AS n_orders,
+       CAST(ROUND(med.med2 / 200.0e0, 6) AS DOUBLE) AS median_price,
+       CAST(ROUND(mad.mad2 / 400.0e0, 6) AS DOUBLE) AS mad_price,
+       CAST(SUM(CASE WHEN 2 * dev.d > {OUTLIER_K} * mad.mad2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev CROSS JOIN med CROSS JOIN mad CROSS JOIN n
+GROUP BY n.c, med.med2, mad.mad2
+"""
+
+
+@register(
+    "robust_price_outliers",
+    oracle=_ROBUST_OUTLIER_SQL.format(orders="orders"),
+    doc=f"Robust outlier audit on order totals: EXACT median and MAD "
+    f"(median absolute deviation), flagging |x - median| > {OUTLIER_K}*MAD "
+    "— the data-quality screen that, unlike mean/stddev z-scores, is not "
+    "dragged by the outliers it hunts.  All arithmetic in integer cents "
+    "(2x/4x units so even-count medians stay integral) until the final "
+    "division, so both engines agree exactly.  The Spark plan computes "
+    "both medians with the distributed range-rank (range_ranked — bounded "
+    "per-partition windows + one-row-per-partition offset collects), never "
+    "a global sort; the oracle keeps the global ROW_NUMBER form.",
+    tags=("agg", "stats", "audit"),
+)
+def robust_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two distributed-rank passes (values, then deviations) + one
+    counting aggregate.  The only collects are the two-row median picks
+    and range_ranked's one-count-per-partition offsets — O(partitions),
+    never O(rows)."""
+    orders = load_table(spark, sf_dir, "orders")
+    vals = orders.select(
+        (F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+        F.col("o_orderkey").alias("tiebreak"),
+    )
+    ranked, n = range_ranked(spark, vals, ["v", "tiebreak"])
+    if n == 0:
+        return spark.createDataFrame(
+            [],
+            "n_orders bigint, median_price double, mad_price double, n_outliers bigint",
+        )
+
+    def _med2(ranked_df, n_total):
+        r1, r2 = (n_total + 1) // 2, (n_total + 2) // 2
+        rows = ranked_df.where(F.col("r").isin(r1, r2)).select("v").collect()
+        picked = [row["v"] for row in rows]
+        return picked[0] * 2 if len(picked) == 1 else picked[0] + picked[1]
+
+    med2 = _med2(ranked, n)
+    devs = vals.select(
+        F.abs(2 * F.col("v") - F.lit(med2)).alias("v"), F.col("tiebreak")
+    )
+    dranked, _ = range_ranked(spark, devs, ["v", "tiebreak"])
+    mad2 = _med2(dranked, n)
+    return (
+        devs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.lit(med2) / F.lit(200.0), 6).cast("double").alias("median_price"),
+            F.round(F.lit(mad2) / F.lit(400.0), 6).cast("double").alias("mad_price"),
+            F.sum(
+                F.when(2 * F.col("v") > OUTLIER_K * mad2, 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
     )

@@ -810,3 +810,85 @@ def validity_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sales_telegram_bot_data_pipeline_ord_iv"
     )
     return spark.sql(_COALESCE_SQL.format(table="sales_telegram_bot_data_pipeline_ord_iv"))
+
+
+# --------------------------------------------------------------------------
+# batch sessionization (gap-based islands over the raw event stream)
+# --------------------------------------------------------------------------
+SESSIONIZE_GAP_S = 1800  # new session after a 30-minute silence
+SESSIONIZE_USER_MOD = 7  # sample 1-in-7 users: bounds output while the
+#                          windows still run the full per-user machinery
+
+
+def _sessionize_sql(d) -> str:
+    """Per-user gap-based sessionization of the raw event table — the
+    batch form every analytics pipeline derives before funnel/retention
+    work, and the batch twin of ``F.session_window`` (which emits window
+    bounds; this emits a SESSION TABLE with one row per session carrying a
+    stable per-user sequence number, the joinable shape downstream models
+    want).
+
+    Islands pattern, same machinery as ``validity_interval_coalesce``:
+    LAG the per-user event epoch, mark gaps > SESSIONIZE_GAP_S as session
+    starts, running-SUM the marks into a session sequence, then one
+    groupBy.  Two user-partitioned windows + one aggregate — no self-join,
+    no global sort; the per-user partition is the natural parallel unit at
+    100 TB.
+
+    Epoch derives from FIELD EXTRACTION (timezone-independent in both
+    engines — see _cadence_sql's engine notes); all arithmetic is integer
+    seconds, so the output is cross-engine exact."""
+    if d.name == "spark":
+        ep = (
+            "(unix_date(CAST(ts AS DATE)) * 86400L"
+            " + hour(ts) * 3600 + minute(ts) * 60 + second(ts))"
+        )
+    else:
+        ep = "CAST(FLOOR(epoch(ts)) AS BIGINT)"
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, ts, {ep} AS ep
+  FROM {{table}}
+  WHERE user_id % {SESSIONIZE_USER_MOD} = 0
+),
+marked AS (
+  SELECT user_id, event_id, ts, ep,
+         CASE WHEN ep - LAG(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSIONIZE_GAP_S}
+              OR LAG(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+),
+sess AS (
+  SELECT user_id, ep,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM marked
+)
+SELECT user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(MIN(ep) AS BIGINT) AS session_start_ep,
+       CAST(MAX(ep) AS BIGINT) AS session_end_ep,
+       CAST(MAX(ep) - MIN(ep) AS BIGINT) AS duration_s,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
+@register(
+    "sessionize_gap_islands",
+    oracle=_sessionize_sql(DUCKDB).format(table="events"),
+    doc=f"Batch gap-based sessionization ({SESSIONIZE_GAP_S}s silence "
+    "opens a new session): LAG-mark + running-SUM islands over "
+    "user-partitioned windows -> one session row per (user, seq) with "
+    "start/end epoch, duration, event count. The joinable session-table "
+    "twin of F.session_window; integer-seconds arithmetic end-to-end.",
+    tags=("temporal", "window", "session"),
+)
+def sessionize_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_ev_sess"
+    )
+    return spark.sql(_sessionize_sql(SPARK).format(table="sales_telegram_bot_data_pipeline_ev_sess"))

@@ -239,3 +239,29 @@ def streaming_lsh_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"sales_telegram_bot_data_pipeline_lsh_adm_{next(_MEMSINK_SEQ)}"
     out = run_to_completion(lsh_admission_stream(spark, stream, index_df), name)
     return out.orderBy("doc_id")
+
+
+@register(
+    "streaming_dedup_watermark",
+    oracle=None,  # executed through the streaming engine — rows-only
+    doc="Rows-only: streaming exact dedup EXECUTED through "
+    "dropDuplicatesWithinWatermark (readStream over the events parquet, "
+    "30-minute watermark bounds per-key state, append mode into a memory "
+    "sink) — first event per (user_id, event_type) survives; emitted as "
+    "the ordered distinct-key set, which is arrival-order-independent. "
+    "Event-level batch equivalence for the same operator is pinned by "
+    "test_streaming_parity.py::test_dedup_stream_matches_batch.",
+    tags=("streaming", "dedup"),
+)
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    name = f"sales_telegram_bot_data_pipeline_stream_ddw_{next(_MEMSINK_SEQ)}"
+    deduped = dedup_stream(stream, ["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    out = run_to_completion(deduped, name, output_mode="append")
+    return out.orderBy("user_id", "event_type")

@@ -80,6 +80,8 @@ EMPTY_OK_ZERO = [
     "dedup_containment",
     "dedup_keep_best_quality",
     "split_leakage_audit",
+    # round-6 additions
+    "tfidf_top_terms",
 ]
 
 

@@ -415,3 +415,20 @@ def test_lsh_admission_stream_matches_batch(spark, scratch):
         if r.doc_id in streamed_docs
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_dedup_watermark_registry_matches_batch_distinct(spark):
+    """The registered rows-only query (dropDuplicatesWithinWatermark keyed
+    on (user_id, event_type), append mode) must emit exactly the batch
+    DISTINCT key set over the same parquet."""
+    from sales_telegram_bot_data_pipeline_spark.registry import REGISTRY
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = REGISTRY["streaming_dedup_watermark"].fn(spark, sf_dir).collect()
+    want = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
