@@ -95,6 +95,10 @@ try:
     from .sources import kvstream  # noqa: F401  (streaming DataSource)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from .sources import jsonl  # noqa: F401  (JSONL corpus source)
+except ImportError:  # pragma: no cover
+    pass
 
 
 # --------------------------------------------------------------------------

@@ -110,13 +110,26 @@ def test_window_query_plan_hygiene(spark, name):
         )
 
 
-def test_equidepth_histogram_no_global_window(spark):
-    """VERDICT r5 'What's wrong' #1 regression pin: the registered
-    equi-depth histogram must never again plan a single-partition global
-    NTILE — its rank window is partitioned by range-partition id.  Checked
-    directly because the query sits outside the driver window."""
-    df = q.REGISTRY["price_histogram_equidepth"].fn(spark, SF_SMOKE)
+@pytest.mark.parametrize(
+    "name",
+    [
+        # VERDICT r5 finding #1 regression pin: the equi-depth histogram
+        # must never again plan a single-partition global NTILE — its rank
+        # window is partitioned by range-partition id
+        "price_histogram_equidepth",
+        # round-6 window-bearing queries outside the driver window: their
+        # windows partition by user / doc / range-partition id
+        "sessionize_gap_islands",
+        "tfidf_top_terms",
+        "robust_price_outliers",
+    ],
+)
+def test_out_of_window_queries_no_global_window(spark, name):
+    """Unpartitioned-window pin for window-bearing queries that sit
+    OUTSIDE the driver window (the blanket sweep above only covers
+    _DRIVER_WINDOW)."""
+    df = q.REGISTRY[name].fn(spark, SF_SMOKE)
     df.collect()
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     bad = _unpartitioned_windows(plan)
-    assert not bad, f"equi-depth histogram plans unpartitioned windows: {bad}"
+    assert not bad, f"{name} plans unpartitioned windows: {bad}"

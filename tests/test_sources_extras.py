@@ -353,3 +353,43 @@ def test_phash_packing_and_dedup_groups(spark):
 
     sizes = Counter(want_hash.values())
     assert all(v[1] == sizes[v[0]] for v in got.values())
+
+
+def test_jsonl_dead_letter_parks_corrupt_lines(spark, tmp_path):
+    """One mangled line in a JSONL shard must not fail the scan: good rows
+    parse, the corrupt line lands whole in _corrupt_record (op 45's
+    per-row error isolation applied at the ingest boundary)."""
+    from sales_telegram_bot_data_pipeline_spark.sources.jsonl import read_jsonl_documents
+
+    p = tmp_path / "corpus"
+    p.mkdir()
+    good1 = '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "s", "n_chars": 11}'
+    bad = '{"doc_id": 2, "text": "unterminated'
+    good2 = '{"doc_id": 3, "text": null, "lang": "cs", "source": "s", "n_chars": null}'
+    (p / "part-000.json").write_text("\n".join([good1, bad, good2]) + "\n")
+    df = read_jsonl_documents(spark, str(p)).collect()
+    by_corrupt = {r["_corrupt_record"] is not None: r for r in df}
+    assert len(df) == 3
+    parsed = sorted(
+        (r for r in df if r["_corrupt_record"] is None), key=lambda r: r["doc_id"]
+    )
+    assert [r["doc_id"] for r in parsed] == [1, 3]
+    assert parsed[0]["text"] == "hello world"
+    assert parsed[1]["text"] is None
+    corrupt = [r for r in df if r["_corrupt_record"] is not None]
+    assert len(corrupt) == 1 and corrupt[0]["_corrupt_record"] == bad
+
+
+def test_jsonl_roundtrip_preserves_values(spark):
+    from sales_telegram_bot_data_pipeline_spark.queries import REGISTRY
+    from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = REGISTRY["jsonl_corpus_roundtrip"].fn(spark, sf).collect()
+    want = (
+        load_table(spark, sf, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert got == want
