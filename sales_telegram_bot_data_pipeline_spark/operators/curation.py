@@ -1510,3 +1510,100 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             reps_rel="SELECT doc_id, cluster_size FROM sales_telegram_bot_data_pipeline_v2_reps",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# split distribution drift (two-sample KS over bucketed CDFs)
+# --------------------------------------------------------------------------
+DRIFT_BUCKETS = 32
+DRIFT_KS_C = "1.358e0"  # two-sample KS critical coefficient at alpha=0.05:
+#                         flag when D > c * sqrt((n+m)/(n*m)).  Size-aware
+#                         by construction — a 50-doc test split tolerates
+#                         ~0.2 of sampling noise while a 10^9-doc one
+#                         tolerates ~5e-5, so the same audit is calibrated
+#                         from sf0.001 to 100 TB (a fixed threshold false-
+#                         alarms small samples and under-fires huge ones).
+
+
+def _split_drift_sql(d: Dialect, table: str) -> str:
+    """Post-split drift audit: does the TEST split's length distribution
+    match TRAIN's?  A hash split should be distribution-neutral; a skewed
+    splitter (or a time/source-correlated key) silently trains on one
+    distribution and evaluates on another.  Statistic = the two-sample
+    Kolmogorov-Smirnov distance computed EXACTLY on a shared equi-width
+    bucket grid (max over buckets of |CDF_train - CDF_test|) — the
+    bucketed KS lower-bounds the continuous one and is the distributed
+    form: per-(split,bucket) counts are one map-side-combinable aggregate,
+    and every window below runs on the aggregated <= DRIFT_BUCKETS-row
+    relation (bounded, same discipline as the Zipf rank).
+
+    Bucket math is pure integer arithmetic (portable `div`); the CDF gap
+    divides two exact integers per side in IEEE doubles, identical ops in
+    both engines."""
+    h = d.md5_prefix_int(d.strcast("doc_id"))
+    bucket = d.idiv(f"(n_chars - mn) * {DRIFT_BUCKETS}", "(mx - mn + 1)")
+    return f"""
+WITH routed AS (
+  SELECT n_chars,
+         CASE WHEN ({h}) % 100 < {TRAIN_PCT} THEN 'train'
+              WHEN ({h}) % 100 < {VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split_name
+  FROM {table}
+),
+bounds AS (SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM routed),
+bucketed AS (
+  SELECT split_name, {bucket} AS bucket
+  FROM routed CROSS JOIN bounds
+  WHERE split_name IN ('train', 'test')
+),
+per_bucket AS (
+  SELECT bucket,
+         SUM(CASE WHEN split_name = 'train' THEN 1 ELSE 0 END) AS c_tr,
+         SUM(CASE WHEN split_name = 'test' THEN 1 ELSE 0 END) AS c_te
+  FROM bucketed GROUP BY bucket
+),
+totals AS (
+  SELECT SUM(c_tr) AS n_tr, SUM(c_te) AS n_te FROM per_bucket
+),
+cdf AS (
+  SELECT bucket,
+         SUM(c_tr) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tr,
+         SUM(c_te) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_te
+  FROM per_bucket
+),
+gaps AS (
+  SELECT bucket,
+         ABS(cum_tr * 1.0e0 / n_tr - cum_te * 1.0e0 / n_te) AS gap
+  FROM cdf CROSS JOIN totals
+),
+worst AS (
+  SELECT bucket, gap,
+         ROW_NUMBER() OVER (ORDER BY gap DESC, bucket) AS rn
+  FROM gaps
+)
+SELECT CAST(t.n_tr AS BIGINT) AS n_train,
+       CAST(t.n_te AS BIGINT) AS n_test,
+       CAST(ROUND(w.gap, 6) AS DOUBLE) AS ks_distance,
+       CAST(w.bucket AS INT) AS ks_bucket,
+       CAST(ROUND({DRIFT_KS_C} * sqrt((t.n_tr + t.n_te) * 1.0e0 / (t.n_tr * t.n_te)), 6) AS DOUBLE) AS ks_critical,
+       (w.gap > {DRIFT_KS_C} * sqrt((t.n_tr + t.n_te) * 1.0e0 / (t.n_tr * t.n_te))) AS drift_flag
+FROM worst w CROSS JOIN totals t
+WHERE w.rn = 1
+"""
+
+
+@register(
+    "split_distribution_drift",
+    oracle=_split_drift_sql(DUCKDB, "documents"),
+    doc=f"Two-sample KS drift audit between the hash split's train and "
+    f"test length distributions: exact bucketed KS distance over a shared "
+    f"{DRIFT_BUCKETS}-bucket equi-width grid, flagged above the SIZE-AWARE "
+    f"critical value {DRIFT_KS_C}*sqrt((n+m)/(n*m)) (alpha=0.05).  One "
+    "map-side-combinable (split,bucket) count aggregate; every window "
+    "runs on the bounded aggregated grid.  The audit that catches a "
+    "distribution-skewed splitter before a model trains on one "
+    "distribution and evaluates on another.",
+    tags=("curation", "audit", "stats"),
+)
+def split_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_split_drift_sql(SPARK, _doc_view(spark, sf_dir)))

@@ -103,3 +103,112 @@ def test_robust_outliers_match_duckdb_native_aggregates(spark):
         f"SELECT COUNT(*) FROM orders WHERE abs(o_totalprice - {med}) > {OUTLIER_K} * {mad}"
     ).fetchone()[0]
     assert got["n_outliers"] == n_out
+
+
+def test_sessionize_matches_bruteforce_on_synthetic_users(spark):
+    """Brute-force reference: random-ish (deterministic seed) event times
+    per user, sessionized in plain Python, must equal the SQL islands
+    form run over the same rows."""
+    import random
+
+    from pyspark.sql import Row
+
+    from sales_telegram_bot_data_pipeline_spark.functions.dialect import SPARK as D
+    from sales_telegram_bot_data_pipeline_spark.operators.temporal import _sessionize_sql
+
+    rng = random.Random(42)
+    rows = []
+    eid = 0
+    base = 1_700_000_000
+    for user in (0, 7, 14):  # pass the user_id % 7 sample filter
+        t = base
+        for _ in range(40):
+            # gaps cluster under the threshold with occasional long silences
+            t += rng.choice([5, 60, 600, 1700, 1801, 7200])
+            rows.append(Row(event_id=eid, user_id=user, ep=t))
+            eid += 1
+    # brute-force sessionization
+    want = {}
+    for user in (0, 7, 14):
+        evs = sorted(r.ep for r in rows if r.user_id == user)
+        seq = 0
+        sessions = []
+        for i, ep in enumerate(evs):
+            if i == 0 or ep - evs[i - 1] > 1800:
+                seq += 1
+                sessions.append([ep, ep, 0])
+            sessions[-1][1] = ep
+            sessions[-1][2] += 1
+        for s_i, (a, b, n) in enumerate(sessions, start=1):
+            want[(user, s_i)] = (a, b, b - a, n)
+
+    df = spark.createDataFrame(rows).selectExpr(
+        "event_id", "user_id", "CAST(timestamp_seconds(ep) AS TIMESTAMP_NTZ) AS ts"
+    )
+    df.createOrReplaceTempView("sales_telegram_bot_data_pipeline_sess_prop")
+    got_rows = spark.sql(
+        _sessionize_sql(D).format(table="sales_telegram_bot_data_pipeline_sess_prop")
+    ).collect()
+    got = {
+        (r["user_id"], r["session_seq"]): (
+            r["session_start_ep"], r["session_end_ep"], r["duration_s"], r["n_events"]
+        )
+        for r in got_rows
+    }
+    assert got == want
+
+
+def test_robust_median_mad_match_numpy_on_orders(spark):
+    """numpy reference for the distributed median/MAD (in addition to the
+    DuckDB native-aggregate cross-check): exact equality on integer
+    cents."""
+    import numpy as np
+
+    got = robust_price_outliers(spark, SF_SMOKE).collect()[0]
+    v = np.array(
+        [
+            int(r[0])
+            for r in load_table(spark, SF_SMOKE, "orders")
+            .selectExpr("CAST(o_totalprice * 100 AS BIGINT)")
+            .collect()
+        ],
+        dtype="int64",
+    )
+    med = np.median(v)
+    mad = np.median(np.abs(v - med))
+    assert abs(got["median_price"] - med / 100.0) < 1e-9
+    assert abs(got["mad_price"] - mad / 100.0) < 1e-9
+
+
+def test_split_drift_flags_injected_skew_and_passes_hash_split(spark):
+    """The KS audit must (a) stay quiet on the real hash split (the split
+    is distribution-neutral by construction) and (b) fire on an injected
+    length/split correlation: docs whose hash routes to test get 100x the
+    length."""
+    from sales_telegram_bot_data_pipeline_spark.functions.dialect import SPARK as D
+    from sales_telegram_bot_data_pipeline_spark.operators.curation import (
+        VAL_PCT,
+        _split_drift_sql,
+        split_distribution_drift,
+    )
+
+    quiet = split_distribution_drift(spark, SF_SMOKE).collect()[0]
+    assert quiet["drift_flag"] is False
+    assert quiet["ks_distance"] <= quiet["ks_critical"]
+
+    # injected skew: recompute each doc_id's hash bucket driver-side and
+    # give test-routed docs a length from a disjoint range
+    ids = spark.createDataFrame([(i,) for i in range(3000)], "doc_id long")
+    h = D.md5_prefix_int(D.strcast("doc_id"))
+    skewed = ids.selectExpr(
+        "doc_id",
+        f"CASE WHEN ({h}) % 100 >= {VAL_PCT} THEN 10000 + doc_id % 50 "
+        f"     ELSE 100 + doc_id % 50 END AS n_chars",
+    )
+    skewed.createOrReplaceTempView("sales_telegram_bot_data_pipeline_drift_skew")
+    loud = spark.sql(
+        _split_drift_sql(D, "sales_telegram_bot_data_pipeline_drift_skew")
+    ).collect()[0]
+    assert loud["drift_flag"] is True
+    assert loud["ks_distance"] > 0.9  # disjoint supports: CDF gap ~ 1
+    assert loud["n_train"] > 0 and loud["n_test"] > 0
