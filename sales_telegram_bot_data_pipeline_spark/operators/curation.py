@@ -1572,8 +1572,12 @@ cdf AS (
   FROM per_bucket
 ),
 gaps AS (
+  -- NULLIF/COALESCE: an EMPTY split must degrade, not throw (Spark ANSI
+  -- mode raises on /0); its CDF reads as 0 so the gap is the other
+  -- side's CDF
   SELECT bucket,
-         ABS(cum_tr * 1.0e0 / n_tr - cum_te * 1.0e0 / n_te) AS gap
+         ABS(COALESCE(cum_tr * 1.0e0 / NULLIF(n_tr, 0), 0.0e0)
+             - COALESCE(cum_te * 1.0e0 / NULLIF(n_te, 0), 0.0e0)) AS gap
   FROM cdf CROSS JOIN totals
 ),
 worst AS (
@@ -1585,8 +1589,10 @@ SELECT CAST(t.n_tr AS BIGINT) AS n_train,
        CAST(t.n_te AS BIGINT) AS n_test,
        CAST(ROUND(w.gap, 6) AS DOUBLE) AS ks_distance,
        CAST(w.bucket AS INT) AS ks_bucket,
-       CAST(ROUND({DRIFT_KS_C} * sqrt((t.n_tr + t.n_te) * 1.0e0 / (t.n_tr * t.n_te)), 6) AS DOUBLE) AS ks_critical,
-       (w.gap > {DRIFT_KS_C} * sqrt((t.n_tr + t.n_te) * 1.0e0 / (t.n_tr * t.n_te))) AS drift_flag
+       CAST(ROUND({DRIFT_KS_C} * sqrt((t.n_tr + t.n_te) * 1.0e0 / NULLIF(t.n_tr * t.n_te, 0)), 6) AS DOUBLE) AS ks_critical,
+       -- with a split empty the critical value is NULL and the comparison
+       -- three-values to NULL: no statistic exists, so no drift claim
+       COALESCE(w.gap > {DRIFT_KS_C} * sqrt((t.n_tr + t.n_te) * 1.0e0 / NULLIF(t.n_tr * t.n_te, 0)), FALSE) AS drift_flag
 FROM worst w CROSS JOIN totals t
 WHERE w.rn = 1
 """

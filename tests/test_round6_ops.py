@@ -212,3 +212,28 @@ def test_split_drift_flags_injected_skew_and_passes_hash_split(spark):
     assert loud["drift_flag"] is True
     assert loud["ks_distance"] > 0.9  # disjoint supports: CDF gap ~ 1
     assert loud["n_train"] > 0 and loud["n_test"] > 0
+
+
+def test_split_drift_degrades_on_empty_split(spark):
+    """A corpus whose docs ALL hash-route to train has an empty test split;
+    the audit must degrade (no statistic -> drift_flag FALSE), not raise —
+    Spark's ANSI mode turns the naive CDF /0 into a query error."""
+    from sales_telegram_bot_data_pipeline_spark.functions.dialect import SPARK as D
+    from sales_telegram_bot_data_pipeline_spark.operators.curation import (
+        TRAIN_PCT,
+        _split_drift_sql,
+    )
+
+    h = D.md5_prefix_int(D.strcast("doc_id"))
+    only_train = (
+        spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+        .selectExpr("doc_id", "100 + doc_id % 50 AS n_chars")
+        .where(f"({h}) % 100 < {TRAIN_PCT}")
+    )
+    only_train.createOrReplaceTempView("sales_telegram_bot_data_pipeline_drift_onesided")
+    row = spark.sql(
+        _split_drift_sql(D, "sales_telegram_bot_data_pipeline_drift_onesided")
+    ).collect()[0]
+    assert row["n_test"] == 0 and row["n_train"] > 0
+    assert row["drift_flag"] is False
+    assert row["ks_critical"] is None  # no statistic exists for n_te = 0
