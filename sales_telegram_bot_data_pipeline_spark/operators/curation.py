@@ -1613,3 +1613,181 @@ WHERE w.rn = 1
 )
 def split_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_split_drift_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# leakage-safe split (route by near-dup CLUSTER, not by doc)
+# --------------------------------------------------------------------------
+def _leakage_safe_split_sql(
+    d: Dialect, table: str, cc_rel: str | None = None, pairs_rel: str | None = None
+) -> str:
+    """The FIX for what split_leakage_audit measures: hashing doc_id routes
+    the two ends of a near-dup pair independently, so some pairs straddle
+    the train/test boundary and leak.  Hash the CLUSTER representative
+    instead — every member of a near-dup cluster shares its rep, so whole
+    clusters land in one split and cross-split near-dup pairs are ZERO by
+    construction (a pair's ends are in the same component by definition).
+    The audit column proves it: cross_split_pairs re-routes every LSH pair
+    through the cluster split and counts the stragglers.
+
+    Scale: one equi-join of the corpus to the CC labels (doc_id-keyed),
+    the same split predicate as dataset_hash_split applied to the rep, and
+    an O(cells) aggregate; the pair audit is the split_leakage_audit join
+    re-used against the new routing.  ``cc_rel`` / ``pairs_rel`` take the
+    Spark side's materialized labels / pair relations."""
+    from .dedup import _cc_oracle_sql, _lsh_pairs_sql
+
+    cc = cc_rel or _cc_oracle_sql(d, table).replace("ORDER BY doc_id", "")
+    pairs = pairs_rel or _lsh_pairs_sql(d, table).replace("ORDER BY doc_a, doc_b", "")
+    h = d.md5_prefix_int(d.strcast("cluster_rep"))
+    return f"""
+WITH cc AS ({cc}),
+routed AS (
+  SELECT doc_id, cluster_rep,
+         CASE WHEN ({h}) % 100 < {TRAIN_PCT} THEN 'train'
+              WHEN ({h}) % 100 < {VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split_name
+  FROM cc
+),
+pairs AS ({pairs}),
+cross_pairs AS (
+  SELECT COUNT(*) AS n
+  FROM pairs p
+  JOIN routed ra ON ra.doc_id = p.doc_a
+  JOIN routed rb ON rb.doc_id = p.doc_b
+  WHERE ra.split_name <> rb.split_name
+)
+SELECT r.split_name,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT r.cluster_rep) AS BIGINT) AS n_clusters,
+       CAST(cp.n AS BIGINT) AS cross_split_pairs
+FROM routed r CROSS JOIN cross_pairs cp
+GROUP BY r.split_name, cp.n
+ORDER BY r.split_name
+"""
+
+
+@register(
+    "leakage_safe_split",
+    oracle=_leakage_safe_split_sql(DUCKDB, "documents"),
+    doc="Cluster-aware train/val/test split: hash the near-dup cluster "
+    "REP (not the doc) so whole clusters land in one split and "
+    "cross-split near-dup pairs are zero by construction — the fix for "
+    "what split_leakage_audit measures. Corpus-to-labels equi-join + the "
+    "standard split predicate + the pair audit re-run as proof "
+    "(cross_split_pairs column).",
+    tags=("curation", "dedup", "audit"),
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _doc_view as _ddoc_view
+    from .dedup import _lsh_pairs_sql, connected_components
+
+    view = _ddoc_view(spark, sf_dir)
+    docs = spark.table(view)
+    pairs = spark.sql(_lsh_pairs_sql(SPARK, view))
+    # the pair relation feeds BOTH clustering and the audit join:
+    # materialize once (same discipline as pagerank / split_leakage_audit)
+    pairs = pairs.localCheckpoint()
+    pairs.createOrReplaceTempView("sales_telegram_bot_data_pipeline_lss_pairs")
+    labels = connected_components(spark, docs.select("doc_id"), pairs)
+    labels.createOrReplaceTempView("sales_telegram_bot_data_pipeline_lss_labels")
+    return spark.sql(
+        _leakage_safe_split_sql(
+            SPARK,
+            view,
+            cc_rel="SELECT doc_id, cluster_rep FROM sales_telegram_bot_data_pipeline_lss_labels",
+            pairs_rel="SELECT doc_a, doc_b FROM sales_telegram_bot_data_pipeline_lss_pairs",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# rank-blended quality ensemble (percentile-free, libm-free)
+# --------------------------------------------------------------------------
+BLEND_TOP_K = 50  # docs surfaced by the blended ranking
+
+
+def _rank_blend_sql(d: Dialect, table: str) -> str:
+    """Quality ENSEMBLE: no single signal survives contact with a real
+    corpus (length favors rambling, distinct-words favors word salad), so
+    curation stacks several and blends.  Blending raw scores needs
+    per-signal normalization; blending RANKS needs none — rank is
+    scale-free, outlier-proof, and pure integer arithmetic, so the blend
+    is bit-portable across engines (no libm, no float normalization).
+
+    blend = sum of the doc's ROW_NUMBER positions under three orderings
+    (distinct-words, token count, char length; higher = better, doc_id
+    tie-break), lower = better; surface the top ``BLEND_TOP_K``."""
+    w = d.splitws("lower(text)")
+    return f"""
+WITH sig AS (
+  SELECT doc_id,
+         {d.alen(d.adistinct(w))} AS n_words,
+         {d.alen(w)} AS n_tokens,
+         n_chars
+  FROM {table}
+),
+ranked AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY n_words DESC, doc_id) AS r_words,
+         ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS r_tokens,
+         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS r_chars
+  FROM sig
+)
+SELECT doc_id,
+       CAST(r_words AS BIGINT) AS r_words,
+       CAST(r_tokens AS BIGINT) AS r_tokens,
+       CAST(r_chars AS BIGINT) AS r_chars,
+       CAST(r_words + r_tokens + r_chars AS BIGINT) AS blend_rank
+FROM ranked
+ORDER BY blend_rank, doc_id
+LIMIT {BLEND_TOP_K}
+"""
+
+
+@register(
+    "quality_rank_blend",
+    oracle=_rank_blend_sql(DUCKDB, "documents"),
+    doc=f"Rank-blended quality ensemble: per-signal global ROW_NUMBER "
+    "(distinct-words / tokens / chars, doc_id tie-break) summed into a "
+    "scale-free integer blend, top "
+    f"{BLEND_TOP_K} surfaced.  Spark side computes each global rank with "
+    "the DISTRIBUTED range-rank (repartitionByRange + per-partition "
+    "row_number + bounded offset collect — never a single-partition "
+    "window); final top-K is a TakeOrdered, not a global sort.",
+    tags=("curation", "quality", "ranking"),
+)
+def quality_rank_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scalars_extra import range_ranked
+
+    view = _doc_view(spark, sf_dir)
+    w = SPARK.splitws("lower(text)")
+    sig = spark.sql(
+        f"SELECT doc_id, {SPARK.alen(SPARK.adistinct(w))} AS n_words, "
+        f"{SPARK.alen(w)} AS n_tokens, n_chars FROM {view}"
+    ).localCheckpoint()  # three rank jobs fan out over the signal relation
+    out = None
+    for col, alias in (
+        ("n_words", "r_words"),
+        ("n_tokens", "r_tokens"),
+        ("n_chars", "r_chars"),
+    ):
+        part = sig.select("doc_id", (-F.col(col)).alias("__neg"))
+        ranked, n = range_ranked(spark, part, ["__neg", "doc_id"])
+        if n == 0:
+            return spark.createDataFrame(
+                [],
+                "doc_id bigint, r_words bigint, r_tokens bigint, "
+                "r_chars bigint, blend_rank bigint",
+            )
+        ranked = ranked.select("doc_id", F.col("r").alias(alias))
+        out = ranked if out is None else out.join(ranked, "doc_id")
+    return (
+        out.withColumn(
+            "blend_rank",
+            (F.col("r_words") + F.col("r_tokens") + F.col("r_chars")).cast("bigint"),
+        )
+        .orderBy("blend_rank", "doc_id")
+        .limit(BLEND_TOP_K)
+        .select("doc_id", "r_words", "r_tokens", "r_chars", "blend_rank")
+    )

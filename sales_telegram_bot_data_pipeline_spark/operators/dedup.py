@@ -1468,6 +1468,71 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# cluster-capped soft dedup (keep top-K per cluster, not just one)
+# --------------------------------------------------------------------------
+CLUSTER_CAP = 2  # members kept per near-dup cluster
+
+
+def _cluster_cap_sql(d: Dialect, table: str, cc_rel: str | None = None) -> str:
+    """Soft dedup: hard dedup (keep-one) throws away legitimate close
+    variants (translations, re-edits, quote-plus-commentary) along with
+    the junk; corpus studies instead CAP each near-dup cluster's
+    contribution — keep the top ``CLUSTER_CAP`` members by quality so a
+    100k-copy boilerplate cluster contributes 2 docs, not 100k and not 1.
+
+    Same clustering as dedup_keep_canonical / keep_best_quality, same
+    per-cluster bounded ranking window — only the ``rk <= K`` predicate
+    differs, which is the point: selection policy is one line on top of
+    shared cluster machinery.  ``cc_rel`` takes the Spark side's
+    materialized (doc_id, cluster_rep) labels."""
+    w = d.splitws("lower(text)")
+    q = f"{d.alen(d.adistinct(w))}"
+    cc = cc_rel or _cc_oracle_sql(d, table).replace("ORDER BY doc_id", "")
+    return f"""
+WITH cc AS ({cc}),
+quality AS (SELECT doc_id, {q} AS n_distinct_words FROM {table}),
+ranked AS (
+  SELECT cc.doc_id, cc.cluster_rep, qu.n_distinct_words,
+         ROW_NUMBER() OVER (PARTITION BY cc.cluster_rep
+                            ORDER BY qu.n_distinct_words DESC, cc.doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY cc.cluster_rep) AS cluster_size
+  FROM cc JOIN quality qu ON qu.doc_id = cc.doc_id
+)
+SELECT doc_id, cluster_rep,
+       CAST(rk AS INT) AS rk,
+       CAST(n_distinct_words AS BIGINT) AS n_distinct_words,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM ranked WHERE rk <= {CLUSTER_CAP}
+ORDER BY doc_id
+"""
+
+
+@register(
+    "dedup_cluster_cap",
+    oracle=_cluster_cap_sql(DUCKDB, "documents"),
+    doc=f"Cluster-capped soft dedup: keep the top {CLUSTER_CAP} members of "
+    "each near-dup cluster by lexical richness (doc_id tie-break) instead "
+    "of collapsing to one — caps a boilerplate cluster's contribution "
+    "while preserving legitimate close variants. Cluster-partitioned "
+    "bounded ranking window over the shared CC labels.",
+    tags=("dedup", "clustering", "window"),
+)
+def dedup_cluster_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    view = _doc_view(spark, sf_dir)
+    docs = spark.table(view)
+    pairs = spark.sql(_lsh_pairs_sql(SPARK, view))
+    labels = connected_components(spark, docs.select("doc_id"), pairs)
+    labels.createOrReplaceTempView("sales_telegram_bot_data_pipeline_ccap_labels")
+    return spark.sql(
+        _cluster_cap_sql(
+            SPARK,
+            view,
+            cc_rel="SELECT doc_id, cluster_rep FROM sales_telegram_bot_data_pipeline_ccap_labels",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # MinHash estimator-error audit (is N_HASHES enough for the threshold?)
 # --------------------------------------------------------------------------
 def _minhash_estimate_error_sql(

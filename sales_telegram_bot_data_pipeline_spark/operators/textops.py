@@ -303,3 +303,94 @@ LIMIT {PMI_TOP_K}
 )
 def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_pmi_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# corpus-frequency boilerplate removal (CCNet/Dolma-style line dedup)
+# --------------------------------------------------------------------------
+BOILER_SEG_TOKENS = 3  # segment width; stands in for "line" (synthetic docs
+#                        are single-line, so segments are fixed token spans —
+#                        the df/reassembly machinery is line-identical)
+BOILER_DF_CAP = 2  # a segment appearing in MORE distinct docs is boilerplate
+
+
+def _boilerplate_sql(d: Dialect, table: str) -> str:
+    """Boilerplate removal by CORPUS frequency: headers, footers, cookie
+    banners, and share-bars repeat verbatim across documents, so a segment
+    whose document frequency exceeds a cap is boilerplate REGARDLESS of
+    its content — remove the segment, KEEP the document, preserving the
+    order of what remains.  This is the between-doc complement of the
+    within-doc repetition gate (quality_repetition) and the
+    sub-document complement of whole-doc dedup.
+
+    Scale: segments explode row-parallel (no shuffle), the df relation is
+    one map-side-combinable (segment -> distinct-doc count) aggregate, the
+    drop is an equi-join on segment text, and reassembly is a per-doc
+    grouped aggregate whose state is the doc's own segment list — bounded
+    by doc length.  Nothing global, nothing quadratic."""
+    w = d.splitws("lower(text)")
+    n = d.alen("w")
+    seg = BOILER_SEG_TOKENS
+    if d.name == "spark":
+        starts_rel = (
+            f"SELECT doc_id, w, start FROM words "
+            f"LATERAL VIEW explode(sequence(1, greatest(1, {n}), {seg})) t AS start "
+            f"WHERE {n} >= 1"
+        )
+        seg_text = f"array_join(slice(w, start, {seg}), ' ')"
+        rebuild = (
+            "array_join(transform(array_sort(collect_list(struct(seg_idx, seg_text))), "
+            "s -> s.seg_text), ' ')"
+        )
+    else:
+        starts_rel = (
+            f"SELECT doc_id, w, unnest(generate_series(1, {n}, {seg})) AS start "
+            f"FROM words WHERE {n} >= 1"
+        )
+        seg_text = f"array_to_string(list_slice(w, start, start + {seg - 1}), ' ')"
+        rebuild = "string_agg(seg_text, ' ' ORDER BY seg_idx)"
+    return f"""
+WITH words AS (SELECT doc_id, {w} AS w FROM {table}),
+starts AS ({starts_rel}),
+segs AS (
+  SELECT doc_id,
+         CAST({d.idiv('(start - 1)', seg)} AS INT) AS seg_idx,
+         {seg_text} AS seg_text
+  FROM starts
+),
+df AS (
+  SELECT seg_text, COUNT(DISTINCT doc_id) AS seg_df
+  FROM segs GROUP BY seg_text
+),
+kept AS (
+  SELECT s.doc_id, s.seg_idx, s.seg_text
+  FROM segs s JOIN df ON s.seg_text = df.seg_text
+  WHERE df.seg_df <= {BOILER_DF_CAP}
+),
+rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_kept, {rebuild} AS clean_text
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_segments FROM segs GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(t.n_segments AS INT) AS n_segments,
+       CAST(COALESCE(r.n_kept, 0) AS INT) AS n_kept,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM totals t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@register(
+    "boilerplate_segment_removal",
+    oracle=_boilerplate_sql(DUCKDB, "documents"),
+    doc=f"Corpus-frequency boilerplate removal: {BOILER_SEG_TOKENS}-token "
+    f"segments appearing in > {BOILER_DF_CAP} distinct docs are dropped "
+    "from every doc (doc kept, order preserved) — the between-doc "
+    "complement of the within-doc repetition gate and the sub-document "
+    "complement of whole-doc dedup. Row-parallel explode, one df "
+    "aggregate, equi-join drop, per-doc bounded reassembly.",
+    tags=("text", "curation", "dedup"),
+)
+def boilerplate_segment_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_boilerplate_sql(SPARK, _doc_view(spark, sf_dir)))

@@ -82,6 +82,10 @@ EMPTY_OK_ZERO = [
     "split_leakage_audit",
     # round-6 additions
     "tfidf_top_terms",
+    "dedup_cluster_cap",
+    "leakage_safe_split",
+    "quality_rank_blend",
+    "boilerplate_segment_removal",
 ]
 
 

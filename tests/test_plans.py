@@ -397,3 +397,32 @@ def test_topk_window_uses_group_limit_pushdown(spark):
     O(k·groups) and O(rows) window state at scale."""
     plan = _plan(spark, "topk_orders_per_segment")
     assert "WindowGroupLimit" in plan
+
+
+def test_record_linkage_is_blocked_equi_join(spark):
+    plan = _plan(spark, "record_linkage_blocked")
+    # blocking's whole point: candidates come from a key equi-join, never
+    # all-pairs, and the levenshtein refine stays JVM-native
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PythonUDF" not in plan
+    assert "levenshtein" in plan.lower()
+
+
+def test_rank_blend_no_global_window_final_take_ordered(spark):
+    plan = _plan(spark, "quality_rank_blend")
+    # every ROW_NUMBER must be pid-partitioned (range_ranked), and the
+    # top-K must be a TakeOrdered, never a corpus-global sort
+    assert "TakeOrderedAndProject" in plan
+    for ln in plan.splitlines():
+        if "[partialwindow" in ln.lower():  # defensive: no such operator today
+            continue
+        if "Window" in ln and "Arguments" in ln and "partitionBy" not in ln:
+            raise AssertionError(f"unpartitioned window in rank blend: {ln}")
+
+
+def test_boilerplate_removal_no_cartesian_no_python(spark):
+    plan = _plan(spark, "boilerplate_segment_removal")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PythonUDF" not in plan

@@ -1,0 +1,144 @@
+"""Semantic checks for the second round-6 operator batch beyond the oracle
+match: cluster-cap set relations vs keep-best, leakage-safe split zero-leak
+guarantee, rank-blend vs a brute-force driver-side recompute, blocked
+record-linkage recall/precision on its self-contained ground truth, and
+boilerplate removal on an injected-boilerplate corpus."""
+
+from __future__ import annotations
+
+from sales_telegram_bot_data_pipeline_spark.operators.curation import (
+    leakage_safe_split,
+    quality_rank_blend,
+)
+from sales_telegram_bot_data_pipeline_spark.operators.dedup import (
+    CLUSTER_CAP,
+    dedup_cluster_cap,
+    dedup_keep_best_quality,
+)
+from sales_telegram_bot_data_pipeline_spark.operators.linkage import (
+    LINK_DIRTY_MOD,
+    record_linkage_blocked,
+)
+from sales_telegram_bot_data_pipeline_spark.operators.textops import (
+    BOILER_DF_CAP,
+    _boilerplate_sql,
+    boilerplate_segment_removal,
+)
+from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
+
+from conftest import SF_SMOKE
+
+
+def test_cluster_cap_extends_keep_best(spark):
+    """rk=1 rows of the capped selection ARE the keep-best selection; each
+    cluster keeps exactly min(cluster_size, CAP) members; kept members'
+    quality is ranked non-increasing within a cluster."""
+    capped = dedup_cluster_cap(spark, SF_SMOKE).collect()
+    best = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in dedup_keep_best_quality(spark, SF_SMOKE).collect()
+    }
+    assert {r["doc_id"]: r["cluster_rep"] for r in capped if r["rk"] == 1} == best
+    by_cluster: dict[int, list] = {}
+    for r in capped:
+        by_cluster.setdefault(r["cluster_rep"], []).append(r)
+    for rep, rows in by_cluster.items():
+        size = rows[0]["cluster_size"]
+        assert len(rows) == min(size, CLUSTER_CAP)
+        ranked = sorted(rows, key=lambda r: r["rk"])
+        for a, b in zip(ranked, ranked[1:]):
+            assert (a["n_distinct_words"], -a["doc_id"]) >= (
+                b["n_distinct_words"],
+                -b["doc_id"],
+            )
+
+
+def test_leakage_safe_split_zero_cross_pairs(spark):
+    rows = leakage_safe_split(spark, SF_SMOKE).collect()
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert all(r["cross_split_pairs"] == 0 for r in rows)
+    assert {r["split_name"] for r in rows} <= {"train", "val", "test"}
+    # the split must still look like a split: train strictly dominates
+    by_name = {r["split_name"]: r["n_docs"] for r in rows}
+    assert by_name.get("train", 0) > by_name.get("test", 0)
+
+
+def test_quality_rank_blend_matches_bruteforce(spark):
+    """Recompute the three global rankings driver-side from the raw corpus
+    and compare the blended top-K exactly."""
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    sig = [
+        (
+            r["doc_id"],
+            len(set(r["text"].lower().split())),
+            len(r["text"].lower().split()),
+            r["n_chars"],
+        )
+        for r in docs
+    ]
+
+    def ranks(idx):
+        orderd = sorted(sig, key=lambda s: (-s[idx], s[0]))
+        return {s[0]: i + 1 for i, s in enumerate(orderd)}
+
+    r1, r2, r3 = ranks(1), ranks(2), ranks(3)
+    blend = sorted(
+        ((r1[d] + r2[d] + r3[d], d) for d, *_ in sig),
+    )
+    got = quality_rank_blend(spark, SF_SMOKE).collect()
+    assert [(r["blend_rank"], r["doc_id"]) for r in got] == blend[: len(got)]
+    for r in got:
+        assert (r["r_words"], r["r_tokens"], r["r_chars"]) == (
+            r1[r["doc_id"]],
+            r2[r["doc_id"]],
+            r3[r["doc_id"]],
+        )
+
+
+def test_record_linkage_recovers_every_dirty_twin(spark):
+    rows = record_linkage_blocked(spark, SF_SMOKE).collect()
+    n_dirty = (
+        load_table(spark, SF_SMOKE, "customer")
+        .where(f"c_custkey % {LINK_DIRTY_MOD} = 0")
+        .count()
+    )
+    assert len(rows) == n_dirty  # 100% recall through the blocking key
+    assert all(r["is_correct"] for r in rows)  # 100% precision
+    assert all(r["lev_dist"] == 1 for r in rows)  # corruption is 1 edit
+
+
+def test_boilerplate_removal_on_injected_corpus(spark):
+    """Docs sharing a 3-token boilerplate segment beyond the df cap lose
+    exactly that segment with order preserved; sole unique doc untouched."""
+    from sales_telegram_bot_data_pipeline_spark.functions.dialect import SPARK as D
+
+    boiler = "click here now"
+    uniq = ["alpha beta gamma", "delta epsilon zeta", "eta theta iota", "kappa mu nu"]
+    rows = [(i, f"{boiler} {u}") for i, u in enumerate(uniq)]
+    rows.append((99, "solo unique words"))
+    spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_boiler_inj"
+    )
+    assert len(uniq) > BOILER_DF_CAP
+    got = {
+        r["doc_id"]: r
+        for r in spark.sql(
+            _boilerplate_sql(D, "sales_telegram_bot_data_pipeline_boiler_inj")
+        ).collect()
+    }
+    for i, u in enumerate(uniq):
+        assert got[i]["clean_text"] == u
+        assert got[i]["n_segments"] == 2 and got[i]["n_kept"] == 1
+    assert got[99]["clean_text"] == "solo unique words"
+    assert got[99]["n_kept"] == got[99]["n_segments"] == 1
+
+
+def test_boilerplate_noop_below_cap(spark):
+    rows = boilerplate_segment_removal(spark, SF_SMOKE).collect()
+    docs = {r["doc_id"]: r["text"] for r in load_table(spark, SF_SMOKE, "documents").collect()}
+    assert len(rows) == len(docs)
+    for r in rows:
+        # untouched docs reassemble EXACTLY (lower() normalization aside)
+        if r["n_kept"] == r["n_segments"]:
+            assert r["clean_text"] == " ".join(docs[r["doc_id"]].lower().split())
