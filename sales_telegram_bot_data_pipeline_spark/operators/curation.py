@@ -1791,3 +1791,87 @@ def quality_rank_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(BLEND_TOP_K)
         .select("doc_id", "r_words", "r_tokens", "r_chars", "blend_rank")
     )
+
+
+# --------------------------------------------------------------------------
+# per-source Mann-Whitney rank-sum audit (which source skews the corpus?)
+# --------------------------------------------------------------------------
+RANKSUM_Z = "1.96e0"  # two-sided alpha = 0.05 on the normal approximation
+
+
+def _ranksum_sql(d: Dialect, table: str, ranked_rel: str | None = None) -> str:
+    """Which SOURCE's docs are systematically longer/shorter than the rest
+    of the corpus?  The KS audit (split_distribution_drift) compares two
+    fixed splits; this is the per-GROUP version over an arbitrary number
+    of sources: a Mann-Whitney rank-sum per source vs everything else,
+    computed from ONE global ranking — rank once, aggregate per source,
+    derive every U statistic from the same rank column (k separate
+    two-sample tests would rank the corpus k times).
+
+    Rank = ROW_NUMBER over (n_chars, doc_id): ties break by doc_id rather
+    than midranks — a documented deviation from the textbook tie
+    correction; with hash-assigned synthetic lengths the tie noise is
+    symmetric and the z-flag threshold absorbs it.  All pre-z arithmetic
+    is integer-exact; sqrt/div are IEEE-portable, z rounded to 6.
+
+    Scale: the global rank is the DISTRIBUTED range-rank on the Spark
+    side; everything after is a map-side-combinable per-source aggregate
+    joined to an O(1) total."""
+    ranked = ranked_rel or (
+        f"SELECT source, ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS r FROM {table}"
+    )
+    half = d.idiv("(n_docs * (n_docs + 1))", "2")
+    sig = "sqrt(n_docs * (t.n - n_docs) * (t.n + 1) / 12.0e0)"
+    return f"""
+WITH ranked AS ({ranked}),
+tot AS (SELECT COUNT(*) AS n FROM ranked),
+per_src AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(r) AS rank_sum
+  FROM ranked GROUP BY source
+)
+SELECT p.source,
+       CAST(p.n_docs AS BIGINT) AS n_docs,
+       CAST(p.rank_sum AS BIGINT) AS rank_sum,
+       CAST(p.rank_sum - {half} AS BIGINT) AS u_stat,
+       CAST(ROUND(p.n_docs * (t.n - p.n_docs) / 2.0e0, 6) AS DOUBLE) AS u_expected,
+       CAST(ROUND((p.rank_sum - {half} - p.n_docs * (t.n - p.n_docs) / 2.0e0)
+                  / NULLIF({sig}, 0.0e0), 6) AS DOUBLE) AS z_score,
+       COALESCE(ABS((p.rank_sum - {half} - p.n_docs * (t.n - p.n_docs) / 2.0e0)
+                    / NULLIF({sig}, 0.0e0)) > {RANKSUM_Z}, FALSE) AS skew_flag
+FROM per_src p CROSS JOIN tot t
+ORDER BY p.source
+"""
+
+
+@register(
+    "source_quality_ranksum",
+    oracle=_ranksum_sql(DUCKDB, "documents"),
+    doc="Per-source Mann-Whitney rank-sum audit: ONE global length "
+    "ranking (distributed range-rank on the Spark side), then every "
+    "source's U statistic vs the rest derived from the same rank column — "
+    "k two-sample skew tests for the price of one ranking. Integer-exact "
+    "up to the z division; size-aware normal-approximation flag.",
+    tags=("curation", "audit", "stats"),
+)
+def source_quality_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scalars_extra import range_ranked
+
+    view = _doc_view(spark, sf_dir)
+    docs = spark.table(view).select("doc_id", "source", "n_chars")
+    ranked, n = range_ranked(spark, docs, ["n_chars", "doc_id"])
+    if n == 0:
+        return spark.createDataFrame(
+            [],
+            "source string, n_docs bigint, rank_sum bigint, u_stat bigint, "
+            "u_expected double, z_score double, skew_flag boolean",
+        )
+    ranked.select("source", "r").createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_ranksum_ranked"
+    )
+    return spark.sql(
+        _ranksum_sql(
+            SPARK,
+            view,
+            ranked_rel="SELECT source, r FROM sales_telegram_bot_data_pipeline_ranksum_ranked",
+        )
+    )

@@ -1620,3 +1620,215 @@ def minhash_estimate_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             shingles_rel=rel,
         )
     )
+
+
+# --------------------------------------------------------------------------
+# prefix-filtered set-similarity join (PPJoin-style candidate generation)
+# --------------------------------------------------------------------------
+def _prefix_filter_sql(d: Dialect, table: str, shingles_rel: str | None = None) -> str:
+    """Same contract as dedup_ngram_jaccard (all pairs with shingle-set
+    Jaccard >= 0.4) but candidates come from PREFIX FILTERING (PPJoin /
+    AllPairs family): order every doc's shingles RAREST-FIRST by corpus df,
+    keep only the first |s| - ceil(t*|s|) + 1 of them, and join on THOSE.
+    Any pair at J >= t must collide on a prefix token under a shared global
+    order, so the filter is lossless — completeness is proved in tests by
+    set-equality against the full-inverted-index twin.
+
+    Why it matters at 100 TB: the full index emits df^2 candidate rows per
+    shingle (the stop-shingle twin caps df to cope); prefix filtering
+    SHRINKS the index itself — common shingles fall out of every prefix
+    because rare tokens sort first, so candidate volume drops without a
+    correctness-affecting cap.  All arithmetic is integer (prefix length
+    via ceil-free idiv; the J >= 2/5 verify as 7*common >= 2*(|a|+|b|));
+    the per-doc ordering window is bounded by doc size.  Final jaccard
+    column matches the twin's ROUND(...,6) exactly."""
+    sh = shingles_rel or _shingles_sql(d, table)
+    # prefix length for t = 2/5: |s| - ceil(2|s|/5) + 1, ceil as idiv
+    plen = f"n_sh - {d.idiv('(2 * n_sh + 4)', '5')} + 1"
+    return f"""
+WITH shingles AS ({sh}),
+counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+sdf AS (SELECT sh, COUNT(*) AS sh_df FROM shingles GROUP BY sh),
+ordered AS (
+  SELECT s.doc_id, s.sh, c.n_sh,
+         ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY f.sh_df, s.sh) AS pos
+  FROM shingles s
+  JOIN sdf f ON f.sh = s.sh
+  JOIN counts c ON c.doc_id = s.doc_id
+),
+prefix AS (SELECT doc_id, sh FROM ordered WHERE pos <= {plen}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.doc_id < b.doc_id
+),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cands c
+  JOIN shingles ta ON ta.doc_id = c.doc_a
+  JOIN shingles tb ON tb.doc_id = c.doc_b AND tb.sh = ta.sh
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(ROUND(n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common), 6) AS DOUBLE) AS jaccard
+FROM common
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE 7 * n_common >= 2 * (ca.n_sh + cb.n_sh)
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "dedup_prefix_filter_join",
+    oracle=_prefix_filter_sql(DUCKDB, "documents"),
+    doc="PPJoin-style prefix-filtered set-similarity join: shingles "
+    "ordered rarest-first by corpus df, candidates join only on each "
+    "doc's |s|-ceil(t|s|)+1 prefix (lossless for Jaccard >= 0.4), exact "
+    "integer verify 7*common >= 2*(|a|+|b|). Shrinks the inverted index "
+    "itself instead of capping it — tested set-equal to the "
+    "full-inverted-index twin.",
+    tags=("dedup", "join", "prefix-filter"),
+)
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    view = _doc_view(spark, sf_dir)
+    rel = _materialized_shingles(spark, view, "sales_telegram_bot_data_pipeline_sh_pf")
+    return spark.sql(_prefix_filter_sql(SPARK, view, shingles_rel=rel))
+
+
+# --------------------------------------------------------------------------
+# LSH band-tuning audit (which (bands, rows) factorization earns its keep?)
+# --------------------------------------------------------------------------
+_TUNE_CONFIGS = [(8, 1), (4, 2), (2, 4), (1, 8)]  # factorizations of N_HASHES
+
+
+def _tune_theory(bands: int, rows: int, t: float = JACCARD_THRESHOLD) -> float:
+    """S-curve capture probability at J=t: 1-(1-t^r)^b.  Computed in
+    Python and inlined as the SAME literal in both dialects — it is a
+    config constant, so no engine-libm POW enters the comparison."""
+    return round(1.0 - (1.0 - t**rows) ** bands, 6)
+
+
+def _band_cands_sql(d: Dialect, table: str, sig_rel: str | None = None) -> str:
+    """Per-config candidate pairs (n_bands, doc_a, doc_b) for every
+    factorization in ``_TUNE_CONFIGS``, from ONE band explode over the
+    signature (config id rides the explode, so all configs share a single
+    equi-join on (config, band, key))."""
+    sig = sig_rel or _minhash_sig_sql(d, table)
+
+    def key(b: int, r: int, j: int) -> str:
+        return " || '_' || ".join(d.strcast(f"h{j * r + k}") for k in range(r))
+
+    entries = []
+    for b, r in _TUNE_CONFIGS:
+        for j in range(b):
+            if d.name == "spark":
+                entries.append(
+                    f"named_struct('n_bands', {b}, 'band', {j}, 'band_key', {key(b, r, j)})"
+                )
+            else:
+                entries.append(f"{{'n_bands': {b}, 'band': {j}, 'band_key': {key(b, r, j)}}}")
+    if d.name == "spark":
+        allbands = (
+            f"SELECT doc_id, e.n_bands, e.band, e.band_key "
+            f"FROM sig LATERAL VIEW explode(array({', '.join(entries)})) t AS e"
+        )
+    else:
+        allbands = (
+            f"SELECT doc_id, u.n_bands AS n_bands, u.band AS band, u.band_key AS band_key "
+            f"FROM (SELECT doc_id, unnest([{', '.join(entries)}]) AS u FROM sig) s"
+        )
+    return f"""
+WITH sig AS ({sig}),
+allbands AS ({allbands})
+SELECT DISTINCT a.n_bands, a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM allbands a JOIN allbands b
+  ON a.n_bands = b.n_bands AND a.band = b.band
+ AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+def _band_tuning_sql(
+    d: Dialect,
+    table: str,
+    sig_rel: str | None = None,
+    truth_rel: str | None = None,
+    cands_rel: str | None = None,
+) -> str:
+    """Choosing (bands, rows) is THE MinHash-LSH knob at 100 TB: more
+    bands = higher recall but more candidate volume; the theory S-curve
+    says where the threshold lands, but the honest answer is empirical —
+    run every factorization of the signature you already computed against
+    exact-Jaccard ground truth and read off candidates-vs-recall.  One
+    signature scan serves all configs (the config id rides the band
+    explode, so the self-join is still a single equi-join on
+    (config, band, key)); ground truth is the inverted-index Jaccard
+    relation, bounded at audit scale.
+
+    The theoretical capture probability is inlined per config as a Python
+    literal so no engine POW/LN enters the cross-engine comparison.
+    ``cands_rel`` takes the Spark side's MATERIALIZED per-config pair
+    relation (it feeds both the volume count and the recall join; without
+    the break the 15-entry band explode re-runs per consumer)."""
+    truth = truth_rel or _jaccard_sql(d, table).replace("ORDER BY doc_a, doc_b", "")
+    cands = cands_rel or _band_cands_sql(d, table, sig_rel=sig_rel)
+    cfg_rows = ", ".join(
+        f"({b}, {r}, {_tune_theory(b, r):.6f}e0)" for b, r in _TUNE_CONFIGS
+    )
+    return f"""
+WITH truth AS (SELECT doc_a, doc_b FROM ({truth}) tr),
+configs AS (SELECT * FROM (VALUES {cfg_rows}) AS c(n_bands, band_rows, p_capture_at_t)),
+cands AS ({cands}),
+stats AS (SELECT n_bands, COUNT(*) AS n_candidates FROM cands GROUP BY n_bands),
+hits AS (
+  SELECT c.n_bands, COUNT(*) AS n_hits
+  FROM cands c JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+  GROUP BY c.n_bands
+),
+tot AS (SELECT COUNT(*) AS n_truth FROM truth)
+SELECT CAST(cf.n_bands AS INT) AS n_bands,
+       CAST(cf.band_rows AS INT) AS band_rows,
+       CAST(COALESCE(s.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(tt.n_truth AS BIGINT) AS n_truth,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(ROUND(COALESCE(h.n_hits, 0) * 1.0e0 / NULLIF(tt.n_truth, 0), 6) AS DOUBLE) AS recall,
+       CAST(cf.p_capture_at_t AS DOUBLE) AS p_capture_at_t
+FROM configs cf
+LEFT JOIN stats s ON s.n_bands = cf.n_bands
+LEFT JOIN hits h ON h.n_bands = cf.n_bands
+CROSS JOIN tot tt
+ORDER BY cf.n_bands DESC
+"""
+
+
+@register(
+    "lsh_band_tuning_audit",
+    oracle=_band_tuning_sql(DUCKDB, "documents"),
+    doc="LSH band-tuning audit: every (bands, rows) factorization of the "
+    "8-hash MinHash signature evaluated in ONE pass (config id rides the "
+    "band explode; single equi-join on (config, band, key)) against "
+    "exact-Jaccard ground truth — empirical candidates-vs-recall next to "
+    "the theoretical S-curve capture probability (inlined as Python "
+    "literals, no engine POW in the comparison). The pre-flight knob "
+    "check before committing a banding at corpus scale.",
+    tags=("dedup", "lsh", "audit"),
+)
+def lsh_band_tuning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    view = _doc_view(spark, sf_dir)
+    sig = spark.sql(_minhash_sig_sql(SPARK, view)).localCheckpoint()
+    sig.createOrReplaceTempView("sales_telegram_bot_data_pipeline_tune_sig")
+    cands = spark.sql(
+        _band_cands_sql(
+            SPARK, view, sig_rel="SELECT * FROM sales_telegram_bot_data_pipeline_tune_sig"
+        )
+    ).localCheckpoint()
+    cands.createOrReplaceTempView("sales_telegram_bot_data_pipeline_tune_cands")
+    truth = spark.sql(_jaccard_sql(SPARK, view)).localCheckpoint()
+    truth.createOrReplaceTempView("sales_telegram_bot_data_pipeline_tune_truth")
+    return spark.sql(
+        _band_tuning_sql(
+            SPARK,
+            view,
+            truth_rel="SELECT doc_a, doc_b FROM sales_telegram_bot_data_pipeline_tune_truth",
+            cands_rel="SELECT n_bands, doc_a, doc_b FROM sales_telegram_bot_data_pipeline_tune_cands",
+        )
+    )

@@ -86,6 +86,11 @@ EMPTY_OK_ZERO = [
     "leakage_safe_split",
     "quality_rank_blend",
     "boilerplate_segment_removal",
+    "dedup_prefix_filter_join",
+    "source_quality_ranksum",
+    # (lsh_band_tuning_audit excluded: it emits its 4 config rows with
+    # zero counts on an empty corpus — a well-defined aggregate, pinned in
+    # test_round6b_ops.py instead)
 ]
 
 

@@ -426,3 +426,18 @@ def test_boilerplate_removal_no_cartesian_no_python(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "PythonUDF" not in plan
+
+
+def test_prefix_filter_candidates_are_equi_join(spark):
+    plan = _plan(spark, "dedup_prefix_filter_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PythonUDF" not in plan
+
+
+def test_band_tuning_single_signature_scan(spark):
+    plan = _plan(spark, "lsh_band_tuning_audit")
+    # every config reads the MATERIALIZED signature (one Scan ExistingRDD
+    # from the localCheckpoint), never re-deriving minhash per config
+    assert "CartesianProduct" not in plan
+    assert plan.count("Generate") <= 2, "band explode must appear once per join side"

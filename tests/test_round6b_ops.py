@@ -142,3 +142,94 @@ def test_boilerplate_noop_below_cap(spark):
         # untouched docs reassemble EXACTLY (lower() normalization aside)
         if r["n_kept"] == r["n_segments"]:
             assert r["clean_text"] == " ".join(docs[r["doc_id"]].lower().split())
+
+
+def test_prefix_filter_join_set_equals_inverted_index(spark):
+    """Prefix filtering is LOSSLESS: the PPJoin-style candidate generation
+    must produce exactly the pair set of the full inverted-index twin."""
+    from sales_telegram_bot_data_pipeline_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+        dedup_prefix_filter_join,
+    )
+
+    twin = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_ngram_jaccard(spark, SF_SMOKE).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_prefix_filter_join(spark, SF_SMOKE).collect()
+    }
+    assert got == twin
+    assert len(got) > 0  # the smoke corpus does contain near-dups
+
+
+def test_ranksum_matches_bruteforce_and_flags_injected_skew(spark):
+    from sales_telegram_bot_data_pipeline_spark.functions.dialect import SPARK as D
+    from sales_telegram_bot_data_pipeline_spark.operators.curation import (
+        _ranksum_sql,
+        source_quality_ranksum,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    ranks = {
+        r["doc_id"]: i + 1
+        for i, r in enumerate(sorted(docs, key=lambda r: (r["n_chars"], r["doc_id"])))
+    }
+    got = {r["source"]: r for r in source_quality_ranksum(spark, SF_SMOKE).collect()}
+    n = len(docs)
+    by_src: dict[str, list] = {}
+    for r in docs:
+        by_src.setdefault(r["source"], []).append(ranks[r["doc_id"]])
+    assert set(got) == set(by_src)
+    for src, rs in by_src.items():
+        ni, rsum = len(rs), sum(rs)
+        assert got[src]["n_docs"] == ni and got[src]["rank_sum"] == rsum
+        assert got[src]["u_stat"] == rsum - ni * (ni + 1) // 2
+        assert abs(got[src]["u_expected"] - ni * (n - ni) / 2.0) < 1e-6
+    # hash-assigned sources shouldn't skew (at most noise flags)
+    assert sum(1 for r in got.values() if r["skew_flag"]) <= len(got) // 4
+
+    # injected skew: one source gets systematically larger lengths
+    rows = [(i, "src_skew" if i % 5 == 0 else f"src{i % 3}", 10_000 + i if i % 5 == 0 else 100 + i)
+            for i in range(600)]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long"
+    ).createOrReplaceTempView("sales_telegram_bot_data_pipeline_ranksum_inj")
+    loud = {
+        r["source"]: r
+        for r in spark.sql(
+            _ranksum_sql(D, "sales_telegram_bot_data_pipeline_ranksum_inj")
+        ).collect()
+    }
+    assert loud["src_skew"]["skew_flag"] is True
+    assert loud["src_skew"]["z_score"] > 5
+
+
+def test_band_tuning_nested_configs_and_lsh_row(spark):
+    """Bands align across factorizations, so candidate sets are NESTED:
+    (1,8) ⊆ (2,4) ⊆ (4,2) ⊆ (8,1); the (4,2) row must equal the
+    production LSH pair count; recall bounded; on an empty corpus the 4
+    config rows survive with zero counts (well-defined aggregate)."""
+    import os
+
+    from sales_telegram_bot_data_pipeline_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        lsh_band_tuning_audit,
+    )
+
+    rows = {
+        (r["n_bands"], r["band_rows"]): r
+        for r in lsh_band_tuning_audit(spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == {(8, 1), (4, 2), (2, 4), (1, 8)}
+    assert rows[(4, 2)]["n_candidates"] == dedup_minhash_lsh(spark, SF_SMOKE).count()
+    cands = [rows[k]["n_candidates"] for k in [(8, 1), (4, 2), (2, 4), (1, 8)]]
+    assert cands == sorted(cands, reverse=True)
+    hits = [rows[k]["n_hits"] for k in [(8, 1), (4, 2), (2, 4), (1, 8)]]
+    assert hits == sorted(hits, reverse=True)
+    theory = [rows[k]["p_capture_at_t"] for k in [(8, 1), (4, 2), (2, 4), (1, 8)]]
+    assert theory == sorted(theory, reverse=True)
+    for r in rows.values():
+        assert r["n_hits"] <= r["n_candidates"]
+        assert r["recall"] is None or 0.0 <= r["recall"] <= 1.0
