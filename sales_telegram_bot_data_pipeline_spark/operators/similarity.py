@@ -438,7 +438,9 @@ def _units_sql(d: Dialect, table: str) -> str:
     )
 
 
-def _kmeans_sql(d: Dialect, table: str, units_rel: str | None = None) -> str:
+def _kmeans_sql(
+    d: Dialect, table: str, units_rel: str | None = None, final: str = "centroids"
+) -> str:
     """K-means over the embedding corpus: the frozen IVF pseudo-centroids
     are the init, then KMEANS_ITERS Lloyd rounds of (assign to nearest
     centroid by cosine, recompute the per-cluster mean), unrolled as CTEs.
@@ -502,6 +504,15 @@ def _kmeans_sql(d: Dialect, table: str, units_rel: str | None = None) -> str:
 )"""
         )
     last = KMEANS_ITERS
+    if final == "assignments":
+        # the per-vector cluster labels after the last Lloyd round (the
+        # frozen init "centroids" are corpus vectors themselves, so every
+        # vec_id gets a label) — consumed by cluster_balanced_sample
+        return f"""
+WITH {','.join(ctes)}
+SELECT vec_id, -ncid AS cid FROM assign{last}
+ORDER BY vec_id
+"""
     return f"""
 WITH {','.join(ctes)},
 counts AS (SELECT -ncid AS cid, COUNT(*) AS n_members FROM assign{last} GROUP BY ncid)
@@ -1115,5 +1126,80 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb,
             "sales_telegram_bot_data_pipeline_bitext_docs",
             pairs_rel="SELECT * FROM sales_telegram_bot_data_pipeline_bitext_scored",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# semantic-cluster-balanced sampling (cap each k-means cluster's share)
+# --------------------------------------------------------------------------
+CLUSTER_BAL_CAP = 40  # max vectors admitted per semantic cluster
+
+
+def _cluster_balanced_sql(d: Dialect, table: str, assign_rel: str | None = None) -> str:
+    """Topic/domain balance by SEMANTIC cluster caps: source-cap sampling
+    (curation.source_cap_sample) balances on a metadata column, but the
+    imbalance that hurts a training mix is usually in CONTENT space — one
+    topic dominating regardless of source.  Cap each k-means cluster's
+    contribution instead: cluster in embedding space, keep the first
+    ``CLUSTER_BAL_CAP`` members per cluster (vec_id order — deterministic,
+    seedless), report each cluster's size so the dropped mass is visible.
+
+    Scale: clustering is the existing integer-unit Lloyd machinery
+    (broadcast centroid join; whole embeddings never shuffle); the cap is
+    a cluster-partitioned ranking window, bounded by cluster size — for a
+    mega-cluster regime, swap in scale.two_phase_topk (salt-scattered
+    rank-then-rerank), the same contract.  ``assign_rel`` takes the Spark
+    side's materialized assignment labels."""
+    assign = assign_rel or _kmeans_sql(d, table, final="assignments").replace(
+        "ORDER BY vec_id", ""
+    )
+    return f"""
+WITH assign AS ({assign}),
+ranked AS (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) AS rk,
+         COUNT(*) OVER (PARTITION BY cid) AS cluster_n
+  FROM assign
+)
+SELECT vec_id, CAST(cid AS INT) AS cid, CAST(rk AS INT) AS rk,
+       CAST(cluster_n AS BIGINT) AS cluster_n,
+       (cluster_n > {CLUSTER_BAL_CAP}) AS cluster_capped
+FROM ranked
+WHERE rk <= {CLUSTER_BAL_CAP}
+ORDER BY vec_id
+"""
+
+
+@register(
+    "cluster_balanced_sample",
+    oracle=_cluster_balanced_sql(DUCKDB, "embeddings"),
+    doc=f"Semantic-cluster-balanced sampling: k-means in embedding space "
+    f"(shared integer-unit Lloyd machinery), then keep at most "
+    f"{CLUSTER_BAL_CAP} vectors per cluster (vec_id order, seedless) — "
+    "content-space balance where source_cap_sample balances metadata. "
+    "Cluster-partitioned bounded ranking window; dropped mass visible via "
+    "cluster_n/cluster_capped.",
+    tags=("similarity", "curation", "clustering"),
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    view = _emb_view(spark, sf_dir)
+    spark.sql(_units_sql(SPARK, view)).localCheckpoint().createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_cbal_units"
+    )
+    assign = spark.sql(
+        _kmeans_sql(
+            SPARK,
+            view,
+            units_rel="SELECT vec_id, pos, uval FROM sales_telegram_bot_data_pipeline_cbal_units",
+            final="assignments",
+        )
+    )
+    assign.createOrReplaceTempView("sales_telegram_bot_data_pipeline_cbal_assign")
+    return spark.sql(
+        _cluster_balanced_sql(
+            SPARK,
+            view,
+            assign_rel="SELECT vec_id, cid FROM sales_telegram_bot_data_pipeline_cbal_assign",
         )
     )

@@ -88,6 +88,7 @@ EMPTY_OK_ZERO = [
     "boilerplate_segment_removal",
     "dedup_prefix_filter_join",
     "source_quality_ranksum",
+    "cluster_balanced_sample",
     # (lsh_band_tuning_audit excluded: it emits its 4 config rows with
     # zero counts on an empty corpus — a well-defined aggregate, pinned in
     # test_round6b_ops.py instead)

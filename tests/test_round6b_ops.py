@@ -233,3 +233,31 @@ def test_band_tuning_nested_configs_and_lsh_row(spark):
     for r in rows.values():
         assert r["n_hits"] <= r["n_candidates"]
         assert r["recall"] is None or 0.0 <= r["recall"] <= 1.0
+
+
+def test_cluster_balanced_sample_caps_every_cluster(spark):
+    from sales_telegram_bot_data_pipeline_spark.operators.similarity import (
+        CLUSTER_BAL_CAP,
+        cluster_balanced_sample,
+    )
+
+    rows = cluster_balanced_sample(spark, SF_SMOKE).collect()
+    emb_n = load_table(spark, SF_SMOKE, "embeddings").count()
+    by_cid: dict[int, list] = {}
+    for r in rows:
+        by_cid.setdefault(r["cid"], []).append(r)
+    assert by_cid, "no clusters sampled"
+    total_assigned = 0
+    for cid, members in by_cid.items():
+        ranks = sorted(r["rk"] for r in members)
+        assert ranks == list(range(1, len(members) + 1))
+        n = members[0]["cluster_n"]
+        assert all(r["cluster_n"] == n for r in members)
+        assert len(members) == min(n, CLUSTER_BAL_CAP)
+        assert all(r["cluster_capped"] == (n > CLUSTER_BAL_CAP) for r in members)
+        # vec_id order: kept members are the smallest ids of the cluster
+        ids = [r["vec_id"] for r in sorted(members, key=lambda r: r["rk"])]
+        assert ids == sorted(ids)
+        total_assigned += n
+    # every corpus vector is assigned to exactly one cluster
+    assert total_assigned == emb_n
