@@ -43,6 +43,19 @@ SF_BENCH = "/root/testdata/sf0.1"
         # off-by-one at partition boundaries) only shows with many
         # populated range partitions, i.e. at scale
         "price_histogram_equidepth",
+        # round-6 rank-based queries: same range-rank boundary class
+        "quality_rank_blend",
+        "source_quality_ranksum",
+        # selection-order-sensitive candidate generation (per-engine hash
+        # values order the prefix; only the lossless verify guarantees
+        # parity — candidate diversity grows with corpus size)
+        "dedup_prefix_filter_join",
+        # per-config candidate counts + recall division at scale
+        "lsh_band_tuning_audit",
+        # bucketed-KS CDF division + size-aware critical value
+        "split_distribution_drift",
+        # Lloyd assignment at 10x corpus: integer-unit mean parity
+        "cluster_balanced_sample",
     ],
 )
 def test_floor_quantized_queries_match_at_sf01(spark, name):
