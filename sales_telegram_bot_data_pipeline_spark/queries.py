@@ -99,6 +99,10 @@ try:
     from .sources import jsonl  # noqa: F401  (JSONL corpus source)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from .streaming import stateful as _streaming_stateful  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
 
 
 # --------------------------------------------------------------------------

@@ -112,3 +112,118 @@ def running_user_totals_tws(grouped_stream) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# --------------------------------------------------------------------------
+# streaming gap sessionization (stateful twin of sessionize_gap_islands)
+# --------------------------------------------------------------------------
+SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_seq bigint, session_start_ep bigint, "
+    "session_end_ep bigint, duration_s bigint, n_events bigint"
+)
+SESSION_STATE_SCHEMA = "start_ep bigint, last_ep bigint, n bigint, seq bigint"
+
+
+def gap_sessionize(grouped_stream, gap_s: int) -> DataFrame:
+    """Streaming gap-based sessionization: per-user state carries the OPEN
+    session (start/last epoch, event count, next sequence number); an
+    event more than ``gap_s`` seconds after the last CLOSES the session —
+    the closed row emits in append mode, the new session opens in state.
+    The open session never emits (a stream has no "last" event), so the
+    contract vs the batch twin (operators/temporal.sessionize_gap_islands)
+    is: streaming output == batch output minus each user's final session —
+    pinned in test_stateful_streaming.py.
+
+    Ordering contract: events must arrive per-key in (ts, event_id) order
+    across micro-batches (each batch is sorted internally; a production
+    deployment feeds this from a log-compacted, time-ordered source or
+    fronts it with a watermark-delayed sort).  State is O(1) per active
+    user and closed sessions leave immediately — the state store holds
+    open sessions only, not history."""
+
+    def update(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        start_ep, last_ep, n, seq = (
+            state.get if state.exists else (None, None, 0, 1)
+        )
+        closed: list[tuple] = []
+        # a key's batch rows may span several Arrow chunks — gather, then
+        # sort ONCE by (ts, event_id) so chunk boundaries can't split the
+        # ordering contract
+        events: list[tuple] = []
+        for pdf in pdf_iter:
+            events.extend(zip(pdf["ts"], pdf["event_id"], pdf["ep"]))
+        events.sort(key=lambda t: (t[0], t[1]))
+        for ep in (int(t[2]) for t in events):
+            if start_ep is None:
+                start_ep, last_ep, n = ep, ep, 1
+            elif ep - last_ep > gap_s:
+                closed.append((user_id, seq, start_ep, last_ep, last_ep - start_ep, n))
+                seq += 1
+                start_ep, last_ep, n = ep, ep, 1
+            else:
+                last_ep, n = ep, n + 1
+        if start_ep is not None:
+            state.update((start_ep, last_ep, n, seq))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id",
+                    "session_seq",
+                    "session_start_ep",
+                    "session_end_ep",
+                    "duration_s",
+                    "n_events",
+                ],
+            )
+
+    return grouped_stream.applyInPandasWithState(
+        update,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _register_streaming_sessionization():
+    from pyspark.sql import SparkSession
+
+    from ..operators.temporal import SESSIONIZE_GAP_S, SESSIONIZE_USER_MOD
+    from ..registry import register
+    from .windows import EVENTS_STREAM_SCHEMA, _MEMSINK_SEQ, run_to_completion
+
+    @register(
+        "streaming_sessionization",
+        oracle=None,  # executed through the streaming engine — rows-only
+        doc="Rows-only: gap-based sessionization EXECUTED as a stateful "
+        "streaming job (applyInPandasWithState, append mode, "
+        "Trigger.AvailableNow) — per-user O(1) state holds only the OPEN "
+        "session; closed sessions emit exactly once. Equals the batch "
+        "twin minus each user's final (still-open) session, pinned in "
+        "test_stateful_streaming.py::test_streaming_sessions_match_batch.",
+        tags=("streaming", "stateful", "session"),
+    )
+    def streaming_sessionization(spark: SparkSession, sf_dir: str):
+        ep = (
+            "(unix_date(CAST(ts AS DATE)) * 86400L"
+            " + hour(ts) * 3600 + minute(ts) * 60 + second(ts))"
+        )
+        stream = (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .where(f"user_id % {SESSIONIZE_USER_MOD} = 0")
+            .selectExpr("user_id", "event_id", "ts", f"{ep} AS ep")
+        )
+        name = f"sales_telegram_bot_data_pipeline_stream_sess_{next(_MEMSINK_SEQ)}"
+        out = run_to_completion(
+            gap_sessionize(stream.groupBy("user_id"), SESSIONIZE_GAP_S),
+            name,
+            output_mode="append",
+        )
+        return out.orderBy("user_id", "session_seq")
+
+
+_register_streaming_sessionization()

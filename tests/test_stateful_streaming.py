@@ -164,3 +164,58 @@ def test_tws_processor_logic_matches_batch(spark, scratch):
     )
     want = {r["user_id"]: (r["n"], round(r["t"], 4)) for r in batch.collect()}
     assert got == want
+
+
+def test_streaming_sessions_match_batch(spark, scratch):
+    """Gap sessionization drained across 4 in-order micro-batches must
+    equal the batch islands sessionizer MINUS each user's final session
+    (the stream never sees an end, so the open session stays in state)."""
+    import pandas as pd  # noqa: F401  (exercised inside the operator)
+
+    from sales_telegram_bot_data_pipeline_spark.operators.temporal import (
+        SESSIONIZE_GAP_S,
+        SESSIONIZE_USER_MOD,
+        _sessionize_sql,
+    )
+    from sales_telegram_bot_data_pipeline_spark.streaming.stateful import gap_sessionize
+
+    flat = _events_as_stream_source(spark, scratch)
+    ep = (
+        "(unix_date(CAST(ts AS DATE)) * 86400L"
+        " + hour(ts) * 3600 + minute(ts) * 60 + second(ts))"
+    )
+    stream = (
+        read_events_stream(spark, flat)
+        .where(f"user_id % {SESSIONIZE_USER_MOD} = 0")
+        .selectExpr("user_id", "event_id", "ts", f"{ep} AS ep")
+    )
+    out = gap_sessionize(stream.groupBy("user_id"), SESSIONIZE_GAP_S)
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_seq"]): (
+            r["session_start_ep"], r["session_end_ep"], r["duration_s"], r["n_events"]
+        )
+        for r in spark.table(name).collect()
+    }
+    # batch twin over the SAME files, minus each user's final session
+    from sales_telegram_bot_data_pipeline_spark.functions.dialect import SPARK as D
+
+    spark.read.parquet(flat).createOrReplaceTempView("sess_parity_events")
+    batch = spark.sql(_sessionize_sql(D).format(table="sess_parity_events")).collect()
+    last_seq = {}
+    for r in batch:
+        last_seq[r["user_id"]] = max(last_seq.get(r["user_id"], 0), r["session_seq"])
+    want = {
+        (r["user_id"], r["session_seq"]): (
+            r["session_start_ep"], r["session_end_ep"], r["duration_s"], r["n_events"]
+        )
+        for r in batch
+        if r["session_seq"] != last_seq[r["user_id"]]
+    }
+    assert got == want
+    assert len(got) > 0  # multi-batch replay actually closed sessions
