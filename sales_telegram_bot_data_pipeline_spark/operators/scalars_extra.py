@@ -877,3 +877,148 @@ def robust_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# join-size estimation: CMS inner product vs hash-sampled key synopsis
+# ---------------------------------------------------------------------------
+JC_D = 4  # sketch hash rows
+JC_W = 8192  # buckets per row (sketch = JC_D x JC_W ints, ~256 KB)
+JC_SAMPLE_MOD = 64  # key-synopsis sampling: keep keys with h(k) % MOD == 0
+SKEW_FACTOR = 8  # skew flag: hottest key exceeds this multiple of the mean
+
+
+def _join_card_sql(d) -> str:
+    """Estimate |orders JOIN lineitem on orderkey| WITHOUT running the join
+    -- the cardinality question an optimizer (AQE, join reordering,
+    broadcast decisions) answers before committing to a plan -- with TWO
+    standard synopses side by side, audited against the exact size:
+
+    - CMS inner product (Cormode & Muthukrishnan 2005, section 4.2):
+      est_d = sum_w a[d][w]*b[d][w], estimate = MIN over rows.  Guaranteed
+      OVERCOUNT, error <= (e/W)*N_a*N_b -- great when heavy hitters carry
+      the join, systematically high on near-uniform keys (TPC-H orderkey
+      is its worst case; the audit shows exactly that).
+    - Hash-sampled key synopsis (bottom-k / proportional key sampling):
+      keep keys with h(k) % MOD == 0 on BOTH sides (same hash -> same
+      sample), estimate = MOD * sum over sampled matched keys of
+      cnt_a*cnt_b.  UNBIASED under key-hash uniformity, error ~
+      1/sqrt(sampled matched keys) -- the right tool for uniform keys.
+
+    Scale shape: per-key counts aggregate FIRST (map-side combinable), so
+    the JC_D-way explode and the sample filter touch distinct keys, never
+    raw rows; the sketch is O(D*W) fixed state; the synopsis is |keys|/MOD
+    rows; the exact side is the aggregated key-count equi-join (the
+    identity sum_k cnt_a(k)*cnt_b(k)), not the materialized join.  Integer
+    arithmetic end-to-end."""
+    from ..functions.dialect import DUCKDB as _DD
+    from ..functions.dialect import SPARK as _SS
+
+    dd = _SS if d == "spark" else _DD
+    S = "STRING" if d == "spark" else "VARCHAR"
+
+    def coords(key_rel: str, alias: str) -> str:
+        h = dd.md5_prefix_int(f"('jc' || CAST(i AS {S}) || '|' || CAST(k AS {S}))")
+        if d == "spark":
+            ex = f"SELECT k, n, i FROM {alias}_kc LATERAL VIEW explode(sequence(0, {JC_D - 1})) t AS i"
+        else:
+            ex = f"SELECT k, n, unnest(generate_series(0, {JC_D - 1})) AS i FROM {alias}_kc"
+        return (
+            f"{alias}_kc AS ({key_rel}),\n"
+            f"{alias}_ex AS ({ex}),\n"
+            f"{alias}_sk AS (SELECT i, ({h}) % {JC_W} AS bucket, SUM(n) AS c "
+            f"FROM {alias}_ex GROUP BY i, ({h}) % {JC_W})"
+        )
+
+    a = coords("SELECT o_orderkey AS k, COUNT(*) AS n FROM {orders} GROUP BY o_orderkey", "a")
+    b = coords("SELECT l_orderkey AS k, COUNT(*) AS n FROM {lineitem} GROUP BY l_orderkey", "b")
+    hk = dd.md5_prefix_int(f"CAST(a_kc.k AS {S})")
+    return f"""
+WITH {a},
+{b},
+est AS (
+  SELECT ask.i, SUM(ask.c * bsk.c) AS e
+  FROM a_sk ask JOIN b_sk bsk ON bsk.i = ask.i AND bsk.bucket = ask.bucket
+  GROUP BY ask.i
+),
+best AS (SELECT MIN(e) AS cms_estimate FROM est),
+exact AS (
+  SELECT COALESCE(SUM(a_kc.n * b_kc.n), 0) AS exact_size
+  FROM a_kc JOIN b_kc ON b_kc.k = a_kc.k
+),
+samp AS (
+  SELECT COALESCE(SUM(a_kc.n * b_kc.n), 0) * {JC_SAMPLE_MOD} AS sample_estimate
+  FROM a_kc JOIN b_kc ON b_kc.k = a_kc.k
+  WHERE ({hk}) % {JC_SAMPLE_MOD} = 0
+)
+SELECT CAST(x.exact_size AS BIGINT) AS exact_join_size,
+       CAST(be.cms_estimate AS BIGINT) AS cms_estimate,
+       CAST(ROUND((be.cms_estimate - x.exact_size) * 1.0e0 / NULLIF(x.exact_size, 0), 6) AS DOUBLE) AS cms_rel_error,
+       CAST(sp.sample_estimate AS BIGINT) AS sample_estimate,
+       CAST(ROUND((sp.sample_estimate - x.exact_size) * 1.0e0 / NULLIF(x.exact_size, 0), 6) AS DOUBLE) AS sample_rel_error
+FROM exact x CROSS JOIN best be CROSS JOIN samp sp
+"""
+
+
+@register(
+    "join_cardinality_sketch_audit",
+    oracle=_join_card_sql("duckdb").format(orders="orders", lineitem="lineitem"),
+    doc=f"Join-size estimation audit: CMS inner product ({JC_D}x{JC_W} "
+    "grids, MIN over rows, guaranteed overcount) BESIDE an unbiased "
+    f"hash-sampled key synopsis (keys with h%{JC_SAMPLE_MOD}==0, scaled "
+    "back up), both against the exact aggregated key-count join -- the "
+    "optimizer's cardinality question answered in fixed state, with each "
+    "synopsis's failure mode (CMS high on uniform keys, sampling noisy on "
+    "tiny joins) made visible as a number. Per-key counts aggregate "
+    "before any explode; integer-only.",
+    tags=("stats", "sketch", "join"),
+)
+def join_cardinality_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sales_telegram_bot_data_pipeline_jc_ord")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("sales_telegram_bot_data_pipeline_jc_li")
+    return spark.sql(
+        _join_card_sql("spark").format(
+            orders="sales_telegram_bot_data_pipeline_jc_ord", lineitem="sales_telegram_bot_data_pipeline_jc_li"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# join-key skew audit (the pre-flight check for salted_join / AQE skew hints)
+# ---------------------------------------------------------------------------
+def _join_skew_sql() -> str:
+    """Shared-syntax SQL: how skewed is lineitem's join key?  The number
+    that decides between a plain shuffle join, AQE skew splitting, and an
+    explicit salted join (operators/scale.salted_join).  One per-key
+    aggregate (map-side combinable), O(1) totals, a TakeOrdered top-10 —
+    the hottest key's share and the top-10 share are the two numbers a
+    skew mitigation decision needs.  Flag is integer arithmetic: hottest
+    key > SKEW_FACTOR x the mean per-key count."""
+    return f"""
+WITH kc AS (SELECT l_orderkey AS k, COUNT(*) AS n FROM {{lineitem}} GROUP BY l_orderkey),
+tot AS (SELECT SUM(n) AS n_rows, COUNT(*) AS n_keys, MAX(n) AS max_n FROM kc),
+topk AS (SELECT n FROM kc ORDER BY n DESC, k LIMIT 10),
+tops AS (SELECT SUM(n) AS top10_n FROM topk)
+SELECT CAST(t.n_keys AS BIGINT) AS n_keys,
+       CAST(t.n_rows AS BIGINT) AS n_rows,
+       CAST(t.max_n AS BIGINT) AS max_key_rows,
+       CAST(ROUND(t.max_n * 1.0e0 / t.n_rows, 6) AS DOUBLE) AS max_key_share,
+       CAST(s.top10_n AS BIGINT) AS top10_rows,
+       CAST(ROUND(s.top10_n * 1.0e0 / t.n_rows, 6) AS DOUBLE) AS top10_share,
+       (t.max_n * t.n_keys > {SKEW_FACTOR} * t.n_rows) AS skew_flag
+FROM tot t CROSS JOIN tops s
+"""
+
+
+@register(
+    "join_key_skew_audit",
+    oracle=_join_skew_sql().format(lineitem="lineitem"),
+    doc=f"Join-key skew audit over lineitem.l_orderkey: hottest-key and "
+    "top-10 share from one map-side-combinable per-key aggregate + a "
+    "TakeOrdered — the pre-flight numbers that decide plain shuffle vs "
+    f"AQE skew split vs salted_join (flag: hottest > {SKEW_FACTOR}x mean).",
+    tags=("stats", "join", "audit"),
+)
+def join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("sales_telegram_bot_data_pipeline_skew_li")
+    return spark.sql(_join_skew_sql().format(lineitem="sales_telegram_bot_data_pipeline_skew_li"))

@@ -261,3 +261,45 @@ def test_cluster_balanced_sample_caps_every_cluster(spark):
         total_assigned += n
     # every corpus vector is assigned to exactly one cluster
     assert total_assigned == emb_n
+
+
+def test_join_cardinality_estimators_vs_real_join(spark):
+    from sales_telegram_bot_data_pipeline_spark.operators.scalars_extra import (
+        join_cardinality_sketch_audit,
+    )
+
+    row = join_cardinality_sketch_audit(spark, SF_SMOKE).collect()[0]
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_orderkey")
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey")
+    real = orders.join(li, orders.o_orderkey == li.l_orderkey).count()
+    assert row["exact_join_size"] == real
+    # CMS inner product NEVER undercounts
+    assert row["cms_estimate"] >= row["exact_join_size"]
+    assert abs(
+        row["cms_rel_error"]
+        - (row["cms_estimate"] - real) / real
+    ) < 1e-5
+    # the unbiased synopsis lands within sampling noise (9-ish sampled
+    # keys at smoke scale -> generous factor-3 envelope)
+    assert 0 < row["sample_estimate"] < 3 * real + 1
+
+
+def test_join_skew_audit_matches_bruteforce(spark):
+    from sales_telegram_bot_data_pipeline_spark.operators.scalars_extra import (
+        SKEW_FACTOR,
+        join_key_skew_audit,
+    )
+
+    row = join_key_skew_audit(spark, SF_SMOKE).collect()[0]
+    li = load_table(spark, SF_SMOKE, "lineitem").collect()
+    counts: dict[int, int] = {}
+    for r in li:
+        counts[r["l_orderkey"]] = counts.get(r["l_orderkey"], 0) + 1
+    n_rows = len(li)
+    assert row["n_keys"] == len(counts)
+    assert row["n_rows"] == n_rows
+    assert row["max_key_rows"] == max(counts.values())
+    assert row["top10_rows"] == sum(sorted(counts.values(), reverse=True)[:10])
+    assert row["skew_flag"] == (
+        max(counts.values()) * len(counts) > SKEW_FACTOR * n_rows
+    )
