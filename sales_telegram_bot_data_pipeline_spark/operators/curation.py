@@ -1816,7 +1816,13 @@ def _ranksum_sql(d: Dialect, table: str, ranked_rel: str | None = None) -> str:
 
     Scale: the global rank is the DISTRIBUTED range-rank on the Spark
     side; everything after is a map-side-combinable per-source aggregate
-    joined to an O(1) total."""
+    joined to an O(1) total.
+
+    Overflow domain: SUM(r) reaches N²/2 — past ~4e9 docs that exceeds
+    BIGINT.  Neither engine wraps SILENTLY (Spark ANSI SUM raises, DuckDB
+    promotes to HUGEINT and the final BIGINT cast raises), so the failure
+    is loud; at that corpus size route the sum through DECIMAL(38,0) the
+    way table_checksum_audit does and emit U as DOUBLE."""
     ranked = ranked_rel or (
         f"SELECT source, ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS r FROM {table}"
     )

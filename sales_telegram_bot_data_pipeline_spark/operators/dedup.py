@@ -1625,7 +1625,34 @@ def minhash_estimate_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # prefix-filtered set-similarity join (PPJoin-style candidate generation)
 # --------------------------------------------------------------------------
-def _prefix_filter_sql(d: Dialect, table: str, shingles_rel: str | None = None) -> str:
+def _prefix_rel_sql(d: Dialect, shingles_rel: str) -> str:
+    """The per-doc PREFIX relation (doc_id, sh): shingles rarest-first by
+    corpus df, first |s| - ceil(t|s|) + 1 kept (ceil-free integer idiv).
+    Factored out so the Spark side can MATERIALIZE it — the candidate
+    self-join references it twice, and Catalyst inlines CTEs (the inline
+    form recomputed the df join + per-doc window per side, measured 2x)."""
+    plen = f"n_sh - {d.idiv('(2 * n_sh + 4)', '5')} + 1"
+    return f"""
+WITH shingles AS ({shingles_rel}),
+counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+sdf AS (SELECT sh, COUNT(*) AS sh_df FROM shingles GROUP BY sh),
+ordered AS (
+  SELECT s.doc_id, s.sh, c.n_sh,
+         ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY f.sh_df, s.sh) AS pos
+  FROM shingles s
+  JOIN sdf f ON f.sh = s.sh
+  JOIN counts c ON c.doc_id = s.doc_id
+)
+SELECT doc_id, sh FROM ordered WHERE pos <= {plen}
+"""
+
+
+def _prefix_filter_sql(
+    d: Dialect,
+    table: str,
+    shingles_rel: str | None = None,
+    prefix_rel: str | None = None,
+) -> str:
     """Same contract as dedup_ngram_jaccard (all pairs with shingle-set
     Jaccard >= 0.4) but candidates come from PREFIX FILTERING (PPJoin /
     AllPairs family): order every doc's shingles RAREST-FIRST by corpus df,
@@ -1638,35 +1665,44 @@ def _prefix_filter_sql(d: Dialect, table: str, shingles_rel: str | None = None) 
     shingle (the stop-shingle twin caps df to cope); prefix filtering
     SHRINKS the index itself — common shingles fall out of every prefix
     because rare tokens sort first, so candidate volume drops without a
-    correctness-affecting cap.  All arithmetic is integer (prefix length
-    via ceil-free idiv; the J >= 2/5 verify as 7*common >= 2*(|a|+|b|));
-    the per-doc ordering window is bounded by doc size.  Final jaccard
-    column matches the twin's ROUND(...,6) exactly."""
+    correctness-affecting cap.  The win is proportional to df skew: on a
+    low-df corpus the df-join + per-doc ordering overhead dominates and
+    the full index is cheaper — this operator earns its keep exactly when
+    the full index blows up.  All arithmetic is integer (prefix length via
+    ceil-free idiv; the J >= 2/5 verify as 7*common >= 2*(|a|+|b|)); the
+    per-doc ordering window is bounded by doc size.  Final jaccard column
+    matches the twin's ROUND(...,6) exactly.  ``prefix_rel`` takes the
+    Spark side's materialized prefix relation (referenced twice by the
+    candidate self-join)."""
     sh = shingles_rel or _shingles_sql(d, table)
-    # prefix length for t = 2/5: |s| - ceil(2|s|/5) + 1, ceil as idiv
-    plen = f"n_sh - {d.idiv('(2 * n_sh + 4)', '5')} + 1"
+    prefix = prefix_rel or _prefix_rel_sql(d, sh)
+    # verify by per-doc SET INTERSECTION, not by re-exploding both sides:
+    # joining candidates back to the exploded shingle rows multiplies each
+    # pair by |doc_a's shingles| before the group (measured 26M
+    # intermediate rows for 522k candidates at sf0.1); carrying each doc's
+    # shingle set as ONE array row keeps the verify relation at one row
+    # per candidate (shingles are distinct per doc, so intersect size IS
+    # the common count)
+    if d.name == "spark":
+        doc_sets = "SELECT doc_id, collect_set(sh) AS shs FROM shingles GROUP BY doc_id"
+        n_common = "size(array_intersect(sa.shs, sb.shs))"
+    else:
+        doc_sets = "SELECT doc_id, array_agg(sh) AS shs FROM shingles GROUP BY doc_id"
+        n_common = "len(list_intersect(sa.shs, sb.shs))"
     return f"""
 WITH shingles AS ({sh}),
 counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
-sdf AS (SELECT sh, COUNT(*) AS sh_df FROM shingles GROUP BY sh),
-ordered AS (
-  SELECT s.doc_id, s.sh, c.n_sh,
-         ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY f.sh_df, s.sh) AS pos
-  FROM shingles s
-  JOIN sdf f ON f.sh = s.sh
-  JOIN counts c ON c.doc_id = s.doc_id
-),
-prefix AS (SELECT doc_id, sh FROM ordered WHERE pos <= {plen}),
+doc_sets AS ({doc_sets}),
+prefix AS ({prefix}),
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.doc_id < b.doc_id
 ),
 common AS (
-  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  SELECT c.doc_a, c.doc_b, {n_common} AS n_common
   FROM cands c
-  JOIN shingles ta ON ta.doc_id = c.doc_a
-  JOIN shingles tb ON tb.doc_id = c.doc_b AND tb.sh = ta.sh
-  GROUP BY c.doc_a, c.doc_b
+  JOIN doc_sets sa ON sa.doc_id = c.doc_a
+  JOIN doc_sets sb ON sb.doc_id = c.doc_b
 )
 SELECT doc_a, doc_b,
        CAST(ROUND(n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common), 6) AS DOUBLE) AS jaccard
@@ -1692,7 +1728,19 @@ ORDER BY doc_a, doc_b
 def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = _doc_view(spark, sf_dir)
     rel = _materialized_shingles(spark, view, "sales_telegram_bot_data_pipeline_sh_pf")
-    return spark.sql(_prefix_filter_sql(SPARK, view, shingles_rel=rel))
+    # materialize the prefix: the candidate self-join references it twice
+    # (df join + per-doc window would otherwise run per side)
+    spark.sql(_prefix_rel_sql(SPARK, rel)).localCheckpoint().createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_pf_prefix"
+    )
+    return spark.sql(
+        _prefix_filter_sql(
+            SPARK,
+            view,
+            shingles_rel=rel,
+            prefix_rel="SELECT doc_id, sh FROM sales_telegram_bot_data_pipeline_pf_prefix",
+        )
+    )
 
 
 # --------------------------------------------------------------------------
