@@ -322,3 +322,106 @@ ORDER BY source, doc_id
 )
 def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_token_budget_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# score decile lift table (is the quality classifier worth its threshold?)
+# --------------------------------------------------------------------------
+LIFT_BUCKETS = 10
+
+
+def _lift_sql(d: Dialect, table: str, ranked_rel: str | None = None) -> str:
+    """The evaluation table every scoring model gets before anyone trusts
+    its threshold: rank the corpus by classifier score, cut into deciles,
+    and read off each decile's positive rate, cumulative capture, and
+    lift vs the base rate.  Positive label here = lang-ID English (the
+    logreg's stopword feature is English-based).  On THIS synthetic corpus
+    every lang draws the same vocabulary, so the honest reading is a flat
+    lift ~1 — which is exactly what the table is for: it MEASURES whether
+    a classifier discriminates instead of assuming it (the discrimination
+    mechanics are pinned in tests on an injected score/label
+    correlation).
+
+    Scale: ranking is the DISTRIBUTED range-rank on the Spark side (the
+    oracle may sort globally — it's the oracle); decile assignment is the
+    equi-depth bucket-of-rank integer arithmetic; every window below runs
+    on the aggregated <= LIFT_BUCKETS-row relation.  Rates divide exact
+    integers in IEEE doubles, ROUND(6)."""
+    scored = _logreg_sql(d, table).replace("ORDER BY doc_id", "")
+    ranked = ranked_rel or (
+        f"SELECT doc_id, (lang = 'en') AS is_pos, "
+        f"ROW_NUMBER() OVER (ORDER BY quality_prob DESC, doc_id) AS r "
+        f"FROM ({scored}) sc"
+    )
+    decile = d.idiv(f"(r - 1) * {LIFT_BUCKETS}", "t.n")
+    return f"""
+WITH ranked AS ({ranked}),
+tot AS (
+  SELECT COUNT(*) AS n, SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS npos
+  FROM ranked
+),
+bucketed AS (
+  SELECT {decile} AS decile, is_pos FROM ranked CROSS JOIN tot t
+),
+per AS (
+  SELECT decile, COUNT(*) AS n_docs,
+         SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS n_pos
+  FROM bucketed GROUP BY decile
+),
+cum AS (
+  SELECT decile, n_docs, n_pos,
+         SUM(n_pos) OVER (ORDER BY decile
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+  FROM per
+)
+SELECT CAST(c.decile AS INT) AS decile,
+       CAST(c.n_docs AS BIGINT) AS n_docs,
+       CAST(c.n_pos AS BIGINT) AS n_pos,
+       CAST(ROUND(c.n_pos * 1.0e0 / NULLIF(c.n_docs, 0), 6) AS DOUBLE) AS pos_rate,
+       CAST(ROUND(c.cum_pos * 1.0e0 / NULLIF(t.npos, 0), 6) AS DOUBLE) AS cum_capture,
+       CAST(ROUND((c.n_pos * 1.0e0 / NULLIF(c.n_docs, 0))
+                  / NULLIF(t.npos * 1.0e0 / t.n, 0.0e0), 6) AS DOUBLE) AS lift
+FROM cum c CROSS JOIN tot t
+ORDER BY c.decile
+"""
+
+
+@register(
+    "score_decile_lift",
+    oracle=_lift_sql(DUCKDB, "documents"),
+    doc=f"Classifier decile lift table: corpus ranked by the logreg "
+    f"quality score (distributed range-rank — never a single-partition "
+    f"sort), cut into {LIFT_BUCKETS} equi-depth deciles (bucket-of-rank "
+    "integer arithmetic), per-decile positive rate / cumulative capture / "
+    "lift vs base rate with lang-ID English as the label (flat ~1 on "
+    "this vocabulary-shared synthetic corpus — the table measures, not "
+    "assumes, discrimination). Every window below the ranking runs on the "
+    "bounded aggregated decile relation.",
+    tags=("quality", "eval", "ranking"),
+)
+def score_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scalars_extra import range_ranked
+
+    view = _doc_view(spark, sf_dir)
+    scored = _logreg_sql(SPARK, view).replace("ORDER BY doc_id", "")
+    base = spark.sql(
+        f"SELECT doc_id, (lang = 'en') AS is_pos, -quality_prob AS neg "
+        f"FROM ({scored}) sc"
+    )
+    ranked, n = range_ranked(spark, base, ["neg", "doc_id"])
+    if n == 0:
+        return spark.createDataFrame(
+            [],
+            "decile int, n_docs bigint, n_pos bigint, pos_rate double, "
+            "cum_capture double, lift double",
+        )
+    ranked.select("doc_id", "is_pos", "r").createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_lift_ranked"
+    )
+    return spark.sql(
+        _lift_sql(
+            SPARK,
+            view,
+            ranked_rel="SELECT doc_id, is_pos, r FROM sales_telegram_bot_data_pipeline_lift_ranked",
+        )
+    )
