@@ -1022,3 +1022,95 @@ FROM tot t CROSS JOIN tops s
 def join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("sales_telegram_bot_data_pipeline_skew_li")
     return spark.sql(_join_skew_sql().format(lineitem="sales_telegram_bot_data_pipeline_skew_li"))
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering stats (multi-column data layout for scan pruning)
+# ---------------------------------------------------------------------------
+ZO_BITS = 16  # bits per dimension after min-max normalization
+ZO_BUCKETS = 64  # files/row-groups the layout is split into
+
+
+def _zorder_sql(d) -> str:
+    """WHY multi-dimensional layout matters at 100 TB: min/max zone maps
+    prune a scan only if the file's value RANGE for the filtered column is
+    narrow.  Sorting by custkey makes custkey ranges narrow but leaves
+    every file spanning the full date range (a date filter prunes
+    nothing); Z-ORDER interleaves the bits of both normalized keys so each
+    bucket stays narrow in BOTH dimensions — the layout Delta's OPTIMIZE
+    ZORDER / Iceberg's sort orders buy, derived here from first
+    principles and MEASURED: per-bucket span fractions for both columns
+    under both layouts, side by side.
+
+    All arithmetic is integer (min-max normalize to {ZO_BITS} bits via
+    idiv, bit interleave as sum of masked shifts, equal-width bucket of
+    the z key); span fractions divide exact integers, ROUND(6).  One
+    column-pruned scan per layout, each one aggregate — no shuffle beyond
+    the two group-bys."""
+    from ..functions.dialect import DUCKDB as _DD
+    from ..functions.dialect import SPARK as _SS
+
+    dd = _SS if d == "spark" else _DD
+    if d == "spark":
+        days = "unix_date(CAST(o_orderdate AS DATE))"
+    else:
+        days = "(CAST(o_orderdate AS DATE) - DATE '1970-01-01')"
+    top = (1 << ZO_BITS) - 1
+    # z = Σ bit_i(a)·2^(2i) + bit_i(b)·2^(2i+1) — multiplication instead of
+    # shiftleft keeps the expression engine-shared
+    z_terms = " + ".join(
+        f"(({dd.shr('ca', i)}) & 1) * {1 << (2 * i)}"
+        f" + (({dd.shr('db', i)}) & 1) * {1 << (2 * i + 1)}"
+        for i in range(ZO_BITS)
+    )
+    zmax = 1 << (2 * ZO_BITS)
+    return f"""
+WITH base AS (
+  SELECT o_custkey AS ck, {days} AS dd FROM {{orders}}
+),
+bounds AS (SELECT MIN(ck) AS c0, MAX(ck) AS c1, MIN(dd) AS d0, MAX(dd) AS d1 FROM base),
+norm AS (
+  SELECT {dd.idiv(f'(ck - c0) * {top}', '(c1 - c0 + 1)')} AS ca,
+         {dd.idiv(f'(dd - d0) * {top}', '(d1 - d0 + 1)')} AS db
+  FROM base CROSS JOIN bounds
+),
+keyed AS (
+  SELECT ca, db,
+         {dd.idiv(f'({z_terms}) * {ZO_BUCKETS}', str(zmax))} AS z_bucket,
+         {dd.idiv(f'ca * {ZO_BUCKETS}', str(top + 1))} AS c_bucket
+  FROM norm
+),
+zstats AS (
+  SELECT 'zorder' AS layout, z_bucket AS bucket, COUNT(*) AS n_rows,
+         MAX(ca) - MIN(ca) AS span_c, MAX(db) - MIN(db) AS span_d
+  FROM keyed GROUP BY z_bucket
+),
+cstats AS (
+  SELECT 'custkey_sort' AS layout, c_bucket AS bucket, COUNT(*) AS n_rows,
+         MAX(ca) - MIN(ca) AS span_c, MAX(db) - MIN(db) AS span_d
+  FROM keyed GROUP BY c_bucket
+),
+unioned AS (SELECT * FROM zstats UNION ALL SELECT * FROM cstats)
+SELECT layout, CAST(bucket AS INT) AS bucket, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(ROUND(span_c * 1.0e0 / {top}, 6) AS DOUBLE) AS span_frac_custkey,
+       CAST(ROUND(span_d * 1.0e0 / {top}, 6) AS DOUBLE) AS span_frac_date
+FROM unioned
+ORDER BY layout, bucket
+"""
+
+
+@register(
+    "zorder_clustering_stats",
+    oracle=_zorder_sql("duckdb").format(orders="orders"),
+    doc=f"Z-order layout audit: orders keyed by a {ZO_BITS}-bit-interleaved "
+    "(custkey, orderdate) Morton code vs a single-column sort, "
+    f"{ZO_BUCKETS} equal-width buckets each, per-bucket min-max span "
+    "fractions for BOTH columns — the zone-map pruning story (Delta "
+    "OPTIMIZE ZORDER / Iceberg sort orders) measured from first "
+    "principles. Integer bit arithmetic end-to-end; one pruned scan per "
+    "layout.",
+    tags=("stats", "layout", "pruning"),
+)
+def zorder_clustering_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sales_telegram_bot_data_pipeline_zo_ord")
+    return spark.sql(_zorder_sql("spark").format(orders="sales_telegram_bot_data_pipeline_zo_ord"))

@@ -138,6 +138,11 @@ except ImportError:  # pragma: no cover
 # Round-5 history: in — q6/q7/q10, recursive_hierarchy_rollup,
 # lateral_topk_orders, pagerank_neardup_graph, bigram_lm_score,
 # pit_join_scd2, full_outer_reconciliation, sketch_rollup_distinct.
+# Round-7 rotation candidates (round-6 additions, never windowed):
+# leakage_safe_split, dedup_prefix_filter_join, quality_rank_blend,
+# source_quality_ranksum, lsh_band_tuning_audit, cluster_balanced_sample,
+# record_linkage_blocked, boilerplate_segment_removal, score_decile_lift,
+# join_cardinality_sketch_audit / split_distribution_drift.
 # --------------------------------------------------------------------------
 _DRIVER_WINDOW = [
     # core relational / TPC-H

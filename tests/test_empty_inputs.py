@@ -89,6 +89,7 @@ EMPTY_OK_ZERO = [
     "dedup_prefix_filter_join",
     "source_quality_ranksum",
     "cluster_balanced_sample",
+    "score_decile_lift",
     # (lsh_band_tuning_audit excluded: it emits its 4 config rows with
     # zero counts on an empty corpus — a well-defined aggregate, pinned in
     # test_round6b_ops.py instead)

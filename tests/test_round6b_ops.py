@@ -349,3 +349,33 @@ def test_decile_lift_table_invariants(spark):
     assert abs(loud[0]["lift"] - 5.0) < 1e-6 and abs(loud[1]["lift"] - 5.0) < 1e-6
     assert all(r["n_pos"] == 0 for r in loud[2:])
     assert abs(loud[1]["cum_capture"] - 1.0) < 1e-6
+
+
+def test_zorder_narrows_both_dimensions(spark):
+    """The point of the layout: under custkey-sort the date span per
+    bucket stays ~full-range while custkey is narrow; under z-order BOTH
+    spans are materially below full range."""
+    from sales_telegram_bot_data_pipeline_spark.operators.scalars_extra import (
+        zorder_clustering_stats,
+    )
+
+    rows = zorder_clustering_stats(spark, SF_SMOKE).collect()
+    by_layout: dict[str, list] = {}
+    for r in rows:
+        by_layout.setdefault(r["layout"], []).append(r)
+    assert set(by_layout) == {"zorder", "custkey_sort"}
+
+    def wavg(rows, col):
+        tot = sum(r["n_rows"] for r in rows)
+        return sum(r[col] * r["n_rows"] for r in rows) / tot
+
+    cs, zo = by_layout["custkey_sort"], by_layout["zorder"]
+    # single-column sort: near-zero custkey span, near-full date span
+    assert wavg(cs, "span_frac_custkey") < 0.1
+    assert wavg(cs, "span_frac_date") > 0.8
+    # z-order: both dimensions materially narrowed vs full range
+    assert wavg(zo, "span_frac_custkey") < 0.5
+    assert wavg(zo, "span_frac_date") < 0.5
+    # row conservation across each layout's buckets
+    n = sum(r["n_rows"] for r in cs)
+    assert sum(r["n_rows"] for r in zo) == n
