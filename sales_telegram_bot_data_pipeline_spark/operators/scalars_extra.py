@@ -1114,3 +1114,103 @@ ORDER BY layout, bucket
 def zorder_clustering_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("sales_telegram_bot_data_pipeline_zo_ord")
     return spark.sql(_zorder_sql("spark").format(orders="sales_telegram_bot_data_pipeline_zo_ord"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning audit (the runtime filter, hand-derived)
+# ---------------------------------------------------------------------------
+BF_WORD_BITS = 62  # bits used per BIGINT word (62 keeps 1<<bit positive)
+BF_WORDS = 66  # filter size M = 66 * 62 = 4092 bits
+BF_K = 3  # hash functions
+
+
+def _bloom_prune_sql(d) -> str:
+    """The runtime filter Spark builds for selective joins
+    (spark.sql.optimizer.runtimeFilter.*), hand-derived so its pruning
+    power and false-positive cost are AUDITED numbers instead of folklore:
+    build a {BF_WORDS * BF_WORD_BITS}-bit / {BF_K}-hash Bloom filter over
+    the selective build side (BUILDING-segment customers), probe every
+    orders key through it, and compare against the exact semi-join — the
+    filter can only FALSE-POSITIVE (never drops a true match; asserted in
+    tests), so `rows_pruned` is pure scan savings.
+
+    Scale shape: the filter is a {BF_WORDS}-row (word, bits) relation
+    built by a map-side-combinable BIT_OR aggregate — broadcastable at
+    any build-side size; probe keys aggregate FIRST so the {BF_K}-way
+    explode touches distinct keys, never raw rows; membership is a LEFT
+    join on word index + one mask test per coordinate.  Integer/bit
+    arithmetic end-to-end, portable md5 positions."""
+    from ..functions.dialect import DUCKDB as _DD
+    from ..functions.dialect import SPARK as _SS
+
+    dd = _SS if d == "spark" else _DD
+    S = "STRING" if d == "spark" else "VARCHAR"
+    M = BF_WORDS * BF_WORD_BITS
+    pos = dd.md5_prefix_int(f"('bf' || CAST(i AS {S}) || '|' || CAST(k AS {S}))")
+    one_shl = "shiftleft(CAST(1 AS BIGINT), bit)" if d == "spark" else "(CAST(1 AS BIGINT) << bit)"
+
+    def coords(rel: str, alias: str) -> str:
+        if d == "spark":
+            ex = f"SELECT k, i FROM {alias}_keys LATERAL VIEW explode(sequence(0, {BF_K - 1})) t AS i"
+        else:
+            ex = f"SELECT k, unnest(generate_series(0, {BF_K - 1})) AS i FROM {alias}_keys"
+        return (
+            f"{alias}_keys AS ({rel}),\n"
+            f"{alias}_co AS (SELECT k, {dd.idiv(f'(({pos}) % {M})', str(BF_WORD_BITS))} AS word, "
+            f"(({pos}) % {M}) % {BF_WORD_BITS} AS bit FROM ({ex}) e)"
+        )
+
+    build = coords(
+        "SELECT DISTINCT c_custkey AS k FROM {customer} WHERE c_mktsegment = 'BUILDING'", "b"
+    )
+    probe = coords("SELECT o_custkey AS k FROM (SELECT DISTINCT o_custkey FROM {orders}) p", "p")
+    return f"""
+WITH {build},
+bloom AS (SELECT word, BIT_OR({one_shl}) AS bits FROM b_co GROUP BY word),
+{probe},
+probe_rows AS (SELECT o_custkey AS k, COUNT(*) AS n_rows FROM {{orders}} GROUP BY o_custkey),
+checks AS (
+  SELECT pc.k,
+         SUM(CASE WHEN (COALESCE(bl.bits, 0) & {one_shl}) <> 0 THEN 1 ELSE 0 END) AS n_set
+  FROM p_co pc LEFT JOIN bloom bl ON bl.word = pc.word
+  GROUP BY pc.k
+),
+verdicts AS (
+  SELECT c.k, (c.n_set = {BF_K}) AS bloom_pass,
+         (EXISTS (SELECT 1 FROM b_keys b WHERE b.k = c.k)) AS true_match,
+         pr.n_rows
+  FROM checks c JOIN probe_rows pr ON pr.k = c.k
+)
+SELECT CAST((SELECT COUNT(*) FROM b_keys) AS BIGINT) AS n_build_keys,
+       CAST(COUNT(*) AS BIGINT) AS n_probe_keys,
+       CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS bloom_pass_keys,
+       CAST(SUM(CASE WHEN true_match THEN 1 ELSE 0 END) AS BIGINT) AS true_match_keys,
+       CAST(SUM(CASE WHEN bloom_pass AND NOT true_match THEN 1 ELSE 0 END) AS BIGINT) AS false_positive_keys,
+       CAST(ROUND(SUM(CASE WHEN bloom_pass AND NOT true_match THEN 1 ELSE 0 END) * 1.0e0
+                  / NULLIF(SUM(CASE WHEN NOT true_match THEN 1 ELSE 0 END), 0), 6) AS DOUBLE) AS fp_rate,
+       CAST(SUM(CASE WHEN NOT bloom_pass THEN n_rows ELSE 0 END) AS BIGINT) AS rows_pruned,
+       CAST(SUM(n_rows) AS BIGINT) AS rows_total
+FROM verdicts
+"""
+
+
+@register(
+    "bloom_semijoin_prune_audit",
+    oracle=_bloom_prune_sql("duckdb").format(customer="customer", orders="orders"),
+    doc=f"Bloom-filter semi-join pruning audit: a {BF_WORDS * BF_WORD_BITS}-bit"
+    f" / {BF_K}-hash filter over the selective build side (BUILDING "
+    "customers) built as a broadcastable BIT_OR word relation, every "
+    "orders key probed through it, false positives and pruned-row savings "
+    "measured against the exact semi-join (never false-negative — "
+    "test-pinned). The runtime-filter story with audited numbers; "
+    "integer/bit arithmetic, portable md5 positions.",
+    tags=("stats", "join", "pruning", "sketch"),
+)
+def bloom_semijoin_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("sales_telegram_bot_data_pipeline_bf_cust")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sales_telegram_bot_data_pipeline_bf_ord")
+    return spark.sql(
+        _bloom_prune_sql("spark").format(
+            customer="sales_telegram_bot_data_pipeline_bf_cust", orders="sales_telegram_bot_data_pipeline_bf_ord"
+        )
+    )

@@ -379,3 +379,32 @@ def test_zorder_narrows_both_dimensions(spark):
     # row conservation across each layout's buckets
     n = sum(r["n_rows"] for r in cs)
     assert sum(r["n_rows"] for r in zo) == n
+
+
+def test_bloom_prune_never_false_negative(spark):
+    import math
+
+    from sales_telegram_bot_data_pipeline_spark.operators.scalars_extra import (
+        BF_K,
+        BF_WORD_BITS,
+        BF_WORDS,
+        bloom_semijoin_prune_audit,
+    )
+
+    row = bloom_semijoin_prune_audit(spark, SF_SMOKE).collect()[0]
+    cust = load_table(spark, SF_SMOKE, "customer")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    build = {r["c_custkey"] for r in cust.where("c_mktsegment = 'BUILDING'").collect()}
+    probe = {r["o_custkey"] for r in orders.select("o_custkey").distinct().collect()}
+    assert row["n_build_keys"] == len(build)
+    assert row["n_probe_keys"] == len(probe)
+    # exact semi-join agreement and the no-false-negative guarantee
+    assert row["true_match_keys"] == len(build & probe)
+    assert row["bloom_pass_keys"] == row["true_match_keys"] + row["false_positive_keys"]
+    assert row["bloom_pass_keys"] >= row["true_match_keys"]
+    # fp rate in the right regime: under 5x the theoretical S-curve value
+    m = BF_WORDS * BF_WORD_BITS
+    theory = (1.0 - math.exp(-BF_K * len(build) / m)) ** BF_K
+    assert row["fp_rate"] <= max(5 * theory, 0.05)
+    # pruned rows = rows of keys that failed the filter; all accounted for
+    assert 0 < row["rows_pruned"] < row["rows_total"]
