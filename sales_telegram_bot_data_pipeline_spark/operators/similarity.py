@@ -1203,3 +1203,140 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             assign_rel="SELECT vec_id, cid FROM sales_telegram_bot_data_pipeline_cbal_assign",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# IVF nprobe tuning audit (the ANN twin of lsh_band_tuning_audit)
+# --------------------------------------------------------------------------
+_NPROBE_CONFIGS = [1, 2, 4, 8]  # 8 = K_LISTS: exhaustive, recall must be 1
+
+
+def _nprobe_tuning_sql(
+    d: Dialect,
+    table: str,
+    assigned_rel: str | None = None,
+    qrank_rel: str | None = None,
+    truth_rel: str | None = None,
+    scored_rel: str | None = None,
+) -> str:
+    """nprobe is THE IVF knob: more probed lists = higher recall and more
+    of the corpus scored per query.  Evaluate every nprobe against the
+    brute-force exact top-k in ONE pass over a shared index — the ANN
+    twin of lsh_band_tuning_audit: the config id rides the probe join
+    (qrank.r <= config.np), so assignment, per-query centroid ranking and
+    ground truth are each computed once.  nprobe = K_LISTS probes every
+    list, so its recall row is a built-in self-check (must be 1.0,
+    test-pinned).  recall@k and scanned-fraction divide exact integers.
+
+    ``*_rel`` params take the Spark side's materialized relations (each
+    is referenced by 2+ consumers; Catalyst inlines CTEs)."""
+    cent, assigned = _cent_assigned_ctes(d, table)
+    assigned = assigned_rel or assigned
+    cos_qc = _cosine(d, "q.embedding", "cent.embedding")
+    cos_qn = _cosine(d, "q.embedding", "c.embedding")
+    qrank = qrank_rel or (
+        f"SELECT q.vec_id AS query_id, cent.cid AS cid, "
+        f"ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {cos_qc} DESC, cent.cid) AS r "
+        f"FROM {table} q JOIN cent ON q.vec_id < {N_QUERIES}"
+    )
+    truth = truth_rel or (
+        f"SELECT query_id, neighbor_id FROM ("
+        + _rank_window_sql(_bruteforce_scored(d, table)).replace(
+            "ORDER BY query_id, rank", ""
+        )
+        + ") bf"
+    )
+    scored = scored_rel or f"""
+SELECT cf.np, p.query_id, a.vec_id AS neighbor_id, {cos_qn} AS cosine
+FROM (SELECT * FROM (VALUES {", ".join(f"({n})" for n in _NPROBE_CONFIGS)}) AS v(np)) cf
+JOIN qrank p ON p.r <= cf.np
+JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.query_id
+JOIN {table} q ON q.vec_id = p.query_id
+JOIN {table} c ON c.vec_id = a.vec_id
+"""
+    return f"""
+WITH cent AS ({cent}),
+assigned AS ({assigned}),
+qrank AS ({qrank}),
+truth AS ({truth}),
+corpus AS (SELECT COUNT(*) AS n FROM {table}),
+scored AS ({scored}),
+topk AS (
+  SELECT np, query_id, neighbor_id FROM (
+    SELECT np, query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY np, query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rk
+    FROM scored
+  ) t WHERE rk <= {TOP_K}
+),
+hits AS (
+  SELECT t.np, COUNT(*) AS n_hit
+  FROM topk t JOIN truth tr
+    ON tr.query_id = t.query_id AND tr.neighbor_id = t.neighbor_id
+  GROUP BY t.np
+),
+volume AS (SELECT np, COUNT(*) AS n_scored FROM scored GROUP BY np)
+SELECT CAST(v.np AS INT) AS n_probe,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST({N_QUERIES * TOP_K} AS BIGINT) AS n_truth,
+       CAST(ROUND(COALESCE(h.n_hit, 0) * 1.0e0 / {N_QUERIES * TOP_K}, 6) AS DOUBLE) AS recall_at_k,
+       CAST(v.n_scored AS BIGINT) AS n_scored,
+       CAST(ROUND(v.n_scored * 1.0e0 / ({N_QUERIES} * (co.n - 1)), 6) AS DOUBLE) AS scan_fraction
+FROM volume v
+LEFT JOIN hits h ON h.np = v.np
+CROSS JOIN corpus co
+ORDER BY v.np
+"""
+
+
+@register(
+    "ivf_nprobe_tuning_audit",
+    oracle=_nprobe_tuning_sql(DUCKDB, "embeddings"),
+    doc=f"IVF nprobe tuning audit: every nprobe in {_NPROBE_CONFIGS} "
+    "evaluated against the brute-force exact top-k in one pass over a "
+    "shared index (config id rides the probe join; assignment / query "
+    "ranking / ground truth each computed once) — recall@k beside "
+    "scanned-fraction, the ANN twin of lsh_band_tuning_audit. "
+    f"nprobe={K_LISTS} probes every list so its recall row is a built-in "
+    "self-check (1.0, test-pinned).",
+    tags=("similarity", "ivf", "audit"),
+)
+def ivf_nprobe_tuning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    view = _emb_view(spark, sf_dir)
+    cent, assigned = _cent_assigned_ctes(SPARK, view)
+    pre = f"WITH cent AS ({cent}) "
+    spark.sql(pre + assigned).localCheckpoint().createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_np_assigned"
+    )
+    cos_qc = _cosine(SPARK, "q.embedding", "cent.embedding")
+    spark.sql(
+        pre
+        + f"SELECT q.vec_id AS query_id, cent.cid AS cid, "
+        f"ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {cos_qc} DESC, cent.cid) AS r "
+        f"FROM {view} q JOIN cent ON q.vec_id < {N_QUERIES}"
+    ).localCheckpoint().createOrReplaceTempView("sales_telegram_bot_data_pipeline_np_qrank")
+    spark.sql(
+        _rank_window_sql(_bruteforce_scored(SPARK, view))
+    ).localCheckpoint().createOrReplaceTempView("sales_telegram_bot_data_pipeline_np_truth")
+    cos_qn = _cosine(SPARK, "q.embedding", "c.embedding")
+    scored = f"""
+SELECT cf.np, p.query_id, a.vec_id AS neighbor_id, {cos_qn} AS cosine
+FROM (SELECT * FROM (VALUES {", ".join(f"({n})" for n in _NPROBE_CONFIGS)}) AS v(np)) cf
+JOIN sales_telegram_bot_data_pipeline_np_qrank p ON p.r <= cf.np
+JOIN sales_telegram_bot_data_pipeline_np_assigned a ON a.cid = p.cid AND a.vec_id <> p.query_id
+JOIN {view} q ON q.vec_id = p.query_id
+JOIN {view} c ON c.vec_id = a.vec_id
+"""
+    spark.sql(scored).localCheckpoint().createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_np_scored"
+    )
+    return spark.sql(
+        _nprobe_tuning_sql(
+            SPARK,
+            view,
+            assigned_rel="SELECT vec_id, cid FROM sales_telegram_bot_data_pipeline_np_assigned",
+            qrank_rel="SELECT query_id, cid, r FROM sales_telegram_bot_data_pipeline_np_qrank",
+            truth_rel="SELECT query_id, neighbor_id FROM sales_telegram_bot_data_pipeline_np_truth",
+            scored_rel="SELECT np, query_id, neighbor_id, cosine FROM sales_telegram_bot_data_pipeline_np_scored",
+        )
+    )

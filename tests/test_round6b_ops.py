@@ -408,3 +408,23 @@ def test_bloom_prune_never_false_negative(spark):
     assert row["fp_rate"] <= max(5 * theory, 0.05)
     # pruned rows = rows of keys that failed the filter; all accounted for
     assert 0 < row["rows_pruned"] < row["rows_total"]
+
+
+def test_nprobe_curve_monotone_with_exhaustive_selfcheck(spark):
+    from sales_telegram_bot_data_pipeline_spark.operators.similarity import (
+        K_LISTS,
+        ivf_nprobe_tuning_audit,
+    )
+
+    rows = sorted(
+        ivf_nprobe_tuning_audit(spark, SF_SMOKE).collect(), key=lambda r: r["n_probe"]
+    )
+    assert [r["n_probe"] for r in rows] == [1, 2, 4, 8]
+    rec = [r["recall_at_k"] for r in rows]
+    scan = [r["scan_fraction"] for r in rows]
+    assert rec == sorted(rec) and scan == sorted(scan)  # more probes, more of both
+    # probing every list IS brute force: exact recall, full scan
+    assert rows[-1]["n_probe"] == K_LISTS
+    assert rows[-1]["recall_at_k"] == 1.0
+    assert abs(rows[-1]["scan_fraction"] - 1.0) < 1e-6
+    assert all(r["n_hit"] <= r["n_truth"] for r in rows)
