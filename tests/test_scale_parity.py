@@ -56,6 +56,16 @@ SF_BENCH = "/root/testdata/sf0.1"
         "split_distribution_drift",
         # Lloyd assignment at 10x corpus: integer-unit mean parity
         "cluster_balanced_sample",
+        # range-rank bucket-of-rank boundaries again (decile cut points)
+        "score_decile_lift",
+        # hash-sampled synopsis + CMS at 10x key cardinality
+        "join_cardinality_sketch_audit",
+        # bit_or word aggregation + md5 positions at 10x probe keys
+        "bloom_semijoin_prune_audit",
+        # interleaved-bit bucket arithmetic over 10x rows
+        "zorder_clustering_stats",
+        # recall/scan divisions over 10x lists
+        "ivf_nprobe_tuning_audit",
     ],
 )
 def test_floor_quantized_queries_match_at_sf01(spark, name):
