@@ -820,6 +820,39 @@ SESSIONIZE_USER_MOD = 7  # sample 1-in-7 users: bounds output while the
 #                          windows still run the full per-user machinery
 
 
+def _session_events_ctes(d) -> str:
+    """ev/marked/sess CTE bodies shared by ``sessionize_gap_islands`` and
+    ``session_conversion_rate``: per-event session_seq via the LAG-mark +
+    running-SUM islands pattern; ``sess`` carries event_type so funnel
+    consumers can compose without a second pass."""
+    if d.name == "spark":
+        ep = (
+            "(unix_date(CAST(ts AS DATE)) * 86400L"
+            " + hour(ts) * 3600 + minute(ts) * 60 + second(ts))"
+        )
+    else:
+        ep = "CAST(FLOOR(epoch(ts)) AS BIGINT)"
+    return f"""ev AS (
+  SELECT user_id, event_id, ts, event_type, {ep} AS ep
+  FROM {{table}}
+  WHERE user_id % {SESSIONIZE_USER_MOD} = 0
+),
+marked AS (
+  SELECT user_id, event_id, ts, event_type, ep,
+         CASE WHEN ep - LAG(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSIONIZE_GAP_S}
+              OR LAG(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+),
+sess AS (
+  SELECT user_id, ep, event_type,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM marked
+)"""
+
+
 def _sessionize_sql(d) -> str:
     """Per-user gap-based sessionization of the raw event table — the
     batch form every analytics pipeline derives before funnel/retention
@@ -838,33 +871,8 @@ def _sessionize_sql(d) -> str:
     Epoch derives from FIELD EXTRACTION (timezone-independent in both
     engines — see _cadence_sql's engine notes); all arithmetic is integer
     seconds, so the output is cross-engine exact."""
-    if d.name == "spark":
-        ep = (
-            "(unix_date(CAST(ts AS DATE)) * 86400L"
-            " + hour(ts) * 3600 + minute(ts) * 60 + second(ts))"
-        )
-    else:
-        ep = "CAST(FLOOR(epoch(ts)) AS BIGINT)"
     return f"""
-WITH ev AS (
-  SELECT user_id, event_id, ts, {ep} AS ep
-  FROM {{table}}
-  WHERE user_id % {SESSIONIZE_USER_MOD} = 0
-),
-marked AS (
-  SELECT user_id, event_id, ts, ep,
-         CASE WHEN ep - LAG(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   > {SESSIONIZE_GAP_S}
-              OR LAG(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-              THEN 1 ELSE 0 END AS new_sess
-  FROM ev
-),
-sess AS (
-  SELECT user_id, ep,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
-  FROM marked
-)
+WITH {_session_events_ctes(d)}
 SELECT user_id,
        CAST(session_seq AS BIGINT) AS session_seq,
        CAST(MIN(ep) AS BIGINT) AS session_start_ep,
@@ -892,3 +900,62 @@ def sessionize_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sales_telegram_bot_data_pipeline_ev_sess"
     )
     return spark.sql(_sessionize_sql(SPARK).format(table="sales_telegram_bot_data_pipeline_ev_sess"))
+
+
+# --------------------------------------------------------------------------
+# in-session funnel conversion (the session TABLE earning its keep)
+# --------------------------------------------------------------------------
+def _session_conversion_sql(d) -> str:
+    """The payoff of emitting a session TABLE instead of window bounds:
+    funnel questions become one grouped aggregate over the session-tagged
+    events — here, what fraction of sessions that contain a 'view'
+    convert to a 'purchase' AFTER that view within the SAME session
+    (cross-session purchases don't count: attribution stays inside the
+    visit, which is what makes per-session conversion different from the
+    corpus-wide funnel_conversion).
+
+    Same islands machinery as sessionize_gap_islands (shared CTE bodies),
+    one extra per-(user, session) aggregate and an O(1) rollup — integer
+    epochs end-to-end."""
+    return f"""
+WITH {_session_events_ctes(d)},
+per_sess AS (
+  SELECT user_id, session_seq,
+         MIN(CASE WHEN event_type = 'view' THEN ep END) AS first_view_ep,
+         MAX(CASE WHEN event_type = 'purchase' THEN ep END) AS last_purchase_ep,
+         COUNT(*) AS n_events
+  FROM sess
+  GROUP BY user_id, session_seq
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN first_view_ep IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS sessions_with_view,
+       CAST(SUM(CASE WHEN last_purchase_ep IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS sessions_with_purchase,
+       CAST(SUM(CASE WHEN first_view_ep IS NOT NULL
+                      AND last_purchase_ep IS NOT NULL
+                      AND first_view_ep <= last_purchase_ep THEN 1 ELSE 0 END) AS BIGINT) AS converted_sessions,
+       CAST(ROUND(SUM(CASE WHEN first_view_ep IS NOT NULL
+                            AND last_purchase_ep IS NOT NULL
+                            AND first_view_ep <= last_purchase_ep THEN 1 ELSE 0 END) * 1.0e0
+                  / NULLIF(SUM(CASE WHEN first_view_ep IS NOT NULL THEN 1 ELSE 0 END), 0), 6) AS DOUBLE)
+         AS view_to_purchase_rate
+FROM per_sess
+"""
+
+
+@register(
+    "session_conversion_rate",
+    oracle=_session_conversion_sql(DUCKDB).format(table="events"),
+    doc="In-session funnel conversion: fraction of sessions containing a "
+    "'view' that reach a 'purchase' AFTER that view within the SAME "
+    "session — attribution bounded by the visit, composed from the shared "
+    "sessionization islands CTEs + one per-(user, session) aggregate + an "
+    "O(1) rollup. Integer epochs end-to-end.",
+    tags=("temporal", "session", "funnel"),
+)
+def session_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_ev_sconv"
+    )
+    return spark.sql(
+        _session_conversion_sql(SPARK).format(table="sales_telegram_bot_data_pipeline_ev_sconv")
+    )

@@ -428,3 +428,54 @@ def test_nprobe_curve_monotone_with_exhaustive_selfcheck(spark):
     assert rows[-1]["recall_at_k"] == 1.0
     assert abs(rows[-1]["scan_fraction"] - 1.0) < 1e-6
     assert all(r["n_hit"] <= r["n_truth"] for r in rows)
+
+
+def test_session_conversion_matches_bruteforce_sessions(spark):
+    """Recompute conversion from the session table + raw events: a session
+    converts iff its first 'view' epoch precedes (<=) its last 'purchase'
+    epoch, attribution bounded by the session."""
+    from sales_telegram_bot_data_pipeline_spark.operators.temporal import (
+        SESSIONIZE_GAP_S,
+        SESSIONIZE_USER_MOD,
+        session_conversion_rate,
+    )
+
+    row = session_conversion_rate(spark, SF_SMOKE).collect()[0]
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .where(f"user_id % {SESSIONIZE_USER_MOD} = 0")
+        .selectExpr(
+            "user_id", "event_id", "event_type",
+            "(unix_date(CAST(ts AS DATE)) * 86400L + hour(ts) * 3600"
+            " + minute(ts) * 60 + second(ts)) AS ep", "ts",
+        )
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r)
+    n_sessions = with_view = with_purchase = converted = 0
+    for user, rows in by_user.items():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        sessions, cur = [], []
+        for r in rows:
+            if cur and r["ep"] - cur[-1]["ep"] > SESSIONIZE_GAP_S:
+                sessions.append(cur)
+                cur = []
+            cur.append(r)
+        if cur:
+            sessions.append(cur)
+        for s in sessions:
+            n_sessions += 1
+            views = [r["ep"] for r in s if r["event_type"] == "view"]
+            purch = [r["ep"] for r in s if r["event_type"] == "purchase"]
+            if views:
+                with_view += 1
+            if purch:
+                with_purchase += 1
+            if views and purch and min(views) <= max(purch):
+                converted += 1
+    assert row["n_sessions"] == n_sessions
+    assert row["sessions_with_view"] == with_view
+    assert row["sessions_with_purchase"] == with_purchase
+    assert row["converted_sessions"] == converted
