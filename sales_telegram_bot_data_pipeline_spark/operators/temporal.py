@@ -820,11 +820,13 @@ SESSIONIZE_USER_MOD = 7  # sample 1-in-7 users: bounds output while the
 #                          windows still run the full per-user machinery
 
 
-def _session_events_ctes(d) -> str:
+def _session_events_ctes(d, with_event_type: bool = False) -> str:
     """ev/marked/sess CTE bodies shared by ``sessionize_gap_islands`` and
     ``session_conversion_rate``: per-event session_seq via the LAG-mark +
-    running-SUM islands pattern; ``sess`` carries event_type so funnel
-    consumers can compose without a second pass."""
+    running-SUM islands pattern.  ``with_event_type`` threads event_type
+    through for funnel consumers; the plain sessionizer leaves it off so
+    the template also runs against minimal (user_id, event_id, ts)
+    relations (the property tests feed exactly that)."""
     if d.name == "spark":
         ep = (
             "(unix_date(CAST(ts AS DATE)) * 86400L"
@@ -832,13 +834,14 @@ def _session_events_ctes(d) -> str:
         )
     else:
         ep = "CAST(FLOOR(epoch(ts)) AS BIGINT)"
+    et = ", event_type" if with_event_type else ""
     return f"""ev AS (
-  SELECT user_id, event_id, ts, event_type, {ep} AS ep
+  SELECT user_id, event_id, ts{et}, {ep} AS ep
   FROM {{table}}
   WHERE user_id % {SESSIONIZE_USER_MOD} = 0
 ),
 marked AS (
-  SELECT user_id, event_id, ts, event_type, ep,
+  SELECT user_id, event_id, ts{et}, ep,
          CASE WHEN ep - LAG(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    > {SESSIONIZE_GAP_S}
               OR LAG(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -846,7 +849,7 @@ marked AS (
   FROM ev
 ),
 sess AS (
-  SELECT user_id, ep, event_type,
+  SELECT user_id, ep{et},
          SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
   FROM marked
@@ -918,7 +921,7 @@ def _session_conversion_sql(d) -> str:
     one extra per-(user, session) aggregate and an O(1) rollup — integer
     epochs end-to-end."""
     return f"""
-WITH {_session_events_ctes(d)},
+WITH {_session_events_ctes(d, with_event_type=True)},
 per_sess AS (
   SELECT user_id, session_seq,
          MIN(CASE WHEN event_type = 'view' THEN ep END) AS first_view_ep,
