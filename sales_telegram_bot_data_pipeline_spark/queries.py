@@ -103,6 +103,10 @@ try:
     from .streaming import stateful as _streaming_stateful  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:
+    from .sources import csvsrc  # noqa: F401  (CSV corpus source)
+except ImportError:  # pragma: no cover
+    pass
 
 
 # --------------------------------------------------------------------------

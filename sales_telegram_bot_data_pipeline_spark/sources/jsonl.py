@@ -78,7 +78,13 @@ def jsonl_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.basename(sf_dir.rstrip("/")),
     )
     write_documents_jsonl(docs, path)
-    back = read_jsonl_documents(spark, path)
+    # localCheckpoint BEFORE the dead-letter filter: Spark refuses any plan
+    # whose pruned column set against a raw JSON/CSV scan is ONLY
+    # _corrupt_record (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    # — a count() over this query prunes to exactly that shape.  Breaking
+    # lineage materializes the parsed rows once and makes every downstream
+    # plan shape legal.
+    back = read_jsonl_documents(spark, path).localCheckpoint()
     return (
         back.where(F.col("_corrupt_record").isNull())
         .select(*DOC_COLS)

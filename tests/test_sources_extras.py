@@ -393,3 +393,39 @@ def test_jsonl_roundtrip_preserves_values(spark):
         .collect()
     )
     assert got == want
+
+
+def test_csv_dead_letter_and_quoted_delimiters(spark, tmp_path):
+    """A type-mangled CSV line must dead-letter, not fail the scan; a
+    free-text field containing the delimiter and quotes must survive the
+    writer+reader quoting contract."""
+    from sales_telegram_bot_data_pipeline_spark.sources.csvsrc import read_csv_documents
+
+    p = tmp_path / "csv_corpus"
+    p.mkdir()
+    good = '1,"hello, comma ""quoted"" world",en,s,23'
+    bad = '2,broken,en,s,not_a_number'
+    (p / "part-000.csv").write_text("\n".join([good, bad]) + "\n")
+    df = read_csv_documents(spark, str(p)).collect()
+    assert len(df) == 2
+    parsed = [r for r in df if r["_corrupt_record"] is None]
+    assert len(parsed) == 1
+    assert parsed[0]["doc_id"] == 1
+    assert parsed[0]["text"] == 'hello, comma "quoted" world'
+    corrupt = [r for r in df if r["_corrupt_record"] is not None]
+    assert len(corrupt) == 1 and corrupt[0]["_corrupt_record"] == bad
+
+
+def test_csv_roundtrip_preserves_values(spark):
+    from sales_telegram_bot_data_pipeline_spark.queries import REGISTRY
+    from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = REGISTRY["csv_corpus_roundtrip"].fn(spark, sf).collect()
+    want = (
+        load_table(spark, sf, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert got == want
