@@ -962,3 +962,73 @@ def session_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _session_conversion_sql(SPARK).format(table="sales_telegram_bot_data_pipeline_ev_sconv")
     )
+
+
+# --------------------------------------------------------------------------
+# exponential-decay freshness profile (recency-weighted corpus accounting)
+# --------------------------------------------------------------------------
+DECAY_HALF_LIFE_DAYS = 30  # weight halves every 30 days of age
+
+
+def _freshness_decay_sql(d) -> str:
+    """Recency-weighted accounting per event_type: every event contributes
+    weight 2^(-age_days / half_life), so a stream that stopped a quarter
+    ago shows near-zero decayed mass next to a live one of equal raw
+    count — the freshness signal a data mix needs when 'how much' matters
+    less than 'how recent'.
+
+    Cross-engine portability: each row's weight is quantized to INTEGER
+    micro-units BEFORE the sum (the kmeans/minhash convention) — an
+    integer SUM is exact and partition-order-independent, whereas summing
+    raw doubles exposes float-addition non-associativity across engines.
+    The per-row EXP goes through engine libm; per-row agreement at 6
+    decimals is empirically verified at sf<=0.1 by the parity net.
+    Age derives from the corpus MAX epoch (one O(1) subquery), integer
+    seconds; one map-side-combinable aggregate."""
+    if d.name == "spark":
+        ep = (
+            "(unix_date(CAST(ts AS DATE)) * 86400L"
+            " + hour(ts) * 3600 + minute(ts) * 60 + second(ts))"
+        )
+    else:
+        ep = "CAST(FLOOR(epoch(ts)) AS BIGINT)"
+    w_micro = (
+        f"CAST(ROUND(EXP(-((mx.m - ep) / 86400.0e0) * {0.6931471805599453 / DECAY_HALF_LIFE_DAYS!r}"
+        f") * 1000000, 0) AS BIGINT)"
+    )
+    return f"""
+WITH ev AS (SELECT event_type, {ep} AS ep FROM {{table}}),
+mx AS (SELECT MAX(ep) AS m FROM ev),
+weighted AS (
+  SELECT event_type, {w_micro} AS w_micro
+  FROM ev CROSS JOIN mx
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(w_micro) AS BIGINT) AS decayed_mass_micro,
+       CAST(ROUND(SUM(w_micro) * 1.0e0 / (COUNT(*) * 1000000), 6) AS DOUBLE) AS freshness_index
+FROM weighted
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "freshness_decay_profile",
+    oracle=_freshness_decay_sql(DUCKDB).format(table="events"),
+    doc=f"Exponential-decay freshness profile: per event_type, each event "
+    f"weighted 2^(-age_days/{DECAY_HALF_LIFE_DAYS}) from the corpus max "
+    "epoch — the recency signal next to raw counts. Per-row weights "
+    "quantize to integer micro-units BEFORE the sum (exact, "
+    "partition-order-independent aggregation; only the per-row libm EXP "
+    "crosses engines), one map-side-combinable aggregate + an O(1) max "
+    "subquery.",
+    tags=("temporal", "decay", "agg"),
+)
+def freshness_decay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_ev_fresh"
+    )
+    return spark.sql(
+        _freshness_decay_sql(SPARK).format(table="sales_telegram_bot_data_pipeline_ev_fresh")
+    )

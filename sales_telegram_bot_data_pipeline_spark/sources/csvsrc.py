@@ -85,3 +85,41 @@ def csv_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(*DOC_COLS)
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# parquet schema evolution (mergeSchema) — the 100-TB schema-drift surface
+# --------------------------------------------------------------------------
+@register(
+    "parquet_schema_evolution",
+    oracle="""
+SELECT doc_id, lang,
+       CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
+FROM documents
+ORDER BY doc_id
+""",
+    doc="Schema evolution round-trip: half the corpus written under the OLD "
+    "schema (doc_id, lang), half under the NEW one (+ n_chars), read back "
+    "in one scan with mergeSchema — old files surface the added column as "
+    "NULL, nothing rewrites. The drift story a long-lived 100 TB dataset "
+    "lives with (columns are added, history is not backfilled); oracle "
+    "derives the same NULL pattern from the parquet original.",
+    tags=("source", "schema-evolution", "roundtrip"),
+)
+def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = os.path.join(
+        "/tmp",
+        f"sales_telegram_bot_data_pipeline_schevo_{spark.sparkContext.applicationId}",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    docs.where("doc_id % 2 = 0").select("doc_id", "lang").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "gen=old"))
+    docs.where("doc_id % 2 = 1").select("doc_id", "lang", "n_chars").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "gen=new"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "gen=old"), os.path.join(base, "gen=new")
+    )
+    return merged.select("doc_id", "lang", "n_chars").orderBy("doc_id")

@@ -479,3 +479,52 @@ def test_session_conversion_matches_bruteforce_sessions(spark):
     assert row["sessions_with_view"] == with_view
     assert row["sessions_with_purchase"] == with_purchase
     assert row["converted_sessions"] == converted
+
+
+def test_schema_evolution_nulls_old_generation(spark):
+    from sales_telegram_bot_data_pipeline_spark.sources.csvsrc import (
+        parquet_schema_evolution,
+    )
+
+    rows = parquet_schema_evolution(spark, SF_SMOKE).collect()
+    docs = {r["doc_id"]: r for r in load_table(spark, SF_SMOKE, "documents").collect()}
+    assert len(rows) == len(docs)
+    for r in rows:
+        want = docs[r["doc_id"]]
+        assert r["lang"] == want["lang"]
+        if r["doc_id"] % 2 == 0:
+            assert r["n_chars"] is None  # old-generation file: column absent
+        else:
+            assert r["n_chars"] == want["n_chars"]
+
+
+def test_freshness_decay_matches_bruteforce(spark):
+    import math
+
+    from sales_telegram_bot_data_pipeline_spark.operators.temporal import (
+        DECAY_HALF_LIFE_DAYS,
+        freshness_decay_profile,
+    )
+
+    got = {r["event_type"]: r for r in freshness_decay_profile(spark, SF_SMOKE).collect()}
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .selectExpr(
+            "event_type",
+            "(unix_date(CAST(ts AS DATE)) * 86400L + hour(ts) * 3600"
+            " + minute(ts) * 60 + second(ts)) AS ep",
+        )
+        .collect()
+    )
+    mx = max(r["ep"] for r in ev)
+    lam = math.log(2) / DECAY_HALF_LIFE_DAYS
+    want: dict[str, list] = {}
+    for r in ev:
+        want.setdefault(r["event_type"], []).append(
+            round(math.exp(-((mx - r["ep"]) / 86400.0) * lam) * 1e6)
+        )
+    assert set(got) == set(want)
+    for et, ws in want.items():
+        assert got[et]["n_events"] == len(ws)
+        assert got[et]["decayed_mass_micro"] == sum(ws)
+        assert 0.0 < got[et]["freshness_index"] <= 1.0
