@@ -1340,3 +1340,223 @@ JOIN {view} c ON c.vec_id = a.vec_id
             scored_rel="SELECT np, query_id, neighbor_id, cosine FROM sales_telegram_bot_data_pipeline_np_scored",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# product quantization (PQ) ANN — the memory-bound scale path
+# --------------------------------------------------------------------------
+PQ_M = 4      # subspaces (64-d embeddings -> 4 x 16-d subvectors)
+PQ_SUB = 16   # dims per subspace
+PQ_KC = 8     # codes per subspace codebook
+PQ_CAND = 25  # ADC candidates per query fed to the exact rerank
+
+
+def _subvec(d: Dialect, arr: str, m: int) -> str:
+    """Subspace ``m``'s 1-based slice [m*SUB+1 .. (m+1)*SUB] of an array."""
+    if d.name == "spark":
+        return f"slice({arr}, {m * PQ_SUB + 1}, {PQ_SUB})"
+    return f"list_slice({arr}, {m * PQ_SUB + 1}, {(m + 1) * PQ_SUB})"
+
+
+def _subl2(d: Dialect, a: str, b: str, m: int) -> str:
+    """Squared L2 between subvectors via the shared dot primitive:
+    ||a-b||^2 = a.a - 2 a.b + b.b — each term the same sequential fold in
+    both engines, so the double result is bit-identical."""
+    sa, sb = _subvec(d, a, m), _subvec(d, b, m)
+    return (
+        f"(({_dots(d, sa, sa)}) - 2 * ({_dots(d, sa, sb)}) + ({_dots(d, sb, sb)}))"
+    )
+
+
+def _pq_sql(d: Dialect, table: str) -> str:
+    """PQ-ADC top-k: m per-subspace codebooks of frozen corpus vectors
+    (vec_id in [CENTROID_BASE, CENTROID_BASE+PQ_KC) — the same frozen-init
+    discipline as the IVF centroids, so both engines build the identical
+    index; on a cluster the codebooks come from per-subspace Lloyd, which
+    kmeans_lloyd already demonstrates), every corpus vector encoded to
+    PQ_M one-byte codes by per-subspace argmin-L2, queries scored against
+    codes via an asymmetric-distance lookup table, top PQ_CAND candidates
+    reranked by exact cosine.
+
+    Scale shape: the codebook (PQ_M x PQ_KC rows) and the LUT
+    (N_QUERIES x PQ_M x PQ_KC rows) both broadcast; encoding is a
+    map-side argmin over the broadcast codebook (the embedding column
+    never shuffles — a 100 TB corpus compresses to PQ_M bytes/vector
+    before any join); ADC scoring is a broadcast-LUT equi-join on
+    (m, code) + a map-side-combinable SUM.  The LUT dot products are
+    quantized to integer micro-units BEFORE the sum, so the ADC score is
+    order-independent exact integer arithmetic — cross-engine identical
+    candidate sets by construction (the double-summation order of a
+    4-row SUM is not portable; integers are)."""
+    cb = (
+        f"SELECT vec_id - {CENTROID_BASE} AS cid, embedding FROM {table} "
+        f"WHERE vec_id >= {CENTROID_BASE} AND vec_id < {CENTROID_BASE + PQ_KC}"
+    )
+    # per-subspace argmin-L2 code columns, one GROUP BY pass
+    if d.name == "spark":
+        code_cols = ", ".join(
+            f"min(named_struct('d', {_subl2(d, 'v.embedding', 'cb.embedding', m)}, "
+            f"'cid', cb.cid)).cid AS code{m}"
+            for m in range(PQ_M)
+        )
+    else:
+        code_cols = ", ".join(
+            f"(min({{'d': {_subl2(d, 'v.embedding', 'cb.embedding', m)}, "
+            f"'cid': cb.cid}})).cid AS code{m}"
+            for m in range(PQ_M)
+        )
+    codes_long = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, code{m} AS cid FROM codes" for m in range(PQ_M)
+    )
+    lut = " UNION ALL ".join(
+        f"SELECT q.vec_id AS query_id, cb.cid AS cid, {m} AS m, "
+        f"CAST(ROUND(({_dots(d, _subvec(d, 'q.embedding', m), _subvec(d, 'cb.embedding', m))}) * 1000000) AS BIGINT) AS idot "
+        f"FROM {table} q JOIN cb ON q.vec_id < {N_QUERIES}"
+        for m in range(PQ_M)
+    )
+    if d.name == "spark":
+        # two-stage candidate top-k: rank within (query, input partition)
+        # first so no window ever partitions corpus-wide by query alone
+        adc_p = "SELECT *, spark_partition_id() AS pid FROM adc"
+        pid_part = ", pid"
+    else:
+        adc_p = "SELECT *, 0 AS pid FROM adc"
+        pid_part = ""
+    cos_qn = _cosine(d, "q.embedding", "n.embedding")
+    return f"""
+WITH cb AS ({cb}),
+codes AS (
+  SELECT v.vec_id, {code_cols}
+  FROM {table} v JOIN cb ON 1=1
+  GROUP BY v.vec_id
+),
+codes_long AS ({codes_long}),
+lut AS ({lut}),
+adc AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id, SUM(l.idot) AS adc
+  FROM codes_long c
+  JOIN lut l ON l.m = c.m AND l.cid = c.cid AND c.vec_id <> l.query_id
+  GROUP BY l.query_id, c.vec_id
+),
+adc_p AS ({adc_p}),
+local_top AS (
+  SELECT query_id, neighbor_id, adc FROM (
+    SELECT query_id, neighbor_id, adc,
+           ROW_NUMBER() OVER (PARTITION BY query_id{pid_part}
+                              ORDER BY adc DESC, neighbor_id) AS r
+    FROM adc_p
+  ) t WHERE r <= {PQ_CAND}
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adc DESC, neighbor_id) AS r
+    FROM local_top
+  ) t WHERE r <= {PQ_CAND}
+),
+reranked AS (
+  SELECT c2.query_id, c2.neighbor_id, {cos_qn} AS cosine
+  FROM cand c2
+  JOIN {table} q ON q.vec_id = c2.query_id
+  JOIN {table} n ON n.vec_id = c2.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM reranked
+) t WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "knn_cosine_pq",
+    oracle=_pq_sql(DUCKDB, "embeddings"),
+    doc=f"PQ-ADC ANN: {PQ_M} per-subspace codebooks of {PQ_KC} frozen "
+    "vectors, map-side argmin-L2 encoding over the broadcast codebook "
+    "(corpus compresses to PQ_M bytes/vector; the embedding column never "
+    "shuffles), ADC scoring via a broadcast integer-microunit LUT join "
+    f"(order-independent exact), top-{PQ_CAND} candidates, exact cosine "
+    "rerank. The memory-bound ANN sibling of IVF (scan-bound) and SQ8 "
+    "(bandwidth-bound); oracle builds the identical index.",
+    tags=("similarity", "pq", "topk"),
+)
+def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_pq_sql(SPARK, _emb_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# Matryoshka truncation-recall audit
+# --------------------------------------------------------------------------
+_MRL_DIMS = (8, 16, 32, 64)
+
+
+def _subvec_dim(d: Dialect, arr: str, dim: int) -> str:
+    if d.name == "spark":
+        return f"slice({arr}, 1, {dim})"
+    return f"list_slice({arr}, 1, {dim})"
+
+
+def _mrl_sql(d: Dialect, table: str, scored_rel: str | None = None) -> str:
+    """Matryoshka-style truncation audit (Kusupati et al. 2022): rank the
+    corpus by cosine over only the FIRST ``dim`` coordinates for each dim
+    in _MRL_DIMS, and measure top-k overlap against the full-dimension
+    exact top-k.  One scored relation with the dim config riding the join
+    (the lsh_band_tuning_audit discipline); dim = full dimension is a
+    built-in self-check (recall 1.0, test-pinned).  recall divides exact
+    integers; the per-dim cosine is a CASE over prefix slices so the
+    corpus is scanned once, not once per dim."""
+    dim_case = " ".join(
+        f"WHEN {dim} THEN {_cosine(d, _subvec_dim(d, 'q.embedding', dim), _subvec_dim(d, 'c.embedding', dim))}"
+        for dim in _MRL_DIMS
+    )
+    scored = scored_rel or f"""
+SELECT cf.dim, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       CASE cf.dim {dim_case} END AS cosine
+FROM (SELECT * FROM (VALUES {", ".join(f"({n})" for n in _MRL_DIMS)}) AS v(dim)) cf
+JOIN {table} q ON q.vec_id < {N_QUERIES}
+JOIN {table} c ON c.vec_id <> q.vec_id
+"""
+    full_dim = max(_MRL_DIMS)
+    return f"""
+WITH scored AS ({scored}),
+topk AS (
+  SELECT dim, query_id, neighbor_id FROM (
+    SELECT dim, query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY dim, query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rk
+    FROM scored
+  ) t WHERE rk <= {TOP_K}
+),
+truth AS (SELECT query_id, neighbor_id FROM topk WHERE dim = {full_dim}),
+hits AS (
+  SELECT t.dim, COUNT(*) AS n_hit
+  FROM topk t JOIN truth tr
+    ON tr.query_id = t.query_id AND tr.neighbor_id = t.neighbor_id
+  GROUP BY t.dim
+)
+SELECT CAST(d.dim AS INT) AS dim,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST({N_QUERIES * TOP_K} AS BIGINT) AS n_truth,
+       CAST(ROUND(COALESCE(h.n_hit, 0) * 1.0e0 / {N_QUERIES * TOP_K}, 6) AS DOUBLE) AS recall_at_k
+FROM (SELECT DISTINCT dim FROM topk) d
+LEFT JOIN hits h ON h.dim = d.dim
+ORDER BY dim
+"""
+
+
+@register(
+    "matryoshka_recall_audit",
+    oracle=_mrl_sql(DUCKDB, "embeddings"),
+    doc=f"Matryoshka truncation-recall audit: top-{TOP_K} by prefix-dim "
+    f"cosine for dims {_MRL_DIMS} vs the full-dim exact top-{TOP_K} — the "
+    "storage/recall tradeoff table for truncating an embedding column at "
+    "rest (a 100 TB embedding store shrinks linearly in dim). One corpus "
+    "scan with the dim config riding the join; full-dim row is a recall=1 "
+    "self-check (test-pinned).",
+    tags=("similarity", "audit", "topk"),
+)
+def matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_mrl_sql(SPARK, _emb_view(spark, sf_dir)))
