@@ -1880,3 +1880,203 @@ def lsh_band_tuning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             cands_rel="SELECT n_bands, doc_a, doc_b FROM sales_telegram_bot_data_pipeline_tune_cands",
         )
     )
+
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition (the fourth graph op: CC / PageRank / LPA / k-core)
+# --------------------------------------------------------------------------
+KCORE_K = 2        # minimum within-core degree
+KCORE_ROUNDS = 14  # synchronous peel rounds (fixed in BOTH engines — results
+#                    are the round-KCORE_ROUNDS prefix of the peel sequence,
+#                    identical across engines whether or not it has
+#                    converged; the emitted `converged` flag says which)
+
+
+def _kcore_sql(d: Dialect, table: str, pairs_rel: str | None = None) -> str:
+    """Bounded k-core peeling (Seidman 1983; the distributed form peels
+    synchronously) over the symmetric embedding near-dup graph: every
+    round drops nodes whose degree AMONG SURVIVORS is < K, which is the
+    dense-cluster extractor dedup pipelines use to find heavily-duplicated
+    template families (CC merges everything reachable; k-core keeps only
+    the mutually-dense part).
+
+    Per round: one self-equi-join of the edge list against the survivor
+    set on both endpoints + a map-side-combinable degree count — the same
+    shuffle budget per iteration as LPA, pure integer arithmetic, so the
+    fixed round count is oracle-checkable.  Each round's CTE references
+    the previous round TWICE (both join endpoints); a plain CTE chain
+    inlines into 2^ROUNDS copies of the base relation in both optimizers,
+    so the rounds are MATERIALIZED here (DuckDB keyword; the Spark twin
+    below materializes each round with localCheckpoint instead — the same
+    discipline as connected_components).  The `converged` flag (round N
+    survivor count == round N-1's — survivor sets shrink monotonically,
+    so equal counts mean a fixed point) is computed from two scalar
+    aggregates; measured synchronous peel depths on the test corpora are
+    5 (sf0.001), 12 (sf0.01), 5 (sf0.1), so 14 rounds converge at every
+    test scale (flag test-pinned TRUE) while staying honest about the
+    general contract — a pathological path graph peels one layer per
+    round and would need depth rounds."""
+    from .similarity import _neardup_banded_sql
+
+    pairs = pairs_rel or _neardup_banded_sql(d, table).replace("ORDER BY vec_a, vec_b", "")
+    mat = "MATERIALIZED " if d.name == "duckdb" else ""
+    its = []
+    prev = "n0"
+    for i in range(1, KCORE_ROUNDS + 1):
+        its.append(f"""
+n{i} AS {mat}(
+  SELECT e.src AS node
+  FROM edges e
+  JOIN {prev} a ON a.node = e.src
+  JOIN {prev} b ON b.node = e.dst
+  GROUP BY e.src
+  HAVING COUNT(*) >= {KCORE_K}
+)""")
+        prev = f"n{i}"
+    penult = f"n{KCORE_ROUNDS - 1}"
+    return f"""
+WITH pairs AS {mat}({pairs}),
+edges AS {mat}(
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION ALL
+  SELECT vec_b AS src, vec_a AS dst FROM pairs
+),
+n0 AS {mat}(SELECT DISTINCT src AS node FROM edges),
+{",".join(its)},
+conv AS (
+  SELECT (SELECT COUNT(*) FROM {prev}) = (SELECT COUNT(*) FROM {penult}) AS converged
+)
+SELECT n.node AS vec_id,
+       CAST(COUNT(*) AS BIGINT) AS core_degree,
+       c.converged AS converged
+FROM {prev} n
+JOIN edges e ON e.src = n.node
+JOIN {prev} b ON b.node = e.dst
+CROSS JOIN conv c
+GROUP BY n.node, c.converged
+ORDER BY vec_id
+"""
+
+
+@register(
+    "kcore_decomposition",
+    oracle=_kcore_sql(DUCKDB, "embeddings"),
+    doc=f"Bounded {KCORE_K}-core peeling ({KCORE_ROUNDS} synchronous "
+    "rounds; Spark peels iteratively with per-round localCheckpoint and a "
+    "monotone early-stop, oracle runs the same rounds as MATERIALIZED "
+    "CTEs) over the embedding near-dup graph — the dense-cluster "
+    "extractor beside CC (reachability), PageRank (centrality) and LPA "
+    "(communities). One survivor self-join + integer degree count per "
+    "round; in-query converged flag (test-pinned TRUE at sf scale).",
+    tags=("dedup", "graph", "iterative"),
+)
+def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the oracle's unrolled peel: an iterative driver loop
+    (same discipline as connected_components — localCheckpoint truncates
+    the lineage so each round plans O(1) work and the candidate-pair SQL
+    runs exactly once).  Survivor sets shrink monotonically, so stopping
+    early at an unchanged count is EXACTLY the fixed point the remaining
+    rounds would no-op through — results identical to the full unroll."""
+    from .similarity import _emb_view, _neardup_banded_sql
+
+    view = _emb_view(spark, sf_dir)
+    pairs = spark.sql(
+        _neardup_banded_sql(SPARK, view).replace("ORDER BY vec_a, vec_b", "")
+    )
+    edges = (
+        pairs.selectExpr("vec_a AS src", "vec_b AS dst")
+        .unionAll(pairs.selectExpr("vec_b AS src", "vec_a AS dst"))
+        .localCheckpoint()
+    )
+    surv = edges.selectExpr("src AS node").distinct().localCheckpoint()
+    n_prev = surv.count()
+    converged = False
+    for _ in range(KCORE_ROUNDS):
+        nxt = (
+            edges.alias("e")
+            .join(surv.alias("a"), F.col("e.src") == F.col("a.node"))
+            .join(surv.alias("b"), F.col("e.dst") == F.col("b.node"))
+            .groupBy(F.col("e.src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= KCORE_K)
+            .select("node")
+            .localCheckpoint()
+        )
+        n_now = nxt.count()
+        surv = nxt
+        if n_now == n_prev:
+            converged = True
+            break
+        n_prev = n_now
+    return (
+        surv.alias("n")
+        .join(edges.alias("e"), F.col("e.src") == F.col("n.node"))
+        .join(surv.alias("b"), F.col("e.dst") == F.col("b.node"))
+        .groupBy(F.col("n.node").alias("vec_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        .withColumn("converged", F.lit(converged))
+        .orderBy("vec_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# soft dedup: duplication-aware training weights instead of dropping
+# --------------------------------------------------------------------------
+def _softdedup_sql(d: Dialect, table: str, pairs_rel: str | None = None) -> str:
+    """SoftDeDup-style reweighting (He et al. 2024): rather than DROPPING
+    duplicates, every document keeps a training weight inversely
+    proportional to its "commonness" — here the exact-copy multiplicity
+    (content-hash group size) plus the count of distinct LSH-verified
+    near-dup partners.  A unique doc gets weight 1.0; each extra exact
+    copy or near-dup partner dilutes it.  Downstream samplers
+    (weighted_sample_aes, token_budget_selection) consume the weight
+    column directly.
+
+    Scale shape: commonness is two integer aggregates — a content-hash
+    groupBy (map-side combinable, text never shuffles past the hash
+    projection) and a degree count over the banded LSH pair relation
+    (already sub-quadratic); the weight itself is a projection.  No new
+    join strategy beyond what dedup_exact + dedup_minhash_lsh already pay."""
+    pairs = pairs_rel or _lsh_pairs_sql(d, table).replace("ORDER BY doc_a, doc_b", "")
+    h = d.md5_prefix_int("text")
+    return f"""
+WITH hashes AS (SELECT doc_id, {h} AS content_hash FROM {table}),
+copies AS (
+  SELECT h.doc_id, g.n_copies
+  FROM hashes h
+  JOIN (SELECT content_hash, COUNT(*) AS n_copies FROM hashes GROUP BY content_hash) g
+    ON g.content_hash = h.content_hash
+),
+pairs AS ({pairs}),
+degree AS (
+  SELECT node AS doc_id, COUNT(*) AS n_partners FROM (
+    SELECT doc_a AS node, doc_b AS other FROM pairs
+    UNION
+    SELECT doc_b AS node, doc_a AS other FROM pairs
+  ) sym
+  GROUP BY node
+)
+SELECT c.doc_id,
+       CAST(c.n_copies AS BIGINT) AS n_exact_copies,
+       CAST(COALESCE(dg.n_partners, 0) AS BIGINT) AS n_neardup_partners,
+       CAST(ROUND(1.0e0 / (c.n_copies + COALESCE(dg.n_partners, 0)), 6) AS DOUBLE) AS soft_weight
+FROM copies c
+LEFT JOIN degree dg ON dg.doc_id = c.doc_id
+ORDER BY c.doc_id
+"""
+
+
+@register(
+    "softdedup_weights",
+    oracle=_softdedup_sql(DUCKDB, "documents"),
+    doc="SoftDeDup-style duplication-aware reweighting (He et al. 2024): "
+    "per-doc training weight 1/(exact-copy multiplicity + distinct "
+    "LSH-verified near-dup partners) — the keep-everything alternative to "
+    "dedup_keep_canonical that downstream weighted samplers consume. Two "
+    "integer aggregates (content-hash groupBy + banded-LSH degree count), "
+    "weight is a projection.",
+    tags=("dedup", "quality", "sampling"),
+)
+def softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_softdedup_sql(SPARK, _doc_view(spark, sf_dir)))

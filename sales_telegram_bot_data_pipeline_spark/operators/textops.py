@@ -394,3 +394,75 @@ ORDER BY t.doc_id
 )
 def boilerplate_segment_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_boilerplate_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# Gopher-rules document quality gate (Rae et al. 2021, Table A1)
+# --------------------------------------------------------------------------
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WLEN = 3.0
+GOPHER_MAX_MEAN_WLEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1   # '#' or '...' per word
+GOPHER_MIN_ALPHA_FRAC = 0.8     # words containing >= 1 alphabetic char
+GOPHER_MIN_STOP_HITS = 2        # occurrences from the paper's stop set
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def _gopher_sql(d: Dialect, table: str) -> str:
+    """The published Gopher quality heuristics as one projection.  Doc-level
+    rules only (the line-level rules live in boilerplate_segment_removal /
+    blocklist_scan): word-count bounds, mean-word-length bounds,
+    symbol-to-word ratio, alphabetic-word fraction, minimum stop-word hits.
+    Synthetic documents are clean ASCII word salad, so docs with
+    doc_id % 13 == 0 get a deterministic dirt suffix ('### ... 4711 9999')
+    to exercise the symbol and alpha rules — same injected-dirt discipline
+    as preprocess_text_normalize.  One scan, zero shuffles (the ORDER BY
+    drops at scale); every metric folds the words array once from a shared
+    CTE column."""
+    txt = "CASE WHEN doc_id % 13 = 0 THEN text || ' ### ... #4711 9999' ELSE text END"
+    words = d.splitws(f"lower({txt})")
+    stops = d.array_lit(GOPHER_STOPS)
+    n = d.alen("w")
+    total_wlen = d.asum_int(d.transform("w", "t -> length(t)"))
+    n_symbols = f"({d.re_count('txt', '#')} + {d.re_count('txt', chr(92) + '.' + chr(92) + '.' + chr(92) + '.')})"
+    n_alpha = d.alen(d.filter("w", f"t -> {d.re_search('t', '[a-z]')}"))
+    stop_hits = d.alen(d.filter("w", f"t -> {d.contains_arr(stops, 't')}"))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {txt} AS txt, {words} AS w FROM {table}
+),
+metrics AS (
+  SELECT doc_id,
+         CAST({n} AS BIGINT) AS n_words,
+         CAST(round({total_wlen} * 1.0e0 / nullif({n}, 0), 6) AS DOUBLE) AS mean_word_len,
+         CAST(round({n_symbols} * 1.0e0 / nullif({n}, 0), 6) AS DOUBLE) AS symbol_word_ratio,
+         CAST(round({n_alpha} * 1.0e0 / nullif({n}, 0), 6) AS DOUBLE) AS alpha_word_frac,
+         CAST({stop_hits} AS BIGINT) AS n_stop_hits
+  FROM toks
+)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, alpha_word_frac,
+       n_stop_hits,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+        AND mean_word_len >= {GOPHER_MIN_MEAN_WLEN} AND mean_word_len <= {GOPHER_MAX_MEAN_WLEN}
+        AND symbol_word_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+        AND alpha_word_frac >= {GOPHER_MIN_ALPHA_FRAC}
+        AND n_stop_hits >= {GOPHER_MIN_STOP_HITS}) AS gopher_pass
+FROM metrics
+ORDER BY doc_id
+"""
+
+
+@register(
+    "gopher_quality_gate",
+    oracle=_gopher_sql(DUCKDB, "documents"),
+    doc="Gopher quality heuristics (Rae et al. 2021 Table A1) as one "
+    "projection: word-count and mean-word-length bounds, symbol-to-word "
+    "ratio, alphabetic-word fraction, minimum stop-word hits, and the "
+    "conjunction gate — the doc-level published-rules sibling of "
+    "text_quality_stats (metrics) and quality_logreg_score (model-based). "
+    "Deterministic dirt on doc_id % 13 exercises the symbol/alpha rules.",
+    tags=("text", "quality", "curation"),
+)
+def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_gopher_sql(SPARK, _doc_view(spark, sf_dir)))

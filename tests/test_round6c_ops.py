@@ -72,3 +72,91 @@ def test_matryoshka_full_dim_self_check(spark):
         assert 0.0 <= r["recall_at_k"] <= 1.0
         assert r["n_truth"] == N_QUERIES * TOP_K
         assert r["n_hit"] <= r["n_truth"]
+
+
+def test_kcore_converged_and_matches_python_peel(spark):
+    """At smoke scale the unrolled rounds converge (flag pinned TRUE), and
+    the survivor set equals an independent Python peel to fixed point over
+    the same edge list."""
+    from sales_telegram_bot_data_pipeline_spark.operators.dedup import (
+        KCORE_K,
+        kcore_decomposition,
+    )
+    from sales_telegram_bot_data_pipeline_spark.operators.similarity import (
+        _neardup_banded_sql,
+    )
+
+    rows = kcore_decomposition(spark, SF_SMOKE).collect()
+    assert rows, "2-core should be non-empty at smoke scale"
+    assert all(r["converged"] for r in rows)
+    assert all(r["core_degree"] >= KCORE_K for r in rows)
+
+    pairs = spark.sql(
+        _neardup_banded_sql(SPARK, _emb_view(spark, SF_SMOKE))
+    ).collect()
+    adj: dict[int, set] = {}
+    for p in pairs:
+        adj.setdefault(p["vec_a"], set()).add(p["vec_b"])
+        adj.setdefault(p["vec_b"], set()).add(p["vec_a"])
+    alive = set(adj)
+    while True:
+        drop = {v for v in alive if len(adj[v] & alive) < KCORE_K}
+        if not drop:
+            break
+        alive -= drop
+    assert {r["vec_id"] for r in rows} == alive
+    for r in rows:
+        assert r["core_degree"] == len(adj[r["vec_id"]] & alive)
+
+
+def test_gopher_gate_metrics_consistent(spark):
+    from sales_telegram_bot_data_pipeline_spark.operators.textops import (
+        GOPHER_MAX_MEAN_WLEN,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_FRAC,
+        GOPHER_MIN_MEAN_WLEN,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORDS,
+        gopher_quality_gate,
+    )
+
+    rows = gopher_quality_gate(spark, SF_SMOKE).collect()
+    assert len(rows) == 500
+    for r in rows:
+        expect = (
+            GOPHER_MIN_WORDS <= r["n_words"] <= GOPHER_MAX_WORDS
+            and GOPHER_MIN_MEAN_WLEN <= r["mean_word_len"] <= GOPHER_MAX_MEAN_WLEN
+            and r["symbol_word_ratio"] <= GOPHER_MAX_SYMBOL_RATIO
+            and r["alpha_word_frac"] >= GOPHER_MIN_ALPHA_FRAC
+            and r["n_stop_hits"] >= GOPHER_MIN_STOP_HITS
+        )
+        assert r["gopher_pass"] == expect
+        if r["doc_id"] % 13 == 0:
+            assert r["symbol_word_ratio"] > 0  # injected dirt fired
+            assert r["alpha_word_frac"] < 1.0
+    passes = {r["gopher_pass"] for r in rows}
+    assert passes == {True, False}, "gate should split the corpus"
+
+
+def test_softdedup_weights_semantics(spark):
+    from sales_telegram_bot_data_pipeline_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        softdedup_weights,
+    )
+
+    rows = softdedup_weights(spark, SF_SMOKE).collect()
+    assert len(rows) == 500
+    paired = set()
+    for p in dedup_minhash_lsh(spark, SF_SMOKE).collect():
+        paired.add(p["doc_a"])
+        paired.add(p["doc_b"])
+    for r in rows:
+        common = r["n_exact_copies"] + r["n_neardup_partners"]
+        assert common >= 1
+        assert r["soft_weight"] == pytest.approx(round(1.0 / common, 6))
+        if r["doc_id"] in paired:
+            assert r["n_neardup_partners"] >= 1
+        if common == 1:
+            assert r["soft_weight"] == 1.0
+    assert any(r["soft_weight"] < 1.0 for r in rows)
