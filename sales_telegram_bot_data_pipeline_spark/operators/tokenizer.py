@@ -173,3 +173,143 @@ def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# --------------------------------------------------------------------------
+# unigram-LM tokenizer (SentencePiece-style, clean-room after Kudo 2018)
+# --------------------------------------------------------------------------
+UNI_MAX_PIECE = 6    # max piece length in the seed vocabulary
+UNI_SEED_MIN = 2     # substring must appear in >= this many word tokens
+UNI_VOCAB = 2000     # final vocabulary cap (top pieces by probability)
+UNI_EM_ROUNDS = 2    # Viterbi-EM rounds (hard-EM: deterministic, no forward
+#                      sampling — ties break on fewer pieces then lexicographic)
+
+
+def _viterbi_segment(word: str, logp: dict[str, float]) -> list[str]:
+    """Best segmentation of ``word`` under piece log-probs: maximize total
+    log-prob; ties broken by FEWER pieces, then lexicographically on the
+    piece sequence — fully deterministic.  Unknown single chars get a
+    large-but-finite penalty so every word segments."""
+    n = len(word)
+    UNK = -100.0
+    # best[i] = (score, n_pieces, pieces_tuple) for word[:i]
+    best: list[tuple[float, int, tuple[str, ...]]] = [(0.0, 0, ())] + [
+        (float("-inf"), 0, ())
+    ] * n
+    for i in range(1, n + 1):
+        cand = None
+        for j in range(max(0, i - UNI_MAX_PIECE), i):
+            piece = word[j:i]
+            lp = logp.get(piece)
+            if lp is None:
+                if len(piece) > 1:
+                    continue
+                lp = UNK
+            prev = best[j]
+            if prev[0] == float("-inf"):
+                continue
+            c = (prev[0] + lp, prev[1] + 1, prev[2] + (piece,))
+            if (
+                cand is None
+                or c[0] > cand[0]
+                or (c[0] == cand[0] and (c[1], c[2]) < (cand[1], cand[2]))
+            ):
+                cand = c
+        best[i] = cand if cand is not None else (float("-inf"), 0, ())
+    return list(best[n][2])
+
+
+def train_unigram_lm(
+    word_counts: dict[str, int],
+    vocab_cap: int = UNI_VOCAB,
+    em_rounds: int = UNI_EM_ROUNDS,
+) -> dict[str, float]:
+    """Induce a unigram-LM piece vocabulary from a (word -> count) table.
+
+    Clean-room simplification of Kudo 2018: seed with all substrings up to
+    UNI_MAX_PIECE chars whose corpus frequency (weighted by word count)
+    reaches UNI_SEED_MIN, plus every single character (coverage floor);
+    then hard-EM — each round Viterbi-segments every word TYPE under the
+    current probabilities, re-estimates piece probabilities from the
+    weighted usage counts, drops unused multi-char pieces, and caps to the
+    top ``vocab_cap`` pieces (ties lexicographic).  Runs entirely on the
+    bounded word-type vocabulary, never the corpus, mirroring the BPE
+    trainer's scale contract."""
+    import math
+
+    seed: dict[str, int] = {}
+    for w, c in word_counts.items():
+        for i in range(len(w)):
+            for ln in range(1, min(UNI_MAX_PIECE, len(w) - i) + 1):
+                piece = w[i : i + ln]
+                seed[piece] = seed.get(piece, 0) + c
+    pieces = {
+        p: c for p, c in seed.items() if c >= UNI_SEED_MIN or len(p) == 1
+    }
+    total = sum(pieces.values()) or 1
+    logp = {p: math.log(c / total) for p, c in pieces.items()}
+    for _ in range(em_rounds):
+        usage: dict[str, int] = {}
+        for w, c in word_counts.items():
+            for piece in _viterbi_segment(w, logp):
+                usage[piece] = usage.get(piece, 0) + c
+        # coverage floor: single chars survive even when unused this round
+        for p in list(logp):
+            if len(p) == 1 and p not in usage:
+                usage[p] = 1
+        kept = sorted(usage.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_cap]
+        total = sum(c for _, c in kept) or 1
+        logp = {p: math.log(c / total) for p, c in kept}
+    return logp
+
+
+@register(
+    "unigram_token_count",
+    oracle=None,  # pandas-UDF Viterbi encode → rows-only driver check; the
+    # trainer/encoder are pinned by tests/test_tokenizer.py golden cases
+    doc=f"Unigram-LM subword token counts (clean-room after Kudo 2018): "
+    f"substring-seeded vocabulary, {UNI_EM_ROUNDS} deterministic hard-EM "
+    f"rounds on the bounded top-{VOCAB_CAP} word-type table, capped at "
+    f"{UNI_VOCAB} pieces, Viterbi encoding broadcast to an Arrow-batched "
+    "pandas UDF with per-batch word caching — the probabilistic sibling "
+    "of bpe_token_count (same scale contract: corpus touched once for "
+    "the type table, once for encoding).",
+    tags=("tokenizer", "text", "udf"),
+)
+def unigram_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+    ).where(F.col("w") != "")
+    counts = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(VOCAB_CAP)
+        .collect()
+    )
+    logp = train_unigram_lm({r["w"]: r["c"] for r in counts})
+    b_logp = spark.sparkContext.broadcast(logp)
+
+    @F.pandas_udf("int")
+    def n_uni_tokens(texts: pd.Series) -> pd.Series:
+        lp = b_logp.value
+        cache: dict[str, int] = {}
+        out = []
+        for t in texts:
+            n = 0
+            for w in (t or "").lower().split():
+                if w not in cache:
+                    cache[w] = len(_viterbi_segment(w, lp))
+                n += cache[w]
+            out.append(n)
+        return pd.Series(out, dtype="int32")
+
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.expr(r"filter(split(lower(text), '\\s+'), t -> t <> '')")).alias("n_words"),
+            n_uni_tokens(F.col("text")).alias("n_unigram_tokens"),
+        )
+        .orderBy("doc_id")
+    )

@@ -72,3 +72,67 @@ def test_bpe_encode_property_fuzz():
         assert 1 <= len(toks) <= len(word) + 1
 
     check()
+
+
+# --------------------------------------------------------------------------
+# unigram-LM tokenizer
+# --------------------------------------------------------------------------
+def test_viterbi_segment_prefers_known_pieces():
+    import math
+
+    from sales_telegram_bot_data_pipeline_spark.operators.tokenizer import _viterbi_segment
+
+    logp = {"data": math.log(0.4), "base": math.log(0.4)}
+    for ch in "database":
+        logp.setdefault(ch, math.log(0.01))
+    assert _viterbi_segment("database", logp) == ["data", "base"]
+    # unknown word falls back to single chars (finite UNK penalty)
+    assert _viterbi_segment("xyz", logp) == ["x", "y", "z"]
+    assert _viterbi_segment("", logp) == []
+
+
+def test_viterbi_tie_breaks_deterministic():
+    import math
+
+    from sales_telegram_bot_data_pipeline_spark.operators.tokenizer import _viterbi_segment
+
+    # "abab" with p(ab)=p(a)=p(b): 2 pieces beats 4 at equal... scores
+    # differ; force exact tie between two 2-piece splits and check the
+    # lexicographic winner
+    p = math.log(0.25)
+    logp = {"ab": p, "a": p, "b": p, "ba": p}
+    seg = _viterbi_segment("aba", logp)  # 'ab'+'a' vs 'a'+'ba' tie
+    assert seg == ["a", "ba"]  # lexicographically smaller sequence
+
+
+def test_train_unigram_lm_covers_and_segments():
+    from sales_telegram_bot_data_pipeline_spark.operators.tokenizer import (
+        _viterbi_segment,
+        train_unigram_lm,
+    )
+
+    wc = {"scan": 10, "scans": 6, "scanner": 4, "table": 8, "tables": 5}
+    logp = train_unigram_lm(wc)
+    # every training word segments with full coverage
+    for w in wc:
+        seg = _viterbi_segment(w, logp)
+        assert "".join(seg) == w
+        assert all(p in logp or len(p) == 1 for p in seg)
+    # the shared stem is worth keeping as a piece
+    assert any(len(p) >= 4 for p in logp), "multi-char pieces survived EM"
+    # deterministic: retraining gives the identical table
+    assert train_unigram_lm(wc) == logp
+
+
+def test_unigram_token_count_bounds(spark):
+    from sales_telegram_bot_data_pipeline_spark.operators.tokenizer import (
+        unigram_token_count,
+    )
+
+    from conftest import SF_SMOKE
+
+    rows = unigram_token_count(spark, SF_SMOKE).collect()
+    assert len(rows) == 500
+    for r in rows:
+        # each word is >= 1 piece; pieces never exceed characters
+        assert r["n_unigram_tokens"] >= r["n_words"]
