@@ -215,3 +215,56 @@ def two_phase_topk(
         .withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# salted hot-key join, oracle-checked through an aggregate
+# ---------------------------------------------------------------------------
+def _salted_join_register():
+    from pyspark.sql import SparkSession
+
+    from ..registry import register
+    from ..sources.tables import load_table
+
+    @register(
+        "salted_hot_key_join",
+        oracle="""
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+""",
+        doc="Salted skew join end-to-end: orders (fact) scattered across 8 "
+        "deterministic salts, customer (dim) exploded 8x, equi-join on "
+        "(custkey, salt) — a hot customer's rows now spread over 8 "
+        "reducers instead of one.  The oracle is the PLAIN join + "
+        "aggregate: salting must be row-identical by construction, and "
+        "the exact-decimal revenue per segment proves no row was lost or "
+        "duplicated by the scatter (the manual fallback when AQE skew "
+        "splitting can't fire, e.g. a skewed key under a hash aggregate).",
+        tags=("join", "skew", "scale"),
+    )
+    def salted_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        orders = load_table(spark, sf_dir, "orders").select(
+            F.col("o_custkey").alias("custkey"), "o_totalprice"
+        )
+        customer = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("custkey"), "c_mktsegment"
+        )
+        joined = salted_join(orders, customer, "custkey")
+        return (
+            joined.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("decimal(38,2)")
+                .cast("double")
+                .alias("revenue"),
+            )
+            .orderBy("c_mktsegment")
+        )
+
+
+_salted_join_register()

@@ -107,6 +107,10 @@ try:
     from .sources import csvsrc  # noqa: F401  (CSV corpus source)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from .sources import layout  # noqa: F401  (ORC + partition-pruned layout)
+except ImportError:  # pragma: no cover
+    pass
 
 
 # --------------------------------------------------------------------------

@@ -6,6 +6,7 @@ Matryoshka audit's built-in full-dimension self-check."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from sales_telegram_bot_data_pipeline_spark.operators import similarity as sim
 from sales_telegram_bot_data_pipeline_spark.operators.similarity import (
@@ -160,3 +161,48 @@ def test_softdedup_weights_semantics(spark):
         if common == 1:
             assert r["soft_weight"] == 1.0
     assert any(r["soft_weight"] < 1.0 for r in rows)
+
+
+def test_partition_pruned_scan_plan(spark):
+    """The partition-column predicate must prune at the driver: the scan
+    node carries it as PartitionFilters, and the number of row-groups/files
+    actually read covers only the PRUNE_KEEP directories."""
+    from sales_telegram_bot_data_pipeline_spark.sources.layout import (
+        PRUNE_KEEP,
+        _scratch,
+        read_orders_pruned,
+        write_orders_partitioned,
+    )
+    from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    path = _scratch(spark, "part_orders_plan", SF_SMOKE)
+    write_orders_partitioned(orders, path)
+    pruned = read_orders_pruned(spark, path)
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    # the predicate must appear in PartitionFilters (driver-side pruning),
+    # not merely as a data filter evaluated per row after reading
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "o_orderpriority" in pf_line
+    # and the pruned read returns exactly the base-table subset
+    want = orders.where(F.col("o_orderpriority").isin(*PRUNE_KEEP)).count()
+    assert pruned.count() == want
+
+
+def test_orc_roundtrip_preserves_values(spark):
+    from sales_telegram_bot_data_pipeline_spark.sources.layout import (
+        orc_corpus_roundtrip,
+    )
+    from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
+
+    got = orc_corpus_roundtrip(spark, SF_SMOKE).collect()
+    want = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert got == want
