@@ -425,3 +425,91 @@ def score_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ranked_rel="SELECT doc_id, is_pos, r FROM sales_telegram_bot_data_pipeline_lift_ranked",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# interpolated Kneser-Ney bigram scoring
+# --------------------------------------------------------------------------
+KN_DISCOUNT = 0.75  # the standard fixed discount (Chen & Goodman 1999)
+
+
+def _kneser_ney_sql(d: Dialect, table: str) -> str:
+    """Interpolated Kneser-Ney (Kneser & Ney 1995; Chen & Goodman 1999
+    formulation) — the stronger sibling of the add-smoothing bigram LM:
+
+      P(w2|w1) = max(c(w1,w2) - D, 0) / c(w1·)
+               + D · N1+(w1,·) / c(w1·) · Pcont(w2)
+      Pcont(w2) ∝ N1+(·,w2)   (continuation TYPES, not tokens — the part
+                               that fixes 'San Francisco'-style burstiness)
+
+    trained on the frozen target subset (doc_id % BENCH_MOD = 0), scoring
+    every other doc.  OOV regularization: Pcont is add-1 smoothed over
+    (total bigram types + trained vocab + 1) so unseen continuations keep
+    finite log-prob, and an unseen CONTEXT backs off to Pcont alone
+    (lambda = 1).  All model relations (context totals, forward/backward
+    continuation type counts) are target-trained and small -> broadcast
+    scoring joins; corpus text never shuffles.  Per-term logp is
+    floor-quantized to integer 1e-6 units and BIGINT-summed, same
+    order-independence discipline as bigram_lm_score."""
+    tgt = f" WHERE doc_id % {BENCH_MOD} = 0"
+    rest = f" WHERE doc_id % {BENCH_MOD} <> 0"
+    D = KN_DISCOUNT
+    return f"""
+WITH tgt_bi AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM ({_bigram_rel(d, table, tgt)}) tb GROUP BY w1, w2
+),
+ctx AS (
+  SELECT w1, SUM(c2) AS ctx_tot, COUNT(*) AS n1p_fwd FROM tgt_bi GROUP BY w1
+),
+cont AS (
+  SELECT w2, COUNT(*) AS n1p_bwd FROM tgt_bi GROUP BY w2
+),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM tgt_bi) AS n_types,
+         (SELECT COUNT(DISTINCT w1) FROM tgt_bi) + 1 AS v
+),
+scored AS (
+  SELECT cb.doc_id,
+         LN(
+           CASE WHEN COALESCE(x.ctx_tot, 0) > 0 THEN
+             (CASE WHEN COALESCE(b.c2, 0) > {D} THEN (b.c2 - {D}) ELSE 0.0e0 END) / x.ctx_tot
+             + {D} * x.n1p_fwd / x.ctx_tot
+               * ((COALESCE(co.n1p_bwd, 0) + 1.0e0) / (t.n_types + t.v))
+           ELSE
+             (COALESCE(co.n1p_bwd, 0) + 1.0e0) / (t.n_types + t.v)
+           END
+         ) AS logp
+  FROM ({_bigram_rel(d, table, rest)}) cb
+  LEFT JOIN tgt_bi b ON b.w1 = cb.w1 AND b.w2 = cb.w2
+  LEFT JOIN ctx x ON x.w1 = cb.w1
+  LEFT JOIN cont co ON co.w2 = cb.w2
+  CROSS JOIN tot t
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         SUM(CAST(FLOOR(logp * 1e6) AS BIGINT)) AS logp_units
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(FLOOR(CAST(logp_units AS DOUBLE) / 1e6 / n_bigrams * 1e5) / 1e5 AS DOUBLE) AS avg_logp,
+       CAST(FLOOR(EXP(-(CAST(logp_units AS DOUBLE) / 1e6 / n_bigrams)) * 1e5) / 1e5 AS DOUBLE) AS ppl
+FROM agg
+ORDER BY doc_id
+"""
+
+
+@register(
+    "kneser_ney_bigram_score",
+    oracle=_kneser_ney_sql(DUCKDB, "documents"),
+    doc=f"Interpolated Kneser-Ney bigram LM (D={KN_DISCOUNT}, Chen & "
+    f"Goodman 1999) trained on the frozen target subset (doc_id % "
+    f"{BENCH_MOD} = 0): absolute discounting + continuation-TYPE backoff, "
+    "add-1-regularized Pcont for OOV, unseen contexts back off to Pcont. "
+    "Same broadcast-model/quantized-log-sum scale shape as "
+    "bigram_lm_score; the discriminating filter when add-smoothing "
+    "over-penalizes rare-but-real collocations.",
+    tags=("quality", "lm", "text"),
+)
+def kneser_ney_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_kneser_ney_sql(SPARK, _doc_view(spark, sf_dir)))

@@ -265,3 +265,32 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_completion(deduped, name, output_mode="append")
     return out.orderBy("user_id", "event_type")
+
+
+@register(
+    "streaming_attribution_join",
+    oracle=None,  # executed through the streaming engine — rows-only
+    doc="Rows-only: the view→purchase attribution interval join EXECUTED "
+    "as a real STREAM-STREAM join (both sides watermarked readStream over "
+    "the events parquet; the event-time bound lets Spark expire buffered "
+    "state at watermark+horizon, so state is bounded by the horizon, not "
+    "the stream length; inner stream-stream joins emit append — each "
+    "matched pair exactly once). Batch equivalence pinned in "
+    "test_streaming_parity.py::test_attribution_stream_matches_batch; "
+    "the registered row proves the join runs through the streaming "
+    "engine on the full events table.",
+    tags=("streaming", "interval-join"),
+)
+def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def side(event_type: str) -> DataFrame:
+        return (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .where(F.col("event_type") == event_type)
+        )
+
+    joined = attribution_join_stream(side("view"), side("purchase"))
+    name = f"sales_telegram_bot_data_pipeline_stream_attr_{next(_MEMSINK_SEQ)}"
+    out = run_to_completion(joined, name, output_mode="append")
+    return out.orderBy("view_id", "purchase_id")

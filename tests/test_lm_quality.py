@@ -63,3 +63,49 @@ def test_token_budget_selection_is_binding_fluency_prefix(spark):
         n_src = sum(1 for d in docs if d.source == src)
         assert len(rows) <= n_src
         assert min_sel_fluency >= 0.0
+
+
+def test_kneser_ney_matches_hand_computation(spark):
+    """Pin the KN formula itself (the oracle only proves Spark==DuckDB):
+    a micro corpus with known counts, recomputed by hand in Python."""
+    import math
+
+    from sales_telegram_bot_data_pipeline_spark.functions.dialect import SPARK as SP
+    from sales_telegram_bot_data_pipeline_spark.operators.curation import BENCH_MOD
+    from sales_telegram_bot_data_pipeline_spark.operators.lm_quality import (
+        KN_DISCOUNT,
+        _kneser_ney_sql,
+    )
+
+    train = "big table scan big table join"      # doc_id 0 (0 % 97 == 0)
+    score = "big table scan zzz"                 # doc_id 1
+    spark.createDataFrame(
+        [(0, train), (1, score)], "doc_id long, text string"
+    ).createOrReplaceTempView("kn_micro")
+    rows = spark.sql(_kneser_ney_sql(SP, "kn_micro")).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    got = rows[0]
+    assert got["n_bigrams"] == 3
+
+    # hand model from the train doc's bigrams:
+    # (big,table)x2 (table,scan) (scan,big) (table,join)
+    bi = {("big", "table"): 2, ("table", "scan"): 1, ("scan", "big"): 1, ("table", "join"): 1}
+    ctx_tot = {"big": 2, "table": 2, "scan": 1}
+    n1p_fwd = {"big": 1, "table": 2, "scan": 1}
+    n1p_bwd = {"table": 1, "scan": 1, "big": 1, "join": 1}
+    n_types, v = len(bi), len(ctx_tot) + 1
+    D = KN_DISCOUNT
+
+    def p(w1, w2):
+        pc = (n1p_bwd.get(w2, 0) + 1.0) / (n_types + v)
+        if ctx_tot.get(w1, 0) == 0:
+            return pc
+        disc = max(bi.get((w1, w2), 0) - D, 0.0) / ctx_tot[w1]
+        lam = D * n1p_fwd[w1] / ctx_tot[w1]
+        return disc + lam * pc
+
+    units = sum(math.floor(math.log(p(a, b)) * 1e6) for a, b in
+                [("big", "table"), ("table", "scan"), ("scan", "zzz")])
+    avg = units / 1e6 / 3
+    assert got["avg_logp"] == math.floor(avg * 1e5) / 1e5
+    assert got["ppl"] == math.floor(math.exp(-avg) * 1e5) / 1e5

@@ -432,3 +432,25 @@ def test_streaming_dedup_watermark_registry_matches_batch_distinct(spark):
         .collect()
     )
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_registered_streaming_attribution_matches_batch(spark):
+    """The REGISTERED stream-stream attribution row equals the batch
+    interval join on the same table (rows-only driver check gains a local
+    exactness pin)."""
+    from sales_telegram_bot_data_pipeline_spark.operators.temporal import (
+        attribution_interval_join,
+    )
+    from sales_telegram_bot_data_pipeline_spark.streaming.windows import (
+        streaming_attribution_join,
+    )
+
+    got = sorted(
+        (r["view_id"], r["purchase_id"], r["user_id"])
+        for r in streaming_attribution_join(spark, SF_SMOKE).collect()
+    )
+    want = sorted(
+        (r["view_id"], r["purchase_id"], r["user_id"])
+        for r in attribution_interval_join(spark, SF_SMOKE).collect()
+    )
+    assert got == want and got
