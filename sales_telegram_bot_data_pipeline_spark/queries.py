@@ -11,6 +11,11 @@ from .registry import REGISTRY, Query  # noqa: F401
 # Import order = SURVEY.md §7 milestone order; each import registers queries.
 from .operators import relational  # noqa: F401, E402
 
+try:
+    from .operators import tpch_extra  # noqa: F401  (TPC-H completion suite)
+except ImportError:  # pragma: no cover
+    pass
+
 try:  # modules added milestone by milestone
     from .operators import temporal  # noqa: F401
 except ImportError:  # pragma: no cover
