@@ -1,0 +1,385 @@
+"""Classic large-scale analytics operators: market-basket association
+rules, RFM customer segmentation, chi-squared independence, Spearman rank
+correlation, k-anonymity audit.
+
+These extend the engine beyond the reference's own pipeline (the reference
+computes per-shop price tables and user regroupings — README.md:66-106 —
+the natural next questions a sales-analytics user asks are "which brands
+sell together", "which customers matter", "is behaviour independent of
+weekday", "are these two measures monotonically related", "is this export
+re-identifiable").  Every operator is expressed as shuffles on bounded or
+pre-aggregated keys:
+
+- association rules: the pair self-join fans out per order by the DISTINCT
+  brand count of the order (<= 25 brands total), never by line count;
+- RFM / Spearman: global ranks via the distributed range-rank / range-
+  prefix-sum primitives (scalars_extra.range_ranked / range_prefix_summed)
+  — no single-partition window anywhere;
+- chi-squared / k-anonymity: map-side-combinable groupBys over bounded
+  cell / band domains.
+
+Hash-stability: all rates derive from exact integer (or DECIMAL-exact)
+inputs with identical double ops on both engines, rounded to 6 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# association rules over per-order brand baskets
+# --------------------------------------------------------------------------
+MIN_PAIR_SUPPORT = 5  # absolute co-occurrence floor
+
+_ASSOC_SQL = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+  FROM {{lineitem}} JOIN {{part}} ON p_partkey = l_partkey
+),
+tot AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM baskets),
+items AS (SELECT brand, COUNT(*) AS n_item FROM baskets GROUP BY brand),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS n_pair
+  FROM baskets a JOIN baskets b ON a.okey = b.okey AND a.brand < b.brand
+  GROUP BY a.brand, b.brand
+)
+SELECT brand_a, brand_b, CAST(n_pair AS BIGINT) AS n_pair,
+       ROUND(CAST(n_pair AS DOUBLE) / t.n_orders, 6) AS support,
+       ROUND(CAST(n_pair AS DOUBLE) / ia.n_item, 6) AS conf_a_to_b,
+       ROUND(CAST(n_pair AS DOUBLE) / ib.n_item, 6) AS conf_b_to_a,
+       ROUND(CAST(n_pair AS DOUBLE) * t.n_orders
+             / (CAST(ia.n_item AS DOUBLE) * ib.n_item), 6) AS lift
+FROM pairs
+JOIN items ia ON ia.brand = pairs.brand_a
+JOIN items ib ON ib.brand = pairs.brand_b
+CROSS JOIN tot t
+WHERE n_pair >= {MIN_PAIR_SUPPORT}
+ORDER BY brand_a, brand_b
+"""
+
+
+@register(
+    "association_rules_lift",
+    oracle=_ASSOC_SQL.format(lineitem="lineitem", part="part"),
+    doc="Market-basket association rules over per-order brand baskets: "
+    "support, directional confidence, lift.  Scale shape: the basket "
+    "relation is DISTINCT (order, brand) so the pair self-join fans out "
+    "per order by its distinct-brand count (bounded by the 25-value brand "
+    "domain, NOT by line count); pair counts are map-side combinable; the "
+    "totals relation is a one-row scalar broadcast.  All rates from exact "
+    "integer counts -> identical doubles on both engines.",
+    tags=("analytics", "association", "self-join"),
+)
+def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("sales_telegram_bot_data_pipeline_ar_l")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("sales_telegram_bot_data_pipeline_ar_p")
+    return spark.sql(
+        _ASSOC_SQL.format(lineitem="sales_telegram_bot_data_pipeline_ar_l", part="sales_telegram_bot_data_pipeline_ar_p")
+    )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation on distributed exact quintiles
+# --------------------------------------------------------------------------
+_RFM_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey AS ck,
+         datediff('day', CAST(MAX(o_orderdate) AS DATE),
+                  (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders)) AS recency_days,
+         COUNT(*) AS freq,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS monetary_cents
+  FROM orders GROUP BY o_custkey
+),
+t AS (SELECT COUNT(*) AS n FROM cust),
+r AS (SELECT ck, ROW_NUMBER() OVER (ORDER BY recency_days, ck) AS rr FROM cust),
+f AS (SELECT ck, ROW_NUMBER() OVER (ORDER BY freq, ck) AS rf FROM cust),
+m AS (SELECT ck, ROW_NUMBER() OVER (ORDER BY monetary_cents, ck) AS rm FROM cust),
+scored AS (
+  SELECT c.ck, c.monetary_cents,
+         5 - CAST((5 * (r.rr - 1)) // t.n AS INT) AS r_score,
+         1 + CAST((5 * (f.rf - 1)) // t.n AS INT) AS f_score,
+         1 + CAST((5 * (m.rm - 1)) // t.n AS INT) AS m_score
+  FROM cust c
+  JOIN r ON r.ck = c.ck JOIN f ON f.ck = c.ck JOIN m ON m.ck = c.ck
+  CROSS JOIN t
+)
+SELECT r_score, f_score, m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       -- round-half-up mean in EXACT integer math (double ROUND half-cases
+       -- differ between engines): avg_cents = (2*sum + n) // (2*n);
+       -- HUGEINT casts because DuckDB's // on DECIMAL is not integral
+       CAST(CAST(SUM(monetary_cents) * 2 + COUNT(*) AS HUGEINT)
+            // CAST(2 * COUNT(*) AS HUGEINT) AS DOUBLE) / 100 AS avg_monetary
+FROM scored GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+"""
+
+
+@register(
+    "rfm_segmentation",
+    oracle=_RFM_ORACLE,
+    doc="RFM customer segmentation: recency (days since last order), "
+    "frequency (order count), monetary (exact cents), each scored into "
+    "exact quintiles by the DISTRIBUTED range-rank primitive "
+    "(scalars_extra.range_ranked: range repartition + bounded per-"
+    "partition-count collect + partition-local row_number) — never a "
+    "single-partition global sort; ties broken by custkey so both engines "
+    "rank identically.  Oracle = the same formula over ROW_NUMBER "
+    "(the oracle may sort globally).",
+    tags=("analytics", "segmentation", "distributed-rank"),
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scalars_extra import range_ranked
+
+    orders = load_table(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max(F.to_date("o_orderdate")).alias("maxd"))
+    cust = (
+        orders.crossJoin(F.broadcast(maxd))
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.datediff(F.first("maxd"), F.max(F.to_date("o_orderdate"))).alias(
+                "recency_days"
+            ),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                    "decimal(38,0)"
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("monetary_cents"),
+        )
+        .localCheckpoint(eager=False)  # three rank passes fan out from here
+    )
+
+    def quintile(dim: str, rank_df_cols: list[str], ascending_is_best: bool):
+        ranked, n = range_ranked(spark, cust.select("ck", dim), rank_df_cols)
+        if ranked is None:
+            return None, 0
+        bucket = F.expr(f"cast((5 * (r - 1)) div {n} as int)")
+        score = (5 - bucket) if not ascending_is_best else (1 + bucket)
+        return ranked.select("ck", score.alias(f"{dim}_score")), n
+
+    r_s, n = quintile("recency_days", ["recency_days", "ck"], ascending_is_best=False)
+    if r_s is None:
+        return spark.createDataFrame(
+            [],
+            "r_score int, f_score int, m_score int, n_customers bigint, avg_monetary double",
+        )
+    f_s, _ = quintile("freq", ["freq", "ck"], ascending_is_best=True)
+    m_s, _ = quintile("monetary_cents", ["monetary_cents", "ck"], ascending_is_best=True)
+    return (
+        cust.join(r_s.withColumnRenamed("recency_days_score", "r_score"), "ck")
+        .join(f_s.withColumnRenamed("freq_score", "f_score"), "ck")
+        .join(m_s.withColumnRenamed("monetary_cents_score", "m_score"), "ck")
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.expr(
+                "cast((sum(monetary_cents) * 2 + count(1)) div (2 * count(1))"
+                " as double) / 100"
+            ).alias("avg_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+# --------------------------------------------------------------------------
+# chi-squared independence: event_type x day-of-week
+# --------------------------------------------------------------------------
+def _chi2_sql(dow_expr: str, events: str) -> str:
+    # timezone-free portable weekday: day-number since epoch mod 7
+    return f"""
+WITH ev AS (
+  SELECT event_type, CAST({dow_expr} AS INT) AS dow FROM {events}
+),
+obs AS (SELECT event_type, dow, COUNT(*) AS n_obs FROM ev GROUP BY event_type, dow),
+rt AS (SELECT event_type, COUNT(*) AS n_row FROM ev GROUP BY event_type),
+ct AS (SELECT dow, COUNT(*) AS n_col FROM ev GROUP BY dow),
+tot AS (SELECT COUNT(*) AS n FROM ev)
+SELECT o.event_type, o.dow, CAST(o.n_obs AS BIGINT) AS n_obs,
+       ROUND(CAST(r.n_row AS DOUBLE) * c.n_col / t.n, 6) AS expected,
+       ROUND(
+         (CAST(CAST(o.n_obs AS DECIMAL(38,0)) * t.n
+               - CAST(r.n_row AS DECIMAL(38,0)) * c.n_col AS DOUBLE)
+          * CAST(CAST(o.n_obs AS DECIMAL(38,0)) * t.n
+                 - CAST(r.n_row AS DECIMAL(38,0)) * c.n_col AS DOUBLE))
+         / (CAST(t.n AS DOUBLE) * t.n * r.n_row * c.n_col), 6) AS contrib
+FROM obs o
+JOIN rt r ON r.event_type = o.event_type
+JOIN ct c ON c.dow = o.dow
+CROSS JOIN tot t
+ORDER BY o.event_type, o.dow
+"""
+
+
+@register(
+    "chi_squared_independence",
+    oracle=_chi2_sql(
+        "datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7", "events"
+    ),
+    doc="Chi-squared independence contingency table of event_type x weekday "
+    "(timezone-free epoch-day mod 7): observed counts, expected under "
+    "independence, per-cell chi-squared contribution "
+    "(obs*N - rowtot*coltot)^2 / (N^2 * rowtot * coltot) with the "
+    "difference computed EXACTLY in DECIMAL(38,0) before the double "
+    "division.  One map-combinable groupBy per marginal; cell domain "
+    "bounded by |event_type| x 7.",
+    tags=("analytics", "stats", "agg"),
+)
+def chi_squared_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("sales_telegram_bot_data_pipeline_chi_ev")
+    return spark.sql(
+        _chi2_sql(
+            "datediff(to_date(ts), to_date('1970-01-01')) % 7",
+            "sales_telegram_bot_data_pipeline_chi_ev",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation with tie-corrected average ranks
+# --------------------------------------------------------------------------
+_SPEARMAN_ORACLE = """
+WITH xg AS (SELECT l_quantity AS v, COUNT(*) AS c FROM lineitem GROUP BY l_quantity),
+xr AS (
+  SELECT v, 2 * COALESCE(SUM(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS rx2
+  FROM xg
+),
+yg AS (SELECT l_extendedprice AS v, COUNT(*) AS c FROM lineitem GROUP BY l_extendedprice),
+yr AS (
+  SELECT v, 2 * COALESCE(SUM(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS ry2
+  FROM yg
+),
+t AS (SELECT COUNT(*) AS n FROM lineitem),
+d AS (
+  SELECT CAST(xr.rx2 - (t.n + 1) AS DECIMAL(38,0)) AS dx,
+         CAST(yr.ry2 - (t.n + 1) AS DECIMAL(38,0)) AS dy
+  FROM lineitem l
+  JOIN xr ON xr.v = l.l_quantity
+  JOIN yr ON yr.v = l.l_extendedprice
+  CROSS JOIN t
+),
+s AS (
+  SELECT CAST(SUM(dx * dy) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(dx * dx) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(dy * dy) AS DECIMAL(38,0)) AS syy,
+         COUNT(*) AS n
+  FROM d
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       ROUND(CAST(sxy AS DOUBLE)
+             / sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE)), 6) AS spearman_rho
+FROM s
+"""
+
+
+@register(
+    "spearman_rank_correlation",
+    oracle=_SPEARMAN_ORACLE,
+    doc="Spearman rank correlation of l_quantity vs l_extendedprice with "
+    "TIE-CORRECTED average ranks (2x-scaled so every rank is an exact "
+    "integer: rank2 = 2*count_below + count_eq + 1).  Scale shape: ranks "
+    "are computed over the DISTINCT-VALUE relation via the distributed "
+    "range-prefix-sum primitive (scalars_extra.range_prefix_summed — range "
+    "repartition + bounded per-partition-sum collect, never a corpus-"
+    "global window) and equi-joined back to rows; centered rank products "
+    "accumulate EXACTLY in DECIMAL(38,0) (|d| <= n so sums fit 38 digits "
+    "past 1e10 rows), with one double sqrt at the end.  rho identical "
+    "across engines bit-for-bit.",
+    tags=("analytics", "stats", "distributed-rank"),
+)
+def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scalars_extra import range_prefix_summed
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+
+    def rank2(col: str, out: str) -> DataFrame | None:
+        grp = li.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("c"))
+        summed, _ = range_prefix_summed(spark, grp, ["v"], "c")
+        if summed is None:
+            return None
+        return summed.select(
+            "v", (2 * F.col("cum_before") + F.col("c") + 1).cast("bigint").alias(out)
+        )
+
+    xr = rank2("l_quantity", "rx2")
+    if xr is None:
+        return spark.createDataFrame([], "n_rows bigint, spearman_rho double")
+    yr = rank2("l_extendedprice", "ry2")
+    d = (
+        li.join(xr, li.l_quantity == xr.v)
+        .drop("v")
+        .join(yr, li.l_extendedprice == yr.v)
+        .drop("v")
+    )
+    n = li.count()
+    d = d.select(
+        (F.col("rx2") - (n + 1)).cast("decimal(38,0)").alias("dx"),
+        (F.col("ry2") - (n + 1)).cast("decimal(38,0)").alias("dy"),
+    )
+    s = d.agg(
+        F.sum(F.col("dx") * F.col("dy")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("decimal(38,0)").alias("syy"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    return s.select(
+        "n_rows",
+        F.round(
+            F.col("sxy").cast("double")
+            / F.sqrt(F.col("sxx").cast("double") * F.col("syy").cast("double")),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifiers
+# --------------------------------------------------------------------------
+K_ANON_THRESHOLD = 5
+K_BAND_CAP = 10
+
+_KANON_SQL = f"""
+WITH q AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000.0) AS INT) AS bal_band
+  FROM {{customer}}
+),
+g AS (
+  SELECT c_nationkey, c_mktsegment, bal_band, COUNT(*) AS grp_n
+  FROM q GROUP BY c_nationkey, c_mktsegment, bal_band
+),
+banded AS (
+  SELECT CAST(LEAST(grp_n, {K_BAND_CAP}) AS INT) AS k_band, grp_n FROM g
+)
+SELECT k_band,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(grp_n) AS BIGINT) AS n_customers,
+       (k_band < {K_ANON_THRESHOLD}) AS at_risk
+FROM banded GROUP BY k_band
+ORDER BY k_band
+"""
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=_KANON_SQL.format(customer="customer"),
+    doc=f"k-anonymity audit of a customer export under quasi-identifiers "
+    "(nation, market segment, account-balance kilo-band): group-size "
+    f"histogram capped at {K_BAND_CAP}+, with groups below k="
+    f"{K_ANON_THRESHOLD} flagged re-identifiable.  Two map-combinable "
+    "groupBys; band domain bounded — the governance gate a dataset "
+    "release pipeline runs before publishing.",
+    tags=("analytics", "privacy", "audit"),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("sales_telegram_bot_data_pipeline_kan_c")
+    return spark.sql(_KANON_SQL.format(customer="sales_telegram_bot_data_pipeline_kan_c"))

@@ -702,6 +702,59 @@ def range_ranked(spark: SparkSession, df: DataFrame, cols: list[str]):
     return ranked, n_total
 
 
+def range_prefix_summed(spark: SparkSession, df: DataFrame, cols: list[str], sum_col: str):
+    """Exact EXCLUSIVE prefix sum of ``sum_col`` in ``cols`` order WITHOUT a
+    single-partition sort — the summing sibling of :func:`range_ranked`:
+
+    1. ``repartitionByRange`` on the ordering key (checkpointed so the
+       offset job and the window job see identical assignments);
+    2. bounded collect of ONE partial sum per partition -> cumulative
+       partition offsets;
+    3. per-partition running sum (WindowExec partitioned by partition id,
+       rows UNBOUNDED PRECEDING .. 1 PRECEDING) + broadcast offsets.
+
+    Returns ``(df_with_cum_before, grand_total)`` where ``cum_before`` is
+    the BIGINT sum of ``sum_col`` over all rows strictly before the row in
+    ``cols`` order (ties impossible by contract: ``cols`` must be a key of
+    ``df`` — e.g. the distinct-value relation of a CDF/rank computation).
+    ``(None, 0)`` on empty input."""
+    from pyspark.sql.window import Window
+
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    parted = (
+        df.repartitionByRange(nparts, *cols)
+        .localCheckpoint(eager=False)
+        .withColumn("pid", F.spark_partition_id())
+    )
+    psums = {
+        r["pid"]: r["s"]
+        for r in parted.groupBy("pid")
+        .agg(F.sum(F.col(sum_col).cast("bigint")).alias("s"))
+        .collect()
+    }
+    if not psums:
+        return None, 0
+    grand_total = sum(psums.values())
+    offsets, acc = {}, 0
+    for pid in sorted(psums):
+        offsets[pid] = acc
+        acc += psums[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+    )
+    w = (
+        Window.partitionBy("pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = parted.withColumn(
+        "cum_before",
+        F.coalesce(F.sum(F.col(sum_col).cast("bigint")).over(w), F.lit(0).cast("bigint"))
+        + F.element_at(off_map, F.col("pid")),
+    ).drop("pid")
+    return out, grand_total
+
+
 # --------------------------------------------------------------------------
 # equi-depth histogram (NTILE — the frequency-balanced sibling)
 # --------------------------------------------------------------------------

@@ -116,6 +116,10 @@ try:
     from .sources import layout  # noqa: F401  (ORC + partition-pruned layout)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from .operators import analytics  # noqa: F401  (assoc rules, RFM, chi2, ...)
+except ImportError:  # pragma: no cover
+    pass
 
 
 # --------------------------------------------------------------------------
