@@ -383,3 +383,70 @@ ORDER BY k_band
 def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("sales_telegram_bot_data_pipeline_kan_c")
     return spark.sql(_KANON_SQL.format(customer="sales_telegram_bot_data_pipeline_kan_c"))
+
+
+# --------------------------------------------------------------------------
+# epsilon band join via bucketing (|price_a - price_b| <= eps)
+# --------------------------------------------------------------------------
+BAND_EPS = 100.0  # dollars
+
+_BAND_JOIN_ORACLE = f"""
+WITH priced AS (
+  SELECT o_orderkey AS okey, o_orderpriority AS pri,
+         CAST(o_totalprice AS DOUBLE) AS p
+  FROM orders
+),
+pairs AS (
+  SELECT a.pri AS pri,
+         CAST(ROUND(abs(a.p - c.p) * 100) AS BIGINT) AS gap_cents
+  FROM priced a JOIN priced c
+    ON c.pri = a.pri AND a.okey < c.okey AND abs(a.p - c.p) <= {BAND_EPS}
+)
+SELECT pri AS o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(gap_cents) AS DOUBLE) / (100.0 * COUNT(*)), 6) AS avg_gap
+FROM pairs GROUP BY pri ORDER BY pri
+"""
+
+_BAND_JOIN_SPARK = f"""
+WITH priced AS (
+  SELECT o_orderkey AS okey, o_orderpriority AS pri,
+         CAST(o_totalprice AS DOUBLE) AS p,
+         CAST(FLOOR(o_totalprice / {BAND_EPS}) AS BIGINT) AS b
+  FROM {{orders}}
+),
+probe AS (
+  SELECT okey, pri, p, b + d AS nb
+  FROM priced LATERAL VIEW explode(array(-1, 0, 1)) t AS d
+),
+pairs AS (
+  SELECT a.pri AS pri,
+         CAST(ROUND(abs(a.p - c.p) * 100) AS BIGINT) AS gap_cents
+  FROM priced a JOIN probe c
+    ON c.pri = a.pri AND c.nb = a.b AND a.okey < c.okey
+  WHERE abs(a.p - c.p) <= {BAND_EPS}
+)
+SELECT pri AS o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(gap_cents) AS DOUBLE) / (100.0 * COUNT(*)), 6) AS avg_gap
+FROM pairs GROUP BY pri ORDER BY pri
+"""
+
+
+@register(
+    "band_join_price_neighbors",
+    oracle=_BAND_JOIN_ORACLE,
+    doc=f"Epsilon band join: pairs of same-priority orders within "
+    f"+/-{BAND_EPS} of each other's total price, counted per priority with "
+    "the mean gap (gaps summed EXACTLY as integer cents).  Scale shape: "
+    "the theta condition |pa-pb|<=eps becomes an EQUI-join on "
+    "floor(price/eps) buckets with the probe side exploded to its 3 "
+    "candidate buckets — each qualifying pair matches exactly one bucket, "
+    "so no dedup pass is needed and the join never degenerates to a "
+    "nested loop.  Oracle = the direct theta-join form (different plan, "
+    "same pairs — the bucketing logic is what's under test).",
+    tags=("analytics", "join", "band"),
+)
+def band_join_price_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sales_telegram_bot_data_pipeline_bj_o")
+    return spark.sql(_BAND_JOIN_SPARK.format(orders="sales_telegram_bot_data_pipeline_bj_o"))

@@ -1881,3 +1881,76 @@ def source_quality_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             ranked_rel="SELECT source, r FROM sales_telegram_bot_data_pipeline_ranksum_ranked",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries mergeable heavy-hitter summary (deterministic CMS sibling)
+# --------------------------------------------------------------------------
+MG_CAPACITY = 512
+MG_TOPK = 20
+
+_MG_ORACLE = f"""
+WITH wc AS (
+  SELECT word, COUNT(*) AS cnt FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word FROM documents
+  ) w WHERE length(word) > 0
+  GROUP BY word
+)
+SELECT word, CAST(cnt AS BIGINT) AS n
+FROM wc ORDER BY n DESC, word LIMIT {MG_TOPK}
+"""
+
+
+def _mg_summarize(batches):
+    """Per-partition Misra-Gries summary with the MERGEABLE-summaries
+    reduction (Agarwal et al., PODS 2012): fold each Arrow batch's value
+    counts into the counter set; when capacity overflows, subtract the
+    (capacity+1)-th largest count from everything and drop non-positives.
+    Guarantee preserved under arbitrary batching/merging: any token with
+    true partition frequency > n_partition/(capacity+1) survives."""
+    import pandas as pd
+
+    counters: dict[str, int] = {}
+    for pdf in batches:
+        for w, c in pdf["word"].value_counts().items():
+            counters[w] = counters.get(w, 0) + int(c)
+        if len(counters) > MG_CAPACITY:
+            kth = sorted(counters.values(), reverse=True)[MG_CAPACITY]
+            counters = {w: c - kth for w, c in counters.items() if c - kth > 0}
+    yield pd.DataFrame(
+        {"word": list(counters.keys()), "lb": list(counters.values())}
+    )
+
+
+@register(
+    "misra_gries_topk",
+    oracle=_MG_ORACLE,
+    doc=f"Misra-Gries heavy hitters: per-partition mergeable counter "
+    f"summaries (capacity {MG_CAPACITY}, Arrow-batched mapInPandas) union "
+    "into a candidate set, then ONE exact recount pass restricted to the "
+    "candidates (broadcast semi-join) picks the true top-"
+    f"{MG_TOPK}.  The DETERMINISTIC fixed-state sibling of "
+    "countmin_heavy_hitters: no hash collisions, candidate-set guarantee "
+    "freq > N/(capacity+1), and the exact final recount makes the output "
+    "order-independent even though each partition's summary is not.  "
+    "Oracle = exact top-k (equal by the superset guarantee; pinned "
+    "adversarially in tests/test_round6d_ops.py).",
+    tags=("curation", "sketch", "text", "python-stage"),
+)
+def misra_gries_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    view = _doc_view(spark, sf_dir)
+    w = SPARK.splitws("lower(text)")
+    words = spark.sql(
+        f"SELECT word FROM (SELECT {w} AS ws FROM {view}) s "
+        f"LATERAL VIEW explode(ws) t AS word WHERE length(word) > 0"
+    )
+    cand = (
+        words.mapInPandas(_mg_summarize, schema="word string, lb long")
+        .select("word")
+        .distinct()
+        .localCheckpoint()  # bounded: <= capacity x partitions rows
+    )
+    exact = words.join(F.broadcast(cand), "word").groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return exact.orderBy(F.desc("n"), "word").limit(MG_TOPK)

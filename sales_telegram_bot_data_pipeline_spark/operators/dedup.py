@@ -2080,3 +2080,78 @@ ORDER BY c.doc_id
 )
 def softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_softdedup_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# multi-source BFS hop distances over the near-dup graph
+# --------------------------------------------------------------------------
+BFS_MAX_HOPS = 4
+BFS_SEED_MOD = 100  # seeds = doc_id % BFS_SEED_MOD == 0
+
+
+def _bfs_oracle_sql(d: Dialect, table: str) -> str:
+    """DuckDB twin: bounded-depth walk by recursive CTE over the SAME
+    symmetric LSH pair graph; MIN(hops) per reached doc == BFS level."""
+    pairs = _lsh_pairs_sql(d, table).replace("ORDER BY doc_a, doc_b", "")
+    return f"""
+WITH RECURSIVE sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM ({pairs}) p
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM ({pairs}) p
+),
+walk(doc_id, hops) AS (
+  SELECT doc_id, 0 FROM {table} WHERE doc_id % {BFS_SEED_MOD} = 0
+  UNION ALL
+  SELECT s.dst, w.hops + 1
+  FROM walk w JOIN sym s ON s.src = w.doc_id
+  WHERE w.hops < {BFS_MAX_HOPS}
+)
+SELECT doc_id, CAST(MIN(hops) AS INT) AS hops
+FROM walk GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register(
+    "graph_bfs_hops",
+    oracle=_bfs_oracle_sql(DUCKDB, "documents"),
+    doc=f"Multi-source BFS: shortest hop distance (cap {BFS_MAX_HOPS}) from "
+    "a seed set (doc_id % 100 == 0) over the MinHash-LSH near-dup graph — "
+    "the 'how far does contamination spread from these known-bad docs' "
+    "query.  Frontier expansion is one equi-join + one anti-join per level "
+    "(frontier x edges, minus visited), every relation checkpointed so no "
+    "iteration replans lineage; level count bounded by the cap, per-level "
+    "work bounded by the frontier, never the corpus.  Oracle = bounded "
+    "recursive-CTE walk with MIN(hops).",
+    tags=("dedup", "graph", "iterative"),
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    view = _doc_view(spark, sf_dir)
+    mat = spark.sql(_lsh_pairs_sql(SPARK, view)).localCheckpoint()
+    sym = (
+        mat.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionAll(mat.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .repartition("src")
+        .localCheckpoint()
+    )
+    seeds = (
+        spark.table(view)
+        .select("doc_id")
+        .where(F.col("doc_id") % BFS_SEED_MOD == 0)
+        .localCheckpoint()
+    )
+    dist = seeds.select("doc_id", F.lit(0).cast("int").alias("hops"))
+    visited, frontier = seeds, seeds
+    for h in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            sym.join(frontier, sym.src == frontier.doc_id)
+            .select(F.col("dst").alias("doc_id"))
+            .distinct()
+            .join(visited, "doc_id", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionAll(nxt.select("doc_id", F.lit(h).cast("int").alias("hops")))
+        visited = visited.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+    return dist.orderBy("doc_id")

@@ -244,3 +244,86 @@ ORDER BY doc_id, rk
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_tfidf_top_terms_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# MMR diversified re-ranking over the dense arm
+# --------------------------------------------------------------------------
+MMR_LAMBDA = 0.7
+MMR_POOL = 50
+MMR_K = 10
+
+
+@register(
+    "mmr_diversified_topk",
+    oracle=None,  # sequential argmax selection is not SQL-expressible;
+    # invariants pinned in tests/test_round6d_ops.py (first pick = top
+    # relevance, rerun determinism, duplicate suppression)
+    doc=f"Maximal Marginal Relevance re-ranking (Carbonell & Goldstein "
+    f"1998): the dense arm's top-{MMR_POOL} cosine candidates (TakeOrdered "
+    "— never a global sort) are re-ranked by iteratively selecting "
+    f"argmax lambda*rel - (1-lambda)*max_sim_to_selected, k={MMR_K}, "
+    f"lambda={MMR_LAMBDA}.  The candidate pool is a BOUNDED collect "
+    "(O(pool x dim) driver state — the same bounded-model contract as "
+    "k-means centroids); selection is O(k x pool) float64 ops, "
+    "deterministic with (score desc, vec_id asc) tie-break.  Query vector "
+    "chosen by rule (MIN vec_id) like hybrid_rrf_retrieval.",
+    tags=("retrieval", "similarity", "rerank"),
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if emb.isEmpty():
+        return spark.createDataFrame(
+            [], "rank int, vec_id bigint, relevance double, mmr_score double"
+        )
+    qrow = emb.orderBy("vec_id").limit(1).collect()[0]
+    q = np.asarray(qrow["embedding"], dtype=np.float64)
+    qn = q / np.sqrt((q * q).sum())
+    from pyspark.sql import functions as F
+
+    qlit = F.array(*[F.lit(float(x)) for x in qn])
+    scored = (
+        emb.where(F.col("vec_id") != int(qrow["vec_id"]))
+        .withColumn("__q", qlit)
+        .select(
+            "vec_id",
+            "embedding",
+            F.expr(
+                "aggregate(zip_with(embedding, __q, (x, y) -> cast(x as double) * y),"
+                " cast(0 as double), (a, v) -> a + v)"
+                " / sqrt(aggregate(transform(embedding, x -> cast(x as double) * x),"
+                " cast(0 as double), (a, v) -> a + v))"
+            ).alias("relevance"),
+        )
+    )
+    pool = scored.orderBy(F.desc("relevance"), "vec_id").limit(MMR_POOL).collect()
+    if not pool:
+        return spark.createDataFrame(
+            [], "rank int, vec_id bigint, relevance double, mmr_score double"
+        )
+    vecs = np.asarray([r["embedding"] for r in pool], dtype=np.float64)
+    vecs = vecs / np.sqrt((vecs * vecs).sum(axis=1, keepdims=True))
+    rel = np.asarray([r["relevance"] for r in pool])
+    ids = [int(r["vec_id"]) for r in pool]
+    selected: list[int] = []
+    out = []
+    max_sim = np.full(len(pool), -1.0)
+    for rank in range(1, min(MMR_K, len(pool)) + 1):
+        if selected:
+            sims = vecs @ vecs[selected[-1]]
+            max_sim = np.maximum(max_sim, sims)
+            score = MMR_LAMBDA * rel - (1 - MMR_LAMBDA) * max_sim
+        else:
+            score = rel.copy()
+        score[selected] = -np.inf
+        # deterministic argmax: best score, then smallest vec_id
+        best = min(range(len(pool)), key=lambda i: (-score[i], ids[i]))
+        selected.append(best)
+        out.append(
+            (rank, ids[best], round(float(rel[best]), 6), round(float(score[best]), 6))
+        )
+    return spark.createDataFrame(
+        out, "rank int, vec_id bigint, relevance double, mmr_score double"
+    )
