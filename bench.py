@@ -20,19 +20,21 @@ timed out):
   compile cost before any timing: measured, detected_data_pipeline's first
   sf0.1 run is 9.6 s vs 3.0 s steady state.  Untimed, so job interleaving
   cannot pollute any number.
-- Each query is then timed CONSECUTIVELY: min of two steady-state runs,
-  plus a third when the second still exceeded SLOW_THRESHOLD — the host is
-  shared and multi-second scheduler transients land on a random query per
-  run, and the Python-stage-heavy queries carry the variance (measured:
-  consecutive runs 5.2 / 8.1 / 2.6 s with a 2.6 s steady state), so the
-  extra sample goes where the variance lives.
-- The timed phase runs SLOWEST-FIRST (ordered by warm-up time): two global
-  deadline guards keep the sweep inside the driver's timeout no matter how
-  noisy the host is — past SOFT (default 400 s) no third samples are
-  granted; past HARD (default 480 s) remaining queries get a single timed
-  run — and slowest-first ordering means any clamp degrades the CHEAP tail
-  (where one sample is fine), never the expensive Python-stage queries
-  whose single sample would carry the most noise.
+- The timed phase is two-pass, coverage-first.  PASS 1 takes ONE steady
+  sample of every query, slowest-first (any fixed-samples-per-query
+  policy starves the tail: at 229 queries, 2-samples-each left 141
+  queries on contention-inflated warm-up fallbacks before the hard
+  deadline — round-6 postmortem).  PASS 2 spends whatever budget remains
+  re-sampling slowest-first — the host is shared and multi-second
+  scheduler transients land on a random query per run, and an absolute
+  transient hurts a 3 s query's number most — taking min-of-2 and a
+  variance-triggered third only when the two samples disagree by more
+  than SPREAD_THRESHOLD.
+- Deadline guards: PASS 2 stops at SOFT (default 380 s); PASS 1 falls
+  back to the warm-up time (real execution, contention-inflated upper
+  bound, never a re-run) past HARD (default 450 s) — a catastrophic-host
+  backstop that normally never fires, since pass 1 costs roughly the
+  steady-state registry total (~200 s at sf0.1).
 - Python gc runs between timings so py4j reference-release backlogs aren't
   attributed to an innocent query.
 
@@ -54,15 +56,15 @@ from concurrent.futures import ThreadPoolExecutor
 from sales_telegram_bot_data_pipeline_spark import queries as q
 from sales_telegram_bot_data_pipeline_spark.session import get_spark
 
-SLOW_THRESHOLD = 0.8  # sec at the warm run; slower queries earn a third sample
+SPREAD_THRESHOLD = 0.25  # min-relative spread of 2 samples that earns a third
 
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    soft_deadline = float(os.environ.get("SPARK_GRAFT_BENCH_SOFT_DEADLINE", "400"))
-    hard_deadline = float(os.environ.get("SPARK_GRAFT_BENCH_HARD_DEADLINE", "480"))
+    soft_deadline = float(os.environ.get("SPARK_GRAFT_BENCH_SOFT_DEADLINE", "380"))
+    hard_deadline = float(os.environ.get("SPARK_GRAFT_BENCH_HARD_DEADLINE", "450"))
     forced_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "0"))
-    warm_par = int(os.environ.get("SPARK_GRAFT_BENCH_WARM_PAR", "4"))
+    warm_par = int(os.environ.get("SPARK_GRAFT_BENCH_WARM_PAR", "8"))
     t_start = time.perf_counter()
     spark = get_spark(app_name="sales_telegram_bot_data_pipeline_spark-bench")
     # full registry in driver-facing order (oracle-backed first, rows-only
@@ -84,38 +86,61 @@ def main() -> int:
 
     with ThreadPoolExecutor(max_workers=max(1, warm_par)) as pool:
         list(pool.map(_warm, names))
+    print(
+        f"[bench] warmup done at {time.perf_counter() - t_start:.1f}s "
+        f"({len(names)} queries, par={warm_par})",
+        file=sys.stderr,
+    )
 
     # Slowest-first (warm-up times are contention-inflated but fine for
     # ORDERING): deadline clamps then degrade only the cheap tail.
     names = sorted(names, key=lambda n: -warm_t.get(n, 0.0))
 
-    times: dict[str, float] = {}
-    for name in names:
-        fn = q.REGISTRY[name].fn
-        samples: list[float] = []
-        while True:
-            gc.collect()
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            samples.append(time.perf_counter() - t0)
-            elapsed = time.perf_counter() - t_start
-            if forced_passes:
-                if len(samples) >= forced_passes:
-                    break
-                continue
-            if elapsed > hard_deadline:
-                break  # at risk of the driver's timeout: one sample stands
-            if len(samples) == 1:
-                continue  # always take a second steady sample
-            if (
-                len(samples) == 2
-                and samples[-1] > SLOW_THRESHOLD
-                and elapsed < soft_deadline
-            ):
-                continue  # slow query, budget allows: one more steady sample
-            break
-        times[name] = round(min(samples), 3)
+    def _timed_run(name: str) -> float:
+        gc.collect()
+        t0 = time.perf_counter()
+        q.REGISTRY[name].fn(spark, sf_dir).collect()
+        return time.perf_counter() - t0
 
+    times: dict[str, float] = {}
+    if forced_passes:
+        for name in names:
+            times[name] = round(min(_timed_run(name) for _ in range(forced_passes)), 3)
+    else:
+        # PASS 1 — one steady sample for EVERY query, slowest-first.  Full
+        # real-measurement coverage is the invariant: at 229 queries a
+        # 2-samples-each default left 141 queries on contention-inflated
+        # warm-up fallbacks before the hard deadline (round-6 postmortem).
+        for name in names:
+            if time.perf_counter() - t_start > hard_deadline:
+                # catastrophic-host backstop only: the warm-up run (real
+                # execution, contention-inflated upper bound) stands
+                times[name] = round(warm_t.get(name, 0.0), 3)
+            else:
+                times[name] = round(_timed_run(name), 3)
+        # PASS 2 — spend the LEFTOVER budget re-sampling where the noise
+        # hurts the total most: slowest queries first, min of the samples;
+        # a third tiebreak only when the two disagree by >SPREAD_THRESHOLD.
+        for name in sorted(times, key=lambda n: -times[n]):
+            if time.perf_counter() - t_start > soft_deadline:
+                break
+            second = _timed_run(name)
+            best = min(times[name], second)
+            if (
+                abs(second - times[name]) / max(best, 1e-9) > SPREAD_THRESHOLD
+                and time.perf_counter() - t_start < soft_deadline
+            ):
+                best = min(best, _timed_run(name))
+            times[name] = round(best, 3)
+
+    n_fallback = sum(1 for n in times if n not in ()) and sum(
+        1 for n, v in times.items() if v == round(warm_t.get(n, -1.0), 3)
+    )
+    print(
+        f"[bench] timed phase done at {time.perf_counter() - t_start:.1f}s; "
+        f"~{n_fallback} warm-time fallbacks",
+        file=sys.stderr,
+    )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_query_wall_clock_total",

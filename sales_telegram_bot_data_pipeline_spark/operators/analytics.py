@@ -450,3 +450,318 @@ FROM pairs GROUP BY pri ORDER BY pri
 def band_join_price_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("sales_telegram_bot_data_pipeline_bj_o")
     return spark.sql(_BAND_JOIN_SPARK.format(orders="sales_telegram_bot_data_pipeline_bj_o"))
+
+
+# --------------------------------------------------------------------------
+# closed-form OLS trend over daily revenue
+# --------------------------------------------------------------------------
+_OLS_SQL = """
+WITH daily AS (
+  SELECT CAST({datediff} AS BIGINT) AS x,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS y
+  FROM {orders} GROUP BY {datediff}
+),
+s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy
+  FROM daily
+),
+c AS (
+  SELECT n,
+         CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS num,
+         CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS den_x,
+         CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS den_y,
+         sx, sy
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       ROUND(CAST(num AS DOUBLE) / CAST(den_x AS DOUBLE) / 100.0, 6) AS slope_per_day,
+       ROUND((CAST(sy AS DOUBLE) - CAST(num AS DOUBLE) / CAST(den_x AS DOUBLE)
+              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 100.0, 6) AS intercept,
+       ROUND(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+             / (CAST(den_x AS DOUBLE) * CAST(den_y AS DOUBLE)), 6) AS r_squared
+FROM c
+"""
+
+
+@register(
+    "revenue_trend_ols",
+    oracle=_OLS_SQL.format(
+        datediff="datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))",
+        orders="orders",
+    ),
+    doc="Closed-form OLS trend line over daily revenue: slope ($/day), "
+    "intercept, R^2 from the five classic sums (Sx, Sy, Sxx, Syy, Sxy) — "
+    "ONE aggregation pass over the bounded daily relation, every sum "
+    "accumulated EXACTLY in DECIMAL(38,0) cents (order-independent), the "
+    "final ratios in identical double ops.  The distributed shape of "
+    "'fit a regression without collecting anything': model state is O(1).",
+    tags=("analytics", "stats", "regression"),
+)
+def revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sales_telegram_bot_data_pipeline_ols_o")
+    return spark.sql(
+        _OLS_SQL.format(
+            datediff="datediff(to_date(o_orderdate), to_date('1970-01-01'))",
+            orders="sales_telegram_bot_data_pipeline_ols_o",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit
+# --------------------------------------------------------------------------
+# log10(1 + 1/d) to 6 places, inlined as LITERALS so both engines compare
+# against bit-identical constants (no libm dependency in the oracle path)
+_BENFORD = {
+    1: "0.301030", 2: "0.176091", 3: "0.124939", 4: "0.096910",
+    5: "0.079181", 6: "0.066947", 7: "0.057992", 8: "0.051153",
+    9: "0.045757",
+}
+
+_BENFORD_SQL = f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS {{strtype}}), 1, 1) AS INT)
+           AS digit
+  FROM {{orders}} WHERE o_totalprice >= 1
+),
+obs AS (SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit),
+tot AS (SELECT COUNT(*) AS n_all FROM digits)
+SELECT digit, CAST(n AS BIGINT) AS n_orders,
+       ROUND(CAST(n AS DOUBLE) / t.n_all, 6) AS share,
+       (CASE digit {' '.join(f'WHEN {d} THEN {v}' for d, v in _BENFORD.items())}
+        END) AS benford_expected,
+       ROUND(ABS(CAST(n AS DOUBLE) / t.n_all
+             - (CASE digit {' '.join(f'WHEN {d} THEN {v}' for d, v in _BENFORD.items())} END)), 6)
+         AS abs_deviation
+FROM obs CROSS JOIN tot t
+ORDER BY digit
+"""
+
+
+@register(
+    "benford_first_digit_audit",
+    oracle=_BENFORD_SQL.format(strtype="VARCHAR", orders="orders"),
+    doc="Benford's-law data-quality audit: first-significant-digit "
+    "distribution of order totals vs the log10(1+1/d) expectation "
+    "(inlined as literal constants — no libm in the comparison path), "
+    "with absolute deviation per digit.  The classic fabricated-data / "
+    "broken-ingest tripwire; one map-combinable groupBy over a 9-value "
+    "domain plus a scalar total.",
+    tags=("analytics", "audit", "stats"),
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sales_telegram_bot_data_pipeline_ben_o")
+    return spark.sql(_BENFORD_SQL.format(strtype="STRING", orders="sales_telegram_bot_data_pipeline_ben_o"))
+
+
+# --------------------------------------------------------------------------
+# l-diversity audit (sibling of k-anonymity: sensitive-value diversity)
+# --------------------------------------------------------------------------
+L_DIVERSITY_THRESHOLD = 3
+
+_LDIV_SQL = f"""
+WITH q AS (
+  SELECT c_nationkey,
+         CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000.0) AS INT) AS bal_band,
+         c_mktsegment
+  FROM {{customer}}
+),
+g AS (
+  SELECT c_nationkey, bal_band,
+         COUNT(*) AS grp_n,
+         COUNT(DISTINCT c_mktsegment) AS l
+  FROM q GROUP BY c_nationkey, bal_band
+)
+SELECT CAST(l AS INT) AS l_value,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(grp_n) AS BIGINT) AS n_customers,
+       (l < {L_DIVERSITY_THRESHOLD}) AS at_risk
+FROM g GROUP BY l ORDER BY l_value
+"""
+
+
+@register(
+    "l_diversity_audit",
+    oracle=_LDIV_SQL.format(customer="customer"),
+    doc="l-diversity audit: within each quasi-identifier group (nation, "
+    "account-balance kilo-band), how many DISTINCT sensitive values "
+    "(market segment) appear — a k-anonymous group with one segment still "
+    f"leaks it.  Groups with l < {L_DIVERSITY_THRESHOLD} flagged.  Two "
+    "map-combinable groupBys (the distinct lands inside the first); "
+    "the release-gate sibling of k_anonymity_audit.",
+    tags=("analytics", "privacy", "audit"),
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("sales_telegram_bot_data_pipeline_ldiv_c")
+    return spark.sql(_LDIV_SQL.format(customer="sales_telegram_bot_data_pipeline_ldiv_c"))
+
+
+# --------------------------------------------------------------------------
+# schema contract audit (metadata gate — rows-only)
+# --------------------------------------------------------------------------
+# expected physical schemas for the engine's canonical tables; a column may
+# list several accepted types where testdata generations differ on disk
+# (events.ts has shipped as both TIMESTAMP and TIMESTAMP(NANOS)-as-long —
+# sources/tables.py adapts, so the contract accepts the adapted type)
+SCHEMA_CONTRACT: dict[str, dict[str, tuple[str, ...]]] = {
+    "orders": {
+        "o_orderkey": ("bigint",),
+        "o_custkey": ("bigint",),
+        "o_orderstatus": ("string",),
+        "o_totalprice": ("double",),
+        "o_orderdate": ("timestamp", "timestamp_ntz"),
+        "o_orderpriority": ("string",),
+    },
+    "events": {
+        "event_id": ("bigint",),
+        "ts": ("timestamp", "timestamp_ntz"),
+        "user_id": ("bigint",),
+        "event_type": ("string",),
+        "value": ("double",),
+        "props": ("string",),
+    },
+    "documents": {
+        "doc_id": ("bigint",),
+        "text": ("string",),
+        "lang": ("string",),
+        "source": ("string",),
+        "n_chars": ("bigint",),
+    },
+    "embeddings": {
+        "vec_id": ("bigint",),
+        "embedding": ("array<float>", "array<double>"),
+        "label": ("int",),
+    },
+}
+
+
+@register(
+    "schema_contract_audit",
+    oracle=None,  # pure metadata — DuckDB sees different physical types by
+    # design (e.g. nanosecond timestamps); pinned in tests/test_round6d_ops.py
+    doc="Schema contract gate: every canonical table's live schema checked "
+    "column-by-column against the declared contract — missing columns, "
+    "type drift, and unexpected extras each emit a violation row; green "
+    "tables emit an 'ok' row so the output is non-empty exactly when the "
+    "scan succeeded.  Runs on table METADATA only (no data read past the "
+    "parquet footer) — the pre-flight check an ingest DAG runs before "
+    "committing a batch, same family as table_checksum_audit.",
+    tags=("analytics", "audit", "schema"),
+)
+def schema_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out: list[tuple[str, str, str, str, str]] = []
+    for tname, contract in sorted(SCHEMA_CONTRACT.items()):
+        try:
+            live = dict(load_table(spark, sf_dir, tname).dtypes)
+        except Exception as e:  # unreadable table is itself a violation
+            out.append((tname, "*", "|".join(("<readable>",)), type(e).__name__, "unreadable"))
+            continue
+        bad = False
+        for col, accepted in sorted(contract.items()):
+            got = live.get(col)
+            if got is None:
+                out.append((tname, col, "|".join(accepted), "<missing>", "missing"))
+                bad = True
+            elif got not in accepted:
+                out.append((tname, col, "|".join(accepted), got, "type_drift"))
+                bad = True
+        for col in sorted(set(live) - set(contract)):
+            out.append((tname, col, "<absent>", live[col], "unexpected"))
+            bad = True
+        if not bad:
+            out.append((tname, "*", "*", "*", "ok"))
+    return spark.createDataFrame(
+        out, "table_name string, column_name string, expected string, actual string, status string"
+    ).orderBy("table_name", "column_name")
+
+
+# --------------------------------------------------------------------------
+# revenue concentration: Gini coefficient + Pareto top-shares
+# --------------------------------------------------------------------------
+_CONCENTRATION_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey AS ck,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT ck, cents, ROW_NUMBER() OVER (ORDER BY cents, ck) AS r,
+         COUNT(*) OVER () AS n
+  FROM cust
+),
+s AS (
+  SELECT MAX(n) AS n,
+         CAST(SUM(cents) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(CAST(r AS DECIMAL(38,0)) * cents) AS DECIMAL(38,0)) AS sry,
+         CAST(SUM(CASE WHEN r > n - n // 10 THEN cents ELSE 0 END)
+              AS DECIMAL(38,0)) AS top10,
+         CAST(SUM(CASE WHEN r > n - n // 100 THEN cents ELSE 0 END)
+              AS DECIMAL(38,0)) AS top1
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       ROUND(2.0 * CAST(sry AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sy AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini,
+       ROUND(CAST(top10 AS DOUBLE) / CAST(sy AS DOUBLE), 6) AS top10pct_share,
+       ROUND(CAST(top1 AS DOUBLE) / CAST(sy AS DOUBLE), 6) AS top1pct_share
+FROM s
+"""
+
+
+@register(
+    "revenue_concentration_audit",
+    oracle=_CONCENTRATION_ORACLE,
+    doc="Revenue concentration: exact Gini coefficient over per-customer "
+    "revenue (rank formula G = 2*Sum(r*y)/(n*Sum(y)) - (n+1)/n, ranks from "
+    "the DISTRIBUTED range-rank primitive with custkey tie-break) plus "
+    "Pareto top-10%% / top-1%% revenue shares from the same ranked "
+    "relation.  Every sum is DECIMAL(38,0)-exact integer cents; the only "
+    "doubles are the final ratios — bit-identical across engines.  The "
+    "'how 80/20 is this business' audit, one rank pass + one aggregate.",
+    tags=("analytics", "stats", "distributed-rank"),
+)
+def revenue_concentration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scalars_extra import range_ranked
+
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("decimal(38,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("cents")
+        )
+    )
+    ranked, n = range_ranked(spark, cust, ["cents", "ck"])
+    if ranked is None:
+        return spark.createDataFrame(
+            [], "n_customers bigint, gini double, top10pct_share double, top1pct_share double"
+        )
+    s = ranked.agg(
+        F.sum("cents").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("r").cast("decimal(38,0)") * F.col("cents"))
+        .cast("decimal(38,0)")
+        .alias("sry"),
+        F.sum(F.when(F.col("r") > n - n // 10, F.col("cents")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("top10"),
+        F.sum(F.when(F.col("r") > n - n // 100, F.col("cents")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("top1"),
+    )
+    return s.selectExpr(
+        f"cast({n} as bigint) AS n_customers",
+        f"round(2.0 * cast(sry as double) / ({float(n)} * cast(sy as double))"
+        f" - ({float(n)} + 1.0) / {float(n)}, 6) AS gini",
+        "round(cast(top10 as double) / cast(sy as double), 6) AS top10pct_share",
+        "round(cast(top1 as double) / cast(sy as double), 6) AS top1pct_share",
+    )

@@ -513,3 +513,59 @@ ORDER BY doc_id
 )
 def kneser_ney_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_kneser_ney_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# inter-gate agreement: Cohen's kappa between the two quality gates
+# --------------------------------------------------------------------------
+def _kappa_sql(d: Dialect, table: str) -> str:
+    from .textops import _gopher_sql
+
+    g = _gopher_sql(d, table).replace("ORDER BY doc_id", "")
+    l = _logreg_sql(d, table).replace("ORDER BY doc_id", "")
+    return f"""
+WITH g AS ({g}),
+l AS ({l}),
+conf AS (
+  SELECT
+    CAST(SUM(CASE WHEN g.gopher_pass AND l.quality_keep THEN 1 ELSE 0 END) AS DECIMAL(38,0)) AS n11,
+    CAST(SUM(CASE WHEN g.gopher_pass AND NOT l.quality_keep THEN 1 ELSE 0 END) AS DECIMAL(38,0)) AS n10,
+    CAST(SUM(CASE WHEN NOT g.gopher_pass AND l.quality_keep THEN 1 ELSE 0 END) AS DECIMAL(38,0)) AS n01,
+    CAST(SUM(CASE WHEN NOT g.gopher_pass AND NOT l.quality_keep THEN 1 ELSE 0 END) AS DECIMAL(38,0)) AS n00,
+    CAST(COUNT(*) AS DECIMAL(38,0)) AS n
+  FROM g JOIN l ON l.doc_id = g.doc_id
+),
+r AS (
+  SELECT n, n11, n10, n01, n00,
+         CAST((n11 + n00) AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+         CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+  FROM conf
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(n11 AS BIGINT) AS both_keep,
+       CAST(n00 AS BIGINT) AS both_reject,
+       CAST(n10 AS BIGINT) AS gopher_only,
+       CAST(n01 AS BIGINT) AS logreg_only,
+       ROUND(po, 6) AS observed_agreement,
+       ROUND(CASE WHEN pe >= 1.0e0 THEN 1.0e0 ELSE (po - pe) / (1.0e0 - pe) END, 6)
+         AS cohens_kappa
+FROM r
+"""
+
+
+@register(
+    "quality_gate_agreement_kappa",
+    oracle=_kappa_sql(DUCKDB, "documents"),
+    doc="Cohen's kappa between the two quality gates the engine ships — "
+    "the published-heuristics gate (gopher_quality_gate) and the "
+    "model-based gate (quality_logreg_score): confusion counts, observed "
+    "agreement, chance-corrected kappa.  The 'do my filters even agree' "
+    "audit run before composing them in curation_pipeline_v2.  Confusion "
+    "cells are exact integers (products in DECIMAL(38,0) — BIGINT squares "
+    "overflow past ~3e9 docs); constant-rater degenerate case pins kappa "
+    "to 1.  One doc_id equi-join of two projections.",
+    tags=("quality", "audit", "agg"),
+)
+def quality_gate_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_kappa_sql(SPARK, _doc_view(spark, sf_dir)))

@@ -504,6 +504,37 @@ def _kmeans_sql(
 )"""
         )
     last = KMEANS_ITERS
+    if final == "silhouette":
+        # centroid-margin separation from the LAST round's relations (all
+        # already in CTE scope — no second Lloyd chain): per vector, cosine
+        # to its own centroid minus the best other-centroid cosine, both as
+        # exact 1e-6-unit integers; per-cluster sums stay integer so the
+        # aggregate is order-independent, one double division at the end.
+        return f"""
+WITH {','.join(ctes)},
+cos6 AS (
+  SELECT s.vec_id, s.cid,
+         CAST(ROUND(1000000.0e0 * CAST(s.dot AS DOUBLE)
+              / (SQRT(CAST(s.cn AS DOUBLE)) * SQRT(CAST(v.vn AS DOUBLE)))) AS BIGINT) AS c6
+  FROM score{last} s JOIN vnorm v ON v.vec_id = s.vec_id
+),
+lab AS (SELECT vec_id, -ncid AS cid FROM assign{last}),
+own AS (
+  SELECT c.vec_id, c.c6 FROM cos6 c JOIN lab l ON l.vec_id = c.vec_id AND l.cid = c.cid
+),
+other AS (
+  SELECT c.vec_id, MAX(c.c6) AS b6
+  FROM cos6 c JOIN lab l ON l.vec_id = c.vec_id AND l.cid <> c.cid
+  GROUP BY c.vec_id
+),
+margin AS (
+  SELECT l.cid, o.c6 - t.b6 AS m6
+  FROM lab l JOIN own o ON o.vec_id = l.vec_id JOIN other t ON t.vec_id = l.vec_id
+)
+SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+       ROUND(CAST(SUM(m6) AS DOUBLE) / (1000000.0e0 * COUNT(*)), 6) AS mean_margin
+FROM margin GROUP BY cid ORDER BY cid
+"""
     if final == "assignments":
         # the per-vector cluster labels after the last Lloyd round (the
         # frozen init "centroids" are corpus vectors themselves, so every
@@ -549,6 +580,35 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             SPARK,
             view,
             units_rel="SELECT vec_id, pos, uval FROM sales_telegram_bot_data_pipeline_kmeans_units",
+        )
+    )
+
+
+@register(
+    "kmeans_separation_audit",
+    oracle=_kmeans_sql(DUCKDB, "embeddings", final="silhouette"),
+    doc="Cluster-separation audit (simplified silhouette): per final Lloyd "
+    "cluster, the mean margin between each member's cosine to its OWN "
+    "centroid and its best other-centroid cosine — the 'are these "
+    "clusters real' check a semantic-dedup / cluster-balanced-sampling "
+    "pipeline runs before trusting kmeans_lloyd's labels.  Margins are "
+    "exact 1e-6-unit integers from the last round's already-computed "
+    "score relation (no second Lloyd chain, no extra corpus scan), "
+    "per-cluster sums are integer (order-independent), one double "
+    "division at the end.",
+    tags=("similarity", "clustering", "audit"),
+)
+def kmeans_separation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    view = _emb_view(spark, sf_dir)
+    spark.sql(_units_sql(SPARK, view)).localCheckpoint().createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_sil_units"
+    )
+    return spark.sql(
+        _kmeans_sql(
+            SPARK,
+            view,
+            units_rel="SELECT vec_id, pos, uval FROM sales_telegram_bot_data_pipeline_sil_units",
+            final="silhouette",
         )
     )
 

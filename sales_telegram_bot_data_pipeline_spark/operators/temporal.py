@@ -1032,3 +1032,155 @@ def freshness_decay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _freshness_decay_sql(SPARK).format(table="sales_telegram_bot_data_pipeline_ev_fresh")
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 history reconstruction from an event change-log
+# --------------------------------------------------------------------------
+SCD2_BUILD_USER_MOD = 50  # sampled key subset keeps output oracle-sized
+
+_SCD2_BUILD_SQL = f"""
+WITH ev AS (
+  SELECT user_id, ts, event_type, value, event_id
+  FROM {{events}} WHERE user_id % {SCD2_BUILD_USER_MOD} = 0
+),
+hist AS (
+  SELECT user_id, event_type, value AS state_value,
+         ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM ev
+)
+SELECT user_id, event_type, state_value, valid_from, valid_to,
+       (valid_to IS NULL) AS is_current
+FROM hist
+ORDER BY user_id, valid_from, event_type
+"""
+
+
+@register(
+    "scd2_build_from_events",
+    oracle=_SCD2_BUILD_SQL.format(events="events"),
+    doc="SCD2 dimension RECONSTRUCTION from a raw change-log: each event "
+    "opens a validity interval closed by the key's next event "
+    "(LEAD over a per-key window — partitioned by user_id, never global), "
+    "latest row flagged current.  The CDC-compaction shape: replaying an "
+    "event stream into the type-2 history that scd2_dimension_update then "
+    "maintains incrementally; ties broken by event_id so both engines "
+    "order identically.",
+    tags=("temporal", "scd2", "window"),
+)
+def scd2_build_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("sales_telegram_bot_data_pipeline_scd2b_ev")
+    return spark.sql(_SCD2_BUILD_SQL.format(events="sales_telegram_bot_data_pipeline_scd2b_ev"))
+
+
+# --------------------------------------------------------------------------
+# time-weighted average value over event-state intervals
+# --------------------------------------------------------------------------
+TWAP_USER_MOD = 20
+
+_TWAP_SQL = f"""
+WITH ev AS (
+  SELECT user_id, ts, value, event_id
+  FROM {{events}} WHERE user_id % {TWAP_USER_MOD} = 0
+),
+iv AS (
+  SELECT user_id,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS v6,
+         {{epoch_us}}LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id){{epoch_close}}
+           - {{epoch_us}}ts{{epoch_close}} AS dur_us
+  FROM ev
+),
+closed AS (SELECT * FROM iv WHERE dur_us IS NOT NULL)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(dur_us) AS BIGINT) AS total_micros,
+       ROUND(CAST(SUM(CAST(v6 AS DECIMAL(38,0)) * dur_us) AS DOUBLE)
+             / (1000000.0 * SUM(dur_us)), 6) AS twap_value
+FROM closed GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register(
+    "time_weighted_average_value",
+    oracle=_TWAP_SQL.format(events="events", epoch_us="epoch_us(", epoch_close=")"),  # noqa: E501 — epoch_us() returns BIGINT micros in DuckDB
+    doc="Time-weighted average (TWAP) of each user's event value: every "
+    "event opens a state interval closed by the key's next event (the "
+    "scd2_build_from_events interval model); the average weights each "
+    "state by its EXACT microsecond duration, not its sample count — the "
+    "monitoring/finance aggregate naive AVG gets wrong under irregular "
+    "sampling.  Values quantized to exact 1e-6 units, duration x value "
+    "products summed in DECIMAL(38,0) (order-independent), per-key "
+    "partitioned window only.",
+    tags=("temporal", "window", "agg"),
+)
+def time_weighted_average_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("sales_telegram_bot_data_pipeline_twap_ev")
+    return spark.sql(
+        _TWAP_SQL.format(
+            events="sales_telegram_bot_data_pipeline_twap_ev",
+            # ts reads as TIMESTAMP_NTZ; the cast shifts both operands of the
+            # difference identically (UTC session), so durations are exact
+            epoch_us="unix_micros(cast(",
+            epoch_close=" as timestamp))",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# weekly growth accounting: new / retained / resurrected / churned
+# --------------------------------------------------------------------------
+_GROWTH_SQL = """
+WITH wk AS (
+  SELECT DISTINCT user_id, CAST({week} AS BIGINT) AS week FROM {events}
+),
+lagged AS (
+  SELECT user_id, week,
+         LAG(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week,
+         MIN(week) OVER (PARTITION BY user_id) AS first_week
+  FROM wk
+),
+per_week AS (
+  SELECT week,
+         COUNT(*) AS active_users,
+         SUM(CASE WHEN week = first_week THEN 1 ELSE 0 END) AS new_users,
+         SUM(CASE WHEN prev_week = week - 1 THEN 1 ELSE 0 END) AS retained_users,
+         SUM(CASE WHEN prev_week IS NOT NULL AND prev_week < week - 1 THEN 1 ELSE 0 END)
+           AS resurrected_users
+  FROM lagged GROUP BY week
+)
+SELECT w.week,
+       CAST(w.active_users AS BIGINT) AS active_users,
+       CAST(w.new_users AS BIGINT) AS new_users,
+       CAST(w.retained_users AS BIGINT) AS retained_users,
+       CAST(w.resurrected_users AS BIGINT) AS resurrected_users,
+       CAST(COALESCE(p.active_users, 0) - w.retained_users AS BIGINT) AS churned_from_prev
+FROM per_week w LEFT JOIN per_week p ON p.week = w.week - 1
+ORDER BY w.week
+"""
+
+
+@register(
+    "growth_accounting_weekly",
+    oracle=_GROWTH_SQL.format(
+        week="datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7",
+        events="events",
+    ),
+    doc="Weekly growth accounting: per week, active users split into new "
+    "(first-ever week), retained (active previous week), resurrected "
+    "(returning after a gap), plus churned-from-previous (last week's "
+    "actives minus this week's retained) — the standard DAU/MAU growth "
+    "decomposition.  (user, week) dedup then per-user partitioned lag "
+    "windows (never global), one bounded per-week self-join; pure integer "
+    "arithmetic, timezone-free day-number weeks (retention_cohorts' "
+    "convention).",
+    tags=("temporal", "retention", "window"),
+)
+def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("sales_telegram_bot_data_pipeline_gr_ev")
+    return spark.sql(
+        _GROWTH_SQL.format(
+            week="datediff(to_date(ts), to_date('2024-01-01')) div 7",
+            events="sales_telegram_bot_data_pipeline_gr_ev",
+        )
+    )

@@ -466,3 +466,50 @@ ORDER BY doc_id
 )
 def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_gopher_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# Flesch-style readability score per source
+# --------------------------------------------------------------------------
+def _readability_sql(d: Dialect, table: str) -> str:
+    """Flesch reading ease with a vowel-group syllable proxy: 206.835 -
+    1.015*(words/sentences) - 84.6*(syllables/words); sentence count floors
+    at 1 (synthetic corpora may carry no terminal punctuation).  Per-doc
+    scores quantize to exact 1e-3 units so the per-source mean is an
+    integer sum + one double division (order-independent)."""
+    words = d.alen(d.splitws("text"))
+    syllables = d.re_count("lower(text)", "[aeiouy]+")
+    sentences = f"GREATEST(1, {d.re_count('text', '[.!?]+')})"
+    score = (
+        f"(206.835e0 - 1.015e0 * (CAST(w AS DOUBLE) / s)"
+        f" - 84.6e0 * (CAST(y AS DOUBLE) / NULLIF(w, 0)))"
+    )
+    return f"""
+WITH counted AS (
+  SELECT source, {words} AS w, {syllables} AS y, {sentences} AS s
+  FROM {table}
+),
+scored AS (
+  SELECT source, CAST(ROUND(1000 * {score}) AS BIGINT) AS ms
+  FROM counted WHERE w > 0
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(ms) AS DOUBLE) / (1000.0 * COUNT(*)), 6) AS mean_flesch
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "readability_score",
+    oracle=_readability_sql(DUCKDB, "documents"),
+    doc="Flesch-style readability per source: vowel-group syllable proxy, "
+    "whitespace words, terminal-punctuation sentences (floor 1) — the "
+    "classic text-quality gate next to gopher_quality_gate's ratio "
+    "heuristics.  Pure regex-count projections (JVM-native), per-doc "
+    "scores quantized to exact 1e-3 units so per-source means are "
+    "order-independent integer sums.",
+    tags=("text", "quality", "agg"),
+)
+def readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_readability_sql(SPARK, _doc_view(spark, sf_dir)))

@@ -159,7 +159,10 @@ except ImportError:  # pragma: no cover
 # leakage_safe_split, dedup_prefix_filter_join, quality_rank_blend,
 # source_quality_ranksum, lsh_band_tuning_audit, cluster_balanced_sample,
 # record_linkage_blocked, boilerplate_segment_removal, score_decile_lift,
-# join_cardinality_sketch_audit / split_distribution_drift.
+# join_cardinality_sketch_audit / split_distribution_drift; second wave:
+# association_rules_lift, rfm_segmentation, spearman_rank_correlation,
+# graph_bfs_hops, misra_gries_topk, revenue_trend_ols,
+# kmeans_separation_audit, scd2_build_from_events, k_anonymity_audit.
 # --------------------------------------------------------------------------
 _DRIVER_WINDOW = [
     # core relational / TPC-H

@@ -116,3 +116,137 @@ def partitioned_dataset_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_orderpriority", F.col("o_orderpriority").cast("string"))
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# small-file compaction planner over a hive-partitioned corpus export
+# --------------------------------------------------------------------------
+COMPACT_TARGET_ROWS = 25_000  # rows per output file the plan aims for
+
+
+@register(
+    "file_compaction_plan",
+    oracle=f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS approx_bytes,
+       CAST((COUNT(*) + {COMPACT_TARGET_ROWS - 1}) // {COMPACT_TARGET_ROWS} AS BIGINT)
+         AS n_target_files
+FROM documents GROUP BY source ORDER BY source
+""",
+    doc="Small-file compaction planner: the documents corpus is exported "
+    "hive-partitioned by source (repartition-first write), read back with "
+    "the _metadata hidden column, and per-partition totals (rows, byte "
+    f"proxy) sized into ceil(rows/{COMPACT_TARGET_ROWS}) target files — "
+    "the maintenance job a 100 TB lake schedules against every ingest "
+    "table.  Per-FILE stats flow through _metadata.file_path (pinned "
+    "against DuckDB's filename=true scan in tests/test_round6d_ops.py); "
+    "the plan itself is layout-independent, which the oracle checks by "
+    "aggregating the unpartitioned original.",
+    tags=("source", "layout", "compaction"),
+)
+def file_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    path = _scratch(spark, "part_docs", sf_dir)
+    (
+        docs.repartition("source")
+        .write.mode("overwrite")
+        .partitionBy("source")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    per_file = back.groupBy(
+        F.col("source").cast("string").alias("source"),
+        F.col("_metadata.file_path").alias("fp"),
+    ).agg(
+        F.count(F.lit(1)).alias("f_rows"),
+        F.sum("n_chars").alias("f_bytes"),
+    )
+    return (
+        per_file.groupBy("source")
+        .agg(
+            F.sum("f_rows").cast("bigint").alias("n_rows"),
+            F.sum("f_bytes").cast("bigint").alias("approx_bytes"),
+            F.expr(
+                f"cast((sum(f_rows) + {COMPACT_TARGET_ROWS - 1})"
+                f" div {COMPACT_TARGET_ROWS} as bigint)"
+            ).alias("n_target_files"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# bucketed tables: co-located (shuffle-free) fact-to-fact join
+# --------------------------------------------------------------------------
+N_BUCKETS = 8
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders and lineitem as BUCKETED external tables on the join
+    key (same bucket count, per-bucket sort) and return the table names.
+    Bucketing is the lake-layout contract that lets two large facts join
+    with ZERO shuffle: both sides' files are already hash-partitioned on
+    the key, so the SortMergeJoin reads buckets pairwise — at 100 TB this
+    deletes the two biggest exchanges in the plan (asserted shuffle-free
+    in tests/test_round6d_ops.py).  saveAsTable targets an explicit
+    external path; the in-memory catalog entry is per-session, the files
+    are not."""
+    base = _scratch(spark, "bucketed", sf_dir)
+    suffix = os.path.basename(sf_dir.rstrip("/")).replace(".", "_").replace("-", "_")
+    t_orders = f"sales_telegram_bot_data_pipeline_bkt_orders_{suffix}"
+    t_lineitem = f"sales_telegram_bot_data_pipeline_bkt_lineitem_{suffix}"
+    (
+        load_table(spark, sf_dir, "orders")
+        .write.mode("overwrite")
+        .option("path", os.path.join(base, "orders"))
+        .bucketBy(N_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable(t_orders)
+    )
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .write.mode("overwrite")
+        .option("path", os.path.join(base, "lineitem"))
+        .bucketBy(N_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable(t_lineitem)
+    )
+    return t_orders, t_lineitem
+
+
+@register(
+    "bucketed_join_colocated",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE)
+         AS revenue
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+    doc=f"Bucketed-table co-located join: orders and lineitem rewritten as "
+    f"{N_BUCKETS}-bucket tables hashed on the join key (per-bucket sorted), "
+    "then joined bucket-pairwise with NO exchange on either side — the "
+    "layout investment a lake makes so its two biggest facts stop shuffling "
+    "(plan-asserted with broadcast disabled in tests/test_round6d_ops.py). "
+    "The oracle aggregates the same join over the unbucketed originals: "
+    "layout must not change data.",
+    tags=("source", "layout", "bucketing", "join"),
+)
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t_orders, t_lineitem = _bucketed_tables(spark, sf_dir)
+    o = spark.table(t_orders)
+    l = spark.table(t_lineitem)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )

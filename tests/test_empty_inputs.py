@@ -93,6 +93,11 @@ EMPTY_OK_ZERO = [
     # (lsh_band_tuning_audit excluded: it emits its 4 config rows with
     # zero counts on an empty corpus — a well-defined aggregate, pinned in
     # test_round6b_ops.py instead)
+    # round-6 second wave
+    "misra_gries_topk",
+    "graph_bfs_hops",
+    "mmr_diversified_topk",
+    "kmeans_separation_audit",
 ]
 
 

@@ -105,3 +105,204 @@ def test_mmr_invariants(spark):
     # deterministic under re-run
     again = mmr_diversified_topk(spark, SF_SMOKE).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
+def test_ols_and_benford_invariants(spark):
+    from sales_telegram_bot_data_pipeline_spark.operators.analytics import (
+        benford_first_digit_audit,
+        revenue_trend_ols,
+    )
+
+    ols = revenue_trend_ols(spark, SF_SMOKE).collect()[0]
+    assert ols.n_days > 0
+    assert 0.0 <= ols.r_squared <= 1.0
+    ben = benford_first_digit_audit(spark, SF_SMOKE).collect()
+    assert {r.digit for r in ben} <= set(range(1, 10))
+    assert abs(sum(r.share for r in ben) - 1.0) < 1e-4
+    assert all(r.abs_deviation >= 0 for r in ben)
+
+
+def test_scd2_build_intervals_contiguous(spark):
+    from collections import defaultdict
+
+    from sales_telegram_bot_data_pipeline_spark.operators.temporal import scd2_build_from_events
+
+    rows = scd2_build_from_events(spark, SF_SMOKE).collect()
+    assert rows
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    for user, hist in by_user.items():
+        cur = [r for r in hist if r.is_current]
+        assert len(cur) == 1, user
+        assert cur[0].valid_to is None
+        hist.sort(key=lambda r: r.valid_from)
+        for a, b in zip(hist, hist[1:]):
+            assert a.valid_to == b.valid_from, user  # contiguous, no gaps
+
+
+def test_compaction_plan_file_stats_match_duckdb(spark):
+    """The _metadata.file_path per-file row counts must agree with an
+    independent DuckDB filename=true scan of the same scratch dataset."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from sales_telegram_bot_data_pipeline_spark.sources.layout import _scratch, file_compaction_plan
+
+    file_compaction_plan(spark, SF_SMOKE).collect()  # (re)writes the scratch dataset
+    path = _scratch(spark, "part_docs", SF_SMOKE)
+    got = {
+        r.fp: r.n
+        for r in spark.read.parquet(path)
+        .groupBy(F.col("_metadata.file_path").alias("fp"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    want = {
+        fn: n
+        for fn, n in duckdb.sql(
+            f"SELECT filename, COUNT(*) FROM read_parquet('{path}/*/*.parquet',"
+            " filename=true, hive_partitioning=true) GROUP BY filename"
+        ).fetchall()
+    }
+    # normalize: spark prints file:/abs/path URIs, duckdb plain paths
+    norm = lambda p: p.removeprefix("file://").removeprefix("file:")
+    assert {norm(k): v for k, v in got.items()} == {norm(k): v for k, v in want.items()}
+
+
+def test_kmeans_separation_nonneg_and_covers_corpus(spark):
+    from sales_telegram_bot_data_pipeline_spark.operators.similarity import kmeans_separation_audit
+    from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table as _lt
+
+    rows = kmeans_separation_audit(spark, SF_SMOKE).collect()
+    assert rows
+    n_vecs = _lt(spark, SF_SMOKE, "embeddings").count()
+    assert sum(r.n_members for r in rows) == n_vecs
+    # own-centroid cosine >= best other (assignment is argmax): margins are
+    # non-negative up to the 1e-6 quantization of the two rounding paths
+    assert all(r.mean_margin >= -1e-6 for r in rows)
+
+
+def test_schema_contract_green_on_testdata(spark):
+    from sales_telegram_bot_data_pipeline_spark.operators.analytics import schema_contract_audit
+
+    rows = schema_contract_audit(spark, SF_SMOKE).collect()
+    by_table = {}
+    for r in rows:
+        by_table.setdefault(r.table_name, []).append(r.status)
+    # canonical testdata satisfies the contract: one 'ok' row per table
+    assert all(st == ["ok"] for st in by_table.values()), by_table
+    # and a broken table is reported, not raised
+    import os
+
+    broken = schema_contract_audit(spark, "/nonexistent")
+    assert {r.status for r in broken.collect()} == {"unreadable"}
+
+
+def test_l_diversity_accounts_for_every_customer(spark):
+    from sales_telegram_bot_data_pipeline_spark.operators.analytics import (
+        L_DIVERSITY_THRESHOLD,
+        l_diversity_audit,
+    )
+    from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table as _lt
+
+    rows = l_diversity_audit(spark, SF_SMOKE).collect()
+    assert sum(r.n_customers for r in rows) == _lt(spark, SF_SMOKE, "customer").count()
+    assert all(r.at_risk == (r.l_value < L_DIVERSITY_THRESHOLD) for r in rows)
+    assert all(1 <= r.l_value <= 5 for r in rows)  # 5 market segments
+
+
+def test_twap_weights_by_duration_not_samples(spark, tmp_path):
+    """Two states: value 10 held for 9 time units, value 0 held for 1 —
+    TWAP must be 9, while the naive mean of samples would be 5."""
+    import datetime as dt
+
+    from sales_telegram_bot_data_pipeline_spark.operators.temporal import (
+        TWAP_USER_MOD,
+        time_weighted_average_value,
+    )
+
+    d = str(tmp_path / "sf_twap")
+    os.makedirs(d)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, TWAP_USER_MOD, "state", 10.0, "{}"),
+        (2, t0 + dt.timedelta(seconds=9), TWAP_USER_MOD, "state", 0.0, "{}"),
+        (3, t0 + dt.timedelta(seconds=10), TWAP_USER_MOD, "state", 99.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    ).write.parquet(os.path.join(d, "events.parquet"))
+    out = time_weighted_average_value(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_intervals == 2
+    assert r.total_micros == 10_000_000
+    assert r.twap_value == 9.0  # (10*9 + 0*1) / 10
+
+
+def test_concentration_bounds_and_uniform_gini(spark, tmp_path):
+    from sales_telegram_bot_data_pipeline_spark.operators.analytics import (
+        revenue_concentration_audit,
+    )
+
+    r = revenue_concentration_audit(spark, SF_SMOKE).collect()[0]
+    assert 0.0 <= r.gini < 1.0
+    assert 0.0 < r.top1pct_share <= r.top10pct_share <= 1.0
+    assert r.top10pct_share >= 0.1 - 1e-9  # top decile holds at least its share
+    # golden: perfectly uniform revenue -> gini == 0 exactly
+    d = str(tmp_path / "sf_uniform")
+    os.makedirs(d)
+    import datetime as dt
+
+    spark.range(200).selectExpr(
+        "id AS o_orderkey",
+        "id AS o_custkey",
+        "'O' AS o_orderstatus",
+        "cast(100.0 as double) AS o_totalprice",
+        "timestamp'2024-01-01' AS o_orderdate",
+        "'1-URGENT' AS o_orderpriority",
+    ).write.parquet(os.path.join(d, "orders.parquet"))
+    u = revenue_concentration_audit(spark, d).collect()[0]
+    assert u.gini == 0.0
+    assert u.top10pct_share == 0.1
+
+
+def test_readability_bounds(spark):
+    from sales_telegram_bot_data_pipeline_spark.operators.textops import readability_score
+
+    rows = readability_score(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.n_docs > 0
+        # Flesch is unbounded in theory; sane corpus scores land here
+        assert -200.0 < r.mean_flesch < 207.0
+
+
+def test_bucketed_join_plan_is_shuffle_free(spark):
+    """With broadcast disabled (forcing the SMJ both big facts get at
+    scale), the bucketed join must read buckets pairwise: no
+    ShuffleExchange anywhere between the two FileScans and the join."""
+    from pyspark.sql import functions as F
+
+    from sales_telegram_bot_data_pipeline_spark.sources.layout import _bucketed_tables
+
+    t_orders, t_lineitem = _bucketed_tables(spark, SF_SMOKE)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = spark.table(t_orders)
+        l = spark.table(t_lineitem)
+        joined = l.join(o, l.l_orderkey == o.o_orderkey).groupBy("o_orderstatus").count()
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    join_pos = plan.find("SortMergeJoin")
+    assert join_pos >= 0, plan[:1000]
+    # the ONLY exchange allowed in the whole plan is the post-join groupBy;
+    # the join inputs themselves must be exchange-free (bucketed scans)
+    below_join = plan[join_pos:]
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert "SelectedBucketsCount" in plan  # bucket pruning metadata present
