@@ -1954,3 +1954,86 @@ def misra_gries_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
     return exact.orderBy(F.desc("n"), "word").limit(MG_TOPK)
+
+
+# --------------------------------------------------------------------------
+# deterministic multi-epoch shuffle plan
+# --------------------------------------------------------------------------
+SHUFFLE_EPOCHS = 3
+SHUFFLE_SHARDS = 16
+
+
+def _epoch_shuffle_sql(d: Dialect, table: str) -> str:
+    strcast = "CAST(e AS STRING)" if d.name == "spark" else "CAST(e AS VARCHAR)"
+    idcast = "CAST(doc_id AS STRING)" if d.name == "spark" else "CAST(doc_id AS VARCHAR)"
+    h = d.md5_prefix_int(f"('ep' || {strcast} || '|' || {idcast})")
+    if d.name == "spark":
+        epochs = (
+            f"SELECT doc_id, e FROM {table} "
+            f"LATERAL VIEW explode(sequence(0, {SHUFFLE_EPOCHS - 1})) t AS e"
+        )
+    else:
+        epochs = (
+            f"SELECT doc_id, unnest(generate_series(0, {SHUFFLE_EPOCHS - 1})) AS e "
+            f"FROM {table}"
+        )
+    return f"""
+WITH assigned AS (
+  SELECT CAST(e AS INT) AS epoch,
+         CAST(({h}) % {SHUFFLE_SHARDS} AS INT) AS shard
+  FROM ({epochs}) x
+)
+SELECT epoch, shard, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM assigned GROUP BY epoch, shard
+ORDER BY epoch, shard
+"""
+
+
+@register(
+    "epoch_shuffle_plan",
+    oracle=_epoch_shuffle_sql(DUCKDB, "documents"),
+    doc=f"Deterministic multi-epoch shuffle plan: for each of "
+    f"{SHUFFLE_EPOCHS} training epochs, every document routes to one of "
+    f"{SHUFFLE_SHARDS} shards by a portable hash of (epoch, doc_id) — a "
+    "DIFFERENT pseudo-random permutation per epoch with no RNG, no state, "
+    "and no global sort (the trick that replaces 'shuffle the dataset "
+    "between epochs' at 100 TB: readers consume shards, the hash is the "
+    "permutation).  Output is the per-(epoch, shard) allocation audit; "
+    "the hash-independence test pins cross-epoch decorrelation.",
+    tags=("curation", "sampling", "sharding"),
+)
+def epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_epoch_shuffle_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# exact-N deterministic uniform sample
+# --------------------------------------------------------------------------
+SAMPLE_EXACT_N = 500
+
+
+def _exact_n_sql(d: Dialect, table: str) -> str:
+    idcast = "CAST(doc_id AS STRING)" if d.name == "spark" else "CAST(doc_id AS VARCHAR)"
+    h = d.md5_prefix_int(f"('xn|' || {idcast})")
+    return f"""
+SELECT doc_id, source
+FROM (SELECT doc_id, source, {h} AS hk FROM {table}) t
+ORDER BY hk, doc_id
+LIMIT {SAMPLE_EXACT_N}
+"""
+
+
+@register(
+    "deterministic_sample_exact_n",
+    oracle=_exact_n_sql(DUCKDB, "documents"),
+    doc=f"Exact-size uniform sample without RNG: take the {SAMPLE_EXACT_N} "
+    "documents with the smallest portable content hashes — hash order is a "
+    "fixed pseudo-random permutation, so this is uniform, reproducible, "
+    "and composable (the same doc is in every superset sample).  Plans as "
+    "TakeOrdered (per-partition top-N + one merge), never a global sort — "
+    "sample_fraction-then-limit gives nondeterministic membership, and "
+    "ORDER BY rand() doesn't exist at 100 TB.",
+    tags=("curation", "sampling", "topk"),
+)
+def deterministic_sample_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_exact_n_sql(SPARK, _doc_view(spark, sf_dir)))

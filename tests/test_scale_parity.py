@@ -69,6 +69,20 @@ SF_BENCH = "/root/testdata/sf0.1"
         # per-row libm EXP quantized to integer units pre-sum — exactly
         # the engine-divergence class this net exists for
         "freshness_decay_profile",
+        # round-6 second wave: range-rank boundaries (quintiles / Gini /
+        # tie-corrected average ranks) — the rank-at-partition-boundary
+        # class only populated at scale
+        "rfm_segmentation",
+        "spearman_rank_correlation",
+        "revenue_concentration_audit",
+        # DECIMAL(38,0)-exact sums feeding double ratios at 10x mass
+        "revenue_trend_ols",
+        "time_weighted_average_value",
+        # libm EXP inside the logreg arm of the kappa join at 10x docs
+        "quality_gate_agreement_kappa",
+        # MG summaries evict under real pressure only at scale; output
+        # still must equal the exact top-k (candidate-superset guarantee)
+        "misra_gries_topk",
     ],
 )
 def test_floor_quantized_queries_match_at_sf01(spark, name):
