@@ -30,11 +30,11 @@ timed out):
   transient hurts a 3 s query's number most — taking min-of-2 and a
   variance-triggered third only when the two samples disagree by more
   than SPREAD_THRESHOLD.
-- Deadline guards: PASS 2 stops at SOFT (default 380 s); PASS 1 falls
+- Deadline guards: PASS 2 stops at SOFT (default 440 s); PASS 1 falls
   back to the warm-up time (real execution, contention-inflated upper
-  bound, never a re-run) past HARD (default 450 s) — a catastrophic-host
+  bound, never a re-run) past HARD (default 510 s) — a catastrophic-host
   backstop that normally never fires, since pass 1 costs roughly the
-  steady-state registry total (~200 s at sf0.1).
+  steady-state registry total (~280 s at sf0.1, 234 queries).
 - Python gc runs between timings so py4j reference-release backlogs aren't
   attributed to an innocent query.
 
@@ -61,8 +61,8 @@ SPREAD_THRESHOLD = 0.25  # min-relative spread of 2 samples that earns a third
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    soft_deadline = float(os.environ.get("SPARK_GRAFT_BENCH_SOFT_DEADLINE", "380"))
-    hard_deadline = float(os.environ.get("SPARK_GRAFT_BENCH_HARD_DEADLINE", "450"))
+    soft_deadline = float(os.environ.get("SPARK_GRAFT_BENCH_SOFT_DEADLINE", "440"))
+    hard_deadline = float(os.environ.get("SPARK_GRAFT_BENCH_HARD_DEADLINE", "510"))
     forced_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "0"))
     warm_par = int(os.environ.get("SPARK_GRAFT_BENCH_WARM_PAR", "8"))
     t_start = time.perf_counter()
@@ -96,13 +96,21 @@ def main() -> int:
     # ORDERING): deadline clamps then degrade only the cheap tail.
     names = sorted(names, key=lambda n: -warm_t.get(n, 0.0))
 
+    run_counter = [0]
+
     def _timed_run(name: str) -> float:
-        gc.collect()
+        # gc every few runs, not every run: a full collect over the py4j
+        # object graph costs ~100-200 ms and 234 of them ate pass-2's
+        # refinement budget; every-8th still drains release backlogs
+        run_counter[0] += 1
+        if run_counter[0] % 8 == 1:
+            gc.collect()
         t0 = time.perf_counter()
         q.REGISTRY[name].fn(spark, sf_dir).collect()
         return time.perf_counter() - t0
 
     times: dict[str, float] = {}
+    n_refined = 0
     if forced_passes:
         for name in names:
             times[name] = round(min(_timed_run(name) for _ in range(forced_passes)), 3)
@@ -121,9 +129,12 @@ def main() -> int:
         # PASS 2 — spend the LEFTOVER budget re-sampling where the noise
         # hurts the total most: slowest queries first, min of the samples;
         # a third tiebreak only when the two disagree by >SPREAD_THRESHOLD.
+        # (First steady samples bias ~+0.3-1.0 s high on multi-stage
+        # queries; min-of-2 on the slow head recovers most of it.)
         for name in sorted(times, key=lambda n: -times[n]):
             if time.perf_counter() - t_start > soft_deadline:
                 break
+            n_refined += 1
             second = _timed_run(name)
             best = min(times[name], second)
             if (
@@ -138,7 +149,8 @@ def main() -> int:
     )
     print(
         f"[bench] timed phase done at {time.perf_counter() - t_start:.1f}s; "
-        f"~{n_fallback} warm-time fallbacks",
+        f"~{n_fallback} warm-time fallbacks; "
+        f"{n_refined} pass-2 refinements",
         file=sys.stderr,
     )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

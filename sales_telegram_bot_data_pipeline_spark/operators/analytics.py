@@ -765,3 +765,169 @@ def revenue_concentration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(cast(top10 as double) / cast(sy as double), 6) AS top10pct_share",
         "round(cast(top1 as double) / cast(sy as double), 6) AS top1pct_share",
     )
+
+
+# --------------------------------------------------------------------------
+# hash-split A/B conversion lift with z-test
+# --------------------------------------------------------------------------
+_AB_SQL = """
+WITH assign AS (
+  SELECT user_id,
+         ({hash} % 2) AS grp,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM {events}
+  GROUP BY user_id
+),
+g AS (
+  SELECT grp, COUNT(*) AS n, SUM(converted) AS conv
+  FROM assign GROUP BY grp
+),
+w AS (
+  SELECT MAX(CASE WHEN grp = 0 THEN n END) AS n_a,
+         MAX(CASE WHEN grp = 0 THEN conv END) AS conv_a,
+         MAX(CASE WHEN grp = 1 THEN n END) AS n_b,
+         MAX(CASE WHEN grp = 1 THEN conv END) AS conv_b
+  FROM g
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+       CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+       ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+       ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+       ROUND(CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a, 6) AS lift,
+       -- NULL (not an error) when conversion is degenerate (p=0 or p=1):
+       -- the pooled variance is 0 and the z-test is undefined
+       ROUND(
+         (CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)
+         / NULLIF(sqrt( (CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                 * (1.0e0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                 * (1.0e0 / n_a + 1.0e0 / n_b) ), 0.0e0), 6) AS z_score
+FROM w
+"""
+
+
+@register(
+    "ab_conversion_ztest",
+    oracle=_AB_SQL.format(
+        hash="(('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT)",
+        events="events",
+    ),
+    doc="Hash-split A/B conversion test: users route to arms by a portable "
+    "content hash (deterministic, balanced, no RNG — the same assignment "
+    "every engine and every run), per-arm purchase-conversion rates, lift, "
+    "and the two-proportion pooled z-score.  Counts are exact integers; "
+    "the z arithmetic is identical double ops on both engines.  One "
+    "groupBy(user) + one tiny pivot.",
+    tags=("analytics", "experiment", "stats"),
+)
+def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("sales_telegram_bot_data_pipeline_ab_ev")
+    return spark.sql(
+        _AB_SQL.format(
+            hash="cast(conv(substr(md5('ab|' || CAST(user_id AS STRING)), 1, 15), 16, 10) as bigint)",
+            events="sales_telegram_bot_data_pipeline_ab_ev",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# per-brand Pearson correlation of discount vs quantity
+# --------------------------------------------------------------------------
+_ELASTICITY_SQL = """
+WITH pts AS (
+  SELECT p_brand,
+         CAST(ROUND(l_discount * 100) AS DECIMAL(38,0)) AS d2,
+         CAST(ROUND(l_quantity) AS DECIMAL(38,0)) AS q0
+  FROM {lineitem} JOIN {part} ON p_partkey = l_partkey
+),
+s AS (
+  SELECT p_brand,
+         COUNT(*) AS n,
+         CAST(SUM(d2) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(q0) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(d2 * d2) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(q0 * q0) AS DECIMAL(38,0)) AS syy,
+         CAST(SUM(d2 * q0) AS DECIMAL(38,0)) AS sxy
+  FROM pts GROUP BY p_brand
+)
+SELECT p_brand,
+       CAST(n AS BIGINT) AS n_lines,
+       ROUND(
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / sqrt( (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) ),
+         6) AS discount_qty_corr
+FROM s
+WHERE n >= 30
+ORDER BY p_brand
+"""
+
+
+@register(
+    "discount_quantity_correlation",
+    oracle=_ELASTICITY_SQL.format(lineitem="lineitem", part="part"),
+    doc="Per-brand Pearson correlation of discount vs quantity (the price-"
+    "elasticity proxy question).  Both variables are EXACT small integers "
+    "(discount in percent points, quantity in units), the five classic "
+    "sums accumulate in DECIMAL(38,0) per brand (map-side combinable, "
+    "bounded 25-row output), and the correlation is one identical double "
+    "expression per group — the grouped sibling of revenue_trend_ols.",
+    tags=("analytics", "stats", "agg"),
+)
+def discount_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("sales_telegram_bot_data_pipeline_el_l")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("sales_telegram_bot_data_pipeline_el_p")
+    return spark.sql(
+        _ELASTICITY_SQL.format(lineitem="sales_telegram_bot_data_pipeline_el_l", part="sales_telegram_bot_data_pipeline_el_p")
+    )
+
+
+# --------------------------------------------------------------------------
+# shipping SLA buckets per priority
+# --------------------------------------------------------------------------
+_SLA_SQL = """
+WITH lagdays AS (
+  SELECT o_orderpriority AS pri,
+         datediff({dd_args}) AS lag_days
+  FROM {orders} JOIN {lineitem} ON l_orderkey = o_orderkey
+),
+bucketed AS (
+  SELECT pri,
+         CASE WHEN lag_days <= 7 THEN '0-7'
+              WHEN lag_days <= 14 THEN '8-14'
+              WHEN lag_days <= 30 THEN '15-30'
+              ELSE '31+' END AS sla_bucket
+  FROM lagdays
+),
+tot AS (SELECT pri, COUNT(*) AS n_all FROM bucketed GROUP BY pri)
+SELECT b.pri AS o_orderpriority, b.sla_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / t.n_all, 6) AS share
+FROM bucketed b JOIN tot t ON t.pri = b.pri
+GROUP BY b.pri, b.sla_bucket, t.n_all
+ORDER BY o_orderpriority, sla_bucket
+"""
+
+
+@register(
+    "shipping_sla_buckets",
+    oracle=_SLA_SQL.format(
+        dd_args="'day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)",
+        orders="orders",
+        lineitem="lineitem",
+    ),
+    doc="Order-to-ship SLA distribution: per priority, lineitems bucketed "
+    "by days from order to ship (0-7 / 8-14 / 15-30 / 31+) with exact "
+    "shares — the fulfilment-latency scorecard.  One co-partitioned "
+    "fact-to-fact equi-join, integer day math, map-combinable buckets.",
+    tags=("analytics", "sla", "agg"),
+)
+def shipping_sla_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sales_telegram_bot_data_pipeline_sla_o")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("sales_telegram_bot_data_pipeline_sla_l")
+    return spark.sql(
+        _SLA_SQL.format(
+            dd_args="to_date(l_shipdate), to_date(o_orderdate)",
+            orders="sales_telegram_bot_data_pipeline_sla_o",
+            lineitem="sales_telegram_bot_data_pipeline_sla_l",
+        )
+    )

@@ -356,3 +356,41 @@ def test_exact_n_sample_stable_and_nested(spark):
     assert len(set(a)) == len(a)
     b = [r.doc_id for r in deterministic_sample_exact_n(spark, SF_SMOKE).collect()]
     assert a == b  # reproducible, order included
+
+
+def test_ab_assignment_balanced_and_z_consistent(spark):
+    from sales_telegram_bot_data_pipeline_spark.operators.analytics import ab_conversion_ztest
+
+    r = ab_conversion_ztest(spark, "/root/testdata/sf0.01").collect()[0]
+    n = r.n_a + r.n_b
+    assert abs(r.n_a - r.n_b) < 0.2 * n  # hash split is near-balanced
+    assert 0.0 <= r.rate_a <= 1.0 and 0.0 <= r.rate_b <= 1.0
+    assert abs(r.lift - round(r.rate_b - r.rate_a, 6)) <= 2e-6
+    # A/A property: both arms draw from the same population, so the
+    # deterministic split must NOT show a significant difference
+    if r.z_score is not None:
+        assert abs(r.z_score) < 4.0
+
+
+def test_sla_shares_sum_to_one(spark):
+    from collections import defaultdict
+
+    from sales_telegram_bot_data_pipeline_spark.operators.analytics import shipping_sla_buckets
+
+    rows = shipping_sla_buckets(spark, SF_SMOKE).collect()
+    by_pri = defaultdict(float)
+    for r in rows:
+        assert r.sla_bucket in {"0-7", "8-14", "15-30", "31+"}
+        by_pri[r.o_orderpriority] += r.share
+    assert by_pri and all(abs(s - 1.0) < 1e-4 for s in by_pri.values())
+
+
+def test_discount_corr_bounds(spark):
+    from sales_telegram_bot_data_pipeline_spark.operators.analytics import (
+        discount_quantity_correlation,
+    )
+
+    rows = discount_quantity_correlation(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r.discount_qty_corr is None or -1.0 <= r.discount_qty_corr <= 1.0
+        assert r.n_lines >= 30
