@@ -931,3 +931,58 @@ def shipping_sla_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             lineitem="sales_telegram_bot_data_pipeline_sla_l",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# referential integrity audit
+# --------------------------------------------------------------------------
+_RI_SQL = """
+WITH l_orphans AS (
+  SELECT COUNT(*) AS n_total,
+         SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_orphans
+  FROM {lineitem} l LEFT JOIN {orders} o ON o.o_orderkey = l.l_orderkey
+),
+o_orphans AS (
+  SELECT COUNT(*) AS n_total,
+         SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS n_orphans
+  FROM {orders} o LEFT JOIN {customer} c ON c.c_custkey = o.o_custkey
+),
+childless AS (
+  SELECT COUNT(*) AS n_total,
+         SUM(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_orphans
+  FROM {orders} o
+  LEFT JOIN (SELECT DISTINCT l_orderkey FROM {lineitem}) l
+    ON l.l_orderkey = o.o_orderkey
+)
+SELECT relation, CAST(n_total AS BIGINT) AS n_total,
+       CAST(n_orphans AS BIGINT) AS n_violations,
+       ROUND(CAST(n_orphans AS DOUBLE) / n_total, 6) AS violation_rate
+FROM (
+  SELECT 'lineitem_without_order' AS relation, n_total, n_orphans FROM l_orphans
+  UNION ALL
+  SELECT 'order_without_customer' AS relation, n_total, n_orphans FROM o_orphans
+  UNION ALL
+  SELECT 'order_without_lineitem' AS relation, n_total, n_orphans FROM childless
+) u
+ORDER BY relation
+"""
+
+
+@register(
+    "referential_integrity_audit",
+    oracle=_RI_SQL.format(lineitem="lineitem", orders="orders", customer="customer"),
+    doc="Referential-integrity audit across the fact chain: lineitems whose "
+    "order is missing, orders whose customer is missing, and childless "
+    "orders — each as a LEFT-join orphan count with exact violation rates. "
+    "The ingest-commit gate that catches a partial load before downstream "
+    "joins silently drop rows; three co-partitioned equi-joins, "
+    "3-row output.",
+    tags=("analytics", "audit", "integrity"),
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("sales_telegram_bot_data_pipeline_ri_l")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sales_telegram_bot_data_pipeline_ri_o")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("sales_telegram_bot_data_pipeline_ri_c")
+    return spark.sql(
+        _RI_SQL.format(lineitem="sales_telegram_bot_data_pipeline_ri_l", orders="sales_telegram_bot_data_pipeline_ri_o", customer="sales_telegram_bot_data_pipeline_ri_c")
+    )

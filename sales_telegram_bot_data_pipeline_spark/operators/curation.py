@@ -2037,3 +2037,53 @@ LIMIT {SAMPLE_EXACT_N}
 )
 def deterministic_sample_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_exact_n_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# Neyman allocation plan for stratified sampling
+# --------------------------------------------------------------------------
+NEYMAN_BUDGET = 10_000
+
+
+def _neyman_sql(d: Dialect, table: str) -> str:
+    return f"""
+WITH s AS (
+  SELECT source,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(CAST(n_chars AS DECIMAL(38,0)) * n_chars) AS DECIMAL(38,0)) AS sxx
+  FROM {table} GROUP BY source
+),
+v AS (
+  SELECT source, n,
+         sqrt( (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) ) AS sd
+  FROM s
+),
+w AS (SELECT source, n, sd, n * sd AS wgt FROM v),
+t AS (SELECT SUM(wgt) AS total_w FROM w)
+SELECT w.source,
+       CAST(w.n AS BIGINT) AS n_docs,
+       ROUND(w.sd, 6) AS stddev_chars,
+       CAST(ROUND({NEYMAN_BUDGET} * w.wgt / t.total_w) AS BIGINT) AS allocated
+FROM w CROSS JOIN t
+ORDER BY w.source
+"""
+
+
+@register(
+    "neyman_allocation_plan",
+    oracle=_neyman_sql(DUCKDB, "documents"),
+    doc=f"Neyman-optimal stratified-sampling allocation: a budget of "
+    f"{NEYMAN_BUDGET} samples split across sources proportionally to "
+    "stratum_size x stratum_stddev (of doc length) — variance-minimizing "
+    "for a fixed budget, vs stratified_sample's proportional allocation.  "
+    "Per-stratum moments are DECIMAL(38,0)-exact one-pass sums; the "
+    "population stddev and shares are identical double ops; rounding "
+    "residue (sum may differ from the budget by a few units) is the "
+    "documented largest-remainder trade-off.",
+    tags=("curation", "sampling", "stats"),
+)
+def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_neyman_sql(SPARK, _doc_view(spark, sf_dir)))

@@ -569,3 +569,45 @@ FROM r
 )
 def quality_gate_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_kappa_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# calibration of the model gate against the heuristic gate
+# --------------------------------------------------------------------------
+def _calibration_sql(d: Dialect, table: str) -> str:
+    from .textops import _gopher_sql
+
+    g = _gopher_sql(d, table).replace("ORDER BY doc_id", "")
+    l = _logreg_sql(d, table).replace("ORDER BY doc_id", "")
+    return f"""
+WITH g AS ({g}),
+l AS ({l}),
+joined AS (
+  SELECT l.quality_prob, g.gopher_pass,
+         CAST(LEAST(CAST(FLOOR(l.quality_prob * 10) AS INT), 9) AS INT) AS bin
+  FROM l JOIN g ON g.doc_id = l.doc_id
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(CAST(ROUND(quality_prob * 1000000) AS BIGINT)) AS DOUBLE)
+             / (1000000.0 * COUNT(*)), 6) AS mean_predicted,
+       ROUND(CAST(SUM(CASE WHEN gopher_pass THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS observed_pass_rate
+FROM joined GROUP BY bin ORDER BY bin
+"""
+
+
+@register(
+    "quality_score_calibration",
+    oracle=_calibration_sql(DUCKDB, "documents"),
+    doc="Reliability table for the model-based quality gate: logreg "
+    "probability binned into deciles, mean predicted probability (exact "
+    "1e-6-unit integer sums) vs the observed pass rate of the independent "
+    "heuristic gate per bin — the calibration curve behind "
+    "quality_gate_agreement_kappa's single number.  A well-calibrated "
+    "score rises monotonically with the observed rate; one doc_id "
+    "equi-join of two projections, <=10-row output.",
+    tags=("quality", "audit", "calibration"),
+)
+def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_calibration_sql(SPARK, _doc_view(spark, sf_dir)))

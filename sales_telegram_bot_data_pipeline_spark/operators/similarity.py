@@ -1620,3 +1620,67 @@ ORDER BY dim
 )
 def matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_mrl_sql(SPARK, _emb_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# maximum-inner-product top-k + cosine-LSH retrievability audit
+# --------------------------------------------------------------------------
+MIPS_K = 25
+
+
+def _mips_sql(d: Dialect, table: str) -> str:
+    dot_qc = _dots(d, "q.embedding", "c.embedding")
+    dot_cc = _dots(d, "c.embedding", "c.embedding")
+    corpus_bands = _banded_view(d, table)
+    query_bands = _banded_view(
+        d, table, where=f"vec_id = (SELECT MIN(vec_id) FROM {table})"
+    )
+    return f"""
+WITH q AS (
+  SELECT embedding FROM {table}
+  WHERE vec_id = (SELECT MIN(vec_id) FROM {table})
+),
+scored AS (
+  SELECT c.vec_id,
+         round({dot_qc}, 6) AS dot,
+         round(sqrt({dot_cc}), 6) AS vnorm
+  FROM {table} c CROSS JOIN q
+  WHERE c.vec_id <> (SELECT MIN(vec_id) FROM {table})
+),
+topk AS (
+  SELECT * FROM scored ORDER BY dot DESC, vec_id LIMIT {MIPS_K}
+),
+qb AS (SELECT band, bucket FROM ({query_bands}) x),
+cand AS (
+  SELECT DISTINCT b.vec_id
+  FROM ({corpus_bands}) b
+  JOIN qb ON qb.band = b.band AND qb.bucket = b.bucket
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY dot DESC, t.vec_id) AS INT) AS rank,
+       t.vec_id, dot, vnorm,
+       -- flag via LEFT JOIN, not an IN-subquery in the projection: Spark
+       -- plans the latter as an ExistenceJoin that (observed, Spark 4.1)
+       -- interacts wrongly with the windowed LIMIT subtree and drops the
+       -- matching rows from topk
+       (c.vec_id IS NOT NULL) AS in_lsh_candidates
+FROM topk t LEFT JOIN cand c ON c.vec_id = t.vec_id
+ORDER BY rank
+"""
+
+
+@register(
+    "mips_topk_audit",
+    oracle=_mips_sql(DUCKDB, "embeddings"),
+    doc=f"Maximum-inner-product top-{MIPS_K} (recommendation scoring: dot "
+    "product, NOT cosine — magnitude matters) with a retrievability audit "
+    "against the cosine-LSH index: each exact-MIP neighbor is flagged "
+    "whether the sign-bucket candidate generation would have surfaced it.  "
+    "The norm column makes the known failure mode measurable — high-norm "
+    "vectors dominate MIP but can sit in different angular buckets "
+    "(Bachrach et al. 2014's MIPS-to-NNS gap).  Exact arm is a one-row "
+    "query broadcast + TakeOrdered; candidate arm reuses the banded "
+    "index; the rank window is over the bounded top-k relation only.",
+    tags=("similarity", "topk", "audit"),
+)
+def mips_topk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_mips_sql(SPARK, _emb_view(spark, sf_dir)))

@@ -394,3 +394,63 @@ def test_discount_corr_bounds(spark):
     for r in rows:
         assert r.discount_qty_corr is None or -1.0 <= r.discount_qty_corr <= 1.0
         assert r.n_lines >= 30
+
+
+def test_referential_integrity_clean_testdata(spark):
+    from sales_telegram_bot_data_pipeline_spark.operators.analytics import referential_integrity_audit
+
+    rows = {r.relation: r for r in referential_integrity_audit(spark, SF_SMOKE).collect()}
+    assert set(rows) == {
+        "lineitem_without_order",
+        "order_without_customer",
+        "order_without_lineitem",
+    }
+    # canonical TPC-H-ish testdata is referentially clean on the fact chain
+    assert rows["lineitem_without_order"].n_violations == 0
+    assert rows["order_without_customer"].n_violations == 0
+
+
+def test_calibration_bins_cover_corpus(spark):
+    from sales_telegram_bot_data_pipeline_spark.operators.lm_quality import quality_score_calibration
+    from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table as _lt
+
+    rows = quality_score_calibration(spark, SF_SMOKE).collect()
+    assert sum(r.n_docs for r in rows) == _lt(spark, SF_SMOKE, "documents").count()
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        assert 0.0 <= r.mean_predicted <= 1.0
+        assert 0.0 <= r.observed_pass_rate <= 1.0
+        # the mean predicted prob must sit inside (or at the edge of) its bin
+        assert r.bin / 10 - 1e-6 <= r.mean_predicted <= (r.bin + 1) / 10 + 1e-6
+
+
+def test_neyman_allocation_sums_near_budget(spark):
+    from sales_telegram_bot_data_pipeline_spark.operators.curation import (
+        NEYMAN_BUDGET,
+        neyman_allocation_plan,
+    )
+
+    rows = neyman_allocation_plan(spark, SF_SMOKE).collect()
+    assert rows
+    total = sum(r.allocated for r in rows)
+    # per-stratum rounding residue only
+    assert abs(total - NEYMAN_BUDGET) <= len(rows)
+    assert all(r.stddev_chars >= 0 for r in rows)
+
+
+def test_mips_exactness_vs_numpy(spark):
+    import numpy as np
+
+    from sales_telegram_bot_data_pipeline_spark.operators.similarity import MIPS_K, mips_topk_audit
+    from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table as _lt
+
+    got = [(r.rank, r.vec_id) for r in mips_topk_audit(spark, SF_SMOKE).collect()]
+    emb = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+           for r in _lt(spark, SF_SMOKE, "embeddings").collect()}
+    qid = min(emb)
+    dots = sorted(
+        ((round(float(emb[qid] @ v), 6), -i) for i, v in emb.items() if i != qid),
+        reverse=True,
+    )[:MIPS_K]
+    want = [(rk + 1, -negi) for rk, (_, negi) in enumerate(dots)]
+    assert got == want
