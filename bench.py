@@ -75,13 +75,18 @@ def main() -> int:
         names = [n for n in extra.split(",") if n in q.REGISTRY]
 
     warm_t: dict[str, float] = {}
+    warm_failed: set[str] = set()
 
     def _warm(name: str) -> None:
         t0 = time.perf_counter()
         try:
             q.REGISTRY[name].fn(spark, sf_dir).collect()
         except Exception:
-            pass  # the timed phase surfaces real failures serially
+            # the timed phase surfaces real failures serially — but ONLY if
+            # this query still gets a timed run, so remember the failure:
+            # the hard-deadline fallback must never report a crashed
+            # query's tiny exception-elapsed time as a green benchmark row
+            warm_failed.add(name)
         warm_t[name] = time.perf_counter() - t0
 
     with ThreadPoolExecutor(max_workers=max(1, warm_par)) as pool:
@@ -111,6 +116,7 @@ def main() -> int:
 
     times: dict[str, float] = {}
     n_refined = 0
+    n_fallback = 0
     if forced_passes:
         for name in names:
             times[name] = round(min(_timed_run(name) for _ in range(forced_passes)), 3)
@@ -120,10 +126,16 @@ def main() -> int:
         # 2-samples-each default left 141 queries on contention-inflated
         # warm-up fallbacks before the hard deadline (round-6 postmortem).
         for name in names:
-            if time.perf_counter() - t_start > hard_deadline:
+            if (
+                time.perf_counter() - t_start > hard_deadline
+                and name not in warm_failed
+            ):
                 # catastrophic-host backstop only: the warm-up run (real
-                # execution, contention-inflated upper bound) stands
+                # SUCCESSFUL execution, contention-inflated upper bound)
+                # stands; a warm-failed query always runs timed so its
+                # exception surfaces instead of a bogus sub-second row
                 times[name] = round(warm_t.get(name, 0.0), 3)
+                n_fallback += 1
             else:
                 times[name] = round(_timed_run(name), 3)
         # PASS 2 — spend the LEFTOVER budget re-sampling where the noise
@@ -144,12 +156,9 @@ def main() -> int:
                 best = min(best, _timed_run(name))
             times[name] = round(best, 3)
 
-    n_fallback = sum(1 for n in times if n not in ()) and sum(
-        1 for n, v in times.items() if v == round(warm_t.get(n, -1.0), 3)
-    )
     print(
         f"[bench] timed phase done at {time.perf_counter() - t_start:.1f}s; "
-        f"~{n_fallback} warm-time fallbacks; "
+        f"{n_fallback} warm-time fallbacks; "
         f"{n_refined} pass-2 refinements",
         file=sys.stderr,
     )

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.dialect import DUCKDB, SPARK
 from ..registry import register
 from ..sources.tables import load_table
 
@@ -301,26 +302,30 @@ def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
 
-    def rank2(col: str, out: str) -> DataFrame | None:
+    def rank2(col: str, out: str) -> tuple[DataFrame | None, int]:
         grp = li.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("c"))
-        summed, _ = range_prefix_summed(spark, grp, ["v"], "c")
+        summed, total = range_prefix_summed(spark, grp, ["v"], "c")
         if summed is None:
-            return None
-        return summed.select(
-            "v", (2 * F.col("cum_before") + F.col("c") + 1).cast("bigint").alias(out)
+            return None, 0
+        return (
+            summed.select(
+                "v", (2 * F.col("cum_before") + F.col("c") + 1).cast("bigint").alias(out)
+            ),
+            total,
         )
 
-    xr = rank2("l_quantity", "rx2")
+    # n = grand total of the value-group counts — range_prefix_summed
+    # already computed it, so no extra corpus scan for a bare count()
+    xr, n = rank2("l_quantity", "rx2")
     if xr is None:
         return spark.createDataFrame([], "n_rows bigint, spearman_rho double")
-    yr = rank2("l_extendedprice", "ry2")
+    yr, _ = rank2("l_extendedprice", "ry2")
     d = (
         li.join(xr, li.l_quantity == xr.v)
         .drop("v")
         .join(yr, li.l_extendedprice == yr.v)
         .drop("v")
     )
-    n = li.count()
     d = d.select(
         (F.col("rx2") - (n + 1)).cast("decimal(38,0)").alias("dx"),
         (F.col("ry2") - (n + 1)).cast("decimal(38,0)").alias("dy"),
@@ -808,7 +813,7 @@ FROM w
 @register(
     "ab_conversion_ztest",
     oracle=_AB_SQL.format(
-        hash="(('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT)",
+        hash=DUCKDB.md5_prefix_int("('ab|' || CAST(user_id AS VARCHAR))"),
         events="events",
     ),
     doc="Hash-split A/B conversion test: users route to arms by a portable "
@@ -823,7 +828,7 @@ def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("sales_telegram_bot_data_pipeline_ab_ev")
     return spark.sql(
         _AB_SQL.format(
-            hash="cast(conv(substr(md5('ab|' || CAST(user_id AS STRING)), 1, 15), 16, 10) as bigint)",
+            hash=SPARK.md5_prefix_int("('ab|' || CAST(user_id AS STRING))"),
             events="sales_telegram_bot_data_pipeline_ab_ev",
         )
     )

@@ -1964,9 +1964,7 @@ SHUFFLE_SHARDS = 16
 
 
 def _epoch_shuffle_sql(d: Dialect, table: str) -> str:
-    strcast = "CAST(e AS STRING)" if d.name == "spark" else "CAST(e AS VARCHAR)"
-    idcast = "CAST(doc_id AS STRING)" if d.name == "spark" else "CAST(doc_id AS VARCHAR)"
-    h = d.md5_prefix_int(f"('ep' || {strcast} || '|' || {idcast})")
+    h = d.md5_prefix_int(f"('ep' || {d.strcast('e')} || '|' || {d.strcast('doc_id')})")
     if d.name == "spark":
         epochs = (
             f"SELECT doc_id, e FROM {table} "
@@ -1979,7 +1977,7 @@ def _epoch_shuffle_sql(d: Dialect, table: str) -> str:
         )
     return f"""
 WITH assigned AS (
-  SELECT CAST(e AS INT) AS epoch,
+  SELECT doc_id, CAST(e AS INT) AS epoch,
          CAST(({h}) % {SHUFFLE_SHARDS} AS INT) AS shard
   FROM ({epochs}) x
 )
@@ -2013,8 +2011,7 @@ SAMPLE_EXACT_N = 500
 
 
 def _exact_n_sql(d: Dialect, table: str) -> str:
-    idcast = "CAST(doc_id AS STRING)" if d.name == "spark" else "CAST(doc_id AS VARCHAR)"
-    h = d.md5_prefix_int(f"('xn|' || {idcast})")
+    h = d.md5_prefix_int(f"('xn|' || {d.strcast('doc_id')})")
     return f"""
 SELECT doc_id, source
 FROM (SELECT doc_id, source, {h} AS hk FROM {table}) t

@@ -162,7 +162,11 @@ except ImportError:  # pragma: no cover
 # join_cardinality_sketch_audit / split_distribution_drift; second wave:
 # association_rules_lift, rfm_segmentation, spearman_rank_correlation,
 # graph_bfs_hops, misra_gries_topk, revenue_trend_ols,
-# kmeans_separation_audit, scd2_build_from_events, k_anonymity_audit.
+# kmeans_separation_audit, scd2_build_from_events, k_anonymity_audit,
+# bucketed_join_colocated, ab_conversion_ztest, mips_topk_audit,
+# revenue_concentration_audit, growth_accounting_weekly,
+# time_weighted_average_value, quality_gate_agreement_kappa,
+# band_join_price_neighbors, epoch_shuffle_plan, file_compaction_plan.
 # --------------------------------------------------------------------------
 _DRIVER_WINDOW = [
     # core relational / TPC-H

@@ -44,8 +44,8 @@ def test_bfs_seeds_at_zero_and_bounded(spark):
     assert seeds, "sf0.001 must contain at least one seed"
     assert all(dist[s] == 0 for s in seeds)
     assert all(0 <= h <= BFS_MAX_HOPS for h in dist.values())
-    # non-seeds can only be reached via an edge
-    assert all(d == 0 for i, d in dist.items() if i in seeds)
+    # non-seeds can only be reached via an edge: hops strictly positive
+    assert all(d >= 1 for i, d in dist.items() if i not in seeds)
 
 
 def test_band_join_gap_within_epsilon(spark):
@@ -324,24 +324,21 @@ def test_epoch_shuffle_decorrelated_and_complete(spark):
     # shards roughly balanced within each epoch (hash-uniform: 4x headroom)
     for r in rows:
         assert r.n_docs <= 4 * (n_docs // SHUFFLE_SHARDS + 1), r
-    # cross-epoch decorrelation: a doc's shard must not repeat across all
-    # epochs for most docs (identical assignment every epoch would mean
-    # the epoch is not in the hash)
-    from pyspark.sql import functions as F
-    from sales_telegram_bot_data_pipeline_spark.operators.curation import _epoch_shuffle_sql
+    # cross-epoch decorrelation: if the epoch were not in the hash, every
+    # doc would land on the SAME shard in all epochs — require that most
+    # docs see more than one distinct shard across epochs (P[same shard
+    # twice] = 1/16 per pair, so >90% of docs should see >=2 shards)
     from sales_telegram_bot_data_pipeline_spark.functions.dialect import SPARK as _SP
+    from sales_telegram_bot_data_pipeline_spark.operators.curation import _epoch_shuffle_sql
 
-    assigned = spark.sql(
-        _epoch_shuffle_sql(_SP, "sales_telegram_bot_data_pipeline_docs").replace(
-            "SELECT epoch, shard, CAST(COUNT(*) AS BIGINT) AS n_docs",
-            "SELECT epoch, shard, CAST(COUNT(*) AS BIGINT) AS n_docs",
-        )
-    )  # per-(epoch,shard) counts only; decorrelation via chi-like spread:
-    # every epoch must populate >= half the shards
-    pops = {}
-    for r in assigned.collect():
-        pops.setdefault(r.epoch, set()).add(r.shard)
-    assert all(len(s) >= SHUFFLE_SHARDS // 2 for s in pops.values())
+    sql = _epoch_shuffle_sql(_SP, "sales_telegram_bot_data_pipeline_docs")
+    head = sql.split("SELECT epoch, shard,")[0]
+    per_doc = spark.sql(
+        head
+        + "SELECT doc_id, COUNT(DISTINCT shard) AS n_shards FROM assigned GROUP BY doc_id"
+    ).collect()
+    n_multi = sum(1 for r in per_doc if r.n_shards >= 2)
+    assert n_multi > 0.9 * len(per_doc), f"{n_multi}/{len(per_doc)} docs saw >=2 shards"
 
 
 def test_exact_n_sample_stable_and_nested(spark):

@@ -83,6 +83,12 @@ SF_BENCH = "/root/testdata/sf0.1"
         # MG summaries evict under real pressure only at scale; output
         # still must equal the exact top-k (candidate-superset guarantee)
         "misra_gries_topk",
+        # float dot-product sums + rank ties at 10x corpus
+        "mips_topk_audit",
+        # per-stratum variance ratios (DECIMAL moments -> double shares)
+        "neyman_allocation_plan",
+        # libm EXP (sigmoid) bin boundaries at 10x docs
+        "quality_score_calibration",
     ],
 )
 def test_floor_quantized_queries_match_at_sf01(spark, name):
