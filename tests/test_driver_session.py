@@ -55,6 +55,17 @@ for name in (
     "curation_pipeline_v2",
     "dedup_containment",
     "user_cadence_profile",
+    # round-6 second-wave families (ANSI risks each covers: decimal div /
+    # rank arithmetic, NULLIF-guarded z denominator, TIMESTAMP_NTZ casts,
+    # saveAsTable under the default catalog, mapInPandas summaries, the
+    # ExistenceJoin-avoiding LEFT-JOIN flag)
+    "rfm_segmentation",
+    "spearman_rank_correlation",
+    "ab_conversion_ztest",
+    "time_weighted_average_value",
+    "bucketed_join_colocated",
+    "misra_gries_topk",
+    "mips_topk_audit",
 ):
     r = compare_query(spark, con, name, {SF_SMOKE!r})
     assert r.ok, f"{{name}} failed on a DEFAULT session: {{r.detail}}"
@@ -72,4 +83,4 @@ def test_default_session_oracle_parity():
         cwd="/root/repo",
     )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-3000:]}"
-    assert proc.stdout.count("OK") == 22
+    assert proc.stdout.count("OK") == 29
