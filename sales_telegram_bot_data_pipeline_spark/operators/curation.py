@@ -1933,8 +1933,14 @@ def _mg_summarize(batches):
     "countmin_heavy_hitters: no hash collisions, candidate-set guarantee "
     "freq > N/(capacity+1), and the exact final recount makes the output "
     "order-independent even though each partition's summary is not.  "
-    "Oracle = exact top-k (equal by the superset guarantee; pinned "
-    "adversarially in tests/test_round6d_ops.py).",
+    "Oracle = exact top-k, equal ONLY under the precondition that every "
+    f"true top-{MG_TOPK} token has global frequency > N/(capacity+1) "
+    "(pigeonhole then guarantees it survives some partition's summary); a "
+    "near-uniform vocabulary wider than capacity would violate it by "
+    "design.  The precondition is asserted against each parity-swept "
+    "testdata scale in tests/test_round6d_ops.py::"
+    "test_misra_gries_parity_precondition_holds_on_testdata, and pinned "
+    "adversarially in test_misra_gries_adversarial_superset.",
     tags=("curation", "sketch", "text", "python-stage"),
 )
 def misra_gries_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1046,14 +1046,14 @@ WITH ev AS (
 ),
 hist AS (
   SELECT user_id, event_type, value AS state_value,
-         ts AS valid_from,
+         ts AS valid_from, event_id,
          LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
   FROM ev
 )
 SELECT user_id, event_type, state_value, valid_from, valid_to,
        (valid_to IS NULL) AS is_current
 FROM hist
-ORDER BY user_id, valid_from, event_type
+ORDER BY user_id, valid_from, event_type, event_id
 """
 
 
@@ -1065,8 +1065,10 @@ ORDER BY user_id, valid_from, event_type
     "(LEAD over a per-key window — partitioned by user_id, never global), "
     "latest row flagged current.  The CDC-compaction shape: replaying an "
     "event stream into the type-2 history that scd2_dimension_update then "
-    "maintains incrementally; ties broken by event_id so both engines "
-    "order identically.",
+    "maintains incrementally; ties broken by event_id in BOTH the LEAD "
+    "window and the final ORDER BY, so the emitted order is a total order "
+    "and both engines order identically even when a user has two events "
+    "with the same ts and event_type.",
     tags=("temporal", "scd2", "window"),
 )
 def scd2_build_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1163,7 +1165,8 @@ ORDER BY w.week
 @register(
     "growth_accounting_weekly",
     oracle=_GROWTH_SQL.format(
-        week="datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7",
+        week="CAST(FLOOR(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))"
+        " / 7.0) AS BIGINT)",
         events="events",
     ),
     doc="Weekly growth accounting: per week, active users split into new "
@@ -1171,16 +1174,21 @@ ORDER BY w.week
     "(returning after a gap), plus churned-from-previous (last week's "
     "actives minus this week's retained) — the standard DAU/MAU growth "
     "decomposition.  (user, week) dedup then per-user partitioned lag "
-    "windows (never global), one bounded per-week self-join; pure integer "
-    "arithmetic, timezone-free day-number weeks (retention_cohorts' "
-    "convention).",
+    "windows (never global), one bounded per-week self-join; weeks are "
+    "FLOOR(day-number / 7) in BOTH engines, so timestamps before the "
+    "2024-01-01 anchor get the same (negative) week under Spark and "
+    "DuckDB — no truncate-vs-floor divergence.",
     tags=("temporal", "retention", "window"),
 )
 def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("sales_telegram_bot_data_pipeline_gr_ev")
     return spark.sql(
         _GROWTH_SQL.format(
-            week="datediff(to_date(ts), to_date('2024-01-01')) div 7",
+            # FLOOR (not `div`, which truncates toward zero) so a timestamp
+            # before the 2024-01-01 anchor lands in the same negative week in
+            # both engines (day -3 -> week -1, matching DuckDB floor-division).
+            week="CAST(FLOOR(datediff(to_date(ts), to_date('2024-01-01'))"
+            " / 7.0) AS BIGINT)",
             events="sales_telegram_bot_data_pipeline_gr_ev",
         )
     )

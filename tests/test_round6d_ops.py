@@ -92,6 +92,32 @@ def test_misra_gries_adversarial_superset(spark, tmp_path):
     assert got == truth
 
 
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_misra_gries_parity_precondition_holds_on_testdata(spark, sf_dir):
+    """The misra_gries_topk == exact-top-k oracle equality is only guaranteed
+    when every true top-k token has global frequency > N/(capacity+1): by
+    pigeonhole such a token exceeds n_p/(capacity+1) in at least one
+    partition, so it survives that partition's summary and reaches the exact
+    recount.  Assert the precondition on each parity-swept testdata scale so
+    a distribution shift (near-uniform wide vocabulary) fails HERE with the
+    real reason instead of as an opaque oracle mismatch."""
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+        .where(F.length("word") > 0)
+    )
+    counts = words.groupBy("word").count()
+    total = words.count()
+    kth = (
+        counts.orderBy(F.desc("count"), "word").limit(MG_TOPK).collect()[-1]["count"]
+    )
+    threshold = total / (MG_CAPACITY + 1)
+    assert kth > threshold, (
+        f"MG precondition violated at {sf_dir}: k-th top count {kth} <= "
+        f"N/(capacity+1) = {threshold:.1f}; oracle equality no longer implied"
+    )
+
+
 def test_mmr_invariants(spark):
     rows = mmr_diversified_topk(spark, SF_SMOKE).collect()
     assert 0 < len(rows) <= MMR_K
