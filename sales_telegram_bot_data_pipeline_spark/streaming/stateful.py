@@ -192,7 +192,12 @@ def _register_streaming_sessionization():
 
     from ..operators.temporal import SESSIONIZE_GAP_S, SESSIONIZE_USER_MOD
     from ..registry import register
-    from .windows import EVENTS_STREAM_SCHEMA, _MEMSINK_SEQ, run_to_completion
+    from .windows import (
+        EVENTS_STREAM_SCHEMA,
+        _MEMSINK_SEQ,
+        run_to_completion,
+        stream_session,
+    )
 
     @register(
         "streaming_sessionization",
@@ -206,6 +211,7 @@ def _register_streaming_sessionization():
         tags=("streaming", "stateful", "session"),
     )
     def streaming_sessionization(spark: SparkSession, sf_dir: str):
+        spark = stream_session(spark)
         ep = (
             "(unix_date(CAST(ts AS DATE)) * 86400L"
             " + hour(ts) * 3600 + minute(ts) * 60 + second(ts))"

@@ -42,13 +42,25 @@ _PYTHON_OK = {"word_segmentation"}
 # Unpartitioned WindowExec ("No Partition Defined ... moving all data to a
 # single partition") is the scale-killer class that produced VERDICT r5
 # finding #1 (the global-NTILE equi-depth histogram).  It is allowed ONLY
-# over provably bounded inputs — each entry names its bound:
+# over provably bounded inputs — each entry NAMES its bound, so the
+# registry-wide sweep below can show exactly why each exception is safe and
+# a new unbounded global window cannot land silently:
 _UNPARTITIONED_WINDOW_OK = {
-    # both RRF arms are LIMIT-25 relations before their rank windows
-    "hybrid_rrf_retrieval",
-    # ranks the AGGREGATED vocabulary (O(|vocab|) rows), not the corpus;
-    # bound documented in the operator docstring
-    "zipf_fit_audit",
+    "hybrid_rrf_retrieval": "both RRF arms are LIMIT-25 relations before "
+    "their rank windows",
+    "zipf_fit_audit": "ranks the AGGREGATED vocabulary (O(|vocab|) rows), "
+    "not the corpus; bound documented in the operator docstring",
+    "mips_topk_audit": "the rank window's input is the LIMIT-25 `topk` "
+    "relation (docstring contract), never the corpus",
+    "daily_active_cumulative_users": "running SUM over the aggregated DAY "
+    "axis — O(days), bounded by the calendar, not the corpus",
+    "score_decile_lift": "cumulative-capture window runs on the aggregated "
+    f"decile relation (fixed bucket count); the corpus ranking itself uses "
+    "the distributed range-rank primitive",
+    "split_distribution_drift": "both CDF windows run on the aggregated "
+    "DRIFT_BUCKETS equi-width grid (fixed bucket count)",
+    "window_distribution_ranks": "input filtered to o_custkey < 30 — a "
+    "fixed key subset, O(orders of 30 customers) rows by construction",
 }
 
 
@@ -127,9 +139,54 @@ def test_window_query_plan_hygiene(spark, name):
 def test_out_of_window_queries_no_global_window(spark, name):
     """Unpartitioned-window pin for window-bearing queries that sit
     OUTSIDE the driver window (the blanket sweep above only covers
-    _DRIVER_WINDOW)."""
+    _DRIVER_WINDOW).  These four EXECUTE (collect) so the final adaptive
+    plan is checked; the registry-wide sweep below covers everything else
+    plan-only."""
     df = q.REGISTRY[name].fn(spark, SF_SMOKE)
     df.collect()
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     bad = _unpartitioned_windows(plan)
     assert not bad, f"{name} plans unpartitioned windows: {bad}"
+
+
+def test_registry_wide_no_unbounded_global_window(spark):
+    """VERDICT r6 task 3: sweep EVERY registered query's plan for
+    unpartitioned Window nodes — a new global sort/rank/NTILE over an
+    unbounded relation cannot land anywhere in the registry without either
+    partitioning the window or adding an allowlist entry that names its
+    bound.  Plan-only (no collect): the window partition spec is fixed at
+    planning time, so executing the query adds nothing here and would turn
+    this into a second full-registry correctness sweep."""
+    offenders: dict[str, list[str]] = {}
+    for name in sorted(q.REGISTRY):
+        if name in _UNPARTITIONED_WINDOW_OK:
+            continue
+        df = q.REGISTRY[name].fn(spark, SF_SMOKE)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        bad = _unpartitioned_windows(plan)
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"unpartitioned Window nodes outside the allowlist: {offenders} — "
+        "single-partition global sort at scale; partition the window or "
+        "allowlist with a documented bound"
+    )
+
+
+def test_unpartitioned_window_allowlist_entries_still_flag(spark):
+    """The allowlist must stay HONEST: every allowlisted query must (a)
+    still exist in the registry and (b) actually plan an unpartitioned
+    window — otherwise the entry is stale cover a future unbounded window
+    could hide behind."""
+    for name, bound in _UNPARTITIONED_WINDOW_OK.items():
+        assert name in q.REGISTRY, f"allowlist entry {name} no longer registered"
+        df = q.REGISTRY[name].fn(spark, SF_SMOKE)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert _unpartitioned_windows(plan), (
+            f"allowlist entry {name} ({bound}) no longer plans an "
+            "unpartitioned window — remove the stale entry"
+        )
