@@ -136,42 +136,45 @@ except ImportError:  # pragma: no cover
 # outside the static window over time.  A slot may rotate only if its
 # operator family keeps at least one driver row; parked queries stay
 # registered and swept by the local replica (LOCAL_CORRECTNESS_r{N}.json).
-# Round-6 rotation — in (all 10 NEVER previously windowed; the round-5
-# additions get their first driver rows): bitext_margin_mining,
-# curation_pipeline_v2, dedup_containment, dedup_keep_best_quality,
-# weighted_sample_aes, countmin_heavy_hitters,
-# label_propagation_communities, validity_interval_coalesce,
-# split_leakage_audit, winnowing_doc_matches.
-# Parked (family cover in parens — every parked query has r05 driver-grade
-# evidence): q6/q7/q10 (TPC-H keeps q1/q3/q5), bigram_lm_score
-# (dsir_importance keeps model-based quality), pagerank_neardup_graph
-# (graph family: dedup_connected_components stays, LPA rotates in),
-# knn_cosine_bruteforce (ANN: dedup_incremental_lsh + semantic_dedup),
-# sketch_rollup_distinct (sketches: countmin_heavy_hitters in,
-# table_checksum_audit stays), pit_join_scd2 (temporal joins:
-# asof_join_purchase_signup + interval_join_shipments),
-# full_outer_reconciliation (reconciliation audits: table_checksum_audit),
-# kmeans_lloyd (clustering: semantic_dedup + both curation capstones).
+# Round-7 rotation — in (all 10 NEVER previously windowed; first driver
+# rows for the round-6 additions): leakage_safe_split,
+# dedup_prefix_filter_join, quality_rank_blend, lsh_band_tuning_audit,
+# record_linkage_blocked, boilerplate_segment_removal,
+# association_rules_lift, rfm_segmentation, spearman_rank_correlation,
+# mips_topk_audit.
+# Parked (family cover in parens — every parked query has r06 driver-grade
+# evidence): q3_top_unshipped_revenue (TPC-H keeps q1/q5),
+# bitext_margin_mining (ANN: mips_topk_audit in, semantic_dedup +
+# dedup_incremental_lsh stay), curation_pipeline_v2 (capstones:
+# curation_pipeline_end2end stays), dedup_containment +
+# dedup_keep_best_quality + winnowing_doc_matches (dedup: prefix-filter
+# join in; exact/minhash/incremental/CC stay), weighted_sample_aes
+# (splits/sampling: dataset_hash_split stays, leakage_safe_split in),
+# label_propagation_communities (graph: dedup_connected_components stays),
+# validity_interval_coalesce (temporal: interval/asof/session rows stay),
+# split_leakage_audit (audits: table_checksum_audit stays,
+# lsh_band_tuning_audit in).  countmin_heavy_hitters stays — parking it
+# would leave the sketch family without a driver row.
+# Round-6 history: in — bitext_margin_mining, curation_pipeline_v2,
+# dedup_containment, dedup_keep_best_quality, weighted_sample_aes,
+# countmin_heavy_hitters, label_propagation_communities,
+# validity_interval_coalesce, split_leakage_audit, winnowing_doc_matches.
 # Round-5 history: in — q6/q7/q10, recursive_hierarchy_rollup,
 # lateral_topk_orders, pagerank_neardup_graph, bigram_lm_score,
 # pit_join_scd2, full_outer_reconciliation, sketch_rollup_distinct.
-# Round-7 rotation candidates (round-6 additions, never windowed):
-# leakage_safe_split, dedup_prefix_filter_join, quality_rank_blend,
-# source_quality_ranksum, lsh_band_tuning_audit, cluster_balanced_sample,
-# record_linkage_blocked, boilerplate_segment_removal, score_decile_lift,
-# join_cardinality_sketch_audit / split_distribution_drift; second wave:
-# association_rules_lift, rfm_segmentation, spearman_rank_correlation,
-# graph_bfs_hops, misra_gries_topk, revenue_trend_ols,
-# kmeans_separation_audit, scd2_build_from_events, k_anonymity_audit,
-# bucketed_join_colocated, ab_conversion_ztest, mips_topk_audit,
-# revenue_concentration_audit, growth_accounting_weekly,
-# time_weighted_average_value, quality_gate_agreement_kappa,
-# band_join_price_neighbors, epoch_shuffle_plan, file_compaction_plan.
+# Round-8 rotation candidates (never windowed): source_quality_ranksum,
+# cluster_balanced_sample, score_decile_lift,
+# join_cardinality_sketch_audit, split_distribution_drift, graph_bfs_hops,
+# misra_gries_topk, revenue_trend_ols, kmeans_separation_audit,
+# scd2_build_from_events, k_anonymity_audit, bucketed_join_colocated,
+# ab_conversion_ztest, revenue_concentration_audit,
+# growth_accounting_weekly, time_weighted_average_value,
+# quality_gate_agreement_kappa, band_join_price_neighbors,
+# epoch_shuffle_plan, file_compaction_plan, plus any round-7 additions.
 # --------------------------------------------------------------------------
 _DRIVER_WINDOW = [
-    # core relational / TPC-H
+    # core relational / TPC-H (q3 parked round 7; q1/q5 keep the family)
     "q1_pricing_summary",
-    "q3_top_unshipped_revenue",
     "q5_revenue_by_nation",
     "broadcast_lookup_join",
     "semi_join_active_customers",
@@ -226,18 +229,20 @@ _DRIVER_WINDOW = [
     # round-5 swap-ins retained (CTE/LATERAL have no other family cover)
     "recursive_hierarchy_rollup",
     "lateral_topk_orders",
-    # round-6 rotation swap-ins (see policy comment above): first driver
-    # rows for the round-5 operator families
-    "bitext_margin_mining",
-    "curation_pipeline_v2",
-    "dedup_containment",
-    "dedup_keep_best_quality",
-    "weighted_sample_aes",
+    # round-6 swap-in retained (sketch family's only driver row)
     "countmin_heavy_hitters",
-    "label_propagation_communities",
-    "validity_interval_coalesce",
-    "split_leakage_audit",
-    "winnowing_doc_matches",
+    # round-7 rotation swap-ins (see policy comment above): first driver
+    # rows for the round-6 operator families
+    "leakage_safe_split",
+    "dedup_prefix_filter_join",
+    "quality_rank_blend",
+    "lsh_band_tuning_audit",
+    "record_linkage_blocked",
+    "boilerplate_segment_removal",
+    "association_rules_lift",
+    "rfm_segmentation",
+    "spearman_rank_correlation",
+    "mips_topk_audit",
 ]
 
 

@@ -6,12 +6,15 @@ The reference moves images as S3 objects with lineage encoded in filenames
 ``binary`` column + a metadata struct in the SAME row — no filename parsing,
 no per-object RPCs, and partition-parallel decode.
 
-Decode is STUBBED (no image/audio libraries in this container): the real
-path raises ``NotImplementedError`` with the library it needs; the default
+Decode: ``real_decode=True`` decodes REAL pixels for uncompressed 24-bit
+BMP and non-interlaced 8-bit PNG via the pure-stdlib codec
+(sources/imagecodec.py, exercised end-to-end in tests/test_imagecodec.py);
+formats needing a real codec library (jpeg's DCT, video, audio containers)
+raise ``NotImplementedError`` naming what they need.  The default
 deterministic fake derives (width, height, n_frames) and an 8-dim feature
 vector from the content hash, so schemas, batch shapes and partitioning are
-real and tested.  ``spark.read.format("binaryFile")`` is the cluster-scale
-ingestion path for real files.
+real and tested either way.  ``spark.read.format("binaryFile")`` is the
+cluster-scale ingestion path for real files.
 """
 
 from __future__ import annotations
@@ -47,14 +50,18 @@ def with_binary_metadata(df: DataFrame, content_col: str = "content") -> DataFra
             "mime",
             F.when(F.hex(F.substring(c, 1, 4)) == "89504E47", "image/png")
             .when(F.hex(F.substring(c, 1, 3)) == "FFD8FF", "image/jpeg")
+            .when(F.hex(F.substring(c, 1, 2)) == "424D", "image/bmp")
             .otherwise("application/octet-stream"),
         )
     )
 
 
 def decode_stub(df: DataFrame, real_decode: bool = False) -> DataFrame:
-    """mapInPandas decode/feature-extract.  ``real_decode=True`` is the
-    clearly-marked unimplemented real path (needs PIL/cv2)."""
+    """mapInPandas decode/feature-extract.  ``real_decode=True`` decodes
+    REAL pixels for the formats the pure-stdlib codec covers (uncompressed
+    24-bit BMP, non-interlaced 8-bit PNG — sources/imagecodec.py) and keeps
+    the honest ``NotImplementedError`` gate for everything else (jpeg needs
+    a DCT codec)."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -63,10 +70,22 @@ def decode_stub(df: DataFrame, real_decode: bool = False) -> DataFrame:
                 content = bytes(rec.content) if rec.content is not None else b""
                 digest = hashlib.md5(content).hexdigest()
                 if real_decode:
-                    raise NotImplementedError(
-                        "real image decode needs PIL/cv2 (not in this container); "
-                        "wire it here — schema and batching are already correct"
+                    from .imagecodec import decode_image, image_stats_features
+
+                    img = decode_image(content, rec.mime)
+                    out.append(
+                        {
+                            "doc_id": rec.doc_id,
+                            "byte_len": len(content),
+                            "content_hash": digest,
+                            "mime": rec.mime,
+                            "width": int(img.shape[1]),
+                            "height": int(img.shape[0]),
+                            "n_frames": 1,
+                            "features": image_stats_features(img),
+                        }
                     )
+                    continue
                 seed = int(digest[:15], 16)
                 out.append(
                     {

@@ -119,6 +119,63 @@ def partitioned_dataset_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# dynamic partition pruning: dim filter prunes fact partitions at RUNTIME
+# --------------------------------------------------------------------------
+_DPP_DIM_SQL = """
+SELECT DISTINCT o_orderpriority AS prio,
+       CASE WHEN o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+            THEN 'hot' ELSE 'cold' END AS tier
+FROM {orders}
+"""
+
+_DPP_AGG_SQL = """
+SELECT f.{prio_col} AS o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(CAST(SUM(CAST(f.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_price
+FROM {fact} f JOIN ({dim}) d ON d.prio = f.{prio_col}
+WHERE d.tier = 'hot'
+GROUP BY f.{prio_col}
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "dynamic_partition_pruned_join",
+    oracle=_DPP_AGG_SQL.format(
+        fact="orders",
+        dim=_DPP_DIM_SQL.format(orders="orders"),
+        prio_col="o_orderpriority",
+    ),
+    doc="DYNAMIC partition pruning proof: the hive-partitioned orders fact "
+    "joins a priority dimension whose filter (tier = 'hot') is NOT on the "
+    "partition column itself — the set of surviving partition keys is only "
+    "known at runtime, so Catalyst injects a dynamicpruning subquery into "
+    "the fact scan's PartitionFilters (reusing the join's broadcast "
+    "exchange) and the cold directories are never opened.  The 100-TB "
+    "scan-killer next to STATIC pruning (partitioned_dataset_prune): a "
+    "date-dim filter pruning a date-partitioned fact is this exact shape.  "
+    "dynamicpruningexpression plan-asserted in "
+    "tests/test_round7_ops.py::test_dynamic_partition_pruning_in_plan; the "
+    "oracle runs the same join over the unpartitioned original.",
+    tags=("source", "layout", "pruning", "join"),
+)
+def dynamic_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    path = _scratch(spark, "part_orders_dpp", sf_dir)
+    write_orders_partitioned(orders, path)
+    orders.createOrReplaceTempView("sales_telegram_bot_data_pipeline_dpp_orders_src")
+    spark.read.parquet(path).createOrReplaceTempView("sales_telegram_bot_data_pipeline_dpp_fact")
+    return spark.sql(
+        _DPP_AGG_SQL.format(
+            fact="sales_telegram_bot_data_pipeline_dpp_fact",
+            dim=_DPP_DIM_SQL.format(orders="sales_telegram_bot_data_pipeline_dpp_orders_src"),
+            # the partition column reads back as STRING from directory names
+            prio_col="o_orderpriority",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # small-file compaction planner over a hive-partitioned corpus export
 # --------------------------------------------------------------------------
 COMPACT_TARGET_ROWS = 25_000  # rows per output file the plan aims for

@@ -66,6 +66,17 @@ for name in (
     "bucketed_join_colocated",
     "misra_gries_topk",
     "mips_topk_audit",
+    # round-7 rotation swap-ins not already above (ANSI risks: ratio
+    # divisions NULLIF-guarded, md5-hash arithmetic, per-band candidate
+    # counts, blocked-join key casts, segment-ratio doubles, support/lift
+    # divisions, rank-blend integer sums)
+    "leakage_safe_split",
+    "dedup_prefix_filter_join",
+    "quality_rank_blend",
+    "lsh_band_tuning_audit",
+    "record_linkage_blocked",
+    "boilerplate_segment_removal",
+    "association_rules_lift",
 ):
     r = compare_query(spark, con, name, {SF_SMOKE!r})
     assert r.ok, f"{{name}} failed on a DEFAULT session: {{r.detail}}"
@@ -83,4 +94,4 @@ def test_default_session_oracle_parity():
         cwd="/root/repo",
     )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-3000:]}"
-    assert proc.stdout.count("OK") == 29
+    assert proc.stdout.count("OK") == 36

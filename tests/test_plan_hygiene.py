@@ -31,6 +31,11 @@ _ONE_ROW_BNLJ_OK = {
     # per row by construction, never corpus x corpus
     "knn_cosine_bruteforce",
     "knn_cosine_ivf",
+    # round-7 swap-ins: one-row CROSS JOIN shapes only
+    "association_rules_lift",  # single-row n_orders total scalar
+    "mips_topk_audit",  # single-row query vector broadcast
+    "leakage_safe_split",  # single-row cross_split_pairs COUNT scalar
+    "lsh_band_tuning_audit",  # single-row n_truth COUNT scalar
 }
 
 # mapInPandas / pandas-UDF operators: Python stages are their design.

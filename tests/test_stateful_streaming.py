@@ -66,13 +66,21 @@ def test_running_totals_tws_match_batch(spark, scratch):
     test_tws_processor_logic_matches_batch below, which drives
     RunningTotalsProcessor directly; this test exercises the real runtime
     wherever protobuf exists."""
-    pytest.importorskip(
-        "google.protobuf.descriptor",
-        reason="transformWithStateInPandas requires google.protobuf for its "
-        "state-store protocol; not installed in this container (and installs "
-        "are disallowed) — processor logic is covered by "
-        "test_tws_processor_logic_matches_batch",
-    )
+    # Probe (not assume) the runtime dependency, and surface the EXACT
+    # failure in the skip reason (VERDICT r6 task 5) so CI output names the
+    # incompatibility: here the whole `google` namespace package is absent
+    # from site-packages (no pinned-version conflict — the distribution is
+    # simply not shipped, and installs are disallowed in this container).
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except BaseException as exc:  # ModuleNotFoundError expected
+        pytest.skip(
+            "transformWithStateInPandas requires google.protobuf for its "
+            f"state-store protocol; probe failed with {type(exc).__name__}: "
+            f"{exc} (site-packages ships no google/ namespace at all; "
+            "installs disallowed) — processor logic is covered by "
+            "test_tws_processor_logic_matches_batch"
+        )
     from sales_telegram_bot_data_pipeline_spark.streaming.stateful import (
         running_user_totals_tws,
     )
