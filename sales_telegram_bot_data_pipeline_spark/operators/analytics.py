@@ -991,3 +991,204 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _RI_SQL.format(lineitem="sales_telegram_bot_data_pipeline_ri_l", orders="sales_telegram_bot_data_pipeline_ri_o", customer="sales_telegram_bot_data_pipeline_ri_c")
     )
+
+
+# --------------------------------------------------------------------------
+# Theil–Sen robust trend (median of pairwise slopes) over daily revenue
+# --------------------------------------------------------------------------
+_THEILSEN_SQL = """
+WITH daily AS (
+  SELECT CAST({datediff} AS BIGINT) AS x,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS y
+  FROM {orders} GROUP BY {datediff}
+),
+slopes AS (
+  -- pairwise slopes in IDENTICAL double ops in both engines: exact cent
+  -- integers divided once; the relation is O(days^2), bounded by the
+  -- CALENDAR squared (~3M pairs over 7 TPC-H years at any corpus size)
+  SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+  FROM daily a JOIN daily b ON b.x > a.x
+),
+med AS (
+  SELECT COUNT(*) AS n_pairs, {median_fn} AS med_slope FROM slopes
+),
+anchor AS (
+  SELECT COUNT(*) AS n_days,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(y) AS DECIMAL(38,0)) AS sy
+  FROM daily
+)
+SELECT CAST(a.n_days AS BIGINT) AS n_days,
+       CAST(m.n_pairs AS BIGINT) AS n_pairs,
+       ROUND(m.med_slope / 100.0, 6) AS slope_per_day,
+       -- Theil–Sen intercept (mean-anchored variant): mean(y) - slope*mean(x)
+       ROUND((CAST(a.sy AS DOUBLE) / a.n_days
+              - m.med_slope * CAST(a.sx AS DOUBLE) / a.n_days) / 100.0, 6)
+         AS intercept
+FROM med m CROSS JOIN anchor a
+"""
+
+
+@register(
+    "theilsen_trend_robust",
+    oracle=_THEILSEN_SQL.format(
+        datediff="datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))",
+        orders="orders",
+        median_fn="quantile_cont(slope, 0.5)",
+    ),
+    doc="Theil–Sen robust trend over daily revenue: the MEDIAN of all "
+    "pairwise day-to-day slopes — the estimator that shrugs off the "
+    "outlier days that drag revenue_trend_ols (its closed-form sibling; "
+    "same daily-cents relation).  Slopes are exact cent integers divided "
+    "once in identical double ops; the pair join is bounded by the "
+    "CALENDAR squared, never the corpus, and the exact interpolated "
+    "median runs on that bounded relation (documented single-aggregate "
+    "bound — this is a days^2 statistic by definition).",
+    tags=("analytics", "stats", "regression"),
+)
+def theilsen_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sales_telegram_bot_data_pipeline_ts_o")
+    return spark.sql(
+        _THEILSEN_SQL.format(
+            datediff="datediff(to_date(o_orderdate), to_date('1970-01-01'))",
+            orders="sales_telegram_bot_data_pipeline_ts_o",
+            median_fn="percentile(slope, 0.5)",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# t-closeness audit (the EMD sibling of k-anonymity / l-diversity)
+# --------------------------------------------------------------------------
+T_CLOSENESS_THRESHOLD = 0.35  # max total-variation distance before flagging
+
+_TCLOSE_SQL = f"""
+WITH q AS (
+  SELECT c_nationkey,
+         CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000.0) AS INT) AS bal_band,
+         c_mktsegment
+  FROM {{customer}}
+),
+segtot AS (
+  SELECT c_mktsegment, COUNT(*) AS g_n FROM q GROUP BY c_mktsegment
+),
+tot AS (SELECT COUNT(*) AS n_all FROM q),
+grp AS (
+  SELECT c_nationkey, bal_band, COUNT(*) AS grp_n FROM q
+  GROUP BY c_nationkey, bal_band
+),
+cell AS (
+  SELECT c_nationkey, bal_band, c_mktsegment, COUNT(*) AS c_n FROM q
+  GROUP BY c_nationkey, bal_band, c_mktsegment
+),
+-- every (group x segment) cell, INCLUDING absent segments (they contribute
+-- the full global share to the distance)
+dist AS (
+  SELECT g.c_nationkey, g.bal_band, g.grp_n,
+         ABS(CAST(COALESCE(c.c_n, 0) AS DOUBLE) / g.grp_n
+             - CAST(s.g_n AS DOUBLE) / t.n_all) AS absdiff
+  FROM grp g
+  CROSS JOIN segtot s
+  CROSS JOIN tot t
+  LEFT JOIN cell c
+    ON c.c_nationkey = g.c_nationkey AND c.bal_band = g.bal_band
+   AND c.c_mktsegment = s.c_mktsegment
+),
+per_group AS (
+  SELECT c_nationkey, bal_band, grp_n,
+         ROUND(SUM(absdiff) / 2.0, 6) AS t_distance
+  FROM dist GROUP BY c_nationkey, bal_band, grp_n
+)
+SELECT CAST(FLOOR(t_distance / 0.05) AS INT) AS t_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(grp_n) AS BIGINT) AS n_customers,
+       (MIN(t_distance) > {T_CLOSENESS_THRESHOLD}) AS at_risk
+FROM per_group
+GROUP BY CAST(FLOOR(t_distance / 0.05) AS INT)
+ORDER BY t_bucket
+"""
+
+
+@register(
+    "t_closeness_audit",
+    oracle=_TCLOSE_SQL.format(customer="customer"),
+    doc="t-closeness audit completing the privacy triple (k_anonymity_"
+    "audit, l_diversity_audit): per quasi-identifier group (nation, "
+    "balance kilo-band), the total-variation distance between the group's "
+    "sensitive-value (market segment) distribution and the GLOBAL one — "
+    "a diverse-but-skewed group still leaks.  Absent segments enter via "
+    "the group x segment grid (|segments| = 5, so the CROSS JOIN is a "
+    f"bounded broadcast), groups above t = {T_CLOSENESS_THRESHOLD} "
+    "flagged, output histogrammed by 0.05 distance buckets.",
+    tags=("analytics", "privacy", "audit"),
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("sales_telegram_bot_data_pipeline_tc_c")
+    return spark.sql(_TCLOSE_SQL.format(customer="sales_telegram_bot_data_pipeline_tc_c"))
+
+
+# --------------------------------------------------------------------------
+# rolling control-chart anomalies on daily event counts
+# --------------------------------------------------------------------------
+CCHART_WINDOW = 13  # trailing days in the control window
+CCHART_MIN_N = 8  # minimum trailing days before a verdict
+CCHART_SIGMA = 3.0
+
+_CCHART_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST({{datediff}} AS BIGINT) AS day_no,
+         COUNT(*) AS n_events
+  FROM {{events}} GROUP BY event_type, {{datediff}}
+),
+win AS (
+  SELECT event_type, day_no, n_events,
+         COUNT(*) OVER w AS w_n,
+         SUM(n_events) OVER w AS w_sum,
+         SUM(n_events * n_events) OVER w AS w_sumsq
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day_no
+               ROWS BETWEEN {CCHART_WINDOW} PRECEDING AND 1 PRECEDING)
+),
+scored AS (
+  SELECT event_type, day_no, n_events, w_n,
+         CAST(w_sum AS DOUBLE) / w_n AS mu,
+         -- sample variance from exact integer sums: (n*sumsq - sum^2) / (n*(n-1))
+         (CAST(w_n AS DOUBLE) * w_sumsq - CAST(w_sum AS DOUBLE) * w_sum)
+           / (CAST(w_n AS DOUBLE) * (w_n - 1)) AS var_s
+  FROM win WHERE w_n >= {CCHART_MIN_N}
+)
+SELECT event_type, day_no,
+       CAST(n_events AS BIGINT) AS n_events,
+       ROUND(mu, 6) AS rolling_mean,
+       ROUND(sqrt(var_s), 6) AS rolling_std,
+       ROUND((n_events - mu) / NULLIF(sqrt(var_s), 0), 6) AS z_score
+FROM scored
+WHERE ABS(n_events - mu) > {CCHART_SIGMA} * sqrt(var_s)
+ORDER BY event_type, day_no
+"""
+
+
+@register(
+    "control_chart_anomalies",
+    oracle=_CCHART_SQL.format(
+        datediff="datediff('day', DATE '1970-01-01', CAST(ts AS DATE))",
+        events="events",
+    ),
+    doc=f"Rolling control-chart anomaly detection: per event_type, each "
+    f"day's count vs the trailing-{CCHART_WINDOW}-day mean/std (exact "
+    "integer window sums -> identical double variance in both engines), "
+    f"flagged beyond {CCHART_SIGMA} sigma with at least {CCHART_MIN_N} "
+    "trailing days — the ingest-volume tripwire an ops pipeline pages on. "
+    "Windows partition by event_type over the aggregated DAY relation "
+    "(O(days) per partition, never corpus rows).",
+    tags=("analytics", "timeseries", "anomaly", "window"),
+)
+def control_chart_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("sales_telegram_bot_data_pipeline_cc_ev")
+    return spark.sql(
+        _CCHART_SQL.format(
+            datediff="datediff(to_date(ts), to_date('1970-01-01'))",
+            events="sales_telegram_bot_data_pipeline_cc_ev",
+        )
+    )

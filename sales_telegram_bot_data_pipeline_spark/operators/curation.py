@@ -2090,3 +2090,134 @@ ORDER BY w.source
 )
 def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_neyman_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# deterministic negative-sampling plan (training-pair construction)
+# --------------------------------------------------------------------------
+NEG_K = 4  # negatives per positive
+NEG_ORDER_MOD = 50  # sampled positive subset keeps the plan oracle-sized
+
+
+def _neg_sample_sql(d: Dialect, lineitem: str, orders: str, part: str) -> str:
+    h = d.md5_prefix_int(
+        f"('neg|' || {d.strcast('o_custkey')} || '|' || "
+        f"{d.strcast('l_partkey')} || '|' || {d.strcast('i')})"
+    )
+    if d.name == "spark":
+        expl = f"LATERAL VIEW explode(sequence(1, {NEG_K})) t AS i"
+        unnest_sel = ""
+    else:
+        expl = ""
+        unnest_sel = f", unnest(generate_series(1, {NEG_K})) AS i"
+    pos_from = (
+        f"SELECT DISTINCT o.o_custkey, l.l_partkey FROM {lineitem} l "
+        f"JOIN {orders} o ON o.o_orderkey = l.l_orderkey "
+        f"WHERE o.o_orderkey % {NEG_ORDER_MOD} = 0"
+    )
+    if d.name == "spark":
+        cand_src = f"SELECT o_custkey, l_partkey, i FROM pos {expl}"
+    else:
+        cand_src = f"SELECT o_custkey, l_partkey{unnest_sel} FROM pos"
+    return f"""
+WITH pos AS ({pos_from}),
+mx AS (SELECT MAX(p_partkey) AS max_pk FROM {part}),
+cand AS (
+  SELECT c.o_custkey, c.l_partkey AS pos_partkey, CAST(c.i AS INT) AS neg_idx,
+         CAST(({h}) % m.max_pk + 1 AS BIGINT) AS neg_partkey
+  FROM ({cand_src}) c CROSS JOIN mx m
+),
+allpos AS (SELECT DISTINCT o.o_custkey, l.l_partkey
+           FROM {lineitem} l JOIN {orders} o ON o.o_orderkey = l.l_orderkey)
+SELECT c.o_custkey, c.pos_partkey, c.neg_idx, c.neg_partkey
+FROM cand c
+LEFT JOIN allpos a
+  ON a.o_custkey = c.o_custkey AND a.l_partkey = c.neg_partkey
+WHERE a.l_partkey IS NULL  -- drop accidental positives (true-pair collisions)
+ORDER BY c.o_custkey, c.pos_partkey, c.neg_idx
+"""
+
+
+@register(
+    "negative_sampling_plan",
+    oracle=_neg_sample_sql(DUCKDB, "lineitem", "orders", "part"),
+    doc=f"Deterministic negative sampling for training-pair construction: "
+    f"for each (customer, purchased part) positive, {NEG_K} hash-derived "
+    "candidate negatives over the part-key domain, accidental positives "
+    "removed by an anti-join against the TRUE pair set (the correctness "
+    "step naive random sampling skips).  Seed-free md5 routing — "
+    "re-runs and engines agree bit-for-bit; at 100 TB this is one "
+    "explode + one key-level LEFT join, never a per-row RNG service.  "
+    "The recsys/contrastive twin of the curation samplers.",
+    tags=("curation", "sampling", "training"),
+)
+def negative_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("sales_telegram_bot_data_pipeline_neg_l")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sales_telegram_bot_data_pipeline_neg_o")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("sales_telegram_bot_data_pipeline_neg_p")
+    return spark.sql(_neg_sample_sql(SPARK, "sales_telegram_bot_data_pipeline_neg_l", "sales_telegram_bot_data_pipeline_neg_o", "sales_telegram_bot_data_pipeline_neg_p"))
+
+
+# --------------------------------------------------------------------------
+# T5-style span-corruption plan (deterministic mask offsets per document)
+# --------------------------------------------------------------------------
+SPAN_MASK_RATIO_PCT = 15  # percent of tokens to corrupt
+SPAN_MEAN_LEN = 3  # tokens per span
+SPAN_DOC_MOD = 25  # sampled doc subset keeps the span list oracle-sized
+
+
+def _span_plan_sql(d: Dialect, table: str) -> str:
+    ntok = d.alen(d.splitws("text"))
+    # exact integer floor division in BOTH engines (a double divide +
+    # CAST would round in DuckDB but truncate in Spark)
+    nspans = d.idiv(f"(CAST({ntok} AS BIGINT) * {SPAN_MASK_RATIO_PCT})", str(100 * SPAN_MEAN_LEN))
+    h = d.md5_prefix_int(
+        f"('span|' || {d.strcast('doc_id')} || '|' || {d.strcast('s')})"
+    )
+    if d.name == "spark":
+        spans_src = (
+            "SELECT doc_id, n_tokens, s FROM sized "
+            "LATERAL VIEW explode(sequence(1, n_spans)) t AS s "
+            "WHERE n_spans >= 1"
+        )
+    else:
+        spans_src = (
+            "SELECT doc_id, n_tokens, unnest(generate_series(1, n_spans)) AS s "
+            "FROM sized WHERE n_spans >= 1"
+        )
+    return f"""
+WITH sized AS (
+  SELECT doc_id,
+         CAST({ntok} AS BIGINT) AS n_tokens,
+         CAST({nspans} AS BIGINT) AS n_spans
+  FROM {table} WHERE doc_id % {SPAN_DOC_MOD} = 0
+),
+spans AS (
+  SELECT doc_id, n_tokens, CAST(s AS INT) AS span_idx,
+         CAST(({h}) % n_tokens AS BIGINT) AS start_tok
+  FROM ({spans_src}) x
+)
+SELECT doc_id, n_tokens, span_idx, start_tok,
+       CAST(LEAST(start_tok + {SPAN_MEAN_LEN}, n_tokens) - start_tok AS INT)
+         AS span_len
+FROM spans
+ORDER BY doc_id, span_idx
+"""
+
+
+@register(
+    "span_corruption_plan",
+    oracle=_span_plan_sql(DUCKDB, "documents"),
+    doc=f"T5-style span-corruption PLAN: per document, "
+    f"~{SPAN_MASK_RATIO_PCT}% of tokens in {SPAN_MEAN_LEN}-token spans, "
+    "each span's offset derived from a seed-free md5 of (doc_id, span "
+    "index) — the masking schedule is a pure projection + bounded "
+    "explode, reproducible across runs, engines and epochs (pair it with "
+    "epoch_shuffle_plan for per-epoch variation).  Emitting the PLAN "
+    "rather than rewritten text keeps the corpus scan write-free: the "
+    "trainer's data loader applies offsets at read time.",
+    tags=("curation", "training", "text"),
+)
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    view = _doc_view(spark, sf_dir, "sales_telegram_bot_data_pipeline_span_docs")
+    return spark.sql(_span_plan_sql(SPARK, view))

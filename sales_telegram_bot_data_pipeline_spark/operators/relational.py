@@ -1493,3 +1493,54 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt: wide per-document metrics -> long (doc_id, metric, value)
+# ---------------------------------------------------------------------------
+UNPIVOT_DOC_MOD = 20  # sampled key subset keeps the long output oracle-sized
+
+
+@register(
+    "unpivot_doc_metrics",
+    oracle=f"""
+WITH wide AS (
+  SELECT doc_id,
+         CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))
+              AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits
+  FROM documents WHERE doc_id % {UNPIVOT_DOC_MOD} = 0
+)
+SELECT doc_id, metric, value FROM (
+  SELECT doc_id, 'n_chars' AS metric, n_chars AS value FROM wide
+  UNION ALL SELECT doc_id, 'n_digits', n_digits FROM wide
+  UNION ALL SELECT doc_id, 'n_words', n_words FROM wide
+) u
+ORDER BY doc_id, metric
+""",
+    doc="UNPIVOT (melt): wide per-document metric columns rotated into the "
+    "long (doc_id, metric, value) shape every metrics store and plotting "
+    "layer ingests — the inverse of pivot_last_event_value.  Spark side "
+    "uses the native stack() table generator (one projection, NO shuffle, "
+    "no per-metric rescan); the oracle is the equivalent UNION ALL "
+    "(3 scans) — same rows, which is the point: stack is pure fan-out.",
+    tags=("relational", "unpivot", "projection"),
+)
+def unpivot_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("sales_telegram_bot_data_pipeline_up_docs")
+    return spark.sql(
+        f"""
+WITH wide AS (
+  SELECT doc_id,
+         CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(size(filter(split(text, '\\\\s+'), t -> t <> '')) AS BIGINT) AS n_words,
+         CAST(regexp_count(text, '[0-9]') AS BIGINT) AS n_digits
+  FROM sales_telegram_bot_data_pipeline_up_docs WHERE doc_id % {UNPIVOT_DOC_MOD} = 0
+)
+SELECT doc_id, metric, value
+FROM wide
+UNPIVOT (value FOR metric IN (n_chars, n_digits, n_words))
+ORDER BY doc_id, metric
+"""
+    )

@@ -1192,3 +1192,202 @@ def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             events="sales_telegram_bot_data_pipeline_gr_ev",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# forward as-of join: first purchase AT-OR-AFTER each view, horizon-bounded
+# ---------------------------------------------------------------------------
+ASOF_FWD_HORIZON_DAYS = 7
+
+
+@register(
+    "asof_join_forward",
+    oracle=f"""
+WITH v AS (
+  SELECT event_id AS view_id, user_id, ts AS view_ts
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+),
+cand AS (
+  SELECT v.view_id, v.user_id, v.view_ts, p.purchase_id, p.purchase_ts,
+         ROW_NUMBER() OVER (PARTITION BY v.view_id
+                            ORDER BY p.purchase_ts, p.purchase_id) AS rn
+  FROM v JOIN p ON p.user_id = v.user_id
+   AND p.purchase_ts >= v.view_ts
+   AND p.purchase_ts <= v.view_ts + INTERVAL {ASOF_FWD_HORIZON_DAYS} DAY
+)
+SELECT view_id, user_id, view_ts, purchase_id, purchase_ts
+FROM cand WHERE rn = 1
+ORDER BY view_id
+""",
+    doc="FORWARD as-of join (the direction twin of asof_join_purchase_"
+    "signup): each view matched to the user's FIRST purchase at-or-after "
+    f"it, within {ASOF_FWD_HORIZON_DAYS} days.  Spark side is the "
+    "union-window trick — one per-user partitioned window (ties: the "
+    "purchase sorts after the view at equal ts so it is visible to the "
+    "forward frame; then event_id), F.first(ignorenulls) over "
+    "currentRow..unboundedFollowing — ONE shuffle, no join; the oracle is "
+    "the equivalent bounded candidate join + rank (different plan, same "
+    "rows, which is the point).",
+    tags=("temporal", "asof", "window"),
+)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    # view sorts BEFORE purchase at equal ts so the purchase is inside the
+    # view row's forward frame (>= semantics)
+    rank = F.when(F.col("event_type") == "view", F.lit(0)).otherwise(F.lit(1))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), rank, F.col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    pur = F.when(
+        F.col("event_type") == "purchase", F.struct("ts", "event_id")
+    )
+    enriched = ev.withColumn("next_purchase", F.first(pur, ignorenulls=True).over(w))
+    return (
+        enriched.where(
+            (F.col("event_type") == "view")
+            & F.col("next_purchase").isNotNull()
+            & (
+                F.col("next_purchase.ts")
+                <= F.col("ts") + F.expr(f"INTERVAL {ASOF_FWD_HORIZON_DAYS} DAYS")
+            )
+        )
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+            F.col("next_purchase.event_id").alias("purchase_id"),
+            F.col("next_purchase.ts").alias("purchase_ts"),
+        )
+        .orderBy("view_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multi-touch attribution credit over the view→purchase pairs
+# ---------------------------------------------------------------------------
+_MTA_SQL = """
+WITH v AS (
+  SELECT event_id AS view_id, user_id, ts AS view_ts
+  FROM {events} WHERE event_type = 'view'
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM {events} WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT p.purchase_id, v.view_id, v.view_ts
+  FROM v JOIN p ON p.user_id = v.user_id
+   AND p.purchase_ts >= v.view_ts
+   AND p.purchase_ts <= v.view_ts + INTERVAL {horizon} MINUTE
+),
+ranked AS (
+  SELECT purchase_id, view_id,
+         ROW_NUMBER() OVER (PARTITION BY purchase_id
+                            ORDER BY view_ts, view_id) AS pos,
+         COUNT(*) OVER (PARTITION BY purchase_id) AS n_touch
+  FROM pairs
+),
+classed AS (
+  SELECT CASE WHEN n_touch = 1 THEN 'only'
+              WHEN pos = 1 THEN 'first'
+              WHEN pos = n_touch THEN 'last'
+              ELSE 'middle' END AS touch_class,
+         purchase_id,
+         -- linear credit 1/n quantized to EXACT micro-units per row so the
+         -- cross-engine sum is integer arithmetic (house double-sum idiom)
+         CAST(ROUND(1000000.0 / n_touch) AS BIGINT) AS credit_micro
+  FROM ranked
+)
+SELECT touch_class,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+       ROUND(CAST(SUM(credit_micro) AS DOUBLE) / 1000000.0, 6)
+         AS credited_conversions
+FROM classed
+GROUP BY touch_class
+ORDER BY touch_class
+"""
+
+
+MTA_HORIZON_MIN = 24 * 60  # wider than the 1:1 interval join: multi-touch
+# credit needs journeys with several views in scope, and a day is the
+# conversion window a marketing report actually uses
+
+
+@register(
+    "multitouch_attribution_credit",
+    oracle=_MTA_SQL.format(events="events", horizon="{h}").format(
+        h=MTA_HORIZON_MIN
+    ),
+    doc="Multi-touch attribution: every view within the purchase horizon "
+    f"({MTA_HORIZON_MIN} min) "
+    "(the day-scale widening of attribution_interval_join's pairs) gets "
+    "linear credit 1/n_touches, positions classed first/middle/last/"
+    "only by a per-purchase PARTITIONED rank window; credited conversions "
+    "sum exact micro-units (partition-order-independent).  The marketing "
+    "twin of the interval join: who gets paid, not just who matched.",
+    tags=("temporal", "attribution", "window"),
+)
+def multitouch_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("sales_telegram_bot_data_pipeline_mta_ev")
+    return spark.sql(
+        _MTA_SQL.format(events="sales_telegram_bot_data_pipeline_mta_ev", horizon=MTA_HORIZON_MIN)
+    )
+
+
+# ---------------------------------------------------------------------------
+# day-of-week x hour activity heatmap (timezone-free integer arithmetic)
+# ---------------------------------------------------------------------------
+_HEATMAP_SQL = """
+WITH cells AS (
+  SELECT CAST(({daynum} % 7 + 3) % 7 AS INT) AS dow,
+         CAST({hour} AS INT) AS hour_of_day,
+         COUNT(*) AS n
+  FROM {events}
+  GROUP BY ({daynum} % 7 + 3) % 7, {hour}
+),
+tot AS (SELECT SUM(n) AS n_all FROM cells)
+SELECT dow,
+       CASE dow WHEN 0 THEN 'mon' WHEN 1 THEN 'tue' WHEN 2 THEN 'wed'
+                WHEN 3 THEN 'thu' WHEN 4 THEN 'fri' WHEN 5 THEN 'sat'
+                ELSE 'sun' END AS dow_name,
+       hour_of_day,
+       CAST(n AS BIGINT) AS n_events,
+       ROUND(CAST(n AS DOUBLE) / t.n_all, 6) AS share
+FROM cells CROSS JOIN tot t
+ORDER BY dow, hour_of_day
+"""
+
+
+@register(
+    "activity_heatmap_dow_hour",
+    oracle=_HEATMAP_SQL.format(
+        daynum="datediff('day', DATE '1970-01-01', CAST(ts AS DATE))",
+        hour="EXTRACT(hour FROM ts)",
+        events="events",
+    ),
+    doc="Day-of-week x hour activity heatmap: event counts and global "
+    "share per (dow, hour) cell — the seasonality fingerprint behind "
+    "cron-shaped ingest anomalies.  Weekday from pure epoch-day integer "
+    "arithmetic ((day + 3) % 7, 1970-01-01 = Thursday, Monday = 0) — "
+    "timezone-free and engine-agnostic, never a locale-dependent date "
+    "function; one map-combinable aggregate over a 168-cell domain.",
+    tags=("temporal", "timeseries", "agg"),
+)
+def activity_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("sales_telegram_bot_data_pipeline_hm_ev")
+    return spark.sql(
+        _HEATMAP_SQL.format(
+            daynum="datediff(to_date(ts), to_date('1970-01-01'))",
+            hour="hour(ts)",
+            events="sales_telegram_bot_data_pipeline_hm_ev",
+        )
+    )
