@@ -268,3 +268,80 @@ ORDER BY c.c_mktsegment
 
 
 _salted_join_register()
+
+
+# --------------------------------------------------------------------------
+# rendezvous (highest-random-weight) shard assignment + removal stability
+# --------------------------------------------------------------------------
+HRW_SHARDS = 12  # live shard count
+HRW_REMOVED = 7  # the shard whose removal the stability audit simulates
+
+
+def _hrw_register():
+    from pyspark.sql import SparkSession
+
+    from ..functions.dialect import DUCKDB, SPARK, Dialect
+    from ..registry import register
+    from ..sources.tables import load_table
+
+    def _hrw_sql(d: Dialect, table: str) -> str:
+        w = d.md5_prefix_int(
+            f"('hrw|' || {d.strcast('doc_id')} || '|' || {d.strcast('s')})"
+        )
+        if d.name == "spark":
+            shards = (
+                f"SELECT doc_id, s FROM {table} "
+                f"LATERAL VIEW explode(sequence(0, {HRW_SHARDS - 1})) t AS s"
+            )
+        else:
+            shards = (
+                f"SELECT doc_id, unnest(generate_series(0, {HRW_SHARDS - 1})) AS s "
+                f"FROM {table}"
+            )
+        return f"""
+WITH weighted AS (
+  SELECT doc_id, CAST(s AS INT) AS shard, {w} AS wt
+  FROM ({shards}) x
+),
+full_assign AS (
+  SELECT doc_id, MAX_BY(shard, wt) AS shard_full
+  FROM weighted GROUP BY doc_id
+),
+degraded AS (
+  SELECT doc_id, MAX_BY(shard, wt) AS shard_degraded
+  FROM weighted WHERE shard <> {HRW_REMOVED}
+  GROUP BY doc_id
+)
+SELECT f.shard_full AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN f.shard_full <> g.shard_degraded THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_moved
+FROM full_assign f JOIN degraded g ON g.doc_id = f.doc_id
+GROUP BY f.shard_full
+ORDER BY shard
+"""
+
+    @register(
+        "rendezvous_shard_stability",
+        oracle=_hrw_sql(DUCKDB, "documents"),
+        doc=f"Rendezvous (highest-random-weight) shard assignment over "
+        f"{HRW_SHARDS} shards with the REMOVAL-STABILITY audit that is "
+        "HRW's whole point: reassigning after shard "
+        f"{HRW_REMOVED} disappears moves ONLY the documents that lived on "
+        "it (n_moved = n_docs exactly on the removed shard, 0 everywhere "
+        "else — pinned in tests/test_round7_ops.py), where a mod-N scheme "
+        "reshuffles ~everything.  Seed-free md5 weights ride one bounded "
+        f"explode (x{HRW_SHARDS}) + two MAX_BY aggregates — no state, no "
+        "coordination service; the deterministic data-placement primitive "
+        "for 100-TB ingest routing next to dataset_hash_split's mod "
+        "routing.",
+        tags=("scale", "sharding", "audit"),
+    )
+    def rendezvous_shard_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+            "sales_telegram_bot_data_pipeline_hrw_docs"
+        )
+        return spark.sql(_hrw_sql(SPARK, "sales_telegram_bot_data_pipeline_hrw_docs"))
+
+
+_hrw_register()

@@ -194,3 +194,15 @@ def test_unpivot_metrics_long_shape(spark):
     for r in rows:
         per_doc.setdefault(r.doc_id, set()).add(r.metric)
     assert all(m == {"n_chars", "n_digits", "n_words"} for m in per_doc.values())
+
+
+def test_rendezvous_removal_moves_only_removed_shard(spark):
+    from sales_telegram_bot_data_pipeline_spark.operators.scale import HRW_REMOVED, HRW_SHARDS
+
+    rows = q.REGISTRY["rendezvous_shard_stability"].fn(spark, SF_SMOKE).collect()
+    assert {r.shard for r in rows} <= set(range(HRW_SHARDS))
+    for r in rows:
+        if r.shard == HRW_REMOVED:
+            assert r.n_moved == r.n_docs  # everything on the dead shard moves
+        else:
+            assert r.n_moved == 0  # HRW's minimal-disruption guarantee
