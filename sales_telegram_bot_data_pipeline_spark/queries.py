@@ -170,7 +170,12 @@ except ImportError:  # pragma: no cover
 # ab_conversion_ztest, revenue_concentration_audit,
 # growth_accounting_weekly, time_weighted_average_value,
 # quality_gate_agreement_kappa, band_join_price_neighbors,
-# epoch_shuffle_plan, file_compaction_plan, plus any round-7 additions.
+# epoch_shuffle_plan, file_compaction_plan; round-7 additions:
+# dynamic_partition_pruned_join, theilsen_trend_robust, t_closeness_audit,
+# control_chart_anomalies, asof_join_forward,
+# multitouch_attribution_credit, activity_heatmap_dow_hour,
+# unpivot_doc_metrics, negative_sampling_plan, span_corruption_plan,
+# rendezvous_shard_stability.
 # --------------------------------------------------------------------------
 _DRIVER_WINDOW = [
     # core relational / TPC-H (q3 parked round 7; q1/q5 keep the family)

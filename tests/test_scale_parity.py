@@ -89,6 +89,21 @@ SF_BENCH = "/root/testdata/sf0.1"
         "neyman_allocation_plan",
         # libm EXP (sigmoid) bin boundaries at 10x docs
         "quality_score_calibration",
+        # round-7 additions whose divergence class only populates at scale:
+        # exact interpolated median over 10x-mass weekly cents (pair join +
+        # percentile vs quantile_cont interpolation arithmetic)
+        "theilsen_trend_robust",
+        # TVD double sums over a 10x-customer group grid
+        "t_closeness_audit",
+        # rolling integer-sum variance -> sqrt/z at 10x daily counts
+        "control_chart_anomalies",
+        # micro-unit credit quantization with real multi-touch journeys
+        # (sf0.001 has almost none)
+        "multitouch_attribution_credit",
+        # MAX_BY weight ties across 10x docs (60-bit md5 weights)
+        "rendezvous_shard_stability",
+        # runtime-pruned fact scan at 10x partitions/files
+        "dynamic_partition_pruned_join",
     ],
 )
 def test_floor_quantized_queries_match_at_sf01(spark, name):
