@@ -120,6 +120,10 @@ try:
     from .operators import analytics  # noqa: F401  (assoc rules, RFM, chi2, ...)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from .operators import evaluation  # noqa: F401  (AUC, Welch, skyline, KM)
+except ImportError:  # pragma: no cover
+    pass
 
 
 # --------------------------------------------------------------------------
@@ -175,7 +179,9 @@ except ImportError:  # pragma: no cover
 # control_chart_anomalies, asof_join_forward,
 # multitouch_attribution_credit, activity_heatmap_dow_hour,
 # unpivot_doc_metrics, negative_sampling_plan, span_corruption_plan,
-# rendezvous_shard_stability.
+# rendezvous_shard_stability; second-session additions:
+# roc_auc_quality_score, welch_ttest_sources, skyline_pareto_docs,
+# kaplan_meier_repurchase.
 # --------------------------------------------------------------------------
 _DRIVER_WINDOW = [
     # core relational / TPC-H (q3 parked round 7; q1/q5 keep the family)
