@@ -1194,3 +1194,69 @@ def control_chart_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             events="sales_telegram_bot_data_pipeline_cc_ev",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# churn training-set builder: leakage-free features + label horizon
+# --------------------------------------------------------------------------
+CHURN_HORIZON_DAYS = 365  # orders span ~7 years; 1y horizon gives ~20% churn
+
+
+_CHURN_SQL = f"""
+WITH h AS (
+  SELECT CAST(MAX(CAST(o_orderdate AS DATE)) AS DATE) AS dmax FROM {{orders}}
+),
+agg AS (
+  SELECT o_custkey AS custkey,
+         CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) < {{cutoff}} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_orders,
+         CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) < {{cutoff}}
+                       THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                 AS DECIMAL(38,0)) ELSE 0 END)
+              AS DECIMAL(38,0)) AS spend_cents,
+         CAST(COUNT(DISTINCT CASE WHEN CAST(o_orderdate AS DATE) < {{cutoff}}
+                                  THEN CAST(o_orderdate AS DATE) END) AS BIGINT)
+           AS order_days,
+         MAX(CASE WHEN CAST(o_orderdate AS DATE) < {{cutoff}}
+                  THEN CAST(o_orderdate AS DATE) END) AS last_obs_day,
+         CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) >= {{cutoff}} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_after
+  FROM {{orders}} CROSS JOIN h
+  GROUP BY o_custkey
+)
+SELECT custkey, n_orders, CAST(spend_cents AS BIGINT) AS spend_cents, order_days,
+       CAST({{gap}} AS BIGINT) AS last_gap_days,
+       (n_after = 0) AS churned
+FROM agg CROSS JOIN h
+WHERE n_orders > 0
+ORDER BY custkey
+"""
+
+
+@register(
+    "churn_label_features",
+    oracle=_CHURN_SQL.format(
+        orders="orders",
+        cutoff=f"(h.dmax - {CHURN_HORIZON_DAYS})",
+        gap=f"datediff('day', agg.last_obs_day, h.dmax - {CHURN_HORIZON_DAYS})",
+    ),
+    doc=f"Supervised training-set builder for churn: label = customer "
+    f"places NO order in the final {CHURN_HORIZON_DAYS}-day horizon; "
+    "features (order count, exact-cents spend, distinct order days, "
+    "recency gap) computed ONLY from the observation window before the "
+    "cutoff — the leakage-free label-horizon construction every "
+    "behavioural model pipeline needs (~20% positive rate on this "
+    "corpus).  One conditional-aggregate groupBy per customer, horizon "
+    "scalar broadcast; pure map-combinable aggregation, no window, no "
+    "self-join.",
+    tags=("analytics", "training", "agg"),
+)
+def churn_label_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sales_telegram_bot_data_pipeline_ch_o")
+    return spark.sql(
+        _CHURN_SQL.format(
+            orders="sales_telegram_bot_data_pipeline_ch_o",
+            cutoff=f"date_sub(h.dmax, {CHURN_HORIZON_DAYS})",
+            gap=f"datediff(date_sub(h.dmax, {CHURN_HORIZON_DAYS}), agg.last_obs_day)",
+        )
+    )

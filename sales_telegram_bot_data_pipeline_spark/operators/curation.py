@@ -2221,3 +2221,114 @@ ORDER BY doc_id, span_idx
 def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = _doc_view(spark, sf_dir, "sales_telegram_bot_data_pipeline_span_docs")
     return spark.sql(_span_plan_sql(SPARK, view))
+
+
+# --------------------------------------------------------------------------
+# padding-waste audit: length-bucketed batching vs one global max length
+# --------------------------------------------------------------------------
+PAD_BUCKET = 64  # sequence lengths round up to multiples of this
+
+
+def _padding_waste_sql(d: Dialect, table: str) -> str:
+    """Batch-packing efficiency: every doc pads to the next multiple of
+    {PAD_BUCKET} tokens (length-bucketed batching); compare the padded
+    token mass per bucket, and globally, against padding everything to the
+    corpus max length (the naive single-bucket loader).  One tokenize
+    pass, one bounded groupBy (<= max_len / bucket groups), scalar totals
+    broadcast — the data-loader sizing audit before a 100-TB training run."""
+    from ..functions.text import words_sql
+
+    ntok = f"CAST({d.alen(words_sql(d, 'text'))} AS BIGINT)"
+    bucket = d.idiv("(n_tok + {b1})".format(b1=PAD_BUCKET - 1), str(PAD_BUCKET))
+    return f"""
+WITH toks AS (SELECT {ntok} AS n_tok FROM {table}),
+b AS (
+  SELECT n_tok, CAST({bucket} * {PAD_BUCKET} AS BIGINT) AS bucket_len
+  FROM toks WHERE n_tok > 0
+),
+tot AS (
+  SELECT MAX(n_tok) AS max_len, CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM b
+)
+SELECT bucket_len,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+       CAST(bucket_len * COUNT(*) AS BIGINT) AS padded_tokens,
+       ROUND(1.0 - CAST(SUM(n_tok) AS DOUBLE) / (bucket_len * COUNT(*)), 6)
+         AS waste_frac,
+       ROUND(1.0 - CAST(t.sum_tok AS DOUBLE) / (CAST(t.max_len AS DOUBLE) * t.n_docs), 6)
+         AS global_pad_waste_frac
+FROM b CROSS JOIN tot t
+GROUP BY bucket_len, t.sum_tok, t.max_len, t.n_docs
+ORDER BY bucket_len
+"""
+
+
+@register(
+    "padding_waste_audit",
+    oracle=_padding_waste_sql(DUCKDB, "documents"),
+    doc=f"Padding-waste audit for length-bucketed batching: token counts "
+    f"round up to {PAD_BUCKET}-token buckets, per-bucket padded-vs-real "
+    "token mass and waste fraction, beside the single-max-length loader's "
+    "global waste (same scalar in every row, from a one-row broadcast). "
+    "One tokenize pass, one bounded groupBy — the sequence-packing "
+    "sibling that QUANTIFIES what sequence_packing eliminates.",
+    tags=("curation", "training", "agg"),
+)
+def padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    view = _doc_view(spark, sf_dir, "sales_telegram_bot_data_pipeline_pad_docs")
+    return spark.sql(_padding_waste_sql(SPARK, view))
+
+
+# --------------------------------------------------------------------------
+# stratified k-fold cross-validation plan
+# --------------------------------------------------------------------------
+KFOLD_K = 5
+
+
+def _kfold_sql(d: Dialect, table: str) -> str:
+    """Deterministic stratified k-fold assignment: fold = md5(lang:doc_id)
+    mod K, so folds are reproducible, disjoint, and stratified BY
+    CONSTRUCTION (hashing is independent within each stratum).  Emits the
+    per-(lang, fold) plan with each stratum's fold-size spread as the
+    balance audit.  Routing is a pure projection; the audit is one bounded
+    groupBy + a |langs|-row join — the cross-validation sibling of
+    dataset_hash_split (train/val/test) and leakage_safe_split."""
+    h = d.md5_prefix_int(f"(lang || ':' || {d.strcast('doc_id')})")
+    return f"""
+WITH f AS (
+  SELECT lang, ({h}) % {KFOLD_K} AS fold, n_chars FROM {table}
+),
+g AS (
+  SELECT lang, CAST(fold AS INT) AS fold,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
+  FROM f GROUP BY lang, fold
+),
+l AS (
+  SELECT lang, MAX(n_docs) AS mx, MIN(n_docs) AS mn,
+         CAST(SUM(n_docs) AS BIGINT) AS tot
+  FROM g GROUP BY lang
+)
+SELECT g.lang, g.fold, g.n_docs, g.sum_chars,
+       ROUND(CAST(g.n_docs AS DOUBLE) * {KFOLD_K} / l.tot, 6) AS share_x_k,
+       CAST(l.mx - l.mn AS BIGINT) AS lang_fold_spread
+FROM g JOIN l ON l.lang = g.lang
+ORDER BY g.lang, g.fold
+"""
+
+
+@register(
+    "stratified_kfold_plan",
+    oracle=_kfold_sql(DUCKDB, "documents"),
+    doc=f"Stratified {KFOLD_K}-fold cross-validation plan: seed-free "
+    "md5(lang:doc_id) mod K routing (reproducible, disjoint, stratified "
+    "per language), per-(lang, fold) sizes plus each stratum's fold-size "
+    "spread as the balance audit.  share_x_k ~ 1 when folds are balanced. "
+    "Pure projection + bounded aggregates.",
+    tags=("curation", "split", "projection"),
+)
+def stratified_kfold_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    view = _doc_view(spark, sf_dir, "sales_telegram_bot_data_pipeline_kf_docs")
+    return spark.sql(_kfold_sql(SPARK, view))

@@ -383,3 +383,59 @@ def kaplan_meier_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum.createOrReplaceTempView("sales_telegram_bot_data_pipeline_km_cum")
     return spark.sql(_KM_FINAL_SQL.format(cum="sales_telegram_bot_data_pipeline_km_cum"))
+
+
+# --------------------------------------------------------------------------
+# lang-ID detector confusion table (multi-class truth vs binary detector)
+# --------------------------------------------------------------------------
+def _langid_confusion_sql(d: Dialect, table: str) -> str:
+    """Per declared language: how often the stopword-density detector says
+    'en', plus the detector's corpus-level precision/recall/F1 against the
+    declared label (scalar, repeated per row from a one-row broadcast).
+    Shares the exact ratio expression with lang_id_heuristic, so this is
+    an EVAL of that registered operator, not a reimplementation."""
+    from ..functions.text import stopword_ratio_sql
+
+    ratio = stopword_ratio_sql(d, "text")
+    return f"""
+WITH pred AS (
+  SELECT lang AS declared_lang,
+         CASE WHEN {ratio} >= 0.05 THEN 1 ELSE 0 END AS pred_en
+  FROM {table}
+),
+cm AS (
+  SELECT declared_lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(pred_en) AS BIGINT) AS n_pred_en
+  FROM pred GROUP BY declared_lang
+),
+tot AS (
+  SELECT CAST(SUM(CASE WHEN declared_lang = 'en' THEN n_pred_en ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN declared_lang <> 'en' THEN n_pred_en ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN declared_lang = 'en' THEN n_docs - n_pred_en ELSE 0 END) AS BIGINT) AS fn
+  FROM cm
+)
+SELECT cm.declared_lang, cm.n_docs, cm.n_pred_en,
+       ROUND(CAST(cm.n_pred_en AS DOUBLE) / cm.n_docs, 6) AS pred_en_rate,
+       ROUND(CAST(t.tp AS DOUBLE) / (t.tp + t.fp), 6) AS en_precision,
+       ROUND(CAST(t.tp AS DOUBLE) / (t.tp + t.fn), 6) AS en_recall,
+       ROUND(CAST(2 * t.tp AS DOUBLE) / (2 * t.tp + t.fp + t.fn), 6) AS en_f1
+FROM cm CROSS JOIN tot t
+ORDER BY cm.declared_lang
+"""
+
+
+@register(
+    "langid_eval_confusion",
+    oracle=_langid_confusion_sql(DUCKDB, "documents"),
+    doc="Confusion table of the registered lang_id_heuristic detector "
+    "against the declared language label: per-language detection rates "
+    "plus corpus precision/recall/F1 of the 'en' class (one-row scalar "
+    "broadcast).  One map-combinable groupBy over the |langs| domain — "
+    "the multi-class eval sibling of roc_auc_quality_score (threshold-"
+    "free) and quality_gate_agreement_kappa (gate-vs-gate).",
+    tags=("evaluation", "text", "agg"),
+)
+def langid_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    view = _doc_view(spark, sf_dir, "sales_telegram_bot_data_pipeline_lc_docs")
+    return spark.sql(_langid_confusion_sql(SPARK, view))

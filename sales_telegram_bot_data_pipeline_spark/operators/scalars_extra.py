@@ -1267,3 +1267,197 @@ def bloom_semijoin_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             customer="sales_telegram_bot_data_pipeline_bf_cust", orders="sales_telegram_bot_data_pipeline_bf_ord"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# empirical-CDF quantile transform + uniformity audit
+# --------------------------------------------------------------------------
+QT_BUCKETS = 10
+
+
+@register(
+    "quantile_transform_uniformity",
+    oracle=f"""
+WITH g AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         COUNT(*) AS c
+  FROM orders GROUP BY 1
+),
+t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM g),
+cdf AS (
+  SELECT v, c,
+         CAST(COALESCE(SUM(c) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c AS BIGINT)
+           AS cum_incl
+  FROM g
+),
+b AS (
+  SELECT LEAST(CAST((cum_incl * {QT_BUCKETS} - 1) // t.n AS INT), {QT_BUCKETS - 1})
+           AS bucket,
+         c, t.n
+  FROM cdf CROSS JOIN t
+)
+SELECT bucket, CAST(SUM(c) AS BIGINT) AS n_rows,
+       ROUND(CAST(SUM(c) AS DOUBLE) / MAX(n), 6) AS share,
+       ROUND(ABS(CAST(SUM(c) AS DOUBLE) / MAX(n) - {1.0 / QT_BUCKETS}), 6)
+         AS abs_dev
+FROM b GROUP BY bucket ORDER BY bucket
+""",
+    doc="Empirical-CDF quantile transform with a uniformity audit: every "
+    "order price maps to its inclusive-rank CDF value (the rank-based "
+    "feature transform), then into one of 10 equal-CDF buckets whose "
+    "shares must come out ~uniform (up to tie mass) — the self-check that "
+    "the transform is calibrated.  Scale shape: the corpus collapses to "
+    "its distinct-value relation in one groupBy; the inclusive rank rides "
+    "the DISTRIBUTED range-prefix-sum primitive (no global window); the "
+    "bucket map is integer bucket-of-rank arithmetic (same family as the "
+    "equi-depth histogram) and the audit output is O(buckets).  Oracle = "
+    "window-cumsum form.",
+    tags=("scalar", "distributed-rank", "feature"),
+)
+def quantile_transform_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("v")
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    summed, n = range_prefix_summed(spark, g, ["v"], "c")
+    if summed is None:
+        return spark.createDataFrame(
+            [], "bucket int, n_rows bigint, share double, abs_dev double"
+        )
+    b = summed.select(
+        F.least(
+            F.expr(
+                f"cast(((cum_before + c) * {QT_BUCKETS} - 1) div {n} as int)"
+            ),
+            F.lit(QT_BUCKETS - 1),
+        ).alias("bucket"),
+        "c",
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.round(F.sum("c").cast("double") / n, 6).alias("share"),
+            F.round(
+                F.abs(F.sum("c").cast("double") / n - (1.0 / QT_BUCKETS)), 6
+            ).alias("abs_dev"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# weighted median (and p90) per group: quantity-weighted price
+# --------------------------------------------------------------------------
+_WMEDIAN_SQL = """
+WITH g AS (
+  SELECT l_returnflag AS flag,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_cents,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM {lineitem} GROUP BY 1, 2
+),
+t AS (SELECT flag, CAST(SUM(w) AS BIGINT) AS tw FROM g GROUP BY flag),
+c AS (
+  SELECT flag, v_cents, w,
+         CAST(COALESCE(SUM(w) OVER (PARTITION BY flag ORDER BY v_cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cb
+  FROM g
+)
+SELECT c.flag, t.tw AS total_weight,
+       CAST(MIN(CASE WHEN 2 * (cb + w) >= tw THEN v_cents END) AS BIGINT)
+         AS wmedian_cents,
+       CAST(MIN(CASE WHEN 10 * (cb + w) >= 9 * tw THEN v_cents END) AS BIGINT)
+         AS wp90_cents
+FROM c JOIN t ON t.flag = c.flag
+GROUP BY c.flag, t.tw
+ORDER BY c.flag
+"""
+
+
+@register(
+    "weighted_median_by_flag",
+    oracle=_WMEDIAN_SQL.format(lineitem="lineitem"),
+    doc="Quantity-WEIGHTED median and p90 of unit price per returnflag: "
+    "the weighted-quantile stat (lower weighted median: smallest value "
+    "whose inclusive cumulative weight reaches half the total), exact in "
+    "integer cents x integer quantity units end-to-end — no "
+    "interpolation, no libm.  Scale shape: one groupBy collapses "
+    "lineitem to its per-(flag, value) weight relation; the cumulative "
+    "weight rides the DISTRIBUTED range-prefix-sum primitive over the "
+    "composite (flag, value) order — flags are contiguous in that order, "
+    "so per-flag cumulative weight = global prefix minus the flag's "
+    "start offset (a 3-row broadcast join).  A PARTITION BY flag window "
+    "would put a third of the corpus in ONE task at 100 TB — the flag "
+    "domain is 3 values, not a partitioning key; the oracle keeps that "
+    "form (the oracle may sort globally).  Selection is an integer-"
+    "predicate MIN per flag.",
+    tags=("scalar", "stats", "distributed-rank"),
+)
+def weighted_median_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("v_cents"),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+        )
+        .groupBy("flag", "v_cents")
+        .agg(F.sum("qty").cast("bigint").alias("w"))
+    )
+    summed, _ = range_prefix_summed(spark, g, ["flag", "v_cents"], "w")
+    if summed is None:
+        return spark.createDataFrame(
+            [],
+            "flag string, total_weight bigint, wmedian_cents bigint, wp90_cents bigint",
+        )
+    summed = summed.localCheckpoint(eager=False)  # totals + selection fan out
+    t = summed.groupBy("flag").agg(F.sum("w").cast("bigint").alias("tw"))
+    ta, tb = t.alias("ta"), t.alias("tb")
+    # flag start offset in the composite order = total weight of preceding flags
+    starts = (
+        ta.join(tb, F.col("tb.flag") < F.col("ta.flag"), "left")
+        .groupBy(F.col("ta.flag").alias("flag"), F.col("ta.tw").alias("tw"))
+        .agg(F.coalesce(F.sum("tb.tw"), F.lit(0)).cast("bigint").alias("start_off"))
+    )
+    c = summed.join(F.broadcast(starts), "flag").select(
+        "flag",
+        "v_cents",
+        "w",
+        "tw",
+        (F.col("cum_before") - F.col("start_off")).cast("bigint").alias("cb"),
+    )
+    return (
+        c.groupBy("flag", "tw")
+        .agg(
+            F.min(
+                F.when(2 * (F.col("cb") + F.col("w")) >= F.col("tw"), F.col("v_cents"))
+            )
+            .cast("bigint")
+            .alias("wmedian_cents"),
+            F.min(
+                F.when(
+                    10 * (F.col("cb") + F.col("w")) >= 9 * F.col("tw"),
+                    F.col("v_cents"),
+                )
+            )
+            .cast("bigint")
+            .alias("wp90_cents"),
+        )
+        .select(
+            "flag",
+            F.col("tw").alias("total_weight"),
+            "wmedian_cents",
+            "wp90_cents",
+        )
+        .orderBy("flag")
+    )

@@ -1391,3 +1391,104 @@ def activity_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             events="sales_telegram_bot_data_pipeline_hm_ev",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# interval-overlap join: order shipment spans x sliding promo windows
+# --------------------------------------------------------------------------
+PROMO_LEN_DAYS = 28  # window length
+PROMO_STRIDE_DAYS = 21  # window start spacing (overlapping windows)
+
+
+@register(
+    "interval_overlap_join",
+    oracle=f"""
+WITH iv AS (
+  SELECT l_orderkey AS okey,
+         datediff('day', (SELECT MIN(CAST(l_shipdate AS DATE)) FROM lineitem),
+                  MIN(CAST(l_shipdate AS DATE))) AS a,
+         datediff('day', (SELECT MIN(CAST(l_shipdate AS DATE)) FROM lineitem),
+                  MAX(CAST(l_shipdate AS DATE))) AS b
+  FROM lineitem GROUP BY l_orderkey
+),
+span AS (SELECT MAX(b) AS dmax FROM iv),
+-- generate_series takes only constants in DuckDB: overshoot a fixed bound
+-- (100k windows ~ 5,700 years of stride-21 data) and filter by the real max
+win AS (
+  SELECT CAST(g.i AS INT) AS widx, CAST(g.i * {PROMO_STRIDE_DAYS} AS BIGINT) AS ws,
+         CAST(g.i * {PROMO_STRIDE_DAYS} + {PROMO_LEN_DAYS - 1} AS BIGINT) AS we
+  FROM generate_series(0, 100000) AS g(i) CROSS JOIN span
+  WHERE g.i <= span.dmax // {PROMO_STRIDE_DAYS}
+),
+ov AS (
+  SELECT w.widx, w.ws,
+         LEAST(iv.b, w.we) - GREATEST(iv.a, w.ws) + 1 AS odays
+  FROM iv JOIN win w ON w.ws <= iv.b AND iv.a <= w.we
+)
+SELECT widx, CAST(ws AS BIGINT) AS window_start_day,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(odays) AS DOUBLE) / COUNT(*), 6) AS avg_overlap_days,
+       CAST(MAX(odays) AS BIGINT) AS max_overlap_days
+FROM ov GROUP BY widx, ws ORDER BY widx
+""",
+    doc=f"Interval-OVERLAP join (both sides are intervals — the sibling of "
+    "the point-in-interval range join): per-order shipment spans "
+    "[min, max l_shipdate] against sliding {PROMO_LEN_DAYS}-day promo "
+    f"windows every {PROMO_STRIDE_DAYS} days.  Scale shape: each span "
+    "computes its exact overlapping window-index range in closed form "
+    "(integer ceil/floor on day offsets) and EXPLODES only those indices "
+    "— an equi-join on widx whose fan-out is bounded by span_len/stride "
+    "+ 2, never |orders| x |windows|; the oracle runs the direct theta "
+    "join over the generated window table.  Per-window aggregate output.",
+    tags=("temporal", "interval", "range-join"),
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d0row = li.agg(F.min(F.to_date("l_shipdate")).alias("d0"))
+    iv = (
+        li.crossJoin(F.broadcast(d0row))
+        .groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(
+            F.datediff(F.min(F.to_date("l_shipdate")), F.first("d0")).alias("a"),
+            F.datediff(F.max(F.to_date("l_shipdate")), F.first("d0")).alias("b"),
+        )
+    )
+    imax = iv.agg(
+        (F.max("b") / PROMO_STRIDE_DAYS).cast("int").alias("imax")
+    )
+    cand = (
+        iv.crossJoin(F.broadcast(imax))
+        .withColumn(
+            "ilo",
+            F.expr(
+                f"case when a <= {PROMO_LEN_DAYS - 1} then 0 "
+                f"else (a - {PROMO_LEN_DAYS - 1} + {PROMO_STRIDE_DAYS - 1}) div {PROMO_STRIDE_DAYS} end"
+            ).cast("int"),
+        )
+        .withColumn("ihi", F.least(F.expr(f"b div {PROMO_STRIDE_DAYS}").cast("int"), F.col("imax")))
+        .withColumn("widx", F.explode(F.expr("sequence(ilo, ihi)")))
+        .withColumn("ws", (F.col("widx").cast("bigint") * PROMO_STRIDE_DAYS))
+        .withColumn("we", F.col("ws") + (PROMO_LEN_DAYS - 1))
+        .where((F.col("ws") <= F.col("b")) & (F.col("a") <= F.col("we")))
+        .withColumn(
+            "odays", F.least("b", "we") - F.greatest(F.col("a").cast("bigint"), F.col("ws")) + 1
+        )
+    )
+    return (
+        cand.groupBy("widx", "ws")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("odays").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_overlap_days"
+            ),
+            F.max("odays").cast("bigint").alias("max_overlap_days"),
+        )
+        .select(
+            "widx",
+            F.col("ws").cast("bigint").alias("window_start_day"),
+            "n_orders",
+            "avg_overlap_days",
+            "max_overlap_days",
+        )
+        .orderBy("widx")
+    )

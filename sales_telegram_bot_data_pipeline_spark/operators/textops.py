@@ -513,3 +513,143 @@ FROM scored GROUP BY source ORDER BY source
 )
 def readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_readability_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# window co-occurrence PPMI (skip-gram distance <= 2)
+# --------------------------------------------------------------------------
+PPMI_WINDOW = 2
+PPMI_MIN_COUNT = 5
+PPMI_TOP_K = 40
+
+
+def _ppmi_window_sql(d: Dialect, table: str) -> str:
+    """Positive PMI over UNORDERED word pairs co-occurring within a
+    +-{PPMI_WINDOW}-token window — the co-occurrence-matrix builder behind
+    count-based word embeddings (GloVe / SVD-of-PPMI counts), one step
+    beyond collocation_pmi's adjacent ordered bigrams.
+
+    ONE corpus explode generates (position, distance) pairs — the distance
+    dimension rides a 2-element literal array, so cost is 2x the token
+    count, never quadratic; pairs canonicalize via LEAST/GREATEST,
+    same-word pairs drop; symmetric margins derive from the pair relation
+    itself (broadcast join-back).  Ranking is TakeOrdered on the
+    FLOOR-quantized PMI (libm LN crosses engines — same empirical
+    contract as collocation_pmi)."""
+    w = d.splitws("lower(text)")
+    if d.name == "spark":
+        pairs = (
+            f"SELECT least(w[i], w[i+dd]) AS w1, greatest(w[i], w[i+dd]) AS w2 "
+            f"FROM (SELECT {w} AS w FROM {table}) s "
+            f"LATERAL VIEW explode(sequence(0, size(w) - 2)) t1 AS i "
+            f"LATERAL VIEW explode(array(1, {PPMI_WINDOW})) t2 AS dd "
+            f"WHERE size(w) >= 2 AND i + dd <= size(w) - 1 AND w[i] <> w[i+dd]"
+        )
+    else:
+        pairs = (
+            f"SELECT least(w[i], w[i+dd]) AS w1, greatest(w[i], w[i+dd]) AS w2 "
+            f"FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i "
+            f"      FROM (SELECT {w} AS w FROM {table}) s0 WHERE len(w) >= 2) s "
+            f"CROSS JOIN (SELECT unnest([1, {PPMI_WINDOW}]) AS dd) ds "
+            f"WHERE i + dd <= len(w) AND w[i] <> w[i+dd]"
+        )
+    return f"""
+WITH pr AS (SELECT w1, w2, COUNT(*) AS n_ab FROM ({pairs}) p GROUP BY w1, w2),
+tot AS (SELECT SUM(n_ab) AS n FROM pr),
+marg AS (
+  SELECT w, SUM(n_ab) AS n_w FROM (
+    SELECT w1 AS w, n_ab FROM pr
+    UNION ALL
+    SELECT w2 AS w, n_ab FROM pr
+  ) m GROUP BY w
+),
+scored AS (
+  SELECT pr.w1, pr.w2, pr.n_ab,
+         CAST(FLOOR(LN(pr.n_ab * t.n * 1.0e0 / (ma.n_w * mb.n_w)) * 1e6) AS BIGINT)
+           AS pmi_units
+  FROM pr
+  JOIN marg ma ON ma.w = pr.w1
+  JOIN marg mb ON mb.w = pr.w2
+  CROSS JOIN tot t
+  WHERE pr.n_ab >= {PPMI_MIN_COUNT}
+)
+SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_pair,
+       CAST(GREATEST(pmi_units, 0) / 1e6 AS DOUBLE) AS ppmi
+FROM scored
+ORDER BY pmi_units DESC, w1, w2
+LIMIT {PPMI_TOP_K}
+"""
+
+
+@register(
+    "ppmi_window_cooccurrence",
+    oracle=_ppmi_window_sql(DUCKDB, "documents"),
+    doc=f"PPMI word co-occurrence within a +-{PPMI_WINDOW}-token window "
+    "(unordered canonical pairs, symmetric margins from the pair relation "
+    "itself): the count-based embedding matrix builder next to "
+    f"collocation_pmi's ordered bigrams.  Top-{PPMI_TOP_K} pairs with "
+    f"count >= {PPMI_MIN_COUNT} by FLOOR-quantized PMI, TakeOrdered; the "
+    "distance dimension rides a 2-element literal array (2x token count, "
+    "never quadratic).",
+    tags=("text", "agg", "embedding"),
+)
+def ppmi_window_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_ppmi_window_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# vocabulary novelty by source: the data-acquisition diminishing-returns curve
+# --------------------------------------------------------------------------
+def _vocab_novelty_sql(d: Dialect, table: str) -> str:
+    """Which source contributes NEW word types?  Every type attributes to
+    its MIN source (lexicographic source order as the acquisition
+    sequence); each source's novelty rate = newly-contributed types /
+    types present in that source; the cumulative curve rides a bounded
+    |sources|^2 self-join of the per-source aggregate (never a global
+    window).  ONE token explode feeds both the first-source and the
+    per-source-distinct relations."""
+    w = d.splitws("lower(text)")
+    toks = f"SELECT source, w FROM (SELECT source, {w} AS ws FROM {table}) s, "
+    if d.name == "spark":
+        toks = (
+            f"SELECT source, w FROM (SELECT source, {w} AS ws FROM {table}) s "
+            f"LATERAL VIEW explode(ws) t AS w"
+        )
+    else:
+        toks = (
+            f"SELECT source, unnest(ws) AS w "
+            f"FROM (SELECT source, {w} AS ws FROM {table}) s"
+        )
+    return f"""
+WITH toks AS (SELECT DISTINCT source, w FROM ({toks}) x),
+firsts AS (SELECT w, MIN(source) AS first_source FROM toks GROUP BY w),
+newt AS (SELECT first_source AS source, CAST(COUNT(*) AS BIGINT) AS new_types
+         FROM firsts GROUP BY first_source),
+pres AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS present_types
+         FROM toks GROUP BY source)
+SELECT p.source, p.present_types,
+       CAST(COALESCE(n.new_types, 0) AS BIGINT) AS new_types,
+       ROUND(CAST(COALESCE(n.new_types, 0) AS DOUBLE) / p.present_types, 6)
+         AS novelty_rate,
+       CAST((SELECT SUM(n2.new_types) FROM newt n2 WHERE n2.source <= p.source)
+            AS BIGINT) AS cum_vocab
+FROM pres p LEFT JOIN newt n ON n.source = p.source
+ORDER BY p.source
+"""
+
+
+@register(
+    "vocab_novelty_by_source",
+    oracle=_vocab_novelty_sql(DUCKDB, "documents"),
+    doc="Vocabulary-novelty curve by source (acquisition order = source "
+    "name): each word type attributes to its MIN source, per-source "
+    "new-type counts and novelty rate, cumulative vocabulary via a "
+    "bounded |sources|^2 correlated aggregate over the TINY per-source "
+    "relation — the diminishing-returns audit that tells a data-"
+    "acquisition pipeline when another source of the same kind stops "
+    "adding vocabulary.  One DISTINCT (source, type) explode feeds "
+    "everything.",
+    tags=("text", "curation", "agg"),
+)
+def vocab_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_vocab_novelty_sql(SPARK, _doc_view(spark, sf_dir)))

@@ -181,7 +181,10 @@ except ImportError:  # pragma: no cover
 # unpivot_doc_metrics, negative_sampling_plan, span_corruption_plan,
 # rendezvous_shard_stability; second-session additions:
 # roc_auc_quality_score, welch_ttest_sources, skyline_pareto_docs,
-# kaplan_meier_repurchase.
+# kaplan_meier_repurchase, padding_waste_audit, stratified_kfold_plan,
+# ppmi_window_cooccurrence, retention_vacuum_plan, interval_overlap_join,
+# quantile_transform_uniformity, weighted_median_by_flag,
+# langid_eval_confusion, vocab_novelty_by_source, churn_label_features.
 # --------------------------------------------------------------------------
 _DRIVER_WINDOW = [
     # core relational / TPC-H (q3 parked round 7; q1/q5 keep the family)

@@ -307,3 +307,63 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# retention vacuum plan: expire whole files past the retention horizon
+# --------------------------------------------------------------------------
+RETENTION_DAYS = 7  # events older than horizon - 7d are reclaimable
+
+
+@register(
+    "retention_vacuum_plan",
+    oracle=f"""
+WITH ev AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, ts FROM events),
+wm AS (SELECT MAX(CAST(ts AS DATE)) - {RETENTION_DAYS} AS cutoff FROM events)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       (MAX(CAST(day AS DATE)) < MAX(w.cutoff)) AS expired,
+       CAST(CASE WHEN MAX(CAST(day AS DATE)) < MAX(w.cutoff)
+                 THEN COUNT(*) ELSE 0 END AS BIGINT) AS reclaim_rows
+FROM ev CROSS JOIN wm w
+GROUP BY day ORDER BY day
+""",
+    doc=f"Retention VACUUM planner: the events stream is exported "
+    "day-partitioned (repartition-first write, one file per day), read "
+    "back with _metadata.file_path, and every FILE whose max event day "
+    f"falls {RETENTION_DAYS}+ days behind the corpus horizon is marked "
+    "reclaimable — whole-file deletes, never row-level rewrites (the "
+    "time-travel/GDPR expiry maintenance job; pairs with "
+    "file_compaction_plan which handles the small-file side).  Per-file "
+    "stats aggregate day-level so the oracle can verify the plan from the "
+    "unpartitioned original — layout-independent truth, layout-exercising "
+    "plumbing.",
+    tags=("source", "layout", "retention"),
+)
+def retention_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts").cast("string")
+    )
+    path = _scratch(spark, "day_events", sf_dir)
+    ev.repartition("day").write.mode("overwrite").partitionBy("day").parquet(path)
+    back = spark.read.parquet(path)
+    per_file = back.groupBy(
+        F.col("day").cast("string").alias("day"),
+        F.col("_metadata.file_path").alias("fp"),
+    ).agg(F.count(F.lit(1)).alias("f_rows"), F.max(F.to_date("day")).alias("f_maxd"))
+    cutoff = back.agg(
+        F.date_sub(F.max(F.to_date("day")), RETENTION_DAYS).alias("cutoff")
+    )
+    return (
+        per_file.crossJoin(F.broadcast(cutoff))
+        .groupBy("day")
+        .agg(
+            F.sum("f_rows").cast("bigint").alias("n_rows"),
+            (F.max("f_maxd") < F.max("cutoff")).alias("expired"),
+            F.when(F.max("f_maxd") < F.max("cutoff"), F.sum("f_rows"))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("reclaim_rows"),
+        )
+        .orderBy("day")
+    )
