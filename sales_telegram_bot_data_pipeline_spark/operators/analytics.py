@@ -1260,3 +1260,90 @@ def churn_label_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             gap=f"datediff(date_sub(h.dmax, {CHURN_HORIZON_DAYS}), agg.last_obs_day)",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Markov stationary distribution by integer-exact power iteration
+# --------------------------------------------------------------------------
+MARKOV_ITERS = 8
+_MK_UNIT = 1_000_000_000_000  # probability mass in pico-units
+_MK_PQ = 1_000_000  # transition probabilities quantized to micro-units
+
+
+def _markov_stationary_sql(d, events: str) -> str:
+    """Stationary distribution of the first-order event-type Markov chain
+    (the long-run behavioural mix), by {MARKOV_ITERS} unrolled power
+    iterations on the O(types^2) transition matrix — every iteration is a
+    join of a |types|-row vector against the bounded matrix relation, and
+    ALL arithmetic is integer: probabilities quantize to micro-units once,
+    the mass vector lives in pico-units, each step's products floor-divide
+    back — deterministic across engines, partitionings and runs (no
+    floating accumulation anywhere).  Mass lost to flooring is < types *
+    iters units ~ 1e-10 of total.  The chain is restricted to states with
+    outgoing transitions (all of them, on this corpus)."""
+    idiv = d.idiv
+    step = idiv("(v.p * p.pm)", str(_MK_PQ))
+    iters = "".join(
+        f""",
+v{k} AS (
+  SELECT p.j AS ty, CAST(SUM({step}) AS BIGINT) AS p
+  FROM v{k - 1} v JOIN p ON p.i = v.ty GROUP BY p.j
+)"""
+        for k in range(1, MARKOV_ITERS + 1)
+    )
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM {events}
+),
+trans AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY event_type, next_type
+),
+rt AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM trans GROUP BY from_type),
+p AS (
+  SELECT t.from_type AS i, t.to_type AS j,
+         CAST({idiv("(t.n * " + str(_MK_PQ) + ")", "r.tot")} AS BIGINT) AS pm
+  FROM trans t JOIN rt r ON r.from_type = t.from_type
+),
+types AS (SELECT from_type AS ty FROM rt),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM types),
+tot_in AS (
+  SELECT to_type AS ty, CAST(SUM(n) AS BIGINT) AS n_in FROM trans GROUP BY to_type
+),
+grand AS (SELECT CAST(SUM(n) AS BIGINT) AS g FROM trans),
+v0 AS (
+  SELECT ty, CAST({idiv(str(_MK_UNIT), "nt.c")} AS BIGINT) AS p
+  FROM types CROSS JOIN nt
+){iters}
+SELECT v.ty AS event_type,
+       ROUND(CAST(v.p AS DOUBLE) / {_MK_UNIT}, 6) AS stationary_prob,
+       ROUND(CAST(COALESCE(ti.n_in, 0) AS DOUBLE) / g.g, 6) AS empirical_in_share
+FROM v{MARKOV_ITERS} v
+LEFT JOIN tot_in ti ON ti.ty = v.ty
+CROSS JOIN grand g
+ORDER BY event_type
+"""
+
+
+@register(
+    "markov_stationary_distribution",
+    oracle=_markov_stationary_sql(DUCKDB, "events"),
+    doc=f"Stationary distribution of the event-type Markov chain by "
+    f"{MARKOV_ITERS} unrolled INTEGER-exact power iterations (transition "
+    "probabilities quantized to micro-units once, mass vector in "
+    "pico-units, floor-divide per step — no floating accumulation, so "
+    "the result is bit-identical across engines/partitionings); each "
+    "iteration joins a |types|-row vector against the O(types^2) matrix. "
+    "Emitted beside the one-step empirical in-share: their gap measures "
+    "how far the observed mix sits from the chain's long-run equilibrium. "
+    "Companion to event_transition_matrix (the matrix) and "
+    "top_event_paths (the trajectories).",
+    tags=("analytics", "markov", "iteration"),
+)
+def markov_stationary_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("sales_telegram_bot_data_pipeline_mk_ev")
+    return spark.sql(_markov_stationary_sql(SPARK, "sales_telegram_bot_data_pipeline_mk_ev"))

@@ -2155,3 +2155,85 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.unionAll(nxt).localCheckpoint()
         frontier = nxt
     return dist.orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# clustering coefficient over the near-dup graph
+# --------------------------------------------------------------------------
+def _clustering_coeff_sql(d: Dialect, table: str, pairs_rel: str | None = None) -> str:
+    """Local clustering coefficient per node + global transitivity over the
+    canonical (a<b) near-dup edge list — the density summary beside
+    triangle counts (raw cliques), CC (reachability) and PageRank
+    (centrality): coeff = closed wedges / possible wedges distinguishes a
+    node inside a duplicate CLIQUE (coeff ~ 1) from a hub stitching
+    unrelated near-dup pairs (coeff ~ 0).
+
+    Scale: degrees from one symmetric union of the edge list; triangles by
+    the same wedge+closure equi-joins as triangle_count_neardup; global
+    transitivity = 3*triangles / wedges with both totals exact integers."""
+    from .similarity import _neardup_banded_sql
+
+    pairs = pairs_rel or _neardup_banded_sql(d, table).replace("ORDER BY vec_a, vec_b", "")
+    return f"""
+WITH pairs AS ({pairs}),
+e AS (SELECT vec_a AS a, vec_b AS b FROM pairs),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+  ) m GROUP BY node
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tcount AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) m GROUP BY node
+),
+tot AS (
+  SELECT CAST(COALESCE((SELECT SUM(n_triangles) FROM tcount), 0) AS BIGINT)
+           AS tri3,
+         CAST(SUM(degree * (degree - 1)) AS BIGINT) AS wedges2
+  FROM deg
+)
+SELECT d.node AS vec_id, d.degree,
+       CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       ROUND(CAST(2 * COALESCE(t.n_triangles, 0) AS DOUBLE)
+             / (d.degree * (d.degree - 1)), 6) AS local_coeff,
+       ROUND(CAST(x.tri3 AS DOUBLE) / x.wedges2, 6) AS global_transitivity
+FROM deg d LEFT JOIN tcount t ON t.node = d.node
+CROSS JOIN tot x
+WHERE d.degree >= 2
+ORDER BY vec_id
+"""
+
+
+@register(
+    "clustering_coefficient_neardup",
+    oracle=_clustering_coeff_sql(DUCKDB, "embeddings"),
+    doc="Local clustering coefficient (2*tri / deg*(deg-1)) per node with "
+    "degree >= 2, plus global transitivity (3*triangles / wedges, both "
+    "exact integers) over the canonical near-dup edge list — clique-vs-"
+    "hub structure detection for duplicate clusters.  Same wedge+closure "
+    "equi-join machinery as triangle_count_neardup (pair relation "
+    "materialized once), one symmetric degree aggregate, scalar totals "
+    "broadcast.",
+    tags=("dedup", "graph", "join"),
+)
+def clustering_coefficient_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _emb_view, _neardup_banded_sql
+
+    view = _emb_view(spark, sf_dir)
+    spark.sql(
+        _neardup_banded_sql(SPARK, view).replace("ORDER BY vec_a, vec_b", "")
+    ).localCheckpoint().createOrReplaceTempView("sales_telegram_bot_data_pipeline_cc_pairs")
+    return spark.sql(
+        _clustering_coeff_sql(
+            SPARK, view, pairs_rel="SELECT * FROM sales_telegram_bot_data_pipeline_cc_pairs"
+        )
+    )

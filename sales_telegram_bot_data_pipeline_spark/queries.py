@@ -184,7 +184,9 @@ except ImportError:  # pragma: no cover
 # kaplan_meier_repurchase, padding_waste_audit, stratified_kfold_plan,
 # ppmi_window_cooccurrence, retention_vacuum_plan, interval_overlap_join,
 # quantile_transform_uniformity, weighted_median_by_flag,
-# langid_eval_confusion, vocab_novelty_by_source, churn_label_features.
+# langid_eval_confusion, vocab_novelty_by_source, churn_label_features,
+# poisson_bootstrap_ci, clustering_coefficient_neardup,
+# markov_stationary_distribution.
 # --------------------------------------------------------------------------
 _DRIVER_WINDOW = [
     # core relational / TPC-H (q3 parked round 7; q1/q5 keep the family)
