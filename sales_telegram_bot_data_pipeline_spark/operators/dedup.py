@@ -2237,3 +2237,153 @@ def clustering_coefficient_neardup(spark: SparkSession, sf_dir: str) -> DataFram
             SPARK, view, pairs_rel="SELECT * FROM sales_telegram_bot_data_pipeline_cc_pairs"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# all-pairs cosine similarity join (APSS, Bayardo et al. 2007 shape)
+# --------------------------------------------------------------------------
+APSS_T_NUM, APSS_T_DEN = 17, 20  # cosine threshold t = 0.85; t^2 = 289/400
+APSS_SUBSET_MOD = 4  # deterministic md5 fourth (see benchmark-bound note below)
+# (t chosen where the synthetic corpus's shared-vocabulary cosine mass thins
+#  out: >= 0.85 keeps ~600 pairs at sf0.01 where 0.6 would pass HALF of all
+#  pairs — an all-pairs-dense output is not a similarity JOIN any more)
+
+
+def _apss_pw_sql(d: Dialect, table: str) -> str:
+    """The weighted posting relation (doc_id, f, df, wq): tokenize, tf, df,
+    integer milli-unit tf-idf weights, zero-weight features dropped."""
+    w = d.splitws("lower(text)")
+    # Benchmark bound: this synthetic corpus draws every doc from ONE shared
+    # vocabulary distribution, so random-pair cosine mass sits near the
+    # threshold and the candidate stream is inherently near-quadratic (60k
+    # pairs pass 0.85 at sf0.1) — the premise APSS exploits on real corpora
+    # (random pairs ~ 0) is violated by construction.  The deterministic
+    # md5 fourth keeps the demonstration subquadratic-shaped, same
+    # discipline as embedding_cosine_allpairs_small; the md5 (not the
+    # engine hash) picks the subset so both engines see identical docs.
+    sub = f"{d.md5_prefix_int(d.strcast('doc_id'))} % {APSS_SUBSET_MOD} = 0"
+    words_rel = f"(SELECT doc_id, {w} AS ws FROM {table} WHERE {sub})"
+    if d.name == "spark":
+        occ = (
+            f"SELECT doc_id, {d.fast_hash('w')} AS f FROM {words_rel} s "
+            f"LATERAL VIEW explode(ws) t AS w"
+        )
+    else:
+        occ = f"SELECT doc_id, {d.fast_hash('unnest(ws)')} AS f FROM {words_rel} s"
+    return f"""
+WITH occ AS ({occ}),
+tf AS (SELECT doc_id, f, CAST(COUNT(*) AS BIGINT) AS tf FROM occ GROUP BY doc_id, f),
+dfr AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY f),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+post AS (
+  SELECT t.doc_id, t.f, d2.df,
+         CAST(FLOOR(t.tf * LN(nd.n * 1.0e0 / d2.df) * 1000) AS BIGINT) AS wq
+  FROM tf t JOIN dfr d2 ON d2.f = t.f CROSS JOIN nd
+)
+SELECT doc_id, f, df, wq FROM post WHERE wq >= 1"""
+
+
+def _apss_sql(d: Dialect, table: str, pw_rel: str | None = None) -> str:
+    """All-pairs TF-IDF cosine >= t over documents with a PROVEN-LOSSLESS
+    L2 prefix filter — the WEIGHTED sibling of dedup_prefix_filter_join
+    (whose prefix bound is Jaccard-specific):
+
+    - weights quantize ONCE to integer milli-units (wq = floor(tf *
+      ln(N/df) * 1000)); everything after — norms, tail sums, prefix
+      membership, the verify dot product, the threshold test (25*num^2 >=
+      9*na2*nb2) — is exact integer arithmetic, so both engines and any
+      partitioning agree bit-for-bit (only the per-feature libm LN crosses
+      engines, same empirical contract as collocation_pmi).
+    - prefix bound: fix ANY total feature order (here df DESC, then the
+      feature key) and let suffix(v) be the maximal tail with ||tail||^2 <
+      t^2 * ||v||^2.  If a pair shares features only in both suffixes,
+      cos <= ||sa||/||a|| * ||sb||/||b|| < t^2 < t — so every qualifying
+      pair shares at least one feature lying in SOMEONE's prefix, and
+      joining prefix postings against full postings loses nothing
+      (set-equality vs the naive all-pairs form pinned in
+      tests/test_batch6_ops.py).
+    - scale: the tail cumsum is a doc-partitioned window over each doc's
+      own features (bounded by doc length); candidates and verification
+      are feature equi-joins; features are 64-bit engine hashes so no
+      shuffle carries strings.  Verification cost is O(candidates x doc
+      size) — the standard APSS verify term the prefix filter minimizes."""
+    w = d.splitws("lower(text)")
+    # Benchmark bound: this synthetic corpus draws every doc from ONE shared
+    # vocabulary distribution, so random-pair cosine mass sits near the
+    # threshold and the candidate stream is inherently near-quadratic (60k
+    # pairs pass 0.85 at sf0.1) — the premise APSS exploits on real corpora
+    # (random pairs ~ 0) is violated by construction.  The deterministic
+    # md5 fourth keeps the demonstration subquadratic-shaped, same
+    # discipline as embedding_cosine_allpairs_small; the md5 (not the
+    # engine hash) picks the subset so both engines see identical docs.
+    pw_cte = f"pw AS ({pw_rel})" if pw_rel else f"pw AS ({_apss_pw_sql(d, table)})"
+    t2n, t2d = APSS_T_NUM * APSS_T_NUM, APSS_T_DEN * APSS_T_DEN
+    return f"""
+WITH {pw_cte},
+norms AS (SELECT doc_id, CAST(SUM(wq * wq) AS BIGINT) AS n2 FROM pw GROUP BY doc_id),
+tails AS (
+  SELECT p.doc_id, p.f, p.wq,
+         CAST(SUM(p.wq * p.wq) OVER (PARTITION BY p.doc_id
+              ORDER BY p.df DESC, p.f
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+           AS tail2
+  FROM pw p
+),
+prefix AS (
+  SELECT t.doc_id, t.f
+  FROM tails t JOIN norms nm ON nm.doc_id = t.doc_id
+  WHERE {t2d} * t.tail2 >= {t2n} * nm.n2
+),
+cand AS (
+  SELECT DISTINCT LEAST(px.doc_id, fp.doc_id) AS a,
+                  GREATEST(px.doc_id, fp.doc_id) AS b
+  FROM prefix px JOIN pw fp ON fp.f = px.f AND fp.doc_id <> px.doc_id
+),
+verify AS (
+  SELECT c.a, c.b, CAST(SUM(pa.wq * pb.wq) AS BIGINT) AS num
+  FROM cand c
+  JOIN pw pa ON pa.doc_id = c.a
+  JOIN pw pb ON pb.doc_id = c.b AND pb.f = pa.f
+  GROUP BY c.a, c.b
+)
+SELECT v.a AS doc_a, v.b AS doc_b,
+       ROUND(CAST(v.num AS DOUBLE)
+             / SQRT(CAST(na.n2 AS DOUBLE) * nb.n2), 6) AS cosine
+FROM verify v
+JOIN norms na ON na.doc_id = v.a
+JOIN norms nb ON nb.doc_id = v.b
+WHERE CAST(v.num AS DECIMAL(38,0)) * v.num * {t2d}
+      >= CAST(na.n2 AS DECIMAL(38,0)) * nb.n2 * {t2n}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "apss_cosine_join",
+    oracle=_apss_sql(DUCKDB, "documents"),
+    doc=f"All-pairs TF-IDF cosine similarity join at t = "
+    f"{APSS_T_NUM}/{APSS_T_DEN} (Bayardo et al. 2007 shape): integer "
+    "milli-unit weights, proven-lossless L2 prefix filter (suffix norm "
+    "bound), exact-integer verify and threshold (400*num^2 >= 289*na2*nb2) "
+    "— the WEIGHTED set-similarity join beside the Jaccard prefix-filter "
+    "join and MinHash LSH; naive-equality pinned in tests.  Oracle runs "
+    "the same quantized prefix-filtered plan (the sf0.1 sweep would not "
+    "survive the naive all-pairs form); losslessness is the pytest's "
+    "job.",
+    tags=("dedup", "similarity", "prefix-filter"),
+)
+def apss_cosine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .curation import _doc_view
+
+    view = _doc_view(spark, sf_dir, "sales_telegram_bot_data_pipeline_apss_docs")
+    # materialize-once: the weighted posting relation feeds tails, norms,
+    # candidates and BOTH sides of the verify join — Spark inlines CTEs, so
+    # without a break the tokenize/tf/df chain recomputes per consumer
+    spark.sql(_apss_pw_sql(SPARK, view)).localCheckpoint().createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_apss_pw"
+    )
+    return spark.sql(
+        _apss_sql(
+            SPARK, view, pw_rel="SELECT * FROM sales_telegram_bot_data_pipeline_apss_pw"
+        )
+    )
