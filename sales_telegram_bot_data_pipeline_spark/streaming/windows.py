@@ -335,3 +335,82 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"sales_telegram_bot_data_pipeline_stream_attr_{next(_MEMSINK_SEQ)}"
     out = run_to_completion(joined, name, output_mode="append")
     return out.orderBy("view_id", "purchase_id")
+
+
+# --------------------------------------------------------------------------
+# stream-stream LEFT OUTER interval join (watermark-gated NULL emission)
+# --------------------------------------------------------------------------
+def attribution_join_stream_outer(
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """LEFT OUTER twin of :func:`attribution_join_stream` — the streaming
+    semantics the inner join cannot show: a view with NO purchase inside
+    its horizon emits exactly once WITH NULL purchase columns, but only
+    after the watermark passes view_ts + horizon (before that a future
+    purchase could still arrive, so the engine must hold the row back).
+    Outer-join NULL emission is driven by state EVICTION, which in turn
+    needs the watermark to advance past the buffered row — so the replay
+    session must keep the trailing no-data micro-batch ON (the inner
+    replays turn it off; see stream_session docstring)."""
+    v = views.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return v.join(
+        p,
+        (v.user_id == p.p_user)
+        & (p.purchase_ts >= v.view_ts)
+        & (p.purchase_ts <= v.view_ts + F.expr(f"INTERVAL {horizon}")),
+        "left_outer",
+    ).select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        "view_ts",
+        "purchase_ts",
+        F.col("purchase_id").isNotNull().alias("matched"),
+    )
+
+
+@register(
+    "streaming_attribution_left_join",
+    oracle=None,  # executed through the streaming engine — rows-only
+    doc="Rows-only: the attribution interval join as a LEFT OUTER "
+    "stream-stream join — matched pairs emit on match; never-converted "
+    "views emit once with NULL purchase columns AFTER the watermark "
+    "passes view_ts + horizon (state-eviction-driven NULL emission, the "
+    "append-mode outer-join contract).  Views newer than the final "
+    "watermark stay buffered when the replay drains — the documented "
+    "streaming tail, pinned exactly in "
+    "test_streaming_parity.py::test_attribution_outer_stream_matches_batch.",
+    tags=("streaming", "interval-join", "outer-join"),
+)
+def streaming_attribution_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # outer joins NEED the trailing no-data batch: NULL rows only emit when
+    # the watermark advances past the buffered view, which happens in the
+    # batch AFTER the last data batch
+    s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+
+    def side(event_type: str) -> DataFrame:
+        return (
+            s.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .where(F.col("event_type") == event_type)
+        )
+
+    joined = attribution_join_stream_outer(side("view"), side("purchase"))
+    name = f"sales_telegram_bot_data_pipeline_stream_attr_outer_{next(_MEMSINK_SEQ)}"
+    out = run_to_completion(joined, name, output_mode="append")
+    return out.orderBy("view_id", "purchase_id")

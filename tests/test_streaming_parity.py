@@ -454,3 +454,63 @@ def test_registered_streaming_attribution_matches_batch(spark):
         for r in attribution_interval_join(spark, SF_SMOKE).collect()
     )
     assert got == want and got
+
+
+def test_attribution_outer_stream_matches_batch(spark, scratch):
+    """LEFT OUTER stream-stream join parity: matched pairs equal the batch
+    inner join; NULL rows appear exactly for views that (a) have no
+    purchase within the horizon AND (b) aged past the FINAL watermark
+    (min of both sides' max event time, minus the delay) — the
+    state-eviction emission contract.  Views younger than that stay
+    buffered when the replay drains: the documented streaming tail."""
+    import datetime
+
+    from sales_telegram_bot_data_pipeline_spark.operators.temporal import (
+        attribution_interval_join,
+    )
+    from sales_telegram_bot_data_pipeline_spark.streaming.windows import (
+        attribution_join_stream_outer,
+    )
+
+    flat = _events_as_stream_source(spark, scratch)
+    stream = read_events_stream(spark, flat)
+    got = run_to_completion(
+        attribution_join_stream_outer(
+            stream.where(F.col("event_type") == "view"),
+            stream.where(F.col("event_type") == "purchase"),
+        ),
+        f"attr_outer_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    ).collect()
+
+    matched = sorted(
+        (r.view_id, r.purchase_id, r.user_id, r.view_ts, r.purchase_ts)
+        for r in got
+        if r.matched
+    )
+    want_pairs = sorted(map(tuple, attribution_interval_join(spark, SF_SMOKE).collect()))
+    assert matched == want_pairs
+
+    # expected NULL set from batch + the watermark rule
+    ev = load_table(spark, SF_SMOKE, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("view_ts")
+    )
+    max_view = views.agg(F.max("view_ts")).first()[0]
+    max_purch = (
+        ev.where(F.col("event_type") == "purchase").agg(F.max("ts")).first()[0]
+    )
+    final_wm = min(max_view, max_purch) - datetime.timedelta(hours=1)
+    horizon = datetime.timedelta(minutes=30)
+    matched_view_ids = {r.view_id for r in got if r.matched}
+    expect_null = {
+        r.view_id
+        for r in views.collect()
+        if r.view_id not in matched_view_ids and r.view_ts + horizon < final_wm
+    }
+    got_null = {r.view_id for r in got if not r.matched}
+    assert got_null == expect_null
+    assert expect_null, "no evicted unmatched views at smoke scale"
+    for r in got:
+        if not r.matched:
+            assert r.purchase_id is None and r.purchase_ts is None
