@@ -1347,3 +1347,71 @@ ORDER BY event_type
 def markov_stationary_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("sales_telegram_bot_data_pipeline_mk_ev")
     return spark.sql(_markov_stationary_sql(SPARK, "sales_telegram_bot_data_pipeline_mk_ev"))
+
+
+# --------------------------------------------------------------------------
+# autocorrelation of daily revenue (exact integer deviations)
+# --------------------------------------------------------------------------
+ACF_MAX_LAG = 14
+
+_ACF_SQL = """
+WITH daily AS (
+  SELECT CAST({dayno} AS BIGINT) AS day,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS cents
+  FROM {orders} GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS DECIMAL(38,0)) AS s
+  FROM daily
+),
+-- scaled deviation d_t = n*x_t - s keeps everything integral; the common
+-- 1/n^2 factor cancels in the autocorrelation ratio
+dev AS (
+  SELECT d.day, CAST(d.cents * t.n - t.s AS DECIMAL(38,0)) AS dv
+  FROM daily d CROSS JOIN tot t
+),
+den AS (SELECT CAST(SUM(dv * dv) AS DECIMAL(38,6)) AS d2 FROM dev),
+lags AS ({lags_rel}),
+num AS (
+  SELECT l.lag, CAST(SUM(a.dv * b.dv) AS DECIMAL(38,6)) AS nsum,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM lags l
+  JOIN dev a ON 1 = 1
+  JOIN dev b ON b.day = a.day + l.lag
+  GROUP BY l.lag
+)
+SELECT n.lag, n.n_pairs,
+       ROUND(CAST(n.nsum AS DOUBLE) / CAST(d2.d2 AS DOUBLE), 6) AS acf
+FROM num n CROSS JOIN den d2
+ORDER BY n.lag
+"""
+
+
+@register(
+    "acf_daily_revenue",
+    oracle=_ACF_SQL.format(
+        dayno="datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))",
+        orders="orders",
+        lags_rel=f"SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS lag",
+    ),
+    doc=f"Autocorrelation of daily revenue at lags 1..{ACF_MAX_LAG} — the "
+    "time-series seasonality diagnostic (weekly cadence shows as a lag-7 "
+    "peak).  EXACT arithmetic: the day series aggregates to integer "
+    "cents, deviations scale to n*x - s so the 1/n^2 factor cancels in "
+    "the ratio and every product stays in DECIMAL(38) — no floating "
+    "accumulation anywhere.  The lag dimension rides a 14-element "
+    "literal; the shifted self-join is an equi-join on (day + lag) over "
+    "the BOUNDED day-domain aggregate.",
+    tags=("analytics", "timeseries", "self-join"),
+)
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sales_telegram_bot_data_pipeline_acf_o")
+    return spark.sql(
+        _ACF_SQL.format(
+            dayno="datediff(to_date(o_orderdate), to_date('1970-01-01'))",
+            orders="sales_telegram_bot_data_pipeline_acf_o",
+            lags_rel=f"SELECT explode(sequence(1, {ACF_MAX_LAG})) AS lag",
+        )
+    )

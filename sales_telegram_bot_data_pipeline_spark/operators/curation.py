@@ -2332,3 +2332,83 @@ ORDER BY g.lang, g.fold
 def stratified_kfold_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = _doc_view(spark, sf_dir, "sales_telegram_bot_data_pipeline_kf_docs")
     return spark.sql(_kfold_sql(SPARK, view))
+
+
+# --------------------------------------------------------------------------
+# PSI split drift: population stability index between train and test
+# --------------------------------------------------------------------------
+PSI_BUCKETS = 16
+
+
+def _psi_sql(d: Dialect, table: str) -> str:
+    """Population Stability Index between the hash split's train and test
+    doc-length distributions on a shared equal-width grid — the industry
+    drift metric beside the KS statistic (split_distribution_drift): PSI =
+    sum (p_i - q_i) * ln(p_i / q_i), with Laplace +1 smoothing so empty
+    buckets stay finite and deterministic.  Per-bucket contributions
+    quantize to nano-unit BIGINTs before the cross-bucket total (libm LN,
+    empirical cross-engine contract); grid bounds are one O(1) scalar
+    broadcast.  Rule of thumb thresholds: < 0.1 stable, > 0.25 shifted."""
+    h = d.md5_prefix_int(d.strcast("doc_id"))
+    return f"""
+WITH routed AS (
+  SELECT n_chars,
+         CASE WHEN ({h}) % 100 < {TRAIN_PCT} THEN 'train'
+              WHEN ({h}) % 100 < {VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split_name
+  FROM {table}
+),
+b AS (SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM routed),
+bucketed AS (
+  -- integer div, not CAST(double): DuckDB rounds on cast where Spark
+  -- truncates (the documented round-on-cast trap)
+  SELECT LEAST(CAST({d.idiv(f"({PSI_BUCKETS} * (n_chars - b.lo))", "(b.hi - b.lo + 1)")} AS INT),
+               {PSI_BUCKETS - 1}) AS bucket,
+         split_name
+  FROM routed CROSS JOIN b
+  WHERE split_name <> 'val'
+),
+counts AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN split_name = 'train' THEN 1 ELSE 0 END) + 1 AS BIGINT)
+           AS n_train,
+         CAST(SUM(CASE WHEN split_name = 'test' THEN 1 ELSE 0 END) + 1 AS BIGINT)
+           AS n_test
+  FROM bucketed GROUP BY bucket
+),
+tots AS (
+  SELECT CAST(SUM(n_train) AS BIGINT) AS tt, CAST(SUM(n_test) AS BIGINT) AS te
+  FROM counts
+),
+contrib AS (
+  SELECT c.bucket, c.n_train, c.n_test,
+         CAST(FLOOR((CAST(c.n_train AS DOUBLE) / t.tt - CAST(c.n_test AS DOUBLE) / t.te)
+                    * LN((CAST(c.n_train AS DOUBLE) / t.tt)
+                         / (CAST(c.n_test AS DOUBLE) / t.te))
+                    * 1000000000) AS BIGINT) AS psi_u
+  FROM counts c CROSS JOIN tots t
+),
+total AS (SELECT CAST(SUM(psi_u) AS BIGINT) AS psi_total_u FROM contrib)
+SELECT c.bucket, c.n_train, c.n_test,
+       ROUND(CAST(c.psi_u AS DOUBLE) / 1000000000, 6) AS psi_contrib,
+       ROUND(CAST(t2.psi_total_u AS DOUBLE) / 1000000000, 6) AS psi_total,
+       (t2.psi_total_u < 100000000) AS stable
+FROM contrib c CROSS JOIN total t2
+ORDER BY c.bucket
+"""
+
+
+@register(
+    "psi_split_drift",
+    oracle=_psi_sql(DUCKDB, "documents"),
+    doc=f"Population Stability Index between the hash split's train/test "
+    f"length distributions on a shared {PSI_BUCKETS}-bucket equal-width "
+    "grid, Laplace-smoothed; per-bucket contributions quantized to "
+    "nano-units before the total so the cross-bucket sum is order-free. "
+    "The industry drift monitor beside split_distribution_drift's KS "
+    "(size-aware critical value); stable flag at the 0.1 rule-of-thumb.",
+    tags=("curation", "split", "stats"),
+)
+def psi_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    view = _doc_view(spark, sf_dir, "sales_telegram_bot_data_pipeline_psi_docs")
+    return spark.sql(_psi_sql(SPARK, view))

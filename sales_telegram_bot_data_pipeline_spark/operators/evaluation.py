@@ -586,3 +586,60 @@ FROM ranked r CROSS JOIN ci c CROSS JOIN full_mean f
 ORDER BY r.b
 """
     )
+
+
+# --------------------------------------------------------------------------
+# one-way ANOVA across sources (doc length) — the k-group F-test
+# --------------------------------------------------------------------------
+_ANOVA_SQL = """
+WITH g AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS s,
+         CAST(SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS BIGINT) AS q
+  FROM {table} GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(s) AS BIGINT) AS ss,
+         CAST(SUM(q) AS BIGINT) AS qq, CAST(COUNT(*) AS BIGINT) AS k
+  FROM g
+),
+-- per-group fractional terms quantized to micro-unit BIGINTs BEFORE the
+-- cross-group sum: double addition is order-sensitive and Spark aggregates
+-- in partition order; integer sums are not
+terms AS (
+  SELECT CAST(FLOOR((CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) / n) * s) * 1000000)
+              AS BIGINT) AS ssw_u,
+         CAST(FLOOR(n * ((CAST(s AS DOUBLE) / n) - (SELECT CAST(ss AS DOUBLE) / nn FROM tot))
+                      * ((CAST(s AS DOUBLE) / n) - (SELECT CAST(ss AS DOUBLE) / nn FROM tot))
+                    * 1000000) AS BIGINT) AS ssb_u
+  FROM g
+),
+sums AS (
+  SELECT CAST(SUM(ssw_u) AS BIGINT) AS ssw, CAST(SUM(ssb_u) AS BIGINT) AS ssb
+  FROM terms
+)
+SELECT t.k AS k_groups, t.nn AS n_total,
+       ROUND(CAST(s2.ssb AS DOUBLE) / 1000000, 6) AS ss_between,
+       ROUND(CAST(s2.ssw AS DOUBLE) / 1000000, 6) AS ss_within,
+       ROUND((CAST(s2.ssb AS DOUBLE) / (t.k - 1))
+             / (CAST(s2.ssw AS DOUBLE) / (t.nn - t.k)), 6) AS f_stat,
+       ROUND(CAST(s2.ssb AS DOUBLE) / (s2.ssb + s2.ssw), 6) AS eta_squared
+FROM sums s2 CROSS JOIN tot t
+"""
+
+
+@register(
+    "anova_sources_doclen",
+    oracle=_ANOVA_SQL.format(table="documents"),
+    doc="One-way ANOVA of doc length across ALL sources (the k-group "
+    "extension of welch_ttest_sources): F = MSB/MSW and eta^2 from one "
+    "per-source (n, sum, sumsq) aggregate.  Per-group fractional SS "
+    "terms quantize to micro-unit BIGINTs BEFORE the cross-group sum — "
+    "double addition is partition-order-sensitive, integer sums are not. "
+    "Identical ANSI text on both engines; O(1) output.",
+    tags=("evaluation", "stats", "agg"),
+)
+def anova_sources_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    view = _doc_view(spark, sf_dir, "sales_telegram_bot_data_pipeline_anova_docs")
+    return spark.sql(_ANOVA_SQL.format(table=view))

@@ -653,3 +653,92 @@ ORDER BY p.source
 )
 def vocab_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_vocab_novelty_sql(SPARK, _doc_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# vocabulary coverage curve: OOV rate vs vocabulary budget
+# --------------------------------------------------------------------------
+VOCAB_BUDGETS = (250, 500, 1000, 2000, 4000)
+
+
+def _coverage_curve_sql(d: Dialect, table: str, ranked_vocab: str) -> str:
+    budgets = ", ".join(str(b) for b in VOCAB_BUDGETS)
+    if d.name == "spark":
+        brel = f"SELECT explode(array({budgets})) AS budget"
+    else:
+        brel = f"SELECT unnest([{budgets}]) AS budget"
+    return f"""
+WITH rv AS ({ranked_vocab}),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tok,
+               CAST(COUNT(*) AS BIGINT) AS n_types FROM rv),
+b AS ({brel})
+SELECT b.budget,
+       CAST(LEAST(b.budget, t.n_types) AS BIGINT) AS n_types_used,
+       CAST(SUM(CASE WHEN rv.r <= b.budget THEN rv.cnt ELSE 0 END) AS BIGINT)
+         AS covered_tokens,
+       ROUND(CAST(SUM(CASE WHEN rv.r <= b.budget THEN rv.cnt ELSE 0 END) AS DOUBLE)
+             / t.n_tok, 6) AS coverage,
+       ROUND(1.0 - CAST(SUM(CASE WHEN rv.r <= b.budget THEN rv.cnt ELSE 0 END) AS DOUBLE)
+             / t.n_tok, 6) AS oov_rate
+FROM rv CROSS JOIN b CROSS JOIN tot t
+GROUP BY b.budget, t.n_tok, t.n_types
+ORDER BY b.budget
+"""
+
+
+def _ranked_vocab_oracle(d: Dialect, table: str) -> str:
+    w = d.splitws("lower(text)")
+    toks = (
+        f"SELECT unnest(ws) AS w FROM (SELECT {w} AS ws FROM {table}) s"
+        if d.name == "duckdb"
+        else f"SELECT w FROM (SELECT {w} AS ws FROM {table}) s LATERAL VIEW explode(ws) t AS w"
+    )
+    return f"""
+SELECT w, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS r
+FROM (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM ({toks}) x GROUP BY w) v
+"""
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle=_coverage_curve_sql(
+        DUCKDB, "documents", _ranked_vocab_oracle(DUCKDB, "documents")
+    ),
+    doc=f"Vocabulary coverage curve: token-occurrence coverage and OOV "
+    f"rate at vocabulary budgets {VOCAB_BUDGETS} — the tokenizer/vocab "
+    "sizing decision plotted as data (pairs with bpe_fertility_by_source "
+    "and mixture_weights_alpha).  The corpus collapses to its frequency-"
+    "ranked vocabulary (rank via the DISTRIBUTED range-rank primitive on "
+    "(-cnt, w); the oracle may use a global window over its aggregated "
+    "vocab); budgets ride a literal array, one conditional aggregate.",
+    tags=("text", "curation", "distributed-rank"),
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .scalars_extra import range_ranked
+
+    view = _doc_view(spark, sf_dir)
+    w = SPARK.splitws("lower(text)")
+    vocab = spark.sql(
+        f"SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM "
+        f"(SELECT {w} AS ws FROM {view}) s LATERAL VIEW explode(ws) t AS w "
+        f"GROUP BY w"
+    ).withColumn("neg", -F.col("cnt"))
+    ranked, _n = range_ranked(spark, vocab, ["neg", "w"])
+    if ranked is None:
+        return spark.createDataFrame(
+            [],
+            "budget int, n_types_used bigint, covered_tokens bigint, "
+            "coverage double, oov_rate double",
+        )
+    ranked.drop("neg").localCheckpoint(eager=False).createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_covcurve_rv"
+    )
+    return spark.sql(
+        _coverage_curve_sql(
+            SPARK,
+            view,
+            "SELECT w, cnt, r FROM sales_telegram_bot_data_pipeline_covcurve_rv",
+        )
+    )

@@ -186,7 +186,8 @@ except ImportError:  # pragma: no cover
 # quantile_transform_uniformity, weighted_median_by_flag,
 # langid_eval_confusion, vocab_novelty_by_source, churn_label_features,
 # poisson_bootstrap_ci, clustering_coefficient_neardup,
-# markov_stationary_distribution, apss_cosine_join.
+# markov_stationary_distribution, apss_cosine_join, anova_sources_doclen,
+# psi_split_drift, acf_daily_revenue, vocab_coverage_curve.
 # --------------------------------------------------------------------------
 _DRIVER_WINDOW = [
     # core relational / TPC-H (q3 parked round 7; q1/q5 keep the family)
