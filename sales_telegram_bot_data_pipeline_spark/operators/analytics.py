@@ -1415,3 +1415,67 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             lags_rel=f"SELECT explode(sequence(1, {ACF_MAX_LAG})) AS lag",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Mann-Kendall trend test on the weekly revenue series
+# --------------------------------------------------------------------------
+_MK_TREND_SQL = """
+WITH weekly AS (
+  SELECT CAST(FLOOR(CAST({datediff} AS BIGINT) / 7.0) AS BIGINT) AS x,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS y
+  FROM {orders} GROUP BY CAST(FLOOR(CAST({datediff} AS BIGINT) / 7.0) AS BIGINT)
+),
+s AS (
+  SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END)
+              AS BIGINT) AS s_stat
+  FROM weekly a JOIN weekly b ON b.x > a.x
+),
+ties AS (
+  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_corr
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM weekly GROUP BY y) g
+  WHERE t > 1
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM weekly)
+SELECT n.n AS n_weeks, s.s_stat,
+       CAST((n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_corr) AS BIGINT) AS var18_num,
+       ROUND(
+         CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+              WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+              ELSE 0 END
+         / SQRT((n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_corr) / 18.0), 6)
+         AS z_stat,
+       (ABS(
+         CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+              WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+              ELSE 0 END
+         / SQRT((n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_corr) / 18.0)) > 1.96)
+         AS significant_05
+FROM s CROSS JOIN ties CROSS JOIN n
+"""
+
+
+@register(
+    "mann_kendall_trend",
+    oracle=_MK_TREND_SQL.format(
+        datediff="datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))",
+        orders="orders",
+    ),
+    doc="Mann-Kendall monotone-trend TEST on the weekly revenue series — "
+    "the significance companion to theilsen_trend_robust's slope (same "
+    "weekly grain, same bounded O(weeks^2) pair relation): S = sum of "
+    "pairwise signs (exact integer), tie-corrected variance "
+    "n(n-1)(2n+5)/18 - sum t(t-1)(2t+5)/18 (exact integer numerator), "
+    "continuity-corrected z.  Distribution-free — no normality "
+    "assumption, unlike revenue_trend_ols's F.",
+    tags=("analytics", "timeseries", "stats"),
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sales_telegram_bot_data_pipeline_mkt_o")
+    return spark.sql(
+        _MK_TREND_SQL.format(
+            datediff="datediff(to_date(o_orderdate), to_date('1970-01-01'))",
+            orders="sales_telegram_bot_data_pipeline_mkt_o",
+        )
+    )

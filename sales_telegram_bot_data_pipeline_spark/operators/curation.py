@@ -2412,3 +2412,107 @@ ORDER BY c.bucket
 def psi_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = _doc_view(spark, sf_dir, "sales_telegram_bot_data_pipeline_psi_docs")
     return spark.sql(_psi_sql(SPARK, view))
+
+
+# --------------------------------------------------------------------------
+# Neyman allocation APPLIED: per-stratum exact-N hash sample
+# --------------------------------------------------------------------------
+def _neyman_sample_sql(d: Dialect, table: str, ranked_rel: str | None = None) -> str:
+    """Close the plan->action loop on neyman_allocation_plan: draw EXACTLY
+    the allocated count from each stratum, deterministically — per-source
+    md5 ordering, keep rank_within_source <= allocated.  The Spark side
+    ranks with the composite-order distributed range-rank (source, hash):
+    sources are contiguous in that order, so within-stratum rank = global
+    rank - stratum start offset (a |sources|-row join) — a PARTITION BY
+    source window would put a whole stratum in one task at 100 TB.  The
+    oracle may use the per-source window."""
+    h = d.md5_prefix_int(d.strcast("doc_id"))
+    if ranked_rel is None:
+        ranked_rel = f"""
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY {h}, doc_id) AS rs
+  FROM {table}
+"""
+    return f"""
+WITH s AS (
+  SELECT source,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(CAST(n_chars AS DECIMAL(38,0)) * n_chars) AS DECIMAL(38,0)) AS sxx
+  FROM {table} GROUP BY source
+),
+v AS (
+  SELECT source, n,
+         n * sqrt( (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) ) AS wgt
+  FROM s
+),
+t AS (SELECT SUM(wgt) AS total_w FROM v),
+alloc AS (
+  SELECT v.source, CAST(v.n AS BIGINT) AS n_docs,
+         CAST(ROUND({NEYMAN_BUDGET} * v.wgt / t.total_w) AS BIGINT) AS allocated
+  FROM v CROSS JOIN t
+),
+ranked AS ({ranked_rel}),
+sampled AS (
+  SELECT r.source, r.n_chars
+  FROM ranked r JOIN alloc a ON a.source = r.source
+  WHERE r.rs <= a.allocated
+)
+SELECT a.source, a.n_docs, a.allocated,
+       CAST(COUNT(sp.n_chars) AS BIGINT) AS n_sampled,
+       ROUND(CAST(SUM(sp.n_chars) AS DOUBLE) / NULLIF(COUNT(sp.n_chars), 0), 6)
+         AS sample_mean_chars
+FROM alloc a LEFT JOIN sampled sp ON sp.source = a.source
+GROUP BY a.source, a.n_docs, a.allocated
+ORDER BY a.source
+"""
+
+
+@register(
+    "neyman_allocated_sample",
+    oracle=_neyman_sample_sql(DUCKDB, "documents"),
+    doc="Neyman allocation APPLIED: exactly the variance-optimal per-"
+    "stratum count drawn from each source by deterministic md5 order — "
+    "the action half of neyman_allocation_plan (n_sampled == allocated "
+    "whenever the stratum is big enough, pinned in tests).  Spark ranks "
+    "within strata via the composite-order distributed range-rank with "
+    "per-stratum offsets subtracted (a PARTITION BY source window would "
+    "put a whole stratum in one task at 100 TB); the oracle keeps the "
+    "window form.",
+    tags=("curation", "sampling", "distributed-rank"),
+)
+def neyman_allocated_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F2
+
+    from .scalars_extra import range_ranked
+
+    view = _doc_view(spark, sf_dir, "sales_telegram_bot_data_pipeline_ney_docs")
+    h = SPARK.md5_prefix_int(SPARK.strcast("doc_id"))
+    base = spark.sql(f"SELECT source, doc_id, n_chars, ({h}) AS h FROM {view}")
+    ranked, _n = range_ranked(spark, base, ["source", "h", "doc_id"])
+    if ranked is None:
+        return spark.createDataFrame(
+            [],
+            "source string, n_docs bigint, allocated bigint, n_sampled bigint,"
+            " sample_mean_chars double",
+        )
+    ranked = ranked.localCheckpoint(eager=False)
+    t = ranked.groupBy("source").agg(F2.count(F2.lit(1)).cast("bigint").alias("c"))
+    ta, tb = t.alias("ta"), t.alias("tb")
+    starts = (
+        ta.join(tb, F2.col("tb.source") < F2.col("ta.source"), "left")
+        .groupBy(F2.col("ta.source").alias("source"))
+        .agg(F2.coalesce(F2.sum("tb.c"), F2.lit(0)).cast("bigint").alias("off"))
+    )
+    ranked.join(F2.broadcast(starts), "source").select(
+        "source", "doc_id", "n_chars", (F2.col("r") - F2.col("off")).alias("rs")
+    ).createOrReplaceTempView("sales_telegram_bot_data_pipeline_ney_ranked")
+    return spark.sql(
+        _neyman_sample_sql(
+            SPARK,
+            view,
+            ranked_rel="SELECT source, doc_id, n_chars, rs FROM sales_telegram_bot_data_pipeline_ney_ranked",
+        )
+    )

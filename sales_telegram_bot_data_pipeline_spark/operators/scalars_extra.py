@@ -1461,3 +1461,76 @@ def weighted_median_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+# --------------------------------------------------------------------------
+# trimmed and winsorized mean (exact, rank-based)
+# --------------------------------------------------------------------------
+TRIM_PCT = 10  # percent cut from EACH tail
+
+_TRIM_FINAL_SQL = """
+SELECT n AS n_rows, k AS k_trim,
+       ROUND(CAST(total_cents AS DOUBLE) / n / 100, 6) AS mean_price,
+       ROUND(CAST(kept_cents AS DOUBLE) / (n - 2 * k) / 100, 6) AS trimmed_mean,
+       ROUND(CAST(kept_cents + k * lo_val + k * hi_val AS DOUBLE) / n / 100, 6)
+         AS winsorized_mean,
+       ROUND(CAST(lo_val AS DOUBLE) / 100, 6) AS lo_cut,
+       ROUND(CAST(hi_val AS DOUBLE) / 100, 6) AS hi_cut
+FROM {agg}
+"""
+
+
+@register(
+    "trimmed_winsorized_mean",
+    oracle=f"""
+WITH v AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM orders
+),
+r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS r FROM v),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(*) * {TRIM_PCT} / 100 AS BIGINT) AS k FROM v),
+agg AS (
+  SELECT n.n, n.k,
+         (SELECT CAST(SUM(v) AS BIGINT) FROM r) AS total_cents,
+         (SELECT CAST(SUM(v) AS BIGINT) FROM r, n WHERE r.r > n.k AND r.r <= n.n - n.k)
+           AS kept_cents,
+         (SELECT v FROM r, n WHERE r.r = n.k + 1) AS lo_val,
+         (SELECT v FROM r, n WHERE r.r = n.n - n.k) AS hi_val
+  FROM n
+)
+{_TRIM_FINAL_SQL.format(agg="agg")}
+""",
+    doc=f"Exact {TRIM_PCT}%-trimmed and winsorized mean of order price — "
+    "the robust-mean pair beside the median/MAD audit: trimming drops "
+    "each tail's k rows, winsorizing clamps them to the cut values; all "
+    "sums exact integer cents.  Rank ties among equal values cannot "
+    "change either statistic (equal values contribute equally), so the "
+    "DISTRIBUTED range-rank on the value alone suffices — no "
+    "single-partition sort; the oracle may use a global ROW_NUMBER.",
+    tags=("scalar", "stats", "distributed-rank"),
+)
+def trimmed_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").alias("v")
+    )
+    ranked, n = range_ranked(spark, v, ["v"])
+    if ranked is None:
+        return spark.createDataFrame(
+            [],
+            "n_rows bigint, k_trim bigint, mean_price double, trimmed_mean double,"
+            " winsorized_mean double, lo_cut double, hi_cut double",
+        )
+    k = n * TRIM_PCT // 100
+    ranked = ranked.localCheckpoint(eager=False)  # sums + two point lookups
+    agg = ranked.agg(
+        F.lit(n).cast("bigint").alias("n"),
+        F.lit(k).cast("bigint").alias("k"),
+        F.sum("v").cast("bigint").alias("total_cents"),
+        F.sum(F.when((F.col("r") > k) & (F.col("r") <= n - k), F.col("v")))
+        .cast("bigint")
+        .alias("kept_cents"),
+        F.max(F.when(F.col("r") == k + 1, F.col("v"))).cast("bigint").alias("lo_val"),
+        F.max(F.when(F.col("r") == n - k, F.col("v"))).cast("bigint").alias("hi_val"),
+    )
+    agg.createOrReplaceTempView("sales_telegram_bot_data_pipeline_trim_agg")
+    return spark.sql(_TRIM_FINAL_SQL.format(agg="sales_telegram_bot_data_pipeline_trim_agg"))

@@ -1684,3 +1684,70 @@ ORDER BY rank
 )
 def mips_topk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_mips_sql(SPARK, _emb_view(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# SQ8 quantization error audit (exact vs int8-estimated cosine)
+# --------------------------------------------------------------------------
+def _sq8_err_sql(d: Dialect, table: str) -> str:
+    """Quantization-accuracy audit for the SQ8 ANN path: over the banded
+    LSH candidate pairs (the pairs an ANN query would actually rank),
+    compare the exact float cosine against the cosine computed from int8
+    codes — mean/max absolute error + the fraction within 0.01.  The
+    pre-flight number that decides whether the 4x-smaller quantized scan
+    can be trusted WITHOUT the exact rerank at 100 TB (the audit sibling
+    of minhash_estimate_error_audit and ivf_nprobe_tuning_audit).
+    Per-pair errors quantize to micro-unit BIGINTs (both cosines are
+    rounded-6 first) so the aggregate is order-free."""
+    bv = _banded_view(d, table)
+    dot = _dots(d, "x.embedding", "y.embedding")
+    self_norm = f"sqrt({_dots(d, 'embedding', 'embedding')})"
+    qrel = _sq8_quant_rel(d, table)
+    idot = _sq8_intdot(d, "ca.codes", "cb.codes")
+    iaa = _sq8_intdot(d, "ca.codes", "ca.codes")
+    ibb = _sq8_intdot(d, "cb.codes", "cb.codes")
+    return f"""
+WITH cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM ({bv}) a JOIN ({bv}) b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+norms AS (SELECT vec_id, {self_norm} AS nrm FROM {table}),
+codes AS ({qrel}),
+err AS (
+  SELECT c.vec_a, c.vec_b,
+         CAST(ROUND(ABS(
+           ROUND(({dot}) / (na.nrm * nb.nrm), 6)
+           - ROUND(({idot}) / SQRT(CAST(({iaa}) AS DOUBLE) * ({ibb})), 6)
+         ) * 1000000) AS BIGINT) AS err_u
+  FROM cand c
+  JOIN {table} x ON x.vec_id = c.vec_a
+  JOIN {table} y ON y.vec_id = c.vec_b
+  JOIN norms na ON na.vec_id = c.vec_a
+  JOIN norms nb ON nb.vec_id = c.vec_b
+  JOIN codes ca ON ca.vec_id = c.vec_a
+  JOIN codes cb ON cb.vec_id = c.vec_b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(err_u) AS DOUBLE) / COUNT(*) / 1000000, 6) AS mean_abs_err,
+       ROUND(CAST(MAX(err_u) AS DOUBLE) / 1000000, 6) AS max_abs_err,
+       ROUND(CAST(SUM(CASE WHEN err_u <= 10000 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS frac_within_001
+FROM err
+"""
+
+
+@register(
+    "sq8_quantization_error_audit",
+    oracle=_sq8_err_sql(DUCKDB, "embeddings"),
+    doc="SQ8 quantization-accuracy audit: exact float cosine vs int8-code "
+    "cosine over the banded LSH candidate pairs — mean/max abs error and "
+    "the fraction within 0.01; the pre-flight number that decides whether "
+    "the 4x-smaller quantized scan can run WITHOUT the exact rerank at "
+    "100 TB.  Per-pair errors quantize to micro-unit BIGINTs (both "
+    "cosines rounded-6 first) so the aggregate is order-free.  Audit "
+    "sibling of minhash_estimate_error_audit / ivf_nprobe_tuning_audit.",
+    tags=("similarity", "audit", "quantization"),
+)
+def sq8_quantization_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_sq8_err_sql(SPARK, _emb_view(spark, sf_dir)))

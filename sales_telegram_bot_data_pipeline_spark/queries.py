@@ -187,7 +187,9 @@ except ImportError:  # pragma: no cover
 # langid_eval_confusion, vocab_novelty_by_source, churn_label_features,
 # poisson_bootstrap_ci, clustering_coefficient_neardup,
 # markov_stationary_distribution, apss_cosine_join, anova_sources_doclen,
-# psi_split_drift, acf_daily_revenue, vocab_coverage_curve.
+# psi_split_drift, acf_daily_revenue, vocab_coverage_curve,
+# sq8_quantization_error_audit, mann_kendall_trend,
+# trimmed_winsorized_mean, neyman_allocated_sample.
 # --------------------------------------------------------------------------
 _DRIVER_WINDOW = [
     # core relational / TPC-H (q3 parked round 7; q1/q5 keep the family)
