@@ -98,6 +98,22 @@ EMPTY_OK_ZERO = [
     "graph_bfs_hops",
     "mmr_diversified_topk",
     "kmeans_separation_audit",
+    # round-7 continuation (documents/embeddings inputs, zero-row output;
+    # scalar-shaped ops like anova/sq8-audit emit their one NULL-aggregate
+    # row on empty input and are excluded like lsh_band_tuning_audit)
+    "roc_auc_quality_score",
+    "welch_ttest_sources",
+    "skyline_pareto_docs",
+    "padding_waste_audit",
+    "stratified_kfold_plan",
+    "ppmi_window_cooccurrence",
+    "langid_eval_confusion",
+    "vocab_novelty_by_source",
+    "vocab_coverage_curve",
+    "apss_cosine_join",
+    "clustering_coefficient_neardup",
+    "psi_split_drift",
+    "neyman_allocated_sample",
 ]
 
 
