@@ -1479,3 +1479,104 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders="sales_telegram_bot_data_pipeline_mkt_o",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# CUSUM change detection on the weekly revenue series (closed form)
+# --------------------------------------------------------------------------
+_CUSUM_SQL = """
+WITH weekly AS (
+  SELECT CAST(FLOOR(CAST({datediff} AS BIGINT) / 7.0) AS BIGINT) AS x,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS cents
+  FROM {orders} GROUP BY CAST(FLOOR(CAST({datediff} AS BIGINT) / 7.0) AS BIGINT)
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(cents * cents) AS DECIMAL(38,6)) AS q
+  FROM weekly
+),
+-- scaled deviation d = n*x - s (integer-exact, the ACF trick); slack k =
+-- 0.5 sigma in the SAME scaled units, floored once to an integer
+sig AS (
+  SELECT CAST(FLOOR(0.5 * SQRT((CAST(t.q AS DOUBLE) * t.n - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE)))) AS DECIMAL(38,0)) AS slack,
+         CAST(FLOOR(4.0 * SQRT((CAST(t.q AS DOUBLE) * t.n - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE)))) AS DECIMAL(38,0)) AS h
+  FROM tot t
+),
+d AS (
+  SELECT w.x, CAST(w.cents * t.n - t.s - sg.slack AS DECIMAL(38,0)) AS dv
+  FROM weekly w CROSS JOIN tot t CROSS JOIN sig sg
+),
+p AS ({prefix_rel}),
+-- CUSUM closed form: S_t = max(0, P_t - min_{{k<=t}} P_k); the running
+-- min comes from a bounded |weeks|^2 triangular self-join (the weekly
+-- relation is calendar-bounded), never a global window on the Spark side
+runmin AS (
+  SELECT a.x, MIN(LEAST(b.pc, 0)) AS minp
+  FROM p a JOIN p b ON b.x <= a.x
+  GROUP BY a.x
+),
+scored AS (
+  SELECT p.x, CAST(GREATEST(p.pc - r.minp, 0) AS DECIMAL(38,0)) AS cusum_scaled,
+         sg.h
+  FROM p JOIN runmin r ON r.x = p.x CROSS JOIN sig sg
+)
+SELECT s2.x AS week,
+       ROUND(CAST(s2.cusum_scaled AS DOUBLE) / t.n / 100, 6) AS cusum_dollars,
+       (s2.cusum_scaled > s2.h) AS alarm
+FROM scored s2 CROSS JOIN tot t
+ORDER BY week
+"""
+
+
+def _cusum_prefix_oracle() -> str:
+    # INCLUSIVE prefix sum of dv in week order, with P_0 = 0 handled by
+    # LEAST(min, 0) in runmin
+    return """
+  SELECT x, CAST(SUM(dv) OVER (ORDER BY x
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,0)) AS pc
+  FROM d
+"""
+
+
+@register(
+    "cusum_change_detection",
+    oracle=_CUSUM_SQL.format(
+        datediff="datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))",
+        orders="orders",
+        prefix_rel=_cusum_prefix_oracle(),
+    ),
+    doc="One-sided CUSUM upward-shift detector on the weekly revenue "
+    "series, via the CLOSED FORM S_t = max(0, P_t - min_k<=t P_k) — no "
+    "recursion: prefix sums of the slack-adjusted deviations, running "
+    "min from a bounded |weeks|^2 self-join.  Deviations use the exact "
+    "n*x - s scaling (the ACF trick) so every cumulative value is an "
+    "exact DECIMAL integer; only the one-time sigma slack/threshold "
+    "crosses libm (floored once).  Slack k = 0.5 sigma, alarm h = 4 "
+    "sigma — the SPC change-point monitor beside the control chart's "
+    "per-point z.",
+    tags=("analytics", "timeseries", "spc"),
+)
+def cusum_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sales_telegram_bot_data_pipeline_cu_o")
+    # Spark side: the prefix sum rides the distributed range-prefix-sum
+    # primitive over the week order instead of a global window
+    from .scalars_extra import range_prefix_summed
+
+    inner = _CUSUM_SQL.format(
+        datediff="datediff(to_date(o_orderdate), to_date('1970-01-01'))",
+        orders="sales_telegram_bot_data_pipeline_cu_o",
+        prefix_rel="SELECT x, pc FROM sales_telegram_bot_data_pipeline_cu_prefix",
+    )
+    d_sql = inner.split(",\np AS (")[0] + "\nSELECT x, dv FROM d"
+    d_df = spark.sql(d_sql)
+    summed, _tot = range_prefix_summed(spark, d_df, ["x"], "dv")
+    if summed is None:
+        return spark.createDataFrame([], "week bigint, cusum_dollars double, alarm boolean")
+    summed.select(
+        "x", (F.col("cum_before") + F.col("dv")).cast("decimal(38,0)").alias("pc")
+    ).localCheckpoint(eager=False).createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_cu_prefix"
+    )
+    return spark.sql(inner)

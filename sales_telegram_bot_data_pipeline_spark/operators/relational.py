@@ -1544,3 +1544,58 @@ UNPIVOT (value FOR metric IN (n_chars, n_digits, n_words))
 ORDER BY doc_id, metric
 """
     )
+
+
+# --------------------------------------------------------------------------
+# share-of-parent hierarchical rollup (region -> nation -> revenue)
+# --------------------------------------------------------------------------
+_SHARE_ROLLUP_SQL = """
+WITH nat AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS cents
+  FROM {orders} o
+  JOIN {customer} c ON c.c_custkey = o.o_custkey
+  JOIN {nation} n ON n.n_nationkey = c.c_nationkey
+  JOIN {region} r ON r.r_regionkey = n.n_regionkey
+  GROUP BY r.r_name, n.n_name
+),
+reg AS (SELECT region, CAST(SUM(cents) AS DECIMAL(38,0)) AS rcents FROM nat GROUP BY region),
+tot AS (SELECT CAST(SUM(cents) AS DECIMAL(38,0)) AS tcents FROM nat)
+SELECT nat.region, nat.nation,
+       CAST(nat.cents AS BIGINT) AS nation_cents,
+       CAST(reg.rcents AS BIGINT) AS region_cents,
+       ROUND(CAST(nat.cents AS DOUBLE) / CAST(reg.rcents AS DOUBLE), 6)
+         AS share_of_region,
+       ROUND(CAST(nat.cents AS DOUBLE) / CAST(t.tcents AS DOUBLE), 6)
+         AS share_of_total
+FROM nat JOIN reg ON reg.region = nat.region CROSS JOIN tot t
+ORDER BY nat.region, nat.nation
+"""
+
+
+@register(
+    "share_of_parent_rollup",
+    oracle=_SHARE_ROLLUP_SQL.format(
+        orders="orders", customer="customer", nation="nation", region="region"
+    ),
+    doc="Ratio-to-parent hierarchical rollup: nation-grain revenue with "
+    "share-of-region and share-of-total — the BI contribution view the "
+    "plain ROLLUP (rollup_returnflag_status) does not give (subtotal "
+    "ratios need the parent JOINED BACK, not just emitted as extra "
+    "rows).  One fact aggregate co-partitioned to nation grain, then "
+    "joins against the bounded region/total aggregates (broadcast); "
+    "exact cents everywhere, two identical double divisions at the end.",
+    tags=("relational", "rollup", "agg"),
+)
+def share_of_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("orders", "customer", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"sales_telegram_bot_data_pipeline_sr_{t}")
+    return spark.sql(
+        _SHARE_ROLLUP_SQL.format(
+            orders="sales_telegram_bot_data_pipeline_sr_orders",
+            customer="sales_telegram_bot_data_pipeline_sr_customer",
+            nation="sales_telegram_bot_data_pipeline_sr_nation",
+            region="sales_telegram_bot_data_pipeline_sr_region",
+        )
+    )

@@ -189,7 +189,8 @@ except ImportError:  # pragma: no cover
 # markov_stationary_distribution, apss_cosine_join, anova_sources_doclen,
 # psi_split_drift, acf_daily_revenue, vocab_coverage_curve,
 # sq8_quantization_error_audit, mann_kendall_trend,
-# trimmed_winsorized_mean, neyman_allocated_sample.
+# trimmed_winsorized_mean, neyman_allocated_sample,
+# cusum_change_detection, share_of_parent_rollup.
 # --------------------------------------------------------------------------
 _DRIVER_WINDOW = [
     # core relational / TPC-H (q3 parked round 7; q1/q5 keep the family)

@@ -233,3 +233,141 @@ def _register_streaming_sessionization():
 
 
 _register_streaming_sessionization()
+
+
+# --------------------------------------------------------------------------
+# streaming Misra-Gries heavy hitters (stateful, bucket-sharded)
+# --------------------------------------------------------------------------
+MG_STREAM_BUCKETS = 8
+MG_STREAM_OUT_SCHEMA = "bucket int, word string, est bigint, batch_seq bigint"
+MG_STREAM_STATE_SCHEMA = "words array<string>, counts array<bigint>, batches bigint"
+
+
+def mg_topk_stream(grouped_stream, capacity: int) -> DataFrame:
+    """Per-bucket Misra-Gries summary maintained in the state store across
+    micro-batches: each bucket (hash shard of the word space) keeps at
+    most ``capacity`` counters; every batch updates them with the classic
+    increment / insert / decrement-all rule and emits the CURRENT summary
+    tagged with a batch sequence number (update mode — the consumer keeps
+    each bucket's highest batch_seq).  The per-bucket superset guarantee
+    (any word with bucket frequency > N_bucket/(capacity+1) survives)
+    holds for ANY arrival order, which is what the exact-recount consumer
+    relies on — mirroring the batch operator's per-partition summaries."""
+
+    def update(key, pdf_iter, state: GroupState):
+        (bucket,) = key
+        if state.exists:
+            words, counts, batches = state.get
+            d = dict(zip(list(words), [int(c) for c in counts]))
+        else:
+            d, batches = {}, 0
+        for pdf in pdf_iter:
+            for w in pdf["word"]:
+                if w in d:
+                    d[w] += 1
+                elif len(d) < capacity:
+                    d[w] = 1
+                else:
+                    for k in list(d):
+                        d[k] -= 1
+                        if d[k] == 0:
+                            del d[k]
+        batches += 1
+        state.update((list(d.keys()), list(d.values()), batches))
+        yield pd.DataFrame(
+            {
+                "bucket": [bucket] * len(d),
+                "word": list(d.keys()),
+                "est": list(d.values()),
+                "batch_seq": [batches] * len(d),
+            }
+        )
+
+    return grouped_stream.applyInPandasWithState(
+        update,
+        outputStructType=MG_STREAM_OUT_SCHEMA,
+        stateStructType=MG_STREAM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _register_streaming_mg():
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from ..operators.curation import MG_CAPACITY, MG_TOPK, _doc_view
+    from ..registry import register
+    from .windows import _MEMSINK_SEQ, run_to_completion, stream_session
+
+    @register(
+        "streaming_misra_gries_topk",
+        oracle=None,  # executed through the streaming engine — rows-only
+        doc="Rows-only: Misra-Gries heavy hitters EXECUTED as a stateful "
+        "streaming job — the word stream shards into "
+        f"{MG_STREAM_BUCKETS} hash buckets, each bucket's bounded "
+        f"summary (capacity {MG_CAPACITY // MG_STREAM_BUCKETS}) lives in "
+        "the state store across micro-batches "
+        "(applyInPandasWithState, update mode), and the final candidate "
+        "set recounts EXACTLY in one batch join before the top-"
+        f"{MG_TOPK} — same output semantics as the batch misra_gries_topk "
+        "under the same documented precondition, pinned equal in "
+        "test_stateful_streaming.py::test_streaming_mg_matches_batch.",
+        tags=("streaming", "stateful", "sketch"),
+    )
+    def streaming_misra_gries_topk(spark: SparkSession, sf_dir: str):
+        from ..functions.dialect import SPARK as _SP
+
+        batch_spark = spark
+        spark = stream_session(spark)
+        docs_schema = "doc_id bigint, text string, lang string, source string, n_chars int"
+        w = _SP.splitws("lower(text)")
+        stream = (
+            spark.readStream.schema(docs_schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+            .selectExpr(f"explode({w}) AS word")
+            .selectExpr(
+                "word",
+                f"cast(abs(xxhash64(word)) % {MG_STREAM_BUCKETS} as int) AS bucket",
+            )
+        )
+        per_bucket_cap = MG_CAPACITY // MG_STREAM_BUCKETS
+        name = f"sales_telegram_bot_data_pipeline_stream_mg_{next(_MEMSINK_SEQ)}"
+        summaries = run_to_completion(
+            mg_topk_stream(stream.groupBy("bucket"), per_bucket_cap),
+            name,
+            output_mode="update",
+        )
+        # keep each bucket's FINAL summary (highest batch_seq); the sink
+        # table is bounded by buckets x capacity x batches, so collecting
+        # it to re-anchor in the BATCH session is a bounded model build
+        # (the memory-sink table lives in the cloned stream session, and a
+        # streaming-sink self-join trips an internal assert in update mode)
+        rows = summaries.collect()
+        last_seq: dict = {}
+        for r in rows:
+            last_seq[r.bucket] = max(last_seq.get(r.bucket, 0), r.batch_seq)
+        cand_words = sorted(
+            {r.word for r in rows if r.batch_seq == last_seq[r.bucket]}
+        )
+        # exact recount restricted to the candidates, then true top-k —
+        # same tail as the batch operator
+        view = _doc_view(batch_spark, sf_dir, "sales_telegram_bot_data_pipeline_smg_docs")
+        words = batch_spark.sql(f"SELECT explode({w}) AS word FROM {view}")
+        cands = batch_spark.createDataFrame(
+            [(wd,) for wd in cand_words] or [("",)], "word string"
+        )
+        exact = (
+            words.join(F.broadcast(cands), "word")
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .orderBy(F.desc("n"), "word")
+            .limit(MG_TOPK)
+        )
+        return exact
+
+    return streaming_misra_gries_topk
+
+
+_register_streaming_mg()

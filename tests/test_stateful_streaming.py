@@ -227,3 +227,71 @@ def test_streaming_sessions_match_batch(spark, scratch):
     }
     assert got == want
     assert len(got) > 0  # multi-batch replay actually closed sessions
+
+
+def test_streaming_mg_matches_batch(spark, scratch):
+    """Streaming Misra-Gries parity, driven MULTI-batch: documents split
+    into 4 files streamed one per micro-batch (state must carry each
+    bucket's summary across batches); the final candidates recount to the
+    SAME top-k as the batch operator — the guarantee is order-independent,
+    so however the files interleave, the exact-recount top-k agrees."""
+    from sales_telegram_bot_data_pipeline_spark.functions.dialect import SPARK as SP
+    from sales_telegram_bot_data_pipeline_spark.operators.curation import (
+        MG_CAPACITY,
+        MG_TOPK,
+    )
+    from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
+    from sales_telegram_bot_data_pipeline_spark.streaming.stateful import (
+        MG_STREAM_BUCKETS,
+        mg_topk_stream,
+    )
+    from sales_telegram_bot_data_pipeline_spark import queries as q
+
+    from conftest import SF_SMOKE
+
+    docs_dir = os.path.join(scratch, "docs4")
+    load_table(spark, SF_SMOKE, "documents").repartition(4).write.parquet(docs_dir)
+    w = SP.splitws("lower(text)")
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+        .selectExpr(f"explode({w}) AS word")
+        .selectExpr(
+            "word",
+            f"cast(abs(xxhash64(word)) % {MG_STREAM_BUCKETS} as int) AS bucket",
+        )
+    )
+    name = f"mgstream_{uuid.uuid4().hex[:8]}"
+    sq = (
+        mg_topk_stream(stream.groupBy("bucket"), MG_CAPACITY // MG_STREAM_BUCKETS)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    rows = spark.table(name).collect()
+    assert max(r.batch_seq for r in rows) >= 3  # really ran multi-batch
+    last = {}
+    for r in rows:
+        last[r.bucket] = max(last.get(r.bucket, 0), r.batch_seq)
+    cands = sorted({r.word for r in rows if r.batch_seq == last[r.bucket]})
+    view_words = (
+        load_table(spark, SF_SMOKE, "documents")
+        .selectExpr(f"explode({w}) AS word")
+    )
+    cdf = spark.createDataFrame([(x,) for x in cands], "word string")
+    got = (
+        view_words.join(F.broadcast(cdf), "word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(MG_TOPK)
+        .collect()
+    )
+    want = q.REGISTRY["misra_gries_topk"].fn(spark, SF_SMOKE).collect()
+    assert [(r.word, r.n) for r in got] == [(r[0], r[1]) for r in want]
