@@ -1534,3 +1534,89 @@ def trimmed_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg.createOrReplaceTempView("sales_telegram_bot_data_pipeline_trim_agg")
     return spark.sql(_TRIM_FINAL_SQL.format(agg="sales_telegram_bot_data_pipeline_trim_agg"))
+
+
+# --------------------------------------------------------------------------
+# cumulative distinct users via mergeable per-day HLL sketches
+# --------------------------------------------------------------------------
+@register(
+    "hll_cumulative_distinct_audit",
+    oracle="""
+WITH ev AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, user_id FROM events),
+firsts AS (SELECT user_id, MIN(day) AS fday FROM ev GROUP BY user_id),
+perday AS (SELECT fday AS day, CAST(COUNT(*) AS BIGINT) AS n_new FROM firsts GROUP BY fday),
+days AS (SELECT DISTINCT day FROM ev),
+exact AS (
+  SELECT d.day,
+         CAST(COALESCE((SELECT SUM(p.n_new) FROM perday p WHERE p.day <= d.day), 0)
+              AS BIGINT) AS exact_cum_users
+  FROM days d
+),
+approx AS (
+  SELECT d.day, approx_count_distinct(e.user_id) AS a
+  FROM days d JOIN ev e ON e.day <= d.day GROUP BY d.day
+)
+SELECT x.day, x.exact_cum_users,
+       ABS(a.a - x.exact_cum_users)
+         <= CAST(CEIL(0.15 * x.exact_cum_users) AS BIGINT) AS sketch_within_band
+FROM exact x JOIN approx a ON a.day = x.day
+ORDER BY x.day
+""",
+    doc="Cumulative distinct-users-over-time via MERGEABLE per-day HLL "
+    "sketches: one hll_sketch_agg per day (computed once), every prefix "
+    "answered by hll_union_agg over the bounded day-domain sketch "
+    "relation — the warehouse pattern where the sketch is stored per "
+    "partition and re-aggregated for any window without touching raw "
+    "data.  Exact truth = first-appearance counts prefix-summed through "
+    "the distributed range-prefix-sum; the sketch estimate is engine-"
+    "specific and never emitted — only the exact curve plus the 15% "
+    "contract flag (same never-emit-the-sketch discipline as "
+    "sketch_cardinality_audit).  The time-axis sibling of "
+    "daily_active_cumulative_users' exact O(days) window.",
+    tags=("agg", "sketch", "timeseries"),
+)
+def hll_cumulative_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").cast("string").alias("day"), "user_id"
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("fday"))
+    perday = firsts.groupBy(F.col("fday").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    # full day spine: most users first-appear on day one, but the exact
+    # curve must carry EVERY observed day
+    days = ev.select("day").distinct()
+    perday = days.join(perday, "day", "left").select(
+        "day", F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new")
+    )
+    summed, _tot = range_prefix_summed(spark, perday, ["day"], "n_new")
+    if summed is None:
+        return spark.createDataFrame(
+            [], "day string, exact_cum_users bigint, sketch_within_band boolean"
+        )
+    exact = summed.select(
+        "day", (F.col("cum_before") + F.col("n_new")).cast("bigint").alias("exact_cum_users")
+    )
+    # genuine sketch merge: one fixed-size sketch per day, prefix unions
+    # over the BOUNDED day relation (never re-scanning raw events per day)
+    sketches = ev.groupBy("day").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    ).localCheckpoint(eager=False)
+    sa, sb = sketches.alias("a"), sketches.alias("b")
+    approx = (
+        sa.join(sb, F.col("b.day") <= F.col("a.day"))
+        .groupBy(F.col("a.day").alias("day"))
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(b.sk))").alias("a_est"))
+    )
+    return (
+        exact.join(approx, "day")
+        .select(
+            "day",
+            "exact_cum_users",
+            (
+                F.abs(F.col("a_est") - F.col("exact_cum_users"))
+                <= F.ceil(0.15 * F.col("exact_cum_users")).cast("bigint")
+            ).alias("sketch_within_band"),
+        )
+        .orderBy("day")
+    )

@@ -190,7 +190,8 @@ except ImportError:  # pragma: no cover
 # psi_split_drift, acf_daily_revenue, vocab_coverage_curve,
 # sq8_quantization_error_audit, mann_kendall_trend,
 # trimmed_winsorized_mean, neyman_allocated_sample,
-# cusum_change_detection, share_of_parent_rollup.
+# cusum_change_detection, share_of_parent_rollup,
+# hll_cumulative_distinct_audit.
 # --------------------------------------------------------------------------
 _DRIVER_WINDOW = [
     # core relational / TPC-H (q3 parked round 7; q1/q5 keep the family)

@@ -79,3 +79,27 @@ def test_share_of_parent_matches_python(spark):
     for r in out:
         by_region[r.region] += r.share_of_region
     assert all(abs(v - 1.0) < 1e-4 for v in by_region.values())
+
+
+def test_hll_cumulative_audit_exact_curve_and_band(spark):
+    con = duckdb.connect()
+    pairs = con.sql(
+        f"SELECT CAST(CAST(ts AS DATE) AS VARCHAR), user_id FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet')"
+    ).fetchall()
+    con.close()
+    firsts = {}
+    for day, u in pairs:
+        if u not in firsts or day < firsts[u]:
+            firsts[u] = day
+    days = sorted({d for d, _ in pairs})
+    rows = q.REGISTRY["hll_cumulative_distinct_audit"].fn(spark, SF_SMOKE).collect()
+    assert [r.day for r in rows] == days
+    prev = 0
+    for r in rows:
+        expect = sum(1 for fd in firsts.values() if fd <= r.day)
+        assert r.exact_cum_users == expect
+        assert r.exact_cum_users >= prev  # monotone
+        prev = r.exact_cum_users
+        assert r.sketch_within_band  # HLL rsd ~1.6% vs the 15% band
+    assert rows[-1].exact_cum_users == len(firsts)
