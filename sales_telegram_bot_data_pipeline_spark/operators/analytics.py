@@ -1580,3 +1580,170 @@ def cusum_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sales_telegram_bot_data_pipeline_cu_prefix"
     )
     return spark.sql(inner)
+
+
+# --------------------------------------------------------------------------
+# aggregate sensitivity audit (max single-user contribution per cell)
+# --------------------------------------------------------------------------
+_SENS_SQL = """
+WITH per_user AS (
+  SELECT event_type, user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_u,
+         CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS v_u
+  FROM {events} GROUP BY event_type, user_id
+),
+cell AS (
+  SELECT event_type,
+         CAST(SUM(n_u) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(v_u) AS BIGINT) AS v_total,
+         CAST(MAX(n_u) AS BIGINT) AS max_user_rows,
+         CAST(MAX(ABS(v_u)) AS BIGINT) AS max_user_value_u
+  FROM per_user GROUP BY event_type
+)
+SELECT event_type, n_rows, n_users,
+       ROUND(CAST(max_user_rows AS DOUBLE) / n_rows, 6) AS max_row_share,
+       ROUND(CAST(max_user_value_u AS DOUBLE) / NULLIF(ABS(v_total), 0), 6)
+         AS max_value_share,
+       (CAST(max_user_rows AS DOUBLE) / n_rows > 0.01) AS dominated
+FROM cell ORDER BY event_type
+"""
+
+
+@register(
+    "aggregate_sensitivity_audit",
+    oracle=_SENS_SQL.format(events="events"),
+    doc="Per-aggregate-cell SENSITIVITY audit: the largest single user's "
+    "row and value contribution share per event_type — the number that "
+    "(a) flags cells effectively describing one individual before a "
+    "release and (b) calibrates the noise scale any differential-privacy "
+    "mechanism would need (sensitivity = max individual contribution). "
+    "Values quantize to micro-units at the row (order-free sums); two "
+    "map-combinable groupBys, bounded output.  Completes the privacy "
+    "release family beside k-anonymity / l-diversity / t-closeness.",
+    tags=("analytics", "privacy", "agg"),
+)
+def aggregate_sensitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("sales_telegram_bot_data_pipeline_sens_ev")
+    return spark.sql(_SENS_SQL.format(events="sales_telegram_bot_data_pipeline_sens_ev"))
+
+
+# --------------------------------------------------------------------------
+# circular (directional) statistics of event time-of-day
+# --------------------------------------------------------------------------
+_CIRC_SQL = """
+WITH pts AS (
+  SELECT event_type,
+         -- second-of-day as an angle; per-row libm cos/sin quantized to
+         -- nano-units BEFORE summation (order-free; the one libm crossing)
+         CAST(ROUND(COS(({sod}) * 2 * PI() / 86400.0) * 1000000000) AS BIGINT) AS cx,
+         CAST(ROUND(SIN(({sod}) * 2 * PI() / 86400.0) * 1000000000) AS BIGINT) AS cy
+  FROM {events}
+),
+agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cx) AS BIGINT) AS sx, CAST(SUM(cy) AS BIGINT) AS sy
+  FROM pts GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND(
+         (CASE WHEN ATAN2(CAST(sy AS DOUBLE), CAST(sx AS DOUBLE)) < 0
+               THEN ATAN2(CAST(sy AS DOUBLE), CAST(sx AS DOUBLE)) + 2 * PI()
+               ELSE ATAN2(CAST(sy AS DOUBLE), CAST(sx AS DOUBLE)) END)
+         * 86400.0 / (2 * PI()) / 3600.0, 6) AS mean_hour,
+       ROUND(SQRT(CAST(sx AS DOUBLE) * sx + CAST(sy AS DOUBLE) * sy) / n
+             / 1000000000, 6) AS resultant_r,
+       ROUND(CAST(n AS DOUBLE)
+             * (SQRT(CAST(sx AS DOUBLE) * sx + CAST(sy AS DOUBLE) * sy) / n
+                / 1000000000)
+             * (SQRT(CAST(sx AS DOUBLE) * sx + CAST(sy AS DOUBLE) * sy) / n
+                / 1000000000), 6) AS rayleigh_z
+FROM agg ORDER BY event_type
+"""
+
+
+@register(
+    "circular_time_profile",
+    oracle=_CIRC_SQL.format(
+        events="events",
+        sod="EXTRACT(hour FROM ts) * 3600 + EXTRACT(minute FROM ts) * 60 + EXTRACT(second FROM ts)",
+    ),
+    doc="Circular (directional) statistics of event time-of-day per type: "
+    "the mean hour computed on the CIRCLE (23:00 and 01:00 average to "
+    "midnight, not noon — the error every linear mean makes on clock "
+    "data), the resultant length R (concentration: 0 = uniform over the "
+    "day, 1 = a single spike) and the Rayleigh z = n*R^2 uniformity "
+    "statistic.  Per-row cos/sin quantize to nano-unit integers before "
+    "the sum (order-free aggregation; one libm crossing per row, same "
+    "empirical contract as the freshness profile).",
+    tags=("analytics", "timeseries", "stats"),
+)
+def circular_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("sales_telegram_bot_data_pipeline_circ_ev")
+    return spark.sql(
+        _CIRC_SQL.format(
+            events="sales_telegram_bot_data_pipeline_circ_ev",
+            sod="hour(ts) * 3600 + minute(ts) * 60 + second(ts)",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# cohort LTV triangle (cohort quarter x quarters-since-acquisition)
+# --------------------------------------------------------------------------
+_LTV_SQL = """
+WITH firsts AS (
+  SELECT o_custkey AS ck, MIN(CAST(o_orderdate AS DATE)) AS d1
+  FROM {orders} GROUP BY o_custkey
+),
+cohorts AS (
+  SELECT ck, CAST({qnum_d1} AS BIGINT) AS cohort_q FROM firsts
+),
+facts AS (
+  SELECT c.cohort_q,
+         CAST({qnum_o} AS BIGINT) - c.cohort_q AS age_q,
+         CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)) AS cents
+  FROM {orders} o JOIN cohorts c ON c.ck = o.o_custkey
+),
+size_ AS (SELECT cohort_q, CAST(COUNT(*) AS BIGINT) AS n_cust FROM cohorts GROUP BY cohort_q),
+cell AS (
+  SELECT cohort_q, age_q,
+         CAST(SUM(cents) AS BIGINT) AS rev_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM facts GROUP BY cohort_q, age_q
+)
+SELECT c.cohort_q, c.age_q, s.n_cust, c.n_orders,
+       ROUND(CAST(c.rev_cents AS DOUBLE) / 100, 6) AS revenue,
+       ROUND(CAST(c.rev_cents AS DOUBLE) / s.n_cust / 100, 6) AS rev_per_cohort_cust
+FROM cell c JOIN size_ s ON s.cohort_q = c.cohort_q
+ORDER BY c.cohort_q, c.age_q
+"""
+
+
+@register(
+    "cohort_ltv_triangle",
+    oracle=_LTV_SQL.format(
+        orders="orders",
+        qnum_d1="datediff('day', DATE '1970-01-01', d1) // 91",
+        qnum_o="datediff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) // 91",
+    ),
+    doc="Cohort LTV triangle: acquisition-quarter x quarters-since-"
+    "acquisition revenue matrix with per-cohort-member normalization — "
+    "the finance view of customer lifetime value (each cohort row reads "
+    "as its cumulative monetization curve; diagonal = calendar).  "
+    "Quarter = epoch-day div 91 (timezone/locale-free, same idiom as the "
+    "week buckets).  One first-order aggregate, one fact join "
+    "co-partitioned on custkey, exact cents; output bounded by "
+    "quarters^2 / 2.  Completes the cohort family: retention_cohorts "
+    "(presence), growth_accounting_weekly (flows), this (value).",
+    tags=("analytics", "cohort", "agg"),
+)
+def cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sales_telegram_bot_data_pipeline_ltv_o")
+    return spark.sql(
+        _LTV_SQL.format(
+            orders="sales_telegram_bot_data_pipeline_ltv_o",
+            qnum_d1="datediff(d1, to_date('1970-01-01')) div 91",
+            qnum_o="datediff(to_date(o.o_orderdate), to_date('1970-01-01')) div 91",
+        )
+    )

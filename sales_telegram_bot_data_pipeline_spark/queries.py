@@ -191,7 +191,8 @@ except ImportError:  # pragma: no cover
 # sq8_quantization_error_audit, mann_kendall_trend,
 # trimmed_winsorized_mean, neyman_allocated_sample,
 # cusum_change_detection, share_of_parent_rollup,
-# hll_cumulative_distinct_audit.
+# hll_cumulative_distinct_audit, aggregate_sensitivity_audit,
+# circular_time_profile, cohort_ltv_triangle.
 # --------------------------------------------------------------------------
 _DRIVER_WINDOW = [
     # core relational / TPC-H (q3 parked round 7; q1/q5 keep the family)
