@@ -2243,7 +2243,7 @@ def clustering_coefficient_neardup(spark: SparkSession, sf_dir: str) -> DataFram
 # all-pairs cosine similarity join (APSS, Bayardo et al. 2007 shape)
 # --------------------------------------------------------------------------
 APSS_T_NUM, APSS_T_DEN = 17, 20  # cosine threshold t = 0.85; t^2 = 289/400
-APSS_SUBSET_MOD = 4  # deterministic md5 fourth (see benchmark-bound note below)
+APSS_SUBSET_MOD = 8  # deterministic md5 eighth (see benchmark-bound note below)
 # (t chosen where the synthetic corpus's shared-vocabulary cosine mass thins
 #  out: >= 0.85 keeps ~600 pairs at sf0.01 where 0.6 would pass HALF of all
 #  pairs — an all-pairs-dense output is not a similarity JOIN any more)
@@ -2258,7 +2258,7 @@ def _apss_pw_sql(d: Dialect, table: str) -> str:
     # threshold and the candidate stream is inherently near-quadratic (60k
     # pairs pass 0.85 at sf0.1) — the premise APSS exploits on real corpora
     # (random pairs ~ 0) is violated by construction.  The deterministic
-    # md5 fourth keeps the demonstration subquadratic-shaped, same
+    # md5 eighth keeps the demonstration subquadratic-shaped, same
     # discipline as embedding_cosine_allpairs_small; the md5 (not the
     # engine hash) picks the subset so both engines see identical docs.
     sub = f"{d.md5_prefix_int(d.strcast('doc_id'))} % {APSS_SUBSET_MOD} = 0"
@@ -2313,7 +2313,7 @@ def _apss_sql(d: Dialect, table: str, pw_rel: str | None = None) -> str:
     # threshold and the candidate stream is inherently near-quadratic (60k
     # pairs pass 0.85 at sf0.1) — the premise APSS exploits on real corpora
     # (random pairs ~ 0) is violated by construction.  The deterministic
-    # md5 fourth keeps the demonstration subquadratic-shaped, same
+    # md5 eighth keeps the demonstration subquadratic-shaped, same
     # discipline as embedding_cosine_allpairs_small; the md5 (not the
     # engine hash) picks the subset so both engines see identical docs.
     pw_cte = f"pw AS ({pw_rel})" if pw_rel else f"pw AS ({_apss_pw_sql(d, table)})"

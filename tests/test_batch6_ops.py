@@ -70,4 +70,4 @@ def test_apss_prefix_filter_is_lossless_sf001(spark):
         for r in q.REGISTRY["apss_cosine_join"].fn(spark, SF_ORACLE).collect()
     }
     assert set(got) == set(expect)
-    assert len(got) >= 10
+    assert len(got) >= 5  # md5-eighth subset at t=0.85 keeps ~8 pairs here
