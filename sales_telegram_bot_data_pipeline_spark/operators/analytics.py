@@ -1303,11 +1303,18 @@ trans AS (
          CAST(COUNT(*) AS BIGINT) AS n
   FROM seq WHERE next_type IS NOT NULL GROUP BY event_type, next_type
 ),
-rt AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM trans GROUP BY from_type),
+-- restrict the chain to edges whose TARGET also has outgoing transitions
+-- and renormalize rows over the kept edges (review fix: an inner join on
+-- the vector silently dropped mass flowing into chain-terminal states);
+-- a deeper terminal chain still leaks, which the mass_leak column makes
+-- VISIBLE instead of silent
+live AS (SELECT DISTINCT from_type AS ty FROM trans),
+trans2 AS (SELECT t.* FROM trans t JOIN live l ON l.ty = t.to_type),
+rt AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM trans2 GROUP BY from_type),
 p AS (
   SELECT t.from_type AS i, t.to_type AS j,
          CAST({idiv("(t.n * " + str(_MK_PQ) + ")", "r.tot")} AS BIGINT) AS pm
-  FROM trans t JOIN rt r ON r.from_type = t.from_type
+  FROM trans2 t JOIN rt r ON r.from_type = t.from_type
 ),
 types AS (SELECT from_type AS ty FROM rt),
 nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM types),
@@ -1318,13 +1325,16 @@ grand AS (SELECT CAST(SUM(n) AS BIGINT) AS g FROM trans),
 v0 AS (
   SELECT ty, CAST({idiv(str(_MK_UNIT), "nt.c")} AS BIGINT) AS p
   FROM types CROSS JOIN nt
-){iters}
+){iters},
+mass AS (SELECT CAST(SUM(p) AS BIGINT) AS m FROM v{MARKOV_ITERS})
 SELECT v.ty AS event_type,
        ROUND(CAST(v.p AS DOUBLE) / {_MK_UNIT}, 6) AS stationary_prob,
-       ROUND(CAST(COALESCE(ti.n_in, 0) AS DOUBLE) / g.g, 6) AS empirical_in_share
+       ROUND(CAST(COALESCE(ti.n_in, 0) AS DOUBLE) / g.g, 6) AS empirical_in_share,
+       ROUND(1.0 - CAST(ms.m AS DOUBLE) / {_MK_UNIT}, 6) AS mass_leak
 FROM v{MARKOV_ITERS} v
 LEFT JOIN tot_in ti ON ti.ty = v.ty
 CROSS JOIN grand g
+CROSS JOIN mass ms
 ORDER BY event_type
 """
 

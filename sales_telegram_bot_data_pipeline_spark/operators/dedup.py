@@ -2205,7 +2205,9 @@ SELECT d.node AS vec_id, d.degree,
        CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
        ROUND(CAST(2 * COALESCE(t.n_triangles, 0) AS DOUBLE)
              / (d.degree * (d.degree - 1)), 6) AS local_coeff,
-       ROUND(CAST(x.tri3 AS DOUBLE) / x.wedges2, 6) AS global_transitivity
+       -- wedges2 = sum d(d-1) counts each wedge TWICE; transitivity
+       -- = 3T / W = (2 * 3T) / wedges2 (review fix: was half the value)
+       ROUND(CAST(2 * x.tri3 AS DOUBLE) / x.wedges2, 6) AS global_transitivity
 FROM deg d LEFT JOIN tcount t ON t.node = d.node
 CROSS JOIN tot x
 WHERE d.degree >= 2

@@ -160,14 +160,25 @@ pairs AS (
          a.var / a.n + b.var / b.n AS se2,
          a.var / a.n AS va, b.var / b.n AS vb
   FROM m a JOIN m b ON a.source < b.source
+),
+scored AS (
+  SELECT source_a, source_b, n_a, n_b, mean_a, mean_b,
+         (mean_a - mean_b) / SQRT(se2) AS t_raw,
+         (se2 * se2) / (va * va / (n_a - 1) + vb * vb / (n_b - 1)) AS df_raw
+  FROM pairs
 )
 SELECT source_a, source_b, n_a, n_b,
        ROUND(mean_a, 6) AS mean_a, ROUND(mean_b, 6) AS mean_b,
-       ROUND((mean_a - mean_b) / SQRT(se2), 6) AS t_stat,
-       ROUND((se2 * se2) / (va * va / (n_a - 1) + vb * vb / (n_b - 1)), 6)
-         AS welch_df,
-       (ABS((mean_a - mean_b) / SQRT(se2)) > 1.96) AS significant_05
-FROM pairs
+       ROUND(t_raw, 6) AS t_stat,
+       ROUND(df_raw, 6) AS welch_df,
+       -- critical value from the Student-t 97.5% quantile via the
+       -- Cornish-Fisher expansion in 1/df (review fix: a fixed 1.96
+       -- contradicted the emitted welch_df on small strata; the
+       -- two-term expansion is within ~1% of the true t quantile for
+       -- df >= 5)
+       (ABS(t_raw) > 1.959964 + 2.372284 / df_raw + 2.822404 / (df_raw * df_raw))
+         AS significant_05
+FROM scored
 ORDER BY source_a, source_b
 """
 

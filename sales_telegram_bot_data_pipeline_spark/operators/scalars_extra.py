@@ -1488,7 +1488,9 @@ WITH v AS (
   FROM orders
 ),
 r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS r FROM v),
-n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(*) * {TRIM_PCT} / 100 AS BIGINT) AS k FROM v),
+-- integer // (not /): DuckDB's / is float division and CAST rounds, so
+-- n with n*10 mod 100 >= 50 would yield k one higher than Spark's floor
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(*) * {TRIM_PCT} // 100 AS BIGINT) AS k FROM v),
 agg AS (
   SELECT n.n, n.k,
          (SELECT CAST(SUM(v) AS BIGINT) FROM r) AS total_cents,

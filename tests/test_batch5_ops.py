@@ -90,7 +90,8 @@ def test_clustering_coefficient_matches_bruteforce(spark):
         assert r.degree == deg
         assert r.n_triangles == tri[r.vec_id]
         assert abs(r.local_coeff - round(2 * tri[r.vec_id] / (deg * (deg - 1)), 6)) < 1e-9
-        assert abs(r.global_transitivity - round(3 * n_tri / wedges, 6)) < 1e-9
+        # wedges here = sum d(d-1) = 2W, so transitivity 3T/W = 6T/wedges
+        assert abs(r.global_transitivity - round(6 * n_tri / wedges, 6)) < 1e-9
         assert 0.0 <= r.local_coeff <= 1.0
 
 
@@ -107,10 +108,13 @@ def test_markov_stationary_matches_integer_python(spark):
         """
     ).fetchall()
     con.close()
+    live = {i for i, _, _ in trans}
+    kept = [(i, j, n) for i, j, n in trans if j in live]  # mirror the
+    # operator's terminal-target restriction (a no-op on this corpus)
     rowtot = Counter()
-    for i, j, n in trans:
+    for i, j, n in kept:
         rowtot[i] += n
-    pm = {(i, j): (n * 1_000_000) // rowtot[i] for i, j, n in trans}
+    pm = {(i, j): (n * 1_000_000) // rowtot[i] for i, j, n in kept}
     types = sorted(rowtot)
     v = {t: 1_000_000_000_000 // len(types) for t in types}
     for _ in range(8):
@@ -125,3 +129,4 @@ def test_markov_stationary_matches_integer_python(spark):
         assert abs(r.stationary_prob - round(v[r.event_type] / 1e12, 6)) < 1e-9
         total += r.stationary_prob
     assert abs(total - 1.0) < 1e-4  # flooring loses < types*iters pico-units
+    assert all(abs(r.mass_leak) < 1e-4 for r in rows)  # no terminal leak here

@@ -69,7 +69,8 @@ def test_welch_matches_numpy(spark):
         df = (va + vb) ** 2 / (va**2 / (len(a) - 1) + vb**2 / (len(b) - 1))
         assert abs(r.t_stat - t) < 1e-5
         assert abs(r.welch_df - df) < 1e-4
-        assert r.significant_05 == (abs(t) > 1.96)
+        tcrit = 1.959964 + 2.372284 / df + 2.822404 / (df * df)
+        assert r.significant_05 == (abs(t) > tcrit)
         seen += 1
     # all unordered source pairs present exactly once
     assert seen == len(data) * (len(data) - 1) // 2
