@@ -1494,7 +1494,12 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # CUSUM change detection on the weekly revenue series (closed form)
 # --------------------------------------------------------------------------
-_CUSUM_SQL = """
+# The deviation prefix (weekly -> tot -> sig -> d) is its OWN template
+# constant shared by the full query and the Spark prefix-sum path, which
+# needs exactly `d` and nothing after it (round-8 advisory: the previous
+# string-split of the rendered SQL on ",\np AS (" silently produced
+# malformed SQL on any whitespace edit instead of failing at import).
+_CUSUM_D_SQL = """
 WITH weekly AS (
   SELECT CAST(FLOOR(CAST({datediff} AS BIGINT) / 7.0) AS BIGINT) AS x,
          CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)))
@@ -1517,7 +1522,9 @@ sig AS (
 d AS (
   SELECT w.x, CAST(w.cents * t.n - t.s - sg.slack AS DECIMAL(38,0)) AS dv
   FROM weekly w CROSS JOIN tot t CROSS JOIN sig sg
-),
+)"""
+
+_CUSUM_SQL = _CUSUM_D_SQL + """,
 p AS ({prefix_rel}),
 -- CUSUM closed form: S_t = max(0, P_t - min_{{k<=t}} P_k); the running
 -- min comes from a bounded |weeks|^2 triangular self-join (the weekly
@@ -1579,7 +1586,13 @@ def cusum_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders="sales_telegram_bot_data_pipeline_cu_o",
         prefix_rel="SELECT x, pc FROM sales_telegram_bot_data_pipeline_cu_prefix",
     )
-    d_sql = inner.split(",\np AS (")[0] + "\nSELECT x, dv FROM d"
+    d_sql = (
+        _CUSUM_D_SQL.format(
+            datediff="datediff(to_date(o_orderdate), to_date('1970-01-01'))",
+            orders="sales_telegram_bot_data_pipeline_cu_o",
+        )
+        + "\nSELECT x, dv FROM d"
+    )
     d_df = spark.sql(d_sql)
     summed, _tot = range_prefix_summed(spark, d_df, ["x"], "dv")
     if summed is None:

@@ -54,10 +54,13 @@ from .curation import _doc_view
 
 _AUC_FINAL = """
 SELECT n AS n_docs, n1 AS n_pos, (n - n1) AS n_neg,
+       -- NULLIF guards the one-class corpus (all or no positives): bare
+       -- /0 is NULL on Spark but Inf/NaN on DuckDB, breaking oracle
+       -- parity on degenerate data (round-8 advisory) — NULL on both
        ROUND(CAST(num2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) AS DOUBLE)
-             / (2.0 * n1 * (n - n1)), 6) AS auc,
+             / NULLIF(2.0 * n1 * (n - n1), 0), 6) AS auc,
        ROUND(CAST(num2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) AS DOUBLE)
-             / (1.0 * n1 * (n - n1)) - 1.0, 6) AS gini
+             / NULLIF(1.0 * n1 * (n - n1), 0) - 1.0, 6) AS gini
 FROM s
 """
 
@@ -173,11 +176,14 @@ SELECT source_a, source_b, n_a, n_b,
        ROUND(df_raw, 6) AS welch_df,
        -- critical value from the Student-t 97.5% quantile via the
        -- Cornish-Fisher expansion in 1/df (review fix: a fixed 1.96
-       -- contradicted the emitted welch_df on small strata; the
-       -- two-term expansion is within ~1% of the true t quantile for
-       -- df >= 5)
-       (ABS(t_raw) > 1.959964 + 2.372284 / df_raw + 2.822404 / (df_raw * df_raw))
-         AS significant_05
+       -- contradicted the emitted welch_df on small strata).  The
+       -- two-term expansion is only within ~1% of the true t quantile
+       -- for df >= 5 (true 97.5% quantile at df=1/2 is 12.71/4.30 vs
+       -- the formula's ~7.2/3.9), so below df 5 the flag is NULL
+       -- rather than wrong (round-8 advisory) — t/df still emitted
+       CASE WHEN df_raw >= 5 THEN
+         (ABS(t_raw) > 1.959964 + 2.372284 / df_raw + 2.822404 / (df_raw * df_raw))
+       END AS significant_05
 FROM scored
 ORDER BY source_a, source_b
 """

@@ -101,5 +101,21 @@ def test_hll_cumulative_audit_exact_curve_and_band(spark):
         assert r.exact_cum_users == expect
         assert r.exact_cum_users >= prev  # monotone
         prev = r.exact_cum_users
-        assert r.sketch_within_band  # HLL rsd ~1.6% vs the 15% band
+        assert r.new_users == r.exact_cum_users - (
+            0 if r.day == days[0] else next(
+                x.exact_cum_users for x in rows
+                if x.day == days[days.index(r.day) - 1]
+            )
+        )
     assert rows[-1].exact_cum_users == len(firsts)
+    # The 15% sketch contract is WITHIN-ENGINE now (round-8 advisory: the
+    # cross-engine flag compared two different estimators and could flip
+    # on one engine only): Spark's HLL prefix-union estimate vs the Spark
+    # exact curve, per day.
+    from sales_telegram_bot_data_pipeline_spark.operators.scalars_extra import hll_prefix_estimates
+
+    est = {r.day: r.a_est for r in hll_prefix_estimates(spark, SF_SMOKE).collect()}
+    assert set(est) == set(days)
+    for r in rows:
+        band = max(1.0, 0.15 * r.exact_cum_users)
+        assert abs(est[r.day] - r.exact_cum_users) <= band  # HLL rsd ~1.6%
