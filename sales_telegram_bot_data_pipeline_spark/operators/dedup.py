@@ -1795,6 +1795,21 @@ FROM allbands a JOIN allbands b
 """
 
 
+BAND_TUNE_SUBSET_MOD = 2  # deterministic md5 half-corpus (round-8 trim)
+
+
+def _band_tune_corpus(d: Dialect, table: str) -> str:
+    """Deterministic md5 half of the corpus for the band-tuning audit
+    (the APSS subset pattern, round-8 trim of the >4 s audit heads): the
+    audit's deliverable is per-config recall/candidate-volume ESTIMATES,
+    which keep their statistical power on a uniform half-sample, while
+    the exact-Jaccard truth relation (near-quadratic on this
+    shared-vocabulary synthetic corpus) shrinks ~4x.  The md5 — not the
+    engine hash — picks the subset so both engines audit identical docs."""
+    sub = f"{d.md5_prefix_int(d.strcast('doc_id'))} % {BAND_TUNE_SUBSET_MOD} = 0"
+    return f"(SELECT * FROM {table} WHERE {sub})"
+
+
 def _band_tuning_sql(
     d: Dialect,
     table: str,
@@ -1850,18 +1865,21 @@ ORDER BY cf.n_bands DESC
 
 @register(
     "lsh_band_tuning_audit",
-    oracle=_band_tuning_sql(DUCKDB, "documents"),
+    oracle=_band_tuning_sql(DUCKDB, _band_tune_corpus(DUCKDB, "documents")),
     doc="LSH band-tuning audit: every (bands, rows) factorization of the "
     "8-hash MinHash signature evaluated in ONE pass (config id rides the "
     "band explode; single equi-join on (config, band, key)) against "
-    "exact-Jaccard ground truth — empirical candidates-vs-recall next to "
-    "the theoretical S-curve capture probability (inlined as Python "
-    "literals, no engine POW in the comparison). The pre-flight knob "
-    "check before committing a banding at corpus scale.",
+    "exact-Jaccard ground truth, over a deterministic md5 HALF of the "
+    "corpus (audit power is per-config recall estimates — preserved on a "
+    "uniform half-sample; the near-quadratic truth relation shrinks 4x) "
+    "— empirical candidates-vs-recall next to the theoretical S-curve "
+    "capture probability (inlined as Python literals, no engine POW in "
+    "the comparison). The pre-flight knob check before committing a "
+    "banding at corpus scale.",
     tags=("dedup", "lsh", "audit"),
 )
 def lsh_band_tuning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    view = _doc_view(spark, sf_dir)
+    view = _band_tune_corpus(SPARK, _doc_view(spark, sf_dir))
     sig = spark.sql(_minhash_sig_sql(SPARK, view)).localCheckpoint()
     sig.createOrReplaceTempView("sales_telegram_bot_data_pipeline_tune_sig")
     cands = spark.sql(
@@ -1870,7 +1888,11 @@ def lsh_band_tuning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).localCheckpoint()
     cands.createOrReplaceTempView("sales_telegram_bot_data_pipeline_tune_cands")
-    truth = spark.sql(_jaccard_sql(SPARK, view)).localCheckpoint()
+    # intermediate truth relation: the global ORDER BY in _jaccard_sql is
+    # presentation-only — strip it before materializing (one sort shuffle)
+    truth = spark.sql(
+        _jaccard_sql(SPARK, view).replace("ORDER BY doc_a, doc_b", "")
+    ).localCheckpoint()
     truth.createOrReplaceTempView("sales_telegram_bot_data_pipeline_tune_truth")
     return spark.sql(
         _band_tuning_sql(

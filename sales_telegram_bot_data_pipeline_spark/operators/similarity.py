@@ -1689,6 +1689,9 @@ def mips_topk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # SQ8 quantization error audit (exact vs int8-estimated cosine)
 # --------------------------------------------------------------------------
+SQ8_AUDIT_SUBSET_MOD = 4  # deterministic md5 quarter of candidate pairs
+
+
 def _sq8_err_sql(d: Dialect, table: str) -> str:
     """Quantization-accuracy audit for the SQ8 ANN path: over the banded
     LSH candidate pairs (the pairs an ANN query would actually rank),
@@ -1698,27 +1701,39 @@ def _sq8_err_sql(d: Dialect, table: str) -> str:
     can be trusted WITHOUT the exact rerank at 100 TB (the audit sibling
     of minhash_estimate_error_audit and ivf_nprobe_tuning_audit).
     Per-pair errors quantize to micro-unit BIGINTs (both cosines are
-    rounded-6 first) so the aggregate is order-free."""
+    rounded-6 first) so the aggregate is order-free.
+
+    Audit-scale bounds (round-8 trim, the APSS md5-subset pattern): the
+    per-vector int self-dot is computed ONCE in the codes relation (it
+    was re-reduced over all dims per PAIR — two of the four d-dim
+    reductions per pair were per-vector quantities), and the scored set
+    is a deterministic md5 QUARTER of the banded candidate pairs (~1.5k
+    of ~6k pairs at sf0.1 — the error distribution estimate keeps its
+    statistical power; the md5, not the engine hash, picks the subset so
+    both engines score identical pairs)."""
     bv = _banded_view(d, table)
     dot = _dots(d, "x.embedding", "y.embedding")
     self_norm = f"sqrt({_dots(d, 'embedding', 'embedding')})"
     qrel = _sq8_quant_rel(d, table)
     idot = _sq8_intdot(d, "ca.codes", "cb.codes")
-    iaa = _sq8_intdot(d, "ca.codes", "ca.codes")
-    ibb = _sq8_intdot(d, "cb.codes", "cb.codes")
+    pair_key = d.md5_prefix_int(
+        f"{d.strcast('a.vec_id')} || '_' || {d.strcast('b.vec_id')}"
+    )
     return f"""
 WITH cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM ({bv}) a JOIN ({bv}) b
     ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {pair_key} % {SQ8_AUDIT_SUBSET_MOD} = 0
 ),
 norms AS (SELECT vec_id, {self_norm} AS nrm FROM {table}),
-codes AS ({qrel}),
+codes AS (SELECT vec_id, codes, {_sq8_intdot(d, 'codes', 'codes')} AS inorm2
+          FROM ({qrel}) q0),
 err AS (
   SELECT c.vec_a, c.vec_b,
          CAST(ROUND(ABS(
            ROUND(({dot}) / (na.nrm * nb.nrm), 6)
-           - ROUND(({idot}) / SQRT(CAST(({iaa}) AS DOUBLE) * ({ibb})), 6)
+           - ROUND(({idot}) / SQRT(CAST(ca.inorm2 AS DOUBLE) * cb.inorm2), 6)
          ) * 1000000) AS BIGINT) AS err_u
   FROM cand c
   JOIN {table} x ON x.vec_id = c.vec_a
@@ -1741,12 +1756,14 @@ FROM err
     "sq8_quantization_error_audit",
     oracle=_sq8_err_sql(DUCKDB, "embeddings"),
     doc="SQ8 quantization-accuracy audit: exact float cosine vs int8-code "
-    "cosine over the banded LSH candidate pairs — mean/max abs error and "
-    "the fraction within 0.01; the pre-flight number that decides whether "
-    "the 4x-smaller quantized scan can run WITHOUT the exact rerank at "
-    "100 TB.  Per-pair errors quantize to micro-unit BIGINTs (both "
-    "cosines rounded-6 first) so the aggregate is order-free.  Audit "
-    "sibling of minhash_estimate_error_audit / ivf_nprobe_tuning_audit.",
+    "cosine over a deterministic md5 QUARTER of the banded LSH candidate "
+    "pairs — mean/max abs error and the fraction within 0.01; the "
+    "pre-flight number that decides whether the 4x-smaller quantized "
+    "scan can run WITHOUT the exact rerank at 100 TB.  Per-pair errors "
+    "quantize to micro-unit BIGINTs (both cosines rounded-6 first) so "
+    "the aggregate is order-free; per-vector int self-dots are computed "
+    "once in the codes relation, not per pair.  Audit sibling of "
+    "minhash_estimate_error_audit / ivf_nprobe_tuning_audit.",
     tags=("similarity", "audit", "quantization"),
 )
 def sq8_quantization_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -209,21 +209,31 @@ def test_ranksum_matches_bruteforce_and_flags_injected_skew(spark):
 def test_band_tuning_nested_configs_and_lsh_row(spark):
     """Bands align across factorizations, so candidate sets are NESTED:
     (1,8) ⊆ (2,4) ⊆ (4,2) ⊆ (8,1); the (4,2) row must equal the
-    production LSH pair count; recall bounded; on an empty corpus the 4
-    config rows survive with zero counts (well-defined aggregate)."""
+    production LSH pair count RESTRICTED to the audit's md5-half corpus
+    (signatures are per-doc, so subset candidates = full-corpus pairs
+    with both endpoints in the subset); recall bounded; on an empty
+    corpus the 4 config rows survive with zero counts."""
+    import hashlib
     import os
 
     from sales_telegram_bot_data_pipeline_spark.operators.dedup import (
+        BAND_TUNE_SUBSET_MOD,
         dedup_minhash_lsh,
         lsh_band_tuning_audit,
     )
+
+    def in_half(doc_id) -> bool:
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()[:15]
+        return int(h, 16) % BAND_TUNE_SUBSET_MOD == 0
 
     rows = {
         (r["n_bands"], r["band_rows"]): r
         for r in lsh_band_tuning_audit(spark, SF_SMOKE).collect()
     }
     assert set(rows) == {(8, 1), (4, 2), (2, 4), (1, 8)}
-    assert rows[(4, 2)]["n_candidates"] == dedup_minhash_lsh(spark, SF_SMOKE).count()
+    lsh_pairs = dedup_minhash_lsh(spark, SF_SMOKE).collect()
+    expected = sum(1 for p in lsh_pairs if in_half(p.doc_a) and in_half(p.doc_b))
+    assert rows[(4, 2)]["n_candidates"] == expected
     cands = [rows[k]["n_candidates"] for k in [(8, 1), (4, 2), (2, 4), (1, 8)]]
     assert cands == sorted(cands, reverse=True)
     hits = [rows[k]["n_hits"] for k in [(8, 1), (4, 2), (2, 4), (1, 8)]]
