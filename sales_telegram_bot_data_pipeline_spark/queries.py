@@ -140,14 +140,39 @@ except ImportError:  # pragma: no cover
 # outside the static window over time.  A slot may rotate only if its
 # operator family keeps at least one driver row; parked queries stay
 # registered and swept by the local replica (LOCAL_CORRECTNESS_r{N}.json).
-# Round-7 rotation — in (all 10 NEVER previously windowed; first driver
-# rows for the round-6 additions): leakage_safe_split,
+# Round-8 rotation — in (all 10 NEVER previously windowed; the round-7
+# verdict's prescribed priority list — each is its family's only
+# driver-grade candidate): apss_cosine_join (set-similarity join),
+# roc_auc_quality_score (classifier eval), weighted_median_by_flag
+# (robust stats), cusum_change_detection (SPC/change-point),
+# dynamic_partition_pruned_join (runtime filtering),
+# bucketed_join_colocated (storage-layout join strategy),
+# sq8_quantization_error_audit (quantized-ANN audit),
+# kaplan_meier_repurchase (survival), theilsen_trend_robust (robust
+# regression), hll_cumulative_distinct_audit (mergeable-sketch
+# time axis; exact-curve columns only since round 8).
+# Parked round-8 (family cover in parens — every parked query has r07
+# driver-grade evidence): leakage_safe_split (splits: dataset_hash_split
+# stays), dedup_prefix_filter_join (set-similarity: apss_cosine_join in;
+# exact/minhash/incremental/CC stay), quality_rank_blend (quality:
+# text_quality_stats + dsir_importance stay, roc_auc in),
+# lsh_band_tuning_audit (LSH audits: sq8 audit in, table_checksum_audit
+# stays), record_linkage_blocked (linkage: symspell_name_correction
+# stays), boilerplate_segment_removal (text cleaning: pii_redaction +
+# document_chunking + preprocess_text_normalize stay),
+# association_rules_lift (analytics: rollup/cusum/theilsen cover),
+# rfm_segmentation (customer analytics: kaplan_meier_repurchase in),
+# spearman_rank_correlation (rank stats: weighted_median + roc_auc in),
+# mips_topk_audit (ANN: sq8 audit in; semantic_dedup +
+# dedup_incremental_lsh stay).
+# Round-7 rotation history — in (all 10 never previously windowed; first
+# driver rows for the round-6 additions): leakage_safe_split,
 # dedup_prefix_filter_join, quality_rank_blend, lsh_band_tuning_audit,
 # record_linkage_blocked, boilerplate_segment_removal,
 # association_rules_lift, rfm_segmentation, spearman_rank_correlation,
 # mips_topk_audit.
-# Parked (family cover in parens — every parked query has r06 driver-grade
-# evidence): q3_top_unshipped_revenue (TPC-H keeps q1/q5),
+# Parked round-7 (family cover in parens — every parked query has r06
+# driver-grade evidence): q3_top_unshipped_revenue (TPC-H keeps q1/q5),
 # bitext_margin_mining (ANN: mips_topk_audit in, semantic_dedup +
 # dedup_incremental_lsh stay), curation_pipeline_v2 (capstones:
 # curation_pipeline_end2end stays), dedup_containment +
@@ -166,32 +191,31 @@ except ImportError:  # pragma: no cover
 # Round-5 history: in — q6/q7/q10, recursive_hierarchy_rollup,
 # lateral_topk_orders, pagerank_neardup_graph, bigram_lm_score,
 # pit_join_scd2, full_outer_reconciliation, sketch_rollup_distinct.
-# Round-8 rotation candidates (never windowed): source_quality_ranksum,
+# Round-9 rotation candidates (never windowed): source_quality_ranksum,
 # cluster_balanced_sample, score_decile_lift,
 # join_cardinality_sketch_audit, split_distribution_drift, graph_bfs_hops,
 # misra_gries_topk, revenue_trend_ols, kmeans_separation_audit,
-# scd2_build_from_events, k_anonymity_audit, bucketed_join_colocated,
+# scd2_build_from_events, k_anonymity_audit,
 # ab_conversion_ztest, revenue_concentration_audit,
 # growth_accounting_weekly, time_weighted_average_value,
 # quality_gate_agreement_kappa, band_join_price_neighbors,
 # epoch_shuffle_plan, file_compaction_plan; round-7 additions:
-# dynamic_partition_pruned_join, theilsen_trend_robust, t_closeness_audit,
+# t_closeness_audit,
 # control_chart_anomalies, asof_join_forward,
 # multitouch_attribution_credit, activity_heatmap_dow_hour,
 # unpivot_doc_metrics, negative_sampling_plan, span_corruption_plan,
-# rendezvous_shard_stability; second-session additions:
-# roc_auc_quality_score, welch_ttest_sources, skyline_pareto_docs,
-# kaplan_meier_repurchase, padding_waste_audit, stratified_kfold_plan,
+# rendezvous_shard_stability; round-7-continuation additions:
+# welch_ttest_sources, skyline_pareto_docs,
+# padding_waste_audit, stratified_kfold_plan,
 # ppmi_window_cooccurrence, retention_vacuum_plan, interval_overlap_join,
-# quantile_transform_uniformity, weighted_median_by_flag,
+# quantile_transform_uniformity,
 # langid_eval_confusion, vocab_novelty_by_source, churn_label_features,
 # poisson_bootstrap_ci, clustering_coefficient_neardup,
-# markov_stationary_distribution, apss_cosine_join, anova_sources_doclen,
+# markov_stationary_distribution, anova_sources_doclen,
 # psi_split_drift, acf_daily_revenue, vocab_coverage_curve,
-# sq8_quantization_error_audit, mann_kendall_trend,
+# mann_kendall_trend,
 # trimmed_winsorized_mean, neyman_allocated_sample,
-# cusum_change_detection, share_of_parent_rollup,
-# hll_cumulative_distinct_audit, aggregate_sensitivity_audit,
+# share_of_parent_rollup, aggregate_sensitivity_audit,
 # circular_time_profile, cohort_ltv_triangle.
 # --------------------------------------------------------------------------
 _DRIVER_WINDOW = [
@@ -253,18 +277,18 @@ _DRIVER_WINDOW = [
     "lateral_topk_orders",
     # round-6 swap-in retained (sketch family's only driver row)
     "countmin_heavy_hitters",
-    # round-7 rotation swap-ins (see policy comment above): first driver
-    # rows for the round-6 operator families
-    "leakage_safe_split",
-    "dedup_prefix_filter_join",
-    "quality_rank_blend",
-    "lsh_band_tuning_audit",
-    "record_linkage_blocked",
-    "boilerplate_segment_removal",
-    "association_rules_lift",
-    "rfm_segmentation",
-    "spearman_rank_correlation",
-    "mips_topk_audit",
+    # round-8 rotation swap-ins (see policy comment above): first driver
+    # rows for the round-7 operator families
+    "apss_cosine_join",
+    "roc_auc_quality_score",
+    "weighted_median_by_flag",
+    "cusum_change_detection",
+    "dynamic_partition_pruned_join",
+    "bucketed_join_colocated",
+    "sq8_quantization_error_audit",
+    "kaplan_meier_repurchase",
+    "theilsen_trend_robust",
+    "hll_cumulative_distinct_audit",
 ]
 
 

@@ -77,6 +77,20 @@ for name in (
     "record_linkage_blocked",
     "boilerplate_segment_removal",
     "association_rules_lift",
+    # round-8 rotation swap-ins not already above (ANSI risks: midrank
+    # DECIMAL numerators + NULLIF-guarded AUC divisors, milli-unit
+    # weight sums, weighted-median selection casts, CUSUM DECIMAL prefix
+    # arithmetic, runtime-filter plan under default AQE, nano-unit LN
+    # survival sums, weekly-median interpolation, day-spine prefix sums)
+    "apss_cosine_join",
+    "roc_auc_quality_score",
+    "weighted_median_by_flag",
+    "cusum_change_detection",
+    "dynamic_partition_pruned_join",
+    "sq8_quantization_error_audit",
+    "kaplan_meier_repurchase",
+    "theilsen_trend_robust",
+    "hll_cumulative_distinct_audit",
 ):
     r = compare_query(spark, con, name, {SF_SMOKE!r})
     assert r.ok, f"{{name}} failed on a DEFAULT session: {{r.detail}}"
@@ -94,4 +108,4 @@ def test_default_session_oracle_parity():
         cwd="/root/repo",
     )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-3000:]}"
-    assert proc.stdout.count("OK") == 36
+    assert proc.stdout.count("OK") == 45

@@ -104,6 +104,26 @@ SF_BENCH = "/root/testdata/sf0.1"
         "rendezvous_shard_stability",
         # runtime-pruned fact scan at 10x partitions/files
         "dynamic_partition_pruned_join",
+        # round-8 rotation candidates enter the net BEFORE entering the
+        # driver window (round-7 verdict task 5); each name's sf0.1-only
+        # divergence class:
+        # integer milli-unit tf-idf weights + libm LN floor-quantization
+        # at 10x vocabulary (threshold-edge pairs)
+        "apss_cosine_join",
+        # midrank DECIMAL numerator over 10x distinct score values
+        "roc_auc_quality_score",
+        # lower-weighted-median selection rule at 10x weight mass
+        "weighted_median_by_flag",
+        # prefix-sum closed form + one-time sigma floor at 10x weeks
+        "cusum_change_detection",
+        # bucketed write + zero-Exchange join at 10x rows per bucket
+        "bucketed_join_colocated",
+        # int8 code cosine vs float cosine error at 10x candidate pairs
+        "sq8_quantization_error_audit",
+        # nano-unit LN survival prefix products over 10x risk sets
+        "kaplan_meier_repurchase",
+        # distributed range-prefix-sum day spine at 10x users
+        "hll_cumulative_distinct_audit",
     ],
 )
 def test_floor_quantized_queries_match_at_sf01(spark, name):
