@@ -13,8 +13,14 @@ partitioning gives per-image parallelism for free.
 
 The model server is STUBBED with a deterministic md5-driven fake (this
 container has no YOLO/OCR service); the Spark-side plumbing — schemas, batch
-shapes, explode, error isolation — is real.  Swap ``_stub_infer_batch`` for
-an HTTP client to run against a live endpoint.
+shapes, explode, error isolation — is real.  Round 8 adds the HTTP client
+itself: set ``SPARK_GRAFT_INFER_ENDPOINT`` (or pass ``endpoint=``) and
+``stub_detect`` POSTs metadata batches of ``INFER_HTTP_BATCH`` records to
+the endpoint with bounded exponential-backoff retry and whole-chunk
+dead-lettering on final failure — ``tests/test_inference_http.py`` drives
+it against a real localhost socket (echo server sharing
+``_synth_detections``), pinning HTTP/stub parity, the retry path, and the
+dead-letter path.
 
 Error isolation (op 45): per-row try/except inside the UDF emits an ``error``
 column (dead-letter pattern) instead of the reference's per-image log-and-
@@ -137,7 +143,76 @@ def synthesize_pages_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def stub_detect(df: DataFrame, model: str, include_ocr: bool = False) -> DataFrame:
+_DET_COLS = [c.split(" ")[0] for c in DETECTION_SCHEMA.split(", ")]
+
+# HTTP inference-client knobs (round-7 verdict task 6): records per POST —
+# the batching contract a live model server sees — plus bounded
+# exponential-backoff retry before the whole chunk dead-letters.
+INFER_HTTP_BATCH = 64
+INFER_HTTP_RETRIES = 3
+INFER_HTTP_BACKOFF_S = 0.05
+INFER_HTTP_TIMEOUT_S = 10.0
+
+
+def _synth_detections(
+    image_id: str,
+    shop_name: str,
+    width: int,
+    height: int,
+    model: str,
+    include_ocr: bool,
+) -> list[dict]:
+    """Deterministic md5-driven detection synthesis for ONE image — the
+    single source of truth shared by the in-process stub batch fn and the
+    test echo server standing in for the model endpoint, so HTTP/stub
+    parity is checkable row-for-row."""
+    classes = ("shop_item",) if model == "model1" else MODEL2_CLASSES
+    rows = []
+    det_idx = 0
+    for cls in classes:
+        seed = _h(f"{image_id}|{model}|{cls}")
+        for k in range(seed % 3):  # 0-2 detections per class
+            s2 = _h(f"{image_id}|{cls}|{k}")
+            x1 = s2 % max(width - 40, 1)
+            y1 = (s2 >> 8) % max(height - 40, 1)
+            rows.append(
+                {
+                    "image_id": image_id,
+                    "shop_name": shop_name,
+                    "width": width,
+                    "height": height,
+                    "det_idx": det_idx,
+                    "class_name": cls,
+                    "x1": x1,
+                    "y1": y1,
+                    "x2": min(x1 + 40 + s2 % 200, width),
+                    "y2": min(y1 + 40 + (s2 >> 4) % 120, height),
+                    "confidence": 0.5 + (s2 % 50) / 100.0,
+                    "ocr_text": _fake_ocr(s2, cls) if include_ocr else None,
+                    "error": None,
+                }
+            )
+            det_idx += 1
+    return rows
+
+
+def _dead_letter_row(image_id, shop_name, exc: BaseException) -> dict:
+    return {
+        "image_id": image_id,
+        "shop_name": shop_name,
+        "width": None, "height": None, "det_idx": None,
+        "class_name": None, "x1": None, "y1": None,
+        "x2": None, "y2": None, "confidence": None,
+        "ocr_text": None, "error": f"{type(exc).__name__}: {exc}",
+    }
+
+
+def stub_detect(
+    df: DataFrame,
+    model: str,
+    include_ocr: bool = False,
+    endpoint: str | None = None,
+) -> DataFrame:
     """ops 8/11/12: one engine operator, parameterized (model1 vs model2 +
     OCR) — the reference's run_yolo_on_pages config surface (§3.3), with the
     ``padding`` parameter actually honored downstream (the reference ignores
@@ -149,8 +224,18 @@ def stub_detect(df: DataFrame, model: str, include_ocr: bool = False) -> DataFra
     model pass out across every core — without it the stage inherits the
     scan's partitioning (a single-row-group parquet = ONE task doing all
     the Python work).  At 100 TB the same holds: inference throughput is
-    governed by this width, not by the upstream file layout."""
-    classes = ("shop_item",) if model == "model1" else MODEL2_CLASSES
+    governed by this width, not by the upstream file layout.
+
+    ``endpoint`` (or ``$SPARK_GRAFT_INFER_ENDPOINT``) switches the batch fn
+    from the in-process stub to a real HTTP client: JSON POSTs of
+    ``INFER_HTTP_BATCH`` image-metadata records (connection per chunk,
+    stdlib urllib — no extra deps on executors), ``INFER_HTTP_RETRIES``
+    attempts with exponential backoff, and whole-chunk dead-letter rows
+    (op 45 pattern) when every attempt fails — a partial outage yields
+    per-image error rows downstream can route, never a dead job."""
+    import os
+
+    endpoint = endpoint or os.environ.get("SPARK_GRAFT_INFER_ENDPOINT") or None
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
     def _stub_infer_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -158,45 +243,63 @@ def stub_detect(df: DataFrame, model: str, include_ocr: bool = False) -> DataFra
             rows = []
             for rec in pdf.itertuples(index=False):
                 try:
-                    det_idx = 0
-                    for cls in classes:
-                        seed = _h(f"{rec.image_id}|{model}|{cls}")
-                        for k in range(seed % 3):  # 0-2 detections per class
-                            s2 = _h(f"{rec.image_id}|{cls}|{k}")
-                            x1 = s2 % max(rec.width - 40, 1)
-                            y1 = (s2 >> 8) % max(rec.height - 40, 1)
-                            rows.append(
-                                {
-                                    "image_id": rec.image_id,
-                                    "shop_name": rec.shop_name,
-                                    "width": rec.width,
-                                    "height": rec.height,
-                                    "det_idx": det_idx,
-                                    "class_name": cls,
-                                    "x1": x1,
-                                    "y1": y1,
-                                    "x2": min(x1 + 40 + s2 % 200, rec.width),
-                                    "y2": min(y1 + 40 + (s2 >> 4) % 120, rec.height),
-                                    "confidence": 0.5 + (s2 % 50) / 100.0,
-                                    "ocr_text": _fake_ocr(s2, cls) if include_ocr else None,
-                                    "error": None,
-                                }
-                            )
-                            det_idx += 1
+                    rows.extend(
+                        _synth_detections(
+                            rec.image_id, rec.shop_name, rec.width, rec.height,
+                            model, include_ocr,
+                        )
+                    )
                 except Exception as e:  # op 45: dead-letter, don't kill the batch
                     rows.append(
-                        {
-                            "image_id": getattr(rec, "image_id", None),
-                            "shop_name": getattr(rec, "shop_name", None),
-                            "width": None, "height": None, "det_idx": None,
-                            "class_name": None, "x1": None, "y1": None,
-                            "x2": None, "y2": None, "confidence": None,
-                            "ocr_text": None, "error": f"{type(e).__name__}: {e}",
-                        }
+                        _dead_letter_row(
+                            getattr(rec, "image_id", None),
+                            getattr(rec, "shop_name", None),
+                            e,
+                        )
                     )
-            yield pd.DataFrame(rows, columns=[c.split(" ")[0] for c in DETECTION_SCHEMA.split(", ")])
+            yield pd.DataFrame(rows, columns=_DET_COLS)
 
-    return df.mapInPandas(_stub_infer_batch, schema=DETECTION_SCHEMA)
+    def _http_infer_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json
+        import time
+        import urllib.request
+
+        for pdf in batches:
+            rows: list[dict] = []
+            recs = pdf.to_dict("records")
+            for i in range(0, len(recs), INFER_HTTP_BATCH):
+                chunk = recs[i : i + INFER_HTTP_BATCH]
+                payload = json.dumps(
+                    {"model": model, "include_ocr": include_ocr, "images": chunk},
+                    default=int,  # numpy ints from Arrow
+                ).encode()
+                last_err: BaseException | None = None
+                for attempt in range(INFER_HTTP_RETRIES):
+                    try:
+                        req = urllib.request.Request(
+                            endpoint,
+                            data=payload,
+                            headers={"Content-Type": "application/json"},
+                        )
+                        with urllib.request.urlopen(
+                            req, timeout=INFER_HTTP_TIMEOUT_S
+                        ) as resp:
+                            rows.extend(json.loads(resp.read()))
+                        last_err = None
+                        break
+                    except Exception as e:
+                        last_err = e
+                        if attempt < INFER_HTTP_RETRIES - 1:
+                            time.sleep(INFER_HTTP_BACKOFF_S * (2 ** attempt))
+                if last_err is not None:  # chunk exhausted its retries
+                    rows.extend(
+                        _dead_letter_row(r.get("image_id"), r.get("shop_name"), last_err)
+                        for r in chunk
+                    )
+            yield pd.DataFrame(rows, columns=_DET_COLS)
+
+    fn = _http_infer_batch if endpoint else _stub_infer_batch
+    return df.mapInPandas(fn, schema=DETECTION_SCHEMA)
 
 
 def pad_clamp(df: DataFrame, padding: float = 0.10) -> DataFrame:

@@ -36,6 +36,16 @@ _ONE_ROW_BNLJ_OK = {
     "mips_topk_audit",  # single-row query vector broadcast
     "leakage_safe_split",  # single-row cross_split_pairs COUNT scalar
     "lsh_band_tuning_audit",  # single-row n_truth COUNT scalar
+    # round-8 swap-ins
+    "cusum_change_detection",  # one-row tot/sig scalars + the runmin
+    #   triangular b.x <= a.x self-join over the CALENDAR-BOUNDED weekly
+    #   relation (|weeks|^2, not data-scale)
+    "kaplan_meier_repurchase",  # one-row at-risk-total scalar broadcast
+    "theilsen_trend_robust",  # weekly-grain pair self-join: calendar-bounded
+    "hll_cumulative_distinct_audit",  # day-spine b.day <= a.day prefix join:
+    #   calendar-bounded (the sketch path; exact path is range-prefix-sum)
+    "weighted_median_by_flag",  # flag-start-offset tb.flag < ta.flag join
+    #   over the per-flag totals relation: |flag domain| = 3 rows a side
 }
 
 # mapInPandas / pandas-UDF operators: Python stages are their design.
