@@ -1,0 +1,503 @@
+"""Round-8 registry additions — six operators the 286-query registry still
+lacked, each a classic warehouse / training-data-pipeline primitive:
+
+- ``ewma_dyadic_smoothing`` — EXACT exponential smoothing (alpha = 1/2) of
+  the weekly revenue series: dyadic weights are powers of two, so the
+  whole window sum stays integer until one final division.
+- ``seasonal_dow_decomposition`` — additive day-of-week seasonal profile
+  + seasonality strength from exact integer moments.
+- ``runs_test_daily_revenue`` — Wald–Wolfowitz runs test of randomness on
+  the above/below-mean sign sequence of daily revenue (the
+  distribution-free sibling of mann_kendall_trend).
+- ``jl_projection_distortion_audit`` — Johnson–Lindenstrauss ±1 sign
+  projection (d=64 → k=8) distance-distortion audit over the banded LSH
+  candidate pairs.
+- ``covisitation_item_pairs`` — bipartite user×item projection to
+  item-item co-engagement with lift and Jaccard (the co-visitation
+  recommendation primitive).
+- ``key_gap_audit`` — distributed key-sequence gap detection (bounded
+  gap-length histogram), rank-adjacency form.
+
+All dual-dialect per repo conventions: exact integer/decimal aggregates
+before any cross-partition sum, ROUND(...,6) fractional outputs, global
+order via the distributed range-rank primitives (never a single-partition
+window on the Spark side).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.dialect import DUCKDB, SPARK, Dialect
+from ..registry import register
+from ..sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# exact dyadic EWMA over weekly revenue
+# --------------------------------------------------------------------------
+EWMA_DEPTH = 20  # 2^-20 tail mass ~1e-6: numerically invisible after ROUND 6
+
+_EPOCH_DIFF = {
+    "spark": "datediff(to_date(o_orderdate), to_date('1970-01-01'))",
+    "duckdb": "datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))",
+}
+
+
+def _shl(d: Dialect, n: str) -> str:
+    """2^n as exact BIGINT (no libm POW)."""
+    if d.name == "spark":
+        return f"shiftleft(cast(1 as bigint), {n})"
+    return f"(CAST(1 AS BIGINT) << ({n}))"
+
+
+def _ewma_sql(d: Dialect, orders: str) -> str:
+    D = EWMA_DEPTH
+    w_num = _shl(d, f"{D} - CAST(a.x - b.x AS INT)")
+    den = f"({_shl(d, str(D + 1))} - {_shl(d, f'{D} - m')})"
+    return f"""
+WITH weekly AS (
+  SELECT CAST(FLOOR(CAST({_EPOCH_DIFF[d.name]} AS BIGINT) / 7.0) AS BIGINT) AS x,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM {orders} GROUP BY 1
+),
+w0 AS (SELECT MIN(x) AS x0 FROM weekly),
+sm AS (
+  -- alpha=1/2 EWMA truncated at depth {D}: numerator and the dyadic
+  -- weights are EXACT integers (weeks absent from the series contribute
+  -- zero revenue, which is what an order stream's silence means); m is
+  -- how much history exists, so early weeks renormalize exactly
+  SELECT a.x,
+         CAST(LEAST({D}, a.x - w.x0) AS INT) AS m,
+         CAST(SUM(CAST(b.cents * {w_num} AS DECIMAL(38,0))) AS DECIMAL(38,0))
+           AS num
+  FROM weekly a
+  CROSS JOIN w0 w
+  JOIN weekly b ON b.x <= a.x AND b.x >= a.x - {D}
+  GROUP BY a.x, CAST(LEAST({D}, a.x - w.x0) AS INT)
+)
+SELECT x AS week,
+       ROUND(CAST(num AS DOUBLE) / CAST({den} AS DOUBLE) / 100, 6)
+         AS ewma_dollars
+FROM sm
+ORDER BY week
+"""
+
+
+@register(
+    "ewma_dyadic_smoothing",
+    oracle=_ewma_sql(DUCKDB, "orders"),
+    doc="EXACT exponential smoothing of weekly revenue with alpha = 1/2: "
+    "dyadic weights 2^-(d+1) are shifted integers, so the numerator is a "
+    "single exact DECIMAL(38,0) sum over a depth-20 banded self-join of "
+    "the CALENDAR-BOUNDED weekly relation (21 terms per output week, "
+    "missing weeks = zero revenue), the truncated-window normalizer "
+    "2^21 - 2^(20-m) is integer too, and libm never enters — unlike a "
+    "general-alpha EWMA, whose float power chain is partition-order- "
+    "and engine-sensitive.  One final division per row, ROUND 6.  The "
+    "smoothing sibling of cusum/control-chart in the SPC family.",
+    tags=("analytics", "timeseries", "exact"),
+)
+def ewma_dyadic_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sales_telegram_bot_data_pipeline_ewma_o")
+    return spark.sql(_ewma_sql(SPARK, "sales_telegram_bot_data_pipeline_ewma_o"))
+
+
+# --------------------------------------------------------------------------
+# day-of-week additive seasonal decomposition of daily revenue
+# --------------------------------------------------------------------------
+def _seasonal_sql(d: Dialect, orders: str) -> str:
+    # dow from epoch-day arithmetic, NOT the engines' dayofweek() (Spark is
+    # 1=Sunday..7, DuckDB 0=Sunday..6): (epoch_day + 4) % 7 gives
+    # 0=Sunday..6 identically in both (1970-01-01 was a Thursday).
+    return f"""
+WITH daily AS (
+  SELECT CAST({_EPOCH_DIFF[d.name]} AS BIGINT) AS day_x,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM {orders} GROUP BY 1
+),
+by_dow AS (
+  SELECT CAST((day_x + 4) % 7 AS INT) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(cents) AS BIGINT) AS s,
+         CAST(SUM(CAST(cents AS DECIMAL(19,0)) * cents) AS DECIMAL(38,0)) AS q
+  FROM daily GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_days) AS BIGINT) AS n,
+         CAST(SUM(s) AS BIGINT) AS st,
+         CAST(SUM(q) AS DECIMAL(38,0)) AS qt,
+         -- residual SS after removing per-dow means: sum_d (Q_d - S_d^2/n_d)
+         SUM(CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n_days) AS ss_res
+  FROM by_dow
+)
+SELECT b.dow, b.n_days,
+       ROUND(CAST(b.s AS DOUBLE) / b.n_days / 100, 6) AS mean_daily_dollars,
+       ROUND((CAST(b.s AS DOUBLE) / b.n_days)
+             / (CAST(t.st AS DOUBLE) / t.n), 6) AS seasonal_index,
+       -- fraction of daily-revenue variance explained by the dow effect:
+       -- 1 - SS_res / SS_tot, from EXACT integer moments (the sums above
+       -- are exact; only this final scalar expression is floating)
+       ROUND(1.0e0 - t.ss_res
+             / NULLIF(CAST(t.qt AS DOUBLE) - CAST(t.st AS DOUBLE) * t.st / t.n, 0),
+             6) AS seasonal_strength
+FROM by_dow b CROSS JOIN tot t
+ORDER BY b.dow
+"""
+
+
+@register(
+    "seasonal_dow_decomposition",
+    oracle=_seasonal_sql(DUCKDB, "orders"),
+    doc="Additive day-of-week seasonal decomposition of daily revenue: "
+    "per-dow mean level, seasonal index (dow mean / global mean) and the "
+    "seasonality STRENGTH (1 - SS_residual/SS_total — variance explained "
+    "by the dow effect).  dow comes from epoch-day modular arithmetic "
+    "((d+4)%7), not the engines' divergent dayofweek(); all moments "
+    "(n, sum, sum-of-squares) are exact BIGINT/DECIMAL aggregates per "
+    "dow — 7 rows — and only the final 7-row projection is floating.  "
+    "The seasonal sibling of activity_heatmap_dow_hour (counts) and "
+    "circular_time_profile (phase).",
+    tags=("analytics", "timeseries", "agg"),
+)
+def seasonal_dow_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sales_telegram_bot_data_pipeline_seas_o")
+    return spark.sql(_seasonal_sql(SPARK, "sales_telegram_bot_data_pipeline_seas_o"))
+
+
+# --------------------------------------------------------------------------
+# Wald–Wolfowitz runs test on daily revenue signs
+# --------------------------------------------------------------------------
+_RUNS_FINAL = """
+SELECT n AS n_days, n1 AS n_above, (n - n1) AS n_below, r AS n_runs,
+       ROUND(2.0e0 * n1 * (n - n1) / n + 1, 6) AS expected_runs,
+       ROUND((r - (2.0e0 * n1 * (n - n1) / n + 1))
+             / NULLIF(SQRT((2.0e0 * n1 * (n - n1))
+                           * (2.0e0 * n1 * (n - n1) - n)
+                           / (CAST(n AS DOUBLE) * n * (n - 1))), 0),
+             6) AS z_score
+FROM s
+"""
+
+
+def _runs_oracle() -> str:
+    d = DUCKDB
+    return f"""
+WITH daily AS (
+  SELECT CAST({_EPOCH_DIFF[d.name]} AS BIGINT) AS day_x,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS st FROM daily),
+signs AS (
+  SELECT day_x, (CAST(cents AS DECIMAL(38,0)) * t.n >= t.st) AS above
+  FROM daily CROSS JOIN tot t
+),
+flips AS (
+  SELECT CASE WHEN above <> LAG(above) OVER (ORDER BY day_x)
+              THEN 1 ELSE 0 END AS flip
+  FROM signs
+),
+s AS (
+  SELECT t.n AS n,
+         (SELECT CAST(SUM(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) FROM signs) AS n1,
+         (SELECT CAST(1 + SUM(flip) AS BIGINT) FROM flips) AS r
+  FROM tot t
+)
+{_RUNS_FINAL}
+"""
+
+
+@register(
+    "runs_test_daily_revenue",
+    oracle=_runs_oracle(),
+    doc="Wald–Wolfowitz runs test of randomness on the daily revenue "
+    "series: each day signs above/below the global mean with the "
+    "INTEGER-EXACT comparison cents*n >= total (never a double mean), "
+    "runs = 1 + sign flips between CONSECUTIVE observed days.  Spark "
+    "side ranks days through the distributed range-rank primitive and "
+    "counts flips via a rank -> rank+1 equi self-join (no global-window "
+    "LAG); oracle uses the window LAG form.  z from the exact "
+    "(n, n1, R) triple in one final scalar.  The distribution-free "
+    "randomness check beside mann_kendall_trend (monotone trend) and "
+    "acf_daily_revenue (serial correlation).",
+    tags=("analytics", "stats", "distributed-rank"),
+)
+def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scalars_extra import range_ranked
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sales_telegram_bot_data_pipeline_runs_o")
+    d = SPARK
+    daily = spark.sql(f"""
+SELECT CAST({_EPOCH_DIFF[d.name]} AS BIGINT) AS day_x,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS cents
+FROM sales_telegram_bot_data_pipeline_runs_o GROUP BY 1
+""")
+    ranked, n = range_ranked(spark, daily, ["day_x"])
+    if ranked is None:
+        return spark.createDataFrame(
+            [],
+            "n_days bigint, n_above bigint, n_below bigint, n_runs bigint, "
+            "expected_runs double, z_score double",
+        )
+    tot = ranked.agg(F.sum("cents").cast("bigint").alias("st"))
+    signs = ranked.crossJoin(F.broadcast(tot)).select(
+        "r",
+        (F.col("cents").cast("decimal(38,0)") * n >= F.col("st")).alias("above"),
+    ).localCheckpoint(eager=False)  # feeds both the flip join and n1
+    a, b = signs.alias("a"), signs.alias("b")
+    flips = a.join(b, F.col("b.r") == F.col("a.r") + 1).agg(
+        F.sum(
+            F.when(F.col("a.above") != F.col("b.above"), 1).otherwise(0)
+        ).alias("f")
+    )
+    s = (
+        signs.agg(
+            F.sum(F.when(F.col("above"), 1).otherwise(0)).cast("bigint").alias("n1")
+        )
+        .crossJoin(F.broadcast(flips))
+        .select(
+            F.lit(n).cast("bigint").alias("n"),
+            "n1",
+            (F.lit(1) + F.coalesce(F.col("f"), F.lit(0))).cast("bigint").alias("r"),
+        )
+    )
+    s.createOrReplaceTempView("sales_telegram_bot_data_pipeline_runs_s")
+    return spark.sql(_RUNS_FINAL.replace("FROM s", "FROM sales_telegram_bot_data_pipeline_runs_s"))
+
+
+# --------------------------------------------------------------------------
+# Johnson–Lindenstrauss projection distortion audit
+# --------------------------------------------------------------------------
+JL_DIM = 64  # embedding dimensionality of the corpus (asserted by tests)
+JL_K = 8  # projected dimensionality: E[distortion] ~ sqrt(2/k)
+
+
+def _jl_sign(j: int, i: int) -> int:
+    """Portable ±1 sign for (projection j, input dim i) from md5 parity —
+    a Python literal at template-build time, so neither engine hashes."""
+    h = int(hashlib.md5(f"jl|{j}|{i}".encode()).hexdigest()[:15], 16)
+    return 1 if h % 2 == 0 else -1
+
+
+def _jl_proj_rel(d: Dialect, table: str) -> str:
+    """(vec_id, q, p0..p{JL_K-1}): micro-unit quantized components plus the
+    JL_K exact-integer projected coordinates (signed sums of q)."""
+    q = d.transform(
+        "embedding", "x -> cast(round(cast(x as double) * 1000000) as bigint)"
+    )
+    projs = []
+    for j in range(JL_K):
+        # integer array literal (d.array_lit quotes items as strings)
+        items = ", ".join(str(_jl_sign(j, i)) for i in range(JL_DIM))
+        signs = f"array({items})" if d.name == "spark" else f"[{items}]"
+        if d.name == "spark":
+            p = (
+                f"aggregate(zip_with(q, {signs}, (x, y) -> x * y), "
+                f"cast(0 as bigint), (a, v) -> a + v)"
+            )
+        else:
+            p = (
+                f"list_sum(list_transform(generate_series(1, {JL_DIM}), "
+                f"i -> q[i] * ({signs})[i]))"
+            )
+        projs.append(f"CAST({p} AS BIGINT) AS p{j}")
+    return (
+        f"SELECT vec_id, q, {', '.join(projs)} "
+        f"FROM (SELECT vec_id, {q} AS q FROM {table}) base"
+    )
+
+
+def _jl_sql(d: Dialect, table: str) -> str:
+    from .similarity import _banded_view
+
+    bv = _banded_view(d, table)
+    proj = _jl_proj_rel(d, table)
+    if d.name == "spark":
+        exact_d2 = (
+            "aggregate(zip_with(pa.q, pb.q, (x, y) -> (x - y) * (x - y)), "
+            "cast(0 as bigint), (a, v) -> a + v)"
+        )
+    else:
+        exact_d2 = (
+            "list_sum(list_transform(generate_series(1, len(pa.q)), "
+            "i -> (pa.q[i] - pb.q[i]) * (pa.q[i] - pb.q[i])))"
+        )
+    proj_d2 = " + ".join(
+        f"(pa.p{j} - pb.p{j}) * (pa.p{j} - pb.p{j})" for j in range(JL_K)
+    )
+    return f"""
+WITH cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM ({bv}) a JOIN ({bv}) b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+proj AS ({proj}),
+err AS (
+  SELECT c.vec_a, c.vec_b,
+         -- E||Sx||^2 = k * ||x||^2 for a ±1 sign matrix (cross terms have
+         -- zero mean), so the unbiased distance estimate is proj/k
+         CAST(ROUND(ABS(
+           CAST(({proj_d2}) AS DOUBLE)
+             / ({JL_K}.0e0 * NULLIF(CAST(({exact_d2}) AS DOUBLE), 0))
+           - 1.0e0
+         ) * 1000000) AS BIGINT) AS err_u
+  FROM cand c
+  JOIN proj pa ON pa.vec_id = c.vec_a
+  JOIN proj pb ON pb.vec_id = c.vec_b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(err_u) AS DOUBLE) / COUNT(*) / 1000000, 6)
+         AS mean_abs_distortion,
+       ROUND(CAST(MAX(err_u) AS DOUBLE) / 1000000, 6) AS max_abs_distortion,
+       ROUND(CAST(SUM(CASE WHEN err_u <= 200000 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS frac_within_02
+FROM err
+"""
+
+
+@register(
+    "jl_projection_distortion_audit",
+    oracle=_jl_sql(DUCKDB, "embeddings"),
+    doc=f"Johnson–Lindenstrauss ±1 sign-projection distortion audit "
+    f"(d={JL_DIM} -> k={JL_K}): squared-distance ratio (proj/k — the "
+    "unbiased estimator for a ±1 sign matrix) vs the exact distance "
+    "over the banded LSH candidate pairs — the "
+    "pre-flight number for replacing full vectors with a k-dim sketch "
+    "in a first-pass distance filter at 100 TB (8x narrower rows).  "
+    "Signs are md5-parity PYTHON LITERALS baked into the template; "
+    "components quantize to micro-unit BIGINTs so projected coordinates "
+    "and both squared distances are EXACT integers — only the final "
+    "per-pair ratio is floating, and it quantizes to micro-units before "
+    "the order-free aggregate.  Audit sibling of "
+    "sq8_quantization_error_audit (magnitude sketch) and "
+    "matryoshka_recall_audit (prefix truncation).",
+    tags=("similarity", "audit", "sketch"),
+)
+def jl_projection_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _emb_view
+
+    return spark.sql(_jl_sql(SPARK, _emb_view(spark, sf_dir, "sales_telegram_bot_data_pipeline_jl_emb")))
+
+
+# --------------------------------------------------------------------------
+# co-visitation: bipartite user×item projection to item-item weights
+# --------------------------------------------------------------------------
+_COVIS_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM {events}),
+n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t FROM ut GROUP BY 1),
+nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
+pairs AS (
+  SELECT a.event_type AS item_a, b.event_type AS item_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT p.item_a, p.item_b, p.n_ab, na.n_t AS n_a, nb.n_t AS n_b,
+       ROUND(CAST(p.n_ab AS DOUBLE) * u.n_users
+             / (CAST(na.n_t AS DOUBLE) * nb.n_t), 6) AS lift,
+       ROUND(CAST(p.n_ab AS DOUBLE)
+             / (na.n_t + nb.n_t - p.n_ab), 6) AS jaccard
+FROM pairs p
+JOIN n na ON na.event_type = p.item_a
+JOIN n nb ON nb.event_type = p.item_b
+CROSS JOIN nu u
+ORDER BY p.item_a, p.item_b
+"""
+
+
+@register(
+    "covisitation_item_pairs",
+    oracle=_COVIS_SQL.format(events="events"),
+    doc="Bipartite projection of the user×event_type engagement graph to "
+    "item-item co-visitation weights — the recommendation primitive "
+    "('users who did A also did B'): distinct (user, item) incidence, "
+    "per-user item-pair self-join (fan-out bounded by the ITEM CATALOG "
+    "per user, |catalog|^2 worst case — at real catalog sizes cap each "
+    "user's item set the way dedup_containment df-caps its index), "
+    "exact-integer supports, lift = P(ab)/(P(a)P(b)) and Jaccard from "
+    "one final projection.  The user-behavior sibling of "
+    "collocation_pmi (words) and association_rules_lift (baskets: "
+    "order-grain, confidence-directed).",
+    tags=("analytics", "graph", "self-join"),
+)
+def covisitation_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("sales_telegram_bot_data_pipeline_cov_ev")
+    return spark.sql(_COVIS_SQL.format(events="sales_telegram_bot_data_pipeline_cov_ev"))
+
+
+# --------------------------------------------------------------------------
+# key-sequence gap audit (distributed, histogram output)
+# --------------------------------------------------------------------------
+def _gap_hist_oracle() -> str:
+    return """
+WITH keys AS (
+  SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS k FROM orders
+  WHERE o_orderstatus = 'F'
+),
+nexts AS (
+  SELECT k, LEAD(k) OVER (ORDER BY k) AS nk FROM keys
+),
+gaps AS (
+  SELECT CAST(nk - k - 1 AS BIGINT) AS gap_len FROM nexts
+  WHERE nk IS NOT NULL AND nk - k > 1
+)
+SELECT gap_len,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(gap_len * COUNT(*) AS BIGINT) AS missing_keys
+FROM gaps GROUP BY gap_len
+ORDER BY gap_len
+"""
+
+
+@register(
+    "key_gap_audit",
+    oracle=_gap_hist_oracle(),
+    doc="Distributed key-sequence gap audit: find every run of missing "
+    "keys in a (filtered) key sequence and emit the BOUNDED gap-length "
+    "histogram (n_gaps + missing mass per length) — the data-quality "
+    "check for 'did the extract drop an ID range'.  The filter "
+    "(status='F') is the partition being audited; the dense full "
+    "keyspace would return zero rows.  Spark side gets consecutive "
+    "neighbors from the distributed range-rank primitive + a "
+    "rank -> rank+1 equi self-join — never a single-partition LEAD "
+    "window (the oracle keeps the window form).  Sibling of "
+    "referential_integrity_audit (cross-table) and snapshot_diff_audit "
+    "(cross-version).",
+    tags=("audit", "distributed-rank", "data-quality"),
+)
+def key_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scalars_extra import range_ranked
+
+    keys = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").cast("bigint").alias("k"))
+        .distinct()
+    )
+    ranked, n = range_ranked(spark, keys, ["k"])
+    if ranked is None:
+        return spark.createDataFrame(
+            [], "gap_len bigint, n_gaps bigint, missing_keys bigint"
+        )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    return (
+        a.join(b, F.col("b.r") == F.col("a.r") + 1)
+        .where(F.col("b.k") - F.col("a.k") > 1)
+        .select((F.col("b.k") - F.col("a.k") - 1).cast("bigint").alias("gap_len"))
+        .groupBy("gap_len")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_gaps"))
+        .select(
+            "gap_len",
+            "n_gaps",
+            (F.col("gap_len") * F.col("n_gaps")).cast("bigint").alias("missing_keys"),
+        )
+        .orderBy("gap_len")
+    )

@@ -124,6 +124,10 @@ try:
     from .operators import evaluation  # noqa: F401  (AUC, Welch, skyline, KM)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from .operators import round8  # noqa: F401  (EWMA, seasonal, runs, JL, ...)
+except ImportError:  # pragma: no cover
+    pass
 
 
 # --------------------------------------------------------------------------
@@ -216,7 +220,10 @@ except ImportError:  # pragma: no cover
 # mann_kendall_trend,
 # trimmed_winsorized_mean, neyman_allocated_sample,
 # share_of_parent_rollup, aggregate_sensitivity_audit,
-# circular_time_profile, cohort_ltv_triangle.
+# circular_time_profile, cohort_ltv_triangle; round-8 additions:
+# ewma_dyadic_smoothing, seasonal_dow_decomposition,
+# runs_test_daily_revenue, jl_projection_distortion_audit,
+# covisitation_item_pairs, key_gap_audit.
 # --------------------------------------------------------------------------
 _DRIVER_WINDOW = [
     # core relational / TPC-H (q3 parked round 7; q1/q5 keep the family)

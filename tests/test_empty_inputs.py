@@ -114,6 +114,11 @@ EMPTY_OK_ZERO = [
     "clustering_coefficient_neardup",
     "psi_split_drift",
     "neyman_allocated_sample",
+    # round-8 additions: ewma/seasonal/runs/covisitation/key-gap are
+    # orders/events-grain (outside this documents/embeddings fixture) and
+    # carry explicit empty-input guards in code;
+    # jl_projection_distortion_audit is scalar-shaped (one NULL-aggregate
+    # row on empty input) and excluded like sq8_quantization_error_audit
 ]
 
 

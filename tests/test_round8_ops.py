@@ -1,0 +1,220 @@
+"""Brute-force pins for the round-8 registry additions (tolerance
+1e-6 on rounded doubles: Python round() is half-even, SQL ROUND half-up): each operator's
+Spark result is re-derived in pure Python/numpy from the raw parquet (via
+DuckDB reads only, no SQL re-use of the templates under test)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import defaultdict
+from datetime import date
+
+import duckdb
+
+from conftest import SF_SMOKE
+from sales_telegram_bot_data_pipeline_spark import queries as q
+
+EPOCH = date(1970, 1, 1)
+
+
+def _daily_cents(sf=SF_SMOKE):
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT CAST(o_orderdate AS DATE), "
+        f"CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
+        f"FROM read_parquet('{sf}/orders.parquet')"
+    ).fetchall()
+    con.close()
+    daily = defaultdict(int)
+    for dt, cents in rows:
+        daily[(dt - EPOCH).days] += cents
+    return daily
+
+
+def test_ewma_dyadic_matches_python(spark):
+    from sales_telegram_bot_data_pipeline_spark.operators.round8 import EWMA_DEPTH
+
+    daily = _daily_cents()
+    weekly = defaultdict(int)
+    for d, c in daily.items():
+        weekly[d // 7] += c
+    x0 = min(weekly)
+    out = {r.week: r.ewma_dollars for r in
+           q.REGISTRY["ewma_dyadic_smoothing"].fn(spark, SF_SMOKE).collect()}
+    assert set(out) == set(weekly)
+    for x in weekly:
+        m = min(EWMA_DEPTH, x - x0)
+        num = sum(
+            weekly.get(x - dd, 0) * (1 << (EWMA_DEPTH - dd))
+            for dd in range(0, m + 1)
+        )
+        den = (1 << (EWMA_DEPTH + 1)) - (1 << (EWMA_DEPTH - m))
+        assert abs(out[x] - round(num / den / 100, 6)) <= 1e-6
+    # steady-state sanity: with full history the weights sum to ~1, so the
+    # EWMA sits inside the observed weekly range
+    full = [x for x in weekly if x - x0 >= EWMA_DEPTH]
+    lo, hi = min(weekly.values()) / 100, max(weekly.values()) / 100
+    assert all(lo - 1e-6 <= out[x] <= hi + 1e-6 for x in full)
+
+
+def test_seasonal_dow_matches_python(spark):
+    daily = _daily_cents()
+    by_dow = defaultdict(list)
+    for d, c in daily.items():
+        by_dow[(d + 4) % 7].append(c)
+    vals = [c for cs in by_dow.values() for c in cs]
+    n, st = len(vals), sum(vals)
+    ss_tot = sum(c * c for c in vals) - st * st / n
+    ss_res = sum(
+        sum(c * c for c in cs) - sum(cs) ** 2 / len(cs) for cs in by_dow.values()
+    )
+    rows = {r.dow: r for r in
+            q.REGISTRY["seasonal_dow_decomposition"].fn(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(by_dow)
+    gmean = st / n
+    for dow, cs in by_dow.items():
+        r = rows[dow]
+        assert r.n_days == len(cs)
+        assert abs(r.mean_daily_dollars - round(sum(cs) / len(cs) / 100, 6)) <= 1e-6
+        assert abs(r.seasonal_index - round((sum(cs) / len(cs)) / gmean, 6)) <= 1e-6
+        assert abs(r.seasonal_strength - round(1 - ss_res / ss_tot, 6)) <= 1e-6
+
+
+def test_runs_test_matches_python(spark):
+    daily = _daily_cents()
+    n, st = len(daily), sum(daily.values())
+    signs = [daily[d] * n >= st for d in sorted(daily)]
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    n1 = sum(signs)
+    rows = q.REGISTRY["runs_test_daily_revenue"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_days, r.n_above, r.n_below, r.n_runs) == (n, n1, n - n1, runs)
+    mu = 2 * n1 * (n - n1) / n + 1
+    sigma = math.sqrt(
+        (2 * n1 * (n - n1)) * (2 * n1 * (n - n1) - n) / (n * n * (n - 1))
+    )
+    assert abs(r.expected_runs - round(mu, 6)) <= 1e-6
+    assert abs(r.z_score - round((runs - mu) / sigma, 6)) <= 1e-6
+
+
+def test_jl_distortion_matches_numpy(spark):
+    import numpy as np
+
+    from sales_telegram_bot_data_pipeline_spark.functions.dialect import DUCKDB
+    from sales_telegram_bot_data_pipeline_spark.operators.round8 import (
+        JL_DIM,
+        JL_K,
+        _jl_sign,
+    )
+    from sales_telegram_bot_data_pipeline_spark.operators.similarity import _banded_view
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/embeddings.parquet')"
+    )
+    bv = _banded_view(DUCKDB, "embeddings")
+    pairs = con.sql(
+        f"SELECT DISTINCT a.vec_id, b.vec_id FROM ({bv}) a JOIN ({bv}) b "
+        f"ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id"
+    ).fetchall()
+    vecs = {
+        vid: np.asarray(e, dtype=np.float64)
+        for vid, e in con.sql("SELECT vec_id, embedding FROM embeddings").fetchall()
+    }
+    con.close()
+    assert all(len(v) == JL_DIM for v in vecs.values())
+
+    S = np.array(
+        [[_jl_sign(j, i) for i in range(JL_DIM)] for j in range(JL_K)], dtype=np.int64
+    )
+    qv = {vid: np.round(v * 1e6).astype(np.int64) for vid, v in vecs.items()}
+    errs = []
+    for a, b in pairs:
+        exact = int(((qv[a] - qv[b]) ** 2).sum())
+        pa, pb = S @ qv[a], S @ qv[b]
+        proj = int(((pa - pb) ** 2).sum())
+        ratio = proj / (JL_K * exact)
+        errs.append(round(abs(ratio - 1) * 1e6))
+    rows = q.REGISTRY["jl_projection_distortion_audit"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_pairs == len(pairs)
+    assert abs(r.mean_abs_distortion - round(sum(errs) / len(errs) / 1e6, 6)) < 1e-9
+    assert abs(r.max_abs_distortion - max(errs) / 1e6) < 1e-9
+    assert abs(
+        r.frac_within_02 - round(sum(1 for e in errs if e <= 200000) / len(errs), 6)
+    ) <= 1e-6
+    # JL sanity: the scaled ratio concentrates around 1
+    assert 0.5 <= 1 + (sum(errs) / len(errs) / 1e6) <= 2.0
+
+
+def test_covisitation_matches_python(spark):
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT DISTINCT user_id, event_type FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet')"
+    ).fetchall()
+    con.close()
+    by_user = defaultdict(set)
+    n_t = defaultdict(int)
+    for u, t in rows:
+        by_user[u].add(t)
+        n_t[t] += 1
+    n_users = len(by_user)
+    n_ab = defaultdict(int)
+    for items in by_user.values():
+        s = sorted(items)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                n_ab[(s[i], s[j])] += 1
+    out = {(r.item_a, r.item_b): r for r in
+           q.REGISTRY["covisitation_item_pairs"].fn(spark, SF_SMOKE).collect()}
+    assert set(out) == set(n_ab)
+    for (a, b), r in out.items():
+        assert (r.n_ab, r.n_a, r.n_b) == (n_ab[(a, b)], n_t[a], n_t[b])
+        assert abs(r.lift - round(n_ab[(a, b)] * n_users / (n_t[a] * n_t[b]), 6)) <= 1e-6
+        assert abs(r.jaccard - round(n_ab[(a, b)] / (n_t[a] + n_t[b] - n_ab[(a, b)]), 6)) <= 1e-6
+
+
+def test_key_gap_audit_matches_python(spark):
+    con = duckdb.connect()
+    keys = sorted(
+        k for (k,) in con.sql(
+            f"SELECT DISTINCT o_orderkey FROM "
+            f"read_parquet('{SF_SMOKE}/orders.parquet') WHERE o_orderstatus = 'F'"
+        ).fetchall()
+    )
+    con.close()
+    hist = defaultdict(int)
+    for a, b in zip(keys, keys[1:]):
+        if b - a > 1:
+            hist[b - a - 1] += 1
+    rows = {r.gap_len: r for r in
+            q.REGISTRY["key_gap_audit"].fn(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(hist)
+    for g, r in rows.items():
+        assert r.n_gaps == hist[g]
+        assert r.missing_keys == g * hist[g]
+    # conservation: total missing == keyspace span minus present keys
+    span_missing = (keys[-1] - keys[0] + 1) - len(keys)
+    assert sum(r.missing_keys for r in rows.values()) == span_missing
+
+
+def test_jl_signs_are_balanced():
+    """The md5-parity sign matrix should be near-balanced per projection
+    (a degenerate all-ones row would make p_j a plain sum)."""
+    from sales_telegram_bot_data_pipeline_spark.operators.round8 import (
+        JL_DIM,
+        JL_K,
+        _jl_sign,
+    )
+
+    for j in range(JL_K):
+        s = sum(_jl_sign(j, i) for i in range(JL_DIM))
+        assert abs(s) < JL_DIM // 2
+    # determinism / documented definition
+    h = int(hashlib.md5(b"jl|0|0").hexdigest()[:15], 16)
+    assert _jl_sign(0, 0) == (1 if h % 2 == 0 else -1)
