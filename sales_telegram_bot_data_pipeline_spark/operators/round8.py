@@ -53,17 +53,23 @@ def _shl(d: Dialect, n: str) -> str:
     return f"(CAST(1 AS BIGINT) << ({n}))"
 
 
-def _ewma_sql(d: Dialect, orders: str) -> str:
+_EWMA_WEEKLY_SQL = """
+SELECT CAST(FLOOR(CAST({epoch_diff} AS BIGINT) / 7.0) AS BIGINT) AS x,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS cents
+FROM {orders} GROUP BY 1
+"""
+
+
+def _ewma_sql(d: Dialect, orders: str, weekly_rel: str | None = None) -> str:
     D = EWMA_DEPTH
     w_num = _shl(d, f"{D} - CAST(a.x - b.x AS INT)")
     den = f"({_shl(d, str(D + 1))} - {_shl(d, f'{D} - m')})"
+    weekly = weekly_rel or _EWMA_WEEKLY_SQL.format(
+        epoch_diff=_EPOCH_DIFF[d.name], orders=orders
+    )
     return f"""
-WITH weekly AS (
-  SELECT CAST(FLOOR(CAST({_EPOCH_DIFF[d.name]} AS BIGINT) / 7.0) AS BIGINT) AS x,
-         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
-              AS BIGINT) AS cents
-  FROM {orders} GROUP BY 1
-),
+WITH weekly AS ({weekly}),
 w0 AS (SELECT MIN(x) AS x0 FROM weekly),
 sm AS (
   -- alpha=1/2 EWMA truncated at depth {D}: numerator and the dyadic
@@ -103,7 +109,17 @@ ORDER BY week
 )
 def ewma_dyadic_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("sales_telegram_bot_data_pipeline_ewma_o")
-    return spark.sql(_ewma_sql(SPARK, "sales_telegram_bot_data_pipeline_ewma_o"))
+    # weekly feeds THREE consumers (w0 + both band-join sides): Spark
+    # inlines CTEs, so materialize the orders scan+aggregate once
+    spark.sql(
+        _EWMA_WEEKLY_SQL.format(
+            epoch_diff=_EPOCH_DIFF["spark"], orders="sales_telegram_bot_data_pipeline_ewma_o"
+        )
+    ).localCheckpoint(eager=False).createOrReplaceTempView("sales_telegram_bot_data_pipeline_ewma_w")
+    return spark.sql(
+        _ewma_sql(SPARK, "sales_telegram_bot_data_pipeline_ewma_o",
+                  weekly_rel="SELECT x, cents FROM sales_telegram_bot_data_pipeline_ewma_w")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -390,7 +406,7 @@ def jl_projection_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFram
 # co-visitation: bipartite user×item projection to item-item weights
 # --------------------------------------------------------------------------
 _COVIS_SQL = """
-WITH ut AS (SELECT DISTINCT user_id, event_type FROM {events}),
+WITH ut AS ({incidence}),
 n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t FROM ut GROUP BY 1),
 nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
 pairs AS (
@@ -413,9 +429,12 @@ ORDER BY p.item_a, p.item_b
 """
 
 
+_COVIS_UT_SQL = "SELECT DISTINCT user_id, event_type FROM {events}"
+
+
 @register(
     "covisitation_item_pairs",
-    oracle=_COVIS_SQL.format(events="events"),
+    oracle=_COVIS_SQL.format(incidence=_COVIS_UT_SQL.format(events="events")),
     doc="Bipartite projection of the user×event_type engagement graph to "
     "item-item co-visitation weights — the recommendation primitive "
     "('users who did A also did B'): distinct (user, item) incidence, "
@@ -430,7 +449,16 @@ ORDER BY p.item_a, p.item_b
 )
 def covisitation_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("sales_telegram_bot_data_pipeline_cov_ev")
-    return spark.sql(_COVIS_SQL.format(events="sales_telegram_bot_data_pipeline_cov_ev"))
+    # the distinct incidence relation feeds FOUR consumers (margins, the
+    # user count, both pair-join sides): materialize the events
+    # scan+DISTINCT once — at 100 TB re-deriving it per consumer is the
+    # dominant cost, not the bounded |catalog|^2 tail
+    spark.sql(
+        _COVIS_UT_SQL.format(events="sales_telegram_bot_data_pipeline_cov_ev")
+    ).localCheckpoint(eager=False).createOrReplaceTempView("sales_telegram_bot_data_pipeline_cov_ut")
+    return spark.sql(
+        _COVIS_SQL.format(incidence="SELECT user_id, event_type FROM sales_telegram_bot_data_pipeline_cov_ut")
+    )
 
 
 # --------------------------------------------------------------------------
