@@ -375,6 +375,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
        ROUND(CAST(SUM(CASE WHEN err_u <= 200000 THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*), 6) AS frac_within_02
 FROM err
+WHERE err_u IS NOT NULL
 """
 
 
