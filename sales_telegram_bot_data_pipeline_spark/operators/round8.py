@@ -1,4 +1,4 @@
-"""Round-8 registry additions — six operators the 286-query registry still
+"""Round-8 registry additions — nine operators the 286-query registry still
 lacked, each a classic warehouse / training-data-pipeline primitive:
 
 - ``ewma_dyadic_smoothing`` — EXACT exponential smoothing (alpha = 1/2) of
@@ -17,6 +17,12 @@ lacked, each a classic warehouse / training-data-pipeline primitive:
   recommendation primitive).
 - ``key_gap_audit`` — distributed key-sequence gap detection (bounded
   gap-length histogram), rank-adjacency form.
+- ``naive_forecast_backtest`` — MASE-discipline backtest: exact-integer
+  MAE of the lag-1 / lag-7 / global-mean baselines on daily revenue.
+- ``stylometric_burrows_delta`` — Burrows' Delta authorship distance
+  between sources over the top-30 corpus words.
+- ``behavioral_entropy_profile`` — per-user event-type Shannon entropy
+  histogram (nano-nat row quantization before summation).
 
 All dual-dialect per repo conventions: exact integer/decimal aggregates
 before any cross-partition sum, ROUND(...,6) fractional outputs, global
@@ -530,3 +536,220 @@ def key_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gap_len")
     )
+
+
+# --------------------------------------------------------------------------
+# naive forecast backtest (MASE discipline): which zero-parameter baseline
+# does this series beat?
+# --------------------------------------------------------------------------
+def _backtest_sql(d: Dialect, orders: str, daily_rel: str | None = None) -> str:
+    daily = daily_rel or f"""
+  SELECT CAST({_EPOCH_DIFF[d.name]} AS BIGINT) AS day_x,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM {orders} GROUP BY 1
+"""
+    return f"""
+WITH daily AS ({daily}),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS st
+  FROM daily
+),
+scored AS (
+  -- calendar-lag joins (equi on day arithmetic, shuffle-free after the
+  -- first co-partition): a missing calendar day simply contributes no
+  -- scored row, the standard backtest convention
+  SELECT a.day_x,
+         ABS(a.cents - n1.cents) AS e_naive,
+         ABS(a.cents - n7.cents) AS e_seasonal,
+         -- mean forecast error in EXACT scaled units: |n*x - st| / n
+         ABS(CAST(a.cents AS DECIMAL(38,0)) * t.n - t.st) AS e_mean_scaled
+  FROM daily a
+  JOIN daily n1 ON n1.day_x = a.day_x - 1
+  JOIN daily n7 ON n7.day_x = a.day_x - 7
+  CROSS JOIN tot t
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+       ROUND(CAST(SUM(e_naive) AS DOUBLE) / COUNT(*) / 100, 6)
+         AS mae_naive_dollars,
+       ROUND(CAST(SUM(e_seasonal) AS DOUBLE) / COUNT(*) / 100, 6)
+         AS mae_seasonal_dollars,
+       ROUND(CAST(SUM(e_mean_scaled) AS DOUBLE) / MAX(t2.n) / COUNT(*) / 100, 6)
+         AS mae_mean_dollars,
+       ROUND(CAST(SUM(e_seasonal) AS DOUBLE)
+             / NULLIF(CAST(SUM(e_naive) AS DOUBLE), 0), 6) AS mase_seasonal
+FROM scored CROSS JOIN tot t2
+"""
+
+
+@register(
+    "naive_forecast_backtest",
+    oracle=_backtest_sql(DUCKDB, "orders"),
+    doc="Zero-parameter forecast backtest on daily revenue (the MASE "
+    "discipline: any model must beat these baselines): MAE of the naive "
+    "lag-1 forecast, the seasonal lag-7 forecast, and the global-mean "
+    "forecast, plus MASE (seasonal/naive error ratio).  Every error is "
+    "an EXACT integer (cents for the lag forecasts; |n*x - st| scaled "
+    "cents for the mean forecast — never a double mean), summed "
+    "order-free; lags are calendar EQUI joins on day arithmetic, not "
+    "rank windows.  The evaluation-side sibling of "
+    "ewma_dyadic_smoothing (model) and acf_daily_revenue (diagnostic).",
+    tags=("analytics", "timeseries", "evaluation"),
+)
+def naive_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sales_telegram_bot_data_pipeline_bt_o")
+    # daily feeds four consumers (tot + three join sides): materialize once
+    spark.sql(f"""
+SELECT CAST({_EPOCH_DIFF['spark']} AS BIGINT) AS day_x,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS cents
+FROM sales_telegram_bot_data_pipeline_bt_o GROUP BY 1
+""").localCheckpoint(eager=False).createOrReplaceTempView("sales_telegram_bot_data_pipeline_bt_d")
+    return spark.sql(
+        _backtest_sql(
+            SPARK, "sales_telegram_bot_data_pipeline_bt_o",
+            daily_rel="SELECT day_x, cents FROM sales_telegram_bot_data_pipeline_bt_d",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Burrows' Delta stylometry between sources
+# --------------------------------------------------------------------------
+DELTA_TOP_WORDS = 30
+
+
+def _burrows_sql(d: Dialect, table: str) -> str:
+    w = d.splitws("lower(text)")
+    if d.name == "spark":
+        occ = (
+            f"SELECT source, word FROM "
+            f"(SELECT source, {w} AS ws FROM {table}) s "
+            f"LATERAL VIEW explode(ws) t AS word"
+        )
+    else:
+        occ = (
+            f"SELECT source, unnest(ws) AS word FROM "
+            f"(SELECT source, {w} AS ws FROM {table}) s"
+        )
+    return f"""
+WITH occ AS ({occ}),
+counts AS (
+  SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+  FROM occ GROUP BY source, word
+),
+src_tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_src FROM counts GROUP BY source),
+top_words AS (
+  SELECT word FROM (
+    SELECT word, SUM(c) AS tc FROM counts GROUP BY word
+    ORDER BY tc DESC, word LIMIT {DELTA_TOP_WORDS}
+  ) tw
+),
+-- relative frequency per (source, word) over the FULL word grid (absent
+-- word = 0 frequency); per-word population mean/std over sources
+freq AS (
+  SELECT st.source, t.word,
+         CAST(COALESCE(c.c, 0) AS DOUBLE) / st.n_src AS f
+  FROM src_tot st
+  CROSS JOIN top_words t
+  LEFT JOIN counts c ON c.source = st.source AND c.word = t.word
+),
+wstats AS (
+  SELECT word, COUNT(*) AS ns, AVG(f) AS mu,
+         SQRT(SUM(f * f) / COUNT(*) - AVG(f) * AVG(f)) AS sigma
+  FROM freq GROUP BY word
+),
+z AS (
+  SELECT f.source, f.word, (f.f - w.mu) / NULLIF(w.sigma, 0) AS z
+  FROM freq f JOIN wstats w ON w.word = f.word
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       ROUND(AVG(ABS(a.z - b.z)), 6) AS burrows_delta
+FROM z a JOIN z b ON a.word = b.word AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY source_a, source_b
+"""
+
+
+@register(
+    "stylometric_burrows_delta",
+    oracle=_burrows_sql(DUCKDB, "documents"),
+    doc=f"Burrows' Delta (the standard stylometric / authorship distance) "
+    f"between every source pair: the {DELTA_TOP_WORDS} corpus-wide most "
+    "frequent words (deterministic count-desc, word-asc TakeOrdered) "
+    "form the feature set; per-source relative frequencies z-score "
+    "against the source population per word; Delta = mean |z_a - z_b|.  "
+    "One tokenize pass collapses the corpus to (source, word) counts; "
+    "everything after is bounded by |sources| x TOP_WORDS.  The "
+    "population mean/std divide BOUNDED (|sources|-row) groups, so the "
+    "double arithmetic is aggregation-order-safe; sources with a missing "
+    "top word contribute frequency 0 through the grid LEFT JOIN (the "
+    "detail naive implementations drop).  Style-similarity sibling of "
+    "welch_ttest_sources (length) and anova_sources_doclen (variance).",
+    tags=("textops", "stats", "stylometry"),
+)
+def stylometric_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .curation import _doc_view
+
+    view = _doc_view(spark, sf_dir, "sales_telegram_bot_data_pipeline_bd_docs")
+    return spark.sql(_burrows_sql(SPARK, view))
+
+
+# --------------------------------------------------------------------------
+# behavioral entropy profile (per-user event-type diversity)
+# --------------------------------------------------------------------------
+ENTROPY_BUCKET_NANO = 250_000_000  # 0.25-nat histogram buckets
+
+
+def _entropy_sql(d: Dialect, events: str) -> str:
+    # per-(user, type) plugin-entropy term -(c/n)ln(c/n), quantized to
+    # integer NANO-NATS at the row before any cross-partition sum (the
+    # repo's standing libm discipline: LN crosses engine libm, so each
+    # term is floored to a lattice both engines agree on empirically;
+    # the per-user SUM of quantized terms is then exact)
+    term = (
+        "CAST(ROUND((-(CAST(c AS DOUBLE) / n) * LN(CAST(c AS DOUBLE) / n))"
+        " * 1000000000) AS BIGINT)"
+    )
+    bucket = d.idiv("h_nano", str(ENTROPY_BUCKET_NANO))
+    return f"""
+WITH ut AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM {events} GROUP BY user_id, event_type
+),
+un AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n FROM ut GROUP BY user_id),
+terms AS (
+  SELECT ut.user_id, {term} AS t_nano
+  FROM ut JOIN un ON un.user_id = ut.user_id
+),
+peruser AS (
+  SELECT user_id, CAST(SUM(t_nano) AS BIGINT) AS h_nano
+  FROM terms GROUP BY user_id
+)
+SELECT CAST({bucket} AS INT) AS entropy_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(CAST(SUM(h_nano) AS DOUBLE) / COUNT(*) / 1000000000, 6)
+         AS mean_entropy_nats
+FROM peruser
+GROUP BY 1 ORDER BY entropy_bucket
+"""
+
+
+@register(
+    "behavioral_entropy_profile",
+    oracle=_entropy_sql(DUCKDB, "events"),
+    doc="Per-user behavioral diversity: Shannon entropy (nats) of each "
+    "user's event-type distribution, profiled as a 0.25-nat histogram "
+    "(bots and single-action users pool at 0; engaged users approach "
+    "ln|types|).  The per-(user,type) term -(c/n)ln(c/n) quantizes to "
+    "integer nano-nats AT THE ROW before the per-user sum — LN is the "
+    "only libm crossing and it is per-row, never accumulated in floating "
+    "point (same empirical-lattice contract as freshness_decay_profile). "
+    " Two map-combinable groupBys + a bounded histogram.  The "
+    "user-behavior sibling of lexical_diversity (documents) and "
+    "user_cadence_profile (timing).",
+    tags=("analytics", "stats", "entropy"),
+)
+def behavioral_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("sales_telegram_bot_data_pipeline_ent_ev")
+    return spark.sql(_entropy_sql(SPARK, "sales_telegram_bot_data_pipeline_ent_ev"))

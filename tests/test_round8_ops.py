@@ -218,3 +218,97 @@ def test_jl_signs_are_balanced():
     # determinism / documented definition
     h = int(hashlib.md5(b"jl|0|0").hexdigest()[:15], 16)
     assert _jl_sign(0, 0) == (1 if h % 2 == 0 else -1)
+
+
+def test_naive_forecast_backtest_matches_python(spark):
+    daily = _daily_cents()
+    n, st = len(daily), sum(daily.values())
+    e_naive = e_seas = e_mean_scaled = 0
+    scored = 0
+    for d, c in daily.items():
+        if (d - 1) in daily and (d - 7) in daily:
+            scored += 1
+            e_naive += abs(c - daily[d - 1])
+            e_seas += abs(c - daily[d - 7])
+            e_mean_scaled += abs(c * n - st)
+    rows = q.REGISTRY["naive_forecast_backtest"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_scored == scored
+    assert abs(r.mae_naive_dollars - round(e_naive / scored / 100, 6)) <= 1e-6
+    assert abs(r.mae_seasonal_dollars - round(e_seas / scored / 100, 6)) <= 1e-6
+    assert abs(r.mae_mean_dollars - round(e_mean_scaled / n / scored / 100, 6)) <= 1e-6
+    assert abs(r.mase_seasonal - round(e_seas / e_naive, 6)) <= 1e-6
+
+
+def test_burrows_delta_matches_python(spark):
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT source, lower(text) FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    from sales_telegram_bot_data_pipeline_spark.operators.round8 import DELTA_TOP_WORDS
+
+    counts = defaultdict(lambda: defaultdict(int))
+    word_tot = defaultdict(int)
+    for src, text in docs:
+        for w in text.split():
+            counts[src][w] += 1
+            word_tot[w] += 1
+    top = [w for w, _ in sorted(word_tot.items(), key=lambda kv: (-kv[1], kv[0]))][
+        :DELTA_TOP_WORDS
+    ]
+    srcs = sorted(counts)
+    n_src = {s: sum(counts[s].values()) for s in srcs}
+    freq = {(s, w): counts[s].get(w, 0) / n_src[s] for s in srcs for w in top}
+    z = {}
+    for w in top:
+        fs = [freq[(s, w)] for s in srcs]
+        mu = sum(fs) / len(fs)
+        sigma = math.sqrt(sum(f * f for f in fs) / len(fs) - mu * mu)
+        for s in srcs:
+            z[(s, w)] = (freq[(s, w)] - mu) / sigma if sigma else None
+    out = {(r.source_a, r.source_b): r.burrows_delta for r in
+           q.REGISTRY["stylometric_burrows_delta"].fn(spark, SF_SMOKE).collect()}
+    assert set(out) == {(a, b) for a in srcs for b in srcs if a < b}
+    for (a, b), delta in out.items():
+        zs = [abs(z[(a, w)] - z[(b, w)]) for w in top if z[(a, w)] is not None]
+        assert abs(delta - round(sum(zs) / len(zs), 6)) <= 1e-6
+    # Delta is a metric-ish distance: non-negative, symmetric by defn
+    assert all(d >= 0 for d in out.values())
+
+
+def test_behavioral_entropy_matches_python(spark):
+    con = duckdb.connect()
+    pairs = con.sql(
+        f"SELECT user_id, event_type FROM read_parquet('{SF_SMOKE}/events.parquet')"
+    ).fetchall()
+    con.close()
+    from sales_telegram_bot_data_pipeline_spark.operators.round8 import (
+        ENTROPY_BUCKET_NANO,
+    )
+
+    by_user = defaultdict(lambda: defaultdict(int))
+    for u, t in pairs:
+        by_user[u][t] += 1
+    buckets = defaultdict(list)
+    for u, cs in by_user.items():
+        n = sum(cs.values())
+        h_nano = sum(
+            round(-(c / n) * math.log(c / n) * 1e9) for c in cs.values()
+        )
+        buckets[h_nano // ENTROPY_BUCKET_NANO].append(h_nano)
+    rows = {r.entropy_bucket: r for r in
+            q.REGISTRY["behavioral_entropy_profile"].fn(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(buckets)
+    for b, hs in buckets.items():
+        assert rows[b].n_users == len(hs)
+        assert abs(
+            rows[b].mean_entropy_nats - round(sum(hs) / len(hs) / 1e9, 6)
+        ) <= 1e-6
+    # entropy bounded by ln(#types)
+    n_types = len({t for _, t in pairs})
+    assert all(
+        0 <= b * ENTROPY_BUCKET_NANO / 1e9 <= math.log(n_types) + 0.25
+        for b in buckets
+    )
