@@ -124,6 +124,26 @@ SF_BENCH = "/root/testdata/sf0.1"
         "kaplan_meier_repurchase",
         # distributed range-prefix-sum day spine at 10x users
         "hll_cumulative_distinct_audit",
+        # round-8 additions (round-9 rotation candidates enter the net
+        # before any can enter the window); divergence classes:
+        # DECIMAL(38,0) shifted-weight sums at 10x weekly mass
+        "ewma_dyadic_smoothing",
+        # exact-moment double projection at 10x daily mass
+        "seasonal_dow_decomposition",
+        # integer sign comparisons + rank-adjacency flips at 10x days
+        "runs_test_daily_revenue",
+        # micro-unit integer distances + per-pair ratio at 10x pairs
+        "jl_projection_distortion_audit",
+        # distinct-incidence self-join + lift divisions at 10x events
+        "covisitation_item_pairs",
+        # range-rank adjacency over a 10x key sequence
+        "key_gap_audit",
+        # exact-integer MAE sums + MASE ratio at 10x daily mass
+        "naive_forecast_backtest",
+        # TakeOrdered top-word determinism + z-scores at 10x vocabulary
+        "stylometric_burrows_delta",
+        # per-row nano-nat LN quantization at 10x events (the libm class)
+        "behavioral_entropy_profile",
     ],
 )
 def test_floor_quantized_queries_match_at_sf01(spark, name):
