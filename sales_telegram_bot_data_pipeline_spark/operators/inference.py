@@ -269,10 +269,20 @@ def stub_detect(
             recs = pdf.to_dict("records")
             for i in range(0, len(recs), INFER_HTTP_BATCH):
                 chunk = recs[i : i + INFER_HTTP_BATCH]
-                payload = json.dumps(
-                    {"model": model, "include_ocr": include_ocr, "images": chunk},
-                    default=int,  # numpy ints from Arrow
-                ).encode()
+                try:
+                    payload = json.dumps(
+                        {"model": model, "include_ocr": include_ocr, "images": chunk},
+                        default=int,  # numpy ints from Arrow
+                    ).encode()
+                except Exception as e:
+                    # op-45 contract: a non-serializable record dead-letters
+                    # its chunk, it never kills the job (review fix: dumps
+                    # sat outside the guard)
+                    rows.extend(
+                        _dead_letter_row(r.get("image_id"), r.get("shop_name"), e)
+                        for r in chunk
+                    )
+                    continue
                 last_err: BaseException | None = None
                 for attempt in range(INFER_HTTP_RETRIES):
                     try:

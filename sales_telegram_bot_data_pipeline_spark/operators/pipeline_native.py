@@ -184,7 +184,15 @@ def _wide_view(spark: SparkSession, sf_dir: str) -> str:
     relation instead of re-deriving the whole explode+parse pipeline per
     query (3.8 s -> ~0.4 s for shop_valid_files at sf0.1).  Inputs are
     read-only testdata keyed by sf_dir; the cache is session-scoped."""
-    suffix = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")
+    import hashlib
+
+    # key on the FULL path, not the basename (review fix: two datasets
+    # whose dirs share a basename must not reuse each other's cache)
+    suffix = (
+        sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")
+        + "_"
+        + hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    )
     name = f"sales_telegram_bot_data_pipeline_wide_{suffix}"
     try:
         spark.table(name)

@@ -202,7 +202,7 @@ SELECT n AS n_days, n1 AS n_above, (n - n1) AS n_below, r AS n_runs,
                            * (2.0e0 * n1 * (n - n1) - n)
                            / (CAST(n AS DOUBLE) * n * (n - 1))), 0),
              6) AS z_score
-FROM s
+FROM {rel}
 """
 
 
@@ -231,7 +231,7 @@ s AS (
          (SELECT CAST(1 + SUM(flip) AS BIGINT) FROM flips) AS r
   FROM tot t
 )
-{_RUNS_FINAL}
+{_RUNS_FINAL.format(rel="s")}
 """
 
 
@@ -291,7 +291,10 @@ FROM sales_telegram_bot_data_pipeline_runs_o GROUP BY 1
         )
     )
     s.createOrReplaceTempView("sales_telegram_bot_data_pipeline_runs_s")
-    return spark.sql(_RUNS_FINAL.replace("FROM s", "FROM sales_telegram_bot_data_pipeline_runs_s"))
+    # format placeholder, not string surgery on rendered SQL (the CUSUM
+    # advisory class: a .replace("FROM s", ...) would also prefix-rewrite
+    # any future "FROM signs"/"FROM scored")
+    return spark.sql(_RUNS_FINAL.format(rel="sales_telegram_bot_data_pipeline_runs_s"))
 
 
 # --------------------------------------------------------------------------
@@ -374,14 +377,17 @@ err AS (
   JOIN proj pa ON pa.vec_id = c.vec_a
   JOIN proj pb ON pb.vec_id = c.vec_b
 )
-SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
-       ROUND(CAST(SUM(err_u) AS DOUBLE) / COUNT(*) / 1000000, 6)
+SELECT CAST(COUNT(err_u) AS BIGINT) AS n_pairs,
+       -- zero-exact-distance pairs (identical quantized vectors) have no
+       -- defined distortion ratio: they are COUNTED VISIBLY here instead
+       -- of silently diluting the mean (review fix)
+       CAST(COUNT(*) - COUNT(err_u) AS BIGINT) AS n_degenerate,
+       ROUND(CAST(SUM(err_u) AS DOUBLE) / NULLIF(COUNT(err_u), 0) / 1000000, 6)
          AS mean_abs_distortion,
        ROUND(CAST(MAX(err_u) AS DOUBLE) / 1000000, 6) AS max_abs_distortion,
        ROUND(CAST(SUM(CASE WHEN err_u <= 200000 THEN 1 ELSE 0 END) AS DOUBLE)
-             / COUNT(*), 6) AS frac_within_02
+             / NULLIF(COUNT(err_u), 0), 6) AS frac_within_02
 FROM err
-WHERE err_u IS NOT NULL
 """
 
 
@@ -646,21 +652,34 @@ top_words AS (
   ) tw
 ),
 -- relative frequency per (source, word) over the FULL word grid (absent
--- word = 0 frequency); per-word population mean/std over sources
+-- word = 0 frequency), QUANTIZED to pico-unit integers at the row
+-- (review fix: a floating SUM(f*f)/n - AVG(f)^2 sigma suffers
+-- catastrophic cancellation — bit-identical frequencies made the
+-- variance epsilon-NEGATIVE, a hard SQRT range error on DuckDB and NaN
+-- on Spark; with integer moments ns*s2 - s1^2 >= 0 EXACTLY and is zero
+-- exactly when all frequencies tie)
 freq AS (
   SELECT st.source, t.word,
-         CAST(COALESCE(c.c, 0) AS DOUBLE) / st.n_src AS f
+         CAST(ROUND((CAST(COALESCE(c.c, 0) AS DOUBLE) / st.n_src)
+                    * 1000000000000) AS BIGINT) AS fq
   FROM src_tot st
   CROSS JOIN top_words t
   LEFT JOIN counts c ON c.source = st.source AND c.word = t.word
 ),
 wstats AS (
-  SELECT word, COUNT(*) AS ns, AVG(f) AS mu,
-         SQRT(SUM(f * f) / COUNT(*) - AVG(f) * AVG(f)) AS sigma
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS ns,
+         CAST(SUM(fq) AS BIGINT) AS s1,
+         CAST(SUM(CAST(fq AS DECIMAL(19,0)) * fq) AS DECIMAL(38,0)) AS s2
   FROM freq GROUP BY word
 ),
 z AS (
-  SELECT f.source, f.word, (f.f - w.mu) / NULLIF(w.sigma, 0) AS z
+  -- z = (fq - s1/ns) / (sqrt(V)/ns) = (fq*ns - s1) / sqrt(V),
+  -- V = ns*s2 - s1^2: exact integers into one sqrt + one division —
+  -- identical IEEE ops on identical values in both engines
+  SELECT f.source, f.word,
+         CAST(f.fq * w.ns - w.s1 AS DOUBLE)
+           / NULLIF(SQRT(CAST(w.ns * w.s2 - CAST(w.s1 AS DECIMAL(19,0)) * w.s1
+                              AS DOUBLE)), 0) AS z
   FROM freq f JOIN wstats w ON w.word = f.word
 )
 SELECT a.source AS source_a, b.source AS source_b,
@@ -680,11 +699,14 @@ ORDER BY source_a, source_b
     "form the feature set; per-source relative frequencies z-score "
     "against the source population per word; Delta = mean |z_a - z_b|.  "
     "One tokenize pass collapses the corpus to (source, word) counts; "
-    "everything after is bounded by |sources| x TOP_WORDS.  The "
-    "population mean/std divide BOUNDED (|sources|-row) groups, so the "
-    "double arithmetic is aggregation-order-safe; sources with a missing "
-    "top word contribute frequency 0 through the grid LEFT JOIN (the "
-    "detail naive implementations drop).  Style-similarity sibling of "
+    "everything after is bounded by |sources| x TOP_WORDS.  Frequencies "
+    "quantize to pico-unit integers at the row, so the per-word variance "
+    "ns*s2 - s1^2 is EXACT and non-negative (a floating two-pass sigma "
+    "went epsilon-negative on tied frequencies — SQRT range error on "
+    "DuckDB, NaN on Spark); z = (fq*ns - s1)/sqrt(V) is one sqrt + one "
+    "division on exact integers.  Sources with a missing top word "
+    "contribute frequency 0 through the grid LEFT JOIN (the detail "
+    "naive implementations drop).  Style-similarity sibling of "
     "welch_ttest_sources (length) and anova_sources_doclen (variance).",
     tags=("textops", "stats", "stylometry"),
 )

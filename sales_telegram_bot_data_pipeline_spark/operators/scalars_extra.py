@@ -1570,7 +1570,7 @@ ORDER BY s.day
     "only while both land on the same side of the band — a borderline "
     "day or a library bump could flip it on one engine (round-8 "
     "advisory).  The 15% sketch contract is pinned within-engine by "
-    "tests/test_sketches.py over hll_prefix_estimates() instead (same "
+    "tests/test_batch9_ops.py (test_hll_cumulative_audit_exact_curve_and_band) over hll_prefix_estimates() instead (same "
     "never-emit-the-sketch discipline as sketch_cardinality_audit).  "
     "The time-axis sibling of daily_active_cumulative_users' exact "
     "O(days) window.",
@@ -1607,7 +1607,7 @@ def hll_prefix_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable-sketch prefix unions — one fixed-size hll_sketch_agg per day,
     hll_union_agg over the BOUNDED day relation (never re-scanning raw
     events per day).  Engine-specific by nature, so it is exercised and
-    band-checked within-engine by tests/test_sketches.py rather than
+    band-checked within-engine by tests/test_batch9_ops.py (test_hll_cumulative_audit_exact_curve_and_band) rather than
     emitted through the cross-engine oracle gate (round-8 advisory)."""
     ev = load_table(spark, sf_dir, "events").select(
         F.to_date("ts").cast("string").alias("day"), "user_id"

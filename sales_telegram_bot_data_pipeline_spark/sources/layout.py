@@ -249,8 +249,16 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     in tests/test_round6d_ops.py).  saveAsTable targets an explicit
     external path; the in-memory catalog entry is per-session, the files
     are not."""
+    import hashlib
+
     base = _scratch(spark, "bucketed", sf_dir)
-    suffix = os.path.basename(sf_dir.rstrip("/")).replace(".", "_").replace("-", "_")
+    # key the cache on the FULL path, not the basename (review fix: two
+    # datasets whose dirs share a basename must not reuse each other)
+    suffix = (
+        os.path.basename(sf_dir.rstrip("/")).replace(".", "_").replace("-", "_")
+        + "_"
+        + hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    )
     t_orders = f"sales_telegram_bot_data_pipeline_bkt_orders_{suffix}"
     t_lineitem = f"sales_telegram_bot_data_pipeline_bkt_lineitem_{suffix}"
     # The layout investment is ONE-TIME by design — that is the entire

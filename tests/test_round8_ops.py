@@ -132,8 +132,12 @@ def test_jl_distortion_matches_numpy(spark):
     )
     qv = {vid: np.round(v * 1e6).astype(np.int64) for vid, v in vecs.items()}
     errs = []
+    degenerate = 0
     for a, b in pairs:
         exact = int(((qv[a] - qv[b]) ** 2).sum())
+        if exact == 0:  # identical quantized vectors: no defined ratio
+            degenerate += 1
+            continue
         pa, pb = S @ qv[a], S @ qv[b]
         proj = int(((pa - pb) ** 2).sum())
         ratio = proj / (JL_K * exact)
@@ -141,7 +145,9 @@ def test_jl_distortion_matches_numpy(spark):
     rows = q.REGISTRY["jl_projection_distortion_audit"].fn(spark, SF_SMOKE).collect()
     assert len(rows) == 1
     r = rows[0]
-    assert r.n_pairs == len(pairs)
+    assert r.n_pairs == len(errs)
+    assert r.n_degenerate == degenerate
+    assert r.n_pairs + r.n_degenerate == len(pairs)
     assert abs(r.mean_abs_distortion - round(sum(errs) / len(errs) / 1e6, 6)) < 1e-9
     assert abs(r.max_abs_distortion - max(errs) / 1e6) < 1e-9
     assert abs(
@@ -260,14 +266,18 @@ def test_burrows_delta_matches_python(spark):
     ]
     srcs = sorted(counts)
     n_src = {s: sum(counts[s].values()) for s in srcs}
-    freq = {(s, w): counts[s].get(w, 0) / n_src[s] for s in srcs for w in top}
+    # pico-unit quantized frequencies + exact integer moments, matching
+    # the operator (review fix: floating sigma cancellation)
+    fq = {(s, w): round(counts[s].get(w, 0) / n_src[s] * 1e12)
+          for s in srcs for w in top}
     z = {}
     for w in top:
-        fs = [freq[(s, w)] for s in srcs]
-        mu = sum(fs) / len(fs)
-        sigma = math.sqrt(sum(f * f for f in fs) / len(fs) - mu * mu)
+        fs = [fq[(s, w)] for s in srcs]
+        ns, s1, s2 = len(fs), sum(fs), sum(f * f for f in fs)
+        v = ns * s2 - s1 * s1
+        assert v >= 0  # exact integer Cauchy-Schwarz
         for s in srcs:
-            z[(s, w)] = (freq[(s, w)] - mu) / sigma if sigma else None
+            z[(s, w)] = (fq[(s, w)] * ns - s1) / math.sqrt(v) if v else None
     out = {(r.source_a, r.source_b): r.burrows_delta for r in
            q.REGISTRY["stylometric_burrows_delta"].fn(spark, SF_SMOKE).collect()}
     assert set(out) == {(a, b) for a in srcs for b in srcs if a < b}
