@@ -1,4 +1,4 @@
-"""Round-8 registry additions — nine operators the 286-query registry still
+"""Round-8 registry additions — twelve operators the 286-query registry still
 lacked, each a classic warehouse / training-data-pipeline primitive:
 
 - ``ewma_dyadic_smoothing`` — EXACT exponential smoothing (alpha = 1/2) of
@@ -23,6 +23,12 @@ lacked, each a classic warehouse / training-data-pipeline primitive:
   between sources over the top-30 corpus words.
 - ``behavioral_entropy_profile`` — per-user event-type Shannon entropy
   histogram (nano-nat row quantization before summation).
+- ``shapley_channel_attribution`` — exact Shapley-value conversion
+  attribution over the bounded channel catalog (2^n coalition table).
+- ``conformal_coverage_audit`` — split-conformal quantile + held-out
+  coverage gap for the quality classifier (order-statistic selection).
+- ``source_vocab_overlap`` — type-level lexical Jaccard/containment
+  matrix between sources (inverted-index self-join).
 
 All dual-dialect per repo conventions: exact integer/decimal aggregates
 before any cross-partition sum, ROUND(...,6) fractional outputs, global
@@ -775,3 +781,284 @@ GROUP BY 1 ORDER BY entropy_bucket
 def behavioral_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("sales_telegram_bot_data_pipeline_ent_ev")
     return spark.sql(_entropy_sql(SPARK, "sales_telegram_bot_data_pipeline_ent_ev"))
+
+
+# --------------------------------------------------------------------------
+# exact Shapley-value channel attribution (bounded channel catalog)
+# --------------------------------------------------------------------------
+SHAPLEY_CHANNELS = ("click", "error", "signup", "view")  # non-conversion types
+# pinned by tests against the data's actual event_type domain
+
+
+def _shapley_table_rows() -> list[tuple[str, int, int, int]]:
+    """(channel, s_mask, s_with_mask, coef) for every channel i and every
+    coalition S not containing i; coef = |S|! * (n-1-|S|)! so that
+    phi_i = SUM(coef * (v(S+i) - v(S))) / n! — all weights exact integers
+    generated at template-build time."""
+    import math as _m
+
+    n = len(SHAPLEY_CHANNELS)
+    rows = []
+    for i, ch in enumerate(SHAPLEY_CHANNELS):
+        for s in range(1 << n):
+            if s & (1 << i):
+                continue
+            size = bin(s).count("1")
+            coef = _m.factorial(size) * _m.factorial(n - 1 - size)
+            rows.append((ch, s, s | (1 << i), coef))
+    return rows
+
+
+def _shapley_sql(d: Dialect, events: str) -> str:
+    import math as _m
+
+    n = len(SHAPLEY_CHANNELS)
+    bit = " ".join(
+        f"WHEN '{c}' THEN {1 << i}" for i, c in enumerate(SHAPLEY_CHANNELS)
+    )
+    vals = ", ".join(
+        f"('{ch}', {s}, {si}, {coef})" for ch, s, si, coef in _shapley_table_rows()
+    )
+    chan_vals = ", ".join(
+        f"('{c}', {1 << i})" for i, c in enumerate(SHAPLEY_CHANNELS)
+    )
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(DISTINCT CASE event_type {bit} ELSE 0 END) AS INT) AS mask,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM {events} GROUP BY user_id
+),
+coalitions AS (
+  SELECT mask, CAST(COUNT(*) AS BIGINT) AS n_u,
+         CAST(SUM(conv) AS BIGINT) AS n_conv
+  FROM per_user GROUP BY mask
+),
+shap AS (
+  SELECT * FROM (VALUES {vals}) AS t(channel, s_mask, si_mask, coef)
+),
+contrib AS (
+  -- v(S) = conversion rate of users exposed to EXACTLY S; unseen
+  -- coalitions contribute v = 0 (the standard simplified Shapley
+  -- attribution over observed exposure sets)
+  SELECT sh.channel,
+         sh.coef * (COALESCE(CAST(ci.n_conv AS DOUBLE) / ci.n_u, 0)
+                    - COALESCE(CAST(cs.n_conv AS DOUBLE) / cs.n_u, 0)) AS w
+  FROM shap sh
+  LEFT JOIN coalitions ci ON ci.mask = sh.si_mask
+  LEFT JOIN coalitions cs ON cs.mask = sh.s_mask
+),
+exposed AS (
+  -- n_exposed from the BOUNDED coalition relation (<= 2^n rows), not a
+  -- correlated subquery (Spark rejects those inside aggregates) and not
+  -- a per-user rescan
+  SELECT ch.channel,
+         CAST(COALESCE(SUM(CASE WHEN (co.mask & ch.bit) <> 0
+                                THEN co.n_u END), 0) AS BIGINT) AS n_exposed
+  FROM (VALUES {chan_vals}) AS ch(channel, bit)
+  CROSS JOIN coalitions co
+  GROUP BY ch.channel
+)
+SELECT c.channel, e.n_exposed,
+       ROUND(SUM(c.w) / {_m.factorial(n)}, 6) AS shapley_credit
+FROM contrib c
+JOIN exposed e ON e.channel = c.channel
+GROUP BY c.channel, e.n_exposed
+ORDER BY c.channel
+"""
+
+
+@register(
+    "shapley_channel_attribution",
+    oracle=_shapley_sql(DUCKDB, "events"),
+    doc="EXACT Shapley-value conversion attribution over the bounded "
+    f"channel catalog {SHAPLEY_CHANNELS}: each user collapses to an "
+    "exposure BITMASK + converted flag (one groupBy), coalitions to "
+    "(mask, users, conversions) — at most 2^|channels| rows — and the "
+    "Shapley sum runs over a PYTHON-GENERATED literal (channel, S, S+i, "
+    "|S|!(n-1-|S|)!) table joined to the coalition rates; unseen "
+    "coalitions contribute v=0 (the standard simplified attribution "
+    "game).  Credits satisfy the efficiency axiom "
+    "sum_i phi_i = v(full) - v(empty) (test-pinned).  The "
+    "order-insensitive game-theoretic sibling of "
+    "multitouch_attribution_credit's position rules; everything after "
+    "the per-user groupBy is O(2^n) bounded.",
+    tags=("analytics", "attribution", "agg"),
+)
+def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("sales_telegram_bot_data_pipeline_shp_ev")
+    return spark.sql(_shapley_sql(SPARK, "sales_telegram_bot_data_pipeline_shp_ev"))
+
+
+# --------------------------------------------------------------------------
+# split-conformal coverage audit for the quality classifier
+# --------------------------------------------------------------------------
+CONFORMAL_ALPHA_PCT = 10  # target 90% coverage
+
+
+def _conformal_scored_sql(d: Dialect, table: str) -> str:
+    from .lm_quality import _logreg_sql
+
+    scored = _logreg_sql(d, table)
+    cal = f"{d.md5_prefix_int(d.strcast('doc_id'))} % 2 = 0"
+    return f"""
+SELECT doc_id,
+       CAST(ROUND((CASE WHEN lang = 'en' THEN 1.0e0 - quality_prob
+                        ELSE quality_prob END) * 1000000) AS BIGINT) AS s_u,
+       ({cal}) AS is_cal
+FROM ({scored}) q
+"""
+
+
+def _conformal_final_sql() -> str:
+    a = CONFORMAL_ALPHA_PCT
+    # one-row qh CROSS JOINed through a single pass over the scored
+    # relation (Spark rejects scalar subqueries inside aggregates)
+    return f"""
+SELECT agg.n_cal, agg.n_eval,
+       CAST({a} AS DOUBLE) / 100 AS alpha,
+       ROUND(CAST(q.q_u AS DOUBLE) / 1000000, 6) AS q_hat,
+       ROUND(CAST(agg.n_cov AS DOUBLE) / NULLIF(agg.n_eval, 0), 6) AS coverage,
+       ROUND(CAST(agg.n_cov AS DOUBLE) / NULLIF(agg.n_eval, 0)
+             - (1.0e0 - CAST({a} AS DOUBLE) / 100), 6) AS coverage_gap
+FROM (
+  SELECT CAST(SUM(CASE WHEN is_cal THEN 1 ELSE 0 END) AS BIGINT) AS n_cal,
+         CAST(SUM(CASE WHEN NOT is_cal THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+         CAST(SUM(CASE WHEN NOT is_cal AND s_u <= q0.q_u
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_cov
+  FROM {{sc}} CROSS JOIN {{qh}} q0
+) agg CROSS JOIN {{qh}} q
+"""
+
+
+def _conformal_oracle() -> str:
+    d = DUCKDB
+    a = CONFORMAL_ALPHA_PCT
+    scored = _conformal_scored_sql(d, "documents")
+    return f"""
+WITH sc AS ({scored}),
+calg AS (SELECT s_u, COUNT(*) AS c FROM sc WHERE is_cal GROUP BY s_u),
+calr AS (
+  SELECT s_u, SUM(c) OVER (ORDER BY s_u
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM calg
+),
+kk AS (
+  SELECT LEAST(CAST(CEIL((COUNT(*) + 1) * (1.0e0 - {a} / 100.0e0)) AS BIGINT),
+               COUNT(*)) AS k
+  FROM sc WHERE is_cal
+),
+qh AS (SELECT MIN(s_u) AS q_u FROM calr CROSS JOIN kk WHERE cum >= kk.k)
+{_conformal_final_sql().format(sc="sc", qh="qh")}
+"""
+
+
+@register(
+    "conformal_coverage_audit",
+    oracle=_conformal_oracle(),
+    doc="Split-conformal prediction audit of the quality classifier: "
+    "nonconformity s = 1 - p(true class) quantized to micro-units, a "
+    "seed-free md5 half-split into calibration/eval, the conformal "
+    "quantile q_hat = the ceil((n+1)(1-alpha))-th smallest calibration "
+    "score (an ORDER STATISTIC, selected via grouped counts + prefix "
+    "sums — the distributed range-prefix-sum primitive on the Spark "
+    "side, never a global sort), and the EMPIRICAL coverage of "
+    "{s <= q_hat} on the held-out half, whose gap to 1-alpha is the "
+    "audit's deliverable (split-conformal guarantees coverage >= "
+    "1-alpha in expectation over splits).  Everything is exact-integer "
+    "selection plus one final division.  The distribution-free "
+    "uncertainty sibling of quality_score_calibration (binned "
+    "reliability) and roc_auc_quality_score (ranking).",
+    tags=("evaluation", "stats", "distributed-rank"),
+)
+def conformal_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .curation import _doc_view
+    from .scalars_extra import range_prefix_summed
+
+    view = _doc_view(spark, sf_dir, "sales_telegram_bot_data_pipeline_conf_docs")
+    sc = spark.sql(_conformal_scored_sql(SPARK, view)).localCheckpoint(eager=False)
+    sc.createOrReplaceTempView("sales_telegram_bot_data_pipeline_conf_sc")
+    calg = (
+        sc.where("is_cal").groupBy("s_u").agg(F.count(F.lit(1)).alias("c"))
+    )
+    summed, n_cal = range_prefix_summed(spark, calg, ["s_u"], "c")
+    if summed is None:
+        return spark.createDataFrame(
+            [],
+            "n_cal bigint, n_eval bigint, alpha double, q_hat double, "
+            "coverage double, coverage_gap double",
+        )
+    import math as _m
+
+    k = min(_m.ceil((n_cal + 1) * (1 - CONFORMAL_ALPHA_PCT / 100)), n_cal)
+    qh = summed.where(
+        (F.col("cum_before") + F.col("c")) >= k
+    ).agg(F.min("s_u").alias("q_u"))
+    qh.createOrReplaceTempView("sales_telegram_bot_data_pipeline_conf_qh")
+    return spark.sql(
+        _conformal_final_sql().format(
+            sc="sales_telegram_bot_data_pipeline_conf_sc", qh="sales_telegram_bot_data_pipeline_conf_qh"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# source vocabulary overlap (lexical type-level Jaccard matrix)
+# --------------------------------------------------------------------------
+def _vocab_overlap_sql(d: Dialect, table: str) -> str:
+    w = d.splitws("lower(text)")
+    h = d.fast_hash("word")  # join/count key only: engine-native hash OK
+    if d.name == "spark":
+        occ = (
+            f"SELECT DISTINCT source, {h} AS wk FROM "
+            f"(SELECT source, {w} AS ws FROM {table}) s "
+            f"LATERAL VIEW explode(ws) t AS word"
+        )
+    else:
+        occ = (
+            f"SELECT DISTINCT source, {h} AS wk FROM "
+            f"(SELECT source, unnest(ws) AS word FROM "
+            f"(SELECT source, {w} AS ws FROM {table}) s0) s"
+        )
+    return f"""
+WITH sv AS ({occ}),
+n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types FROM sv GROUP BY source),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM sv a JOIN sv b ON a.wk = b.wk AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT p.source_a, p.source_b, p.n_shared,
+       na.n_types AS n_types_a, nb.n_types AS n_types_b,
+       ROUND(CAST(p.n_shared AS DOUBLE)
+             / (na.n_types + nb.n_types - p.n_shared), 6) AS vocab_jaccard,
+       ROUND(CAST(p.n_shared AS DOUBLE)
+             / LEAST(na.n_types, nb.n_types), 6) AS containment
+FROM pairs p
+JOIN n na ON na.source = p.source_a
+JOIN n nb ON nb.source = p.source_b
+ORDER BY source_a, source_b
+"""
+
+
+@register(
+    "source_vocab_overlap",
+    oracle=_vocab_overlap_sql(DUCKDB, "documents"),
+    doc="Lexical type-level overlap matrix between sources: distinct "
+    "(source, word-hash) incidence, per-word inverted self-join "
+    "(fan-out bounded by sources-per-word <= |sources|), Jaccard + "
+    "containment per source pair.  Word keys are the engine-native "
+    "64-bit hash — join/count keys only, values never emitted, so both "
+    "engines agree on every pair count even though hash VALUES differ "
+    "(the dedup-module convention).  The WHAT-overlap complement of "
+    "stylometric_burrows_delta's HOW-similar frequency profile; the "
+    "acquisition-dedup signal beside vocab_novelty_by_source's "
+    "diminishing-returns curve.",
+    tags=("textops", "dedup", "self-join"),
+)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .curation import _doc_view
+
+    view = _doc_view(spark, sf_dir, "sales_telegram_bot_data_pipeline_svo_docs")
+    return spark.sql(_vocab_overlap_sql(SPARK, view))

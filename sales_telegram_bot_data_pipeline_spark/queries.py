@@ -224,7 +224,9 @@ except ImportError:  # pragma: no cover
 # ewma_dyadic_smoothing, seasonal_dow_decomposition,
 # runs_test_daily_revenue, jl_projection_distortion_audit,
 # covisitation_item_pairs, key_gap_audit, naive_forecast_backtest,
-# stylometric_burrows_delta, behavioral_entropy_profile.
+# stylometric_burrows_delta, behavioral_entropy_profile,
+# shapley_channel_attribution, conformal_coverage_audit,
+# source_vocab_overlap.
 # --------------------------------------------------------------------------
 _DRIVER_WINDOW = [
     # core relational / TPC-H (q3 parked round 7; q1/q5 keep the family)

@@ -322,3 +322,121 @@ def test_behavioral_entropy_matches_python(spark):
         0 <= b * ENTROPY_BUCKET_NANO / 1e9 <= math.log(n_types) + 0.25
         for b in buckets
     )
+
+
+def test_shapley_attribution_matches_python_and_efficiency(spark):
+    import itertools
+
+    from sales_telegram_bot_data_pipeline_spark.operators.round8 import SHAPLEY_CHANNELS
+
+    con = duckdb.connect()
+    pairs = con.sql(
+        f"SELECT user_id, event_type FROM read_parquet('{SF_SMOKE}/events.parquet')"
+    ).fetchall()
+    con.close()
+    # the hard-coded channel catalog must be exactly the non-conversion
+    # event types present in the data
+    types = {t for _, t in pairs}
+    assert types == set(SHAPLEY_CHANNELS) | {"purchase"}
+
+    by_user = defaultdict(set)
+    conv = defaultdict(int)
+    for u, t in pairs:
+        if t == "purchase":
+            conv[u] = 1
+            by_user.setdefault(u, set())
+        else:
+            by_user[u].add(t)
+    bit = {c: 1 << i for i, c in enumerate(SHAPLEY_CHANNELS)}
+    coal = defaultdict(lambda: [0, 0])
+    for u, items in by_user.items():
+        m = sum(bit[c] for c in items)
+        coal[m][0] += 1
+        coal[m][1] += conv.get(u, 0)
+
+    def v(mask):
+        if mask not in coal:
+            return 0.0
+        n_u, n_c = coal[mask]
+        return n_c / n_u
+
+    n = len(SHAPLEY_CHANNELS)
+    expect = {}
+    for i, ch in enumerate(SHAPLEY_CHANNELS):
+        total = 0.0
+        for size in range(n):
+            for s in itertools.combinations(
+                [j for j in range(n) if j != i], size
+            ):
+                m = sum(1 << j for j in s)
+                total += (
+                    math.factorial(size) * math.factorial(n - 1 - size)
+                ) * (v(m | (1 << i)) - v(m))
+        expect[ch] = total / math.factorial(n)
+    rows = {r.channel: r for r in
+            q.REGISTRY["shapley_channel_attribution"].fn(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(SHAPLEY_CHANNELS)
+    for ch in SHAPLEY_CHANNELS:
+        assert abs(rows[ch].shapley_credit - round(expect[ch], 6)) <= 1e-6
+        n_exp = sum(
+            coal[m][0] for m in coal if m & bit[ch]
+        )
+        assert rows[ch].n_exposed == n_exp
+    # efficiency axiom: credits sum to v(full) - v(empty)
+    full = sum(bit.values())
+    lhs = sum(r.shapley_credit for r in rows.values())
+    assert abs(lhs - (v(full) - v(0))) <= 5e-6
+
+
+def test_conformal_selection_and_coverage_match_python(spark):
+    """Independent re-derivation of the SELECTION + COVERAGE logic (the
+    logreg score itself is pinned by the quality-suite golden tests):
+    collect the scored relation, pick the ceil((n+1)(1-alpha))-th
+    smallest calibration score in Python, recompute coverage."""
+    from sales_telegram_bot_data_pipeline_spark.functions.dialect import SPARK as SP
+    from sales_telegram_bot_data_pipeline_spark.operators.curation import _doc_view
+    from sales_telegram_bot_data_pipeline_spark.operators.round8 import (
+        CONFORMAL_ALPHA_PCT,
+        _conformal_scored_sql,
+    )
+
+    view = _doc_view(spark, SF_SMOKE, "sales_telegram_bot_data_pipeline_conf_test_docs")
+    scored = spark.sql(_conformal_scored_sql(SP, view)).collect()
+    cal = sorted(r.s_u for r in scored if r.is_cal)
+    ev = [r.s_u for r in scored if not r.is_cal]
+    k = min(math.ceil((len(cal) + 1) * (1 - CONFORMAL_ALPHA_PCT / 100)), len(cal))
+    q_u = cal[k - 1]
+    coverage = sum(1 for s in ev if s <= q_u) / len(ev)
+    rows = q.REGISTRY["conformal_coverage_audit"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_cal, r.n_eval) == (len(cal), len(ev))
+    assert abs(r.q_hat - round(q_u / 1e6, 6)) <= 1e-6
+    assert abs(r.coverage - round(coverage, 6)) <= 1e-6
+    assert abs(r.coverage_gap - round(coverage - 0.9, 6)) <= 1e-6
+    # split-conformal sanity: coverage should land near 1 - alpha
+    assert 0.75 <= r.coverage <= 1.0
+
+
+def test_source_vocab_overlap_matches_python(spark):
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT source, lower(text) FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    vocab = defaultdict(set)
+    for src, text in docs:
+        vocab[src].update(text.split())
+    srcs = sorted(vocab)
+    out = {(r.source_a, r.source_b): r for r in
+           q.REGISTRY["source_vocab_overlap"].fn(spark, SF_SMOKE).collect()}
+    assert set(out) == {(a, b) for a in srcs for b in srcs if a < b}
+    for (a, b), r in out.items():
+        inter = len(vocab[a] & vocab[b])
+        assert (r.n_shared, r.n_types_a, r.n_types_b) == (
+            inter, len(vocab[a]), len(vocab[b])
+        )
+        assert abs(r.vocab_jaccard
+                   - round(inter / len(vocab[a] | vocab[b]), 6)) <= 1e-6
+        assert abs(r.containment
+                   - round(inter / min(len(vocab[a]), len(vocab[b])), 6)) <= 1e-6
