@@ -144,6 +144,14 @@ SF_BENCH = "/root/testdata/sf0.1"
         "stylometric_burrows_delta",
         # per-row nano-nat LN quantization at 10x events (the libm class)
         "behavioral_entropy_profile",
+        # bounded-coalition rate doubles + literal Shapley weights at 10x
+        # users (coalition masks shift composition with scale)
+        "shapley_channel_attribution",
+        # order-statistic selection boundary + libm EXP (sigmoid scores)
+        # at 10x calibration mass
+        "conformal_coverage_audit",
+        # inverted-index self-join counts at 10x vocabulary
+        "source_vocab_overlap",
     ],
 )
 def test_floor_quantized_queries_match_at_sf01(spark, name):
