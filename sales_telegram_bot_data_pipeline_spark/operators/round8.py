@@ -1,4 +1,4 @@
-"""Round-8 registry additions — twelve operators the 286-query registry still
+"""Round-8 registry additions — fourteen operators the 286-query registry still
 lacked, each a classic warehouse / training-data-pipeline primitive:
 
 - ``ewma_dyadic_smoothing`` — EXACT exponential smoothing (alpha = 1/2) of
@@ -29,6 +29,10 @@ lacked, each a classic warehouse / training-data-pipeline primitive:
   coverage gap for the quality classifier (order-statistic selection).
 - ``source_vocab_overlap`` — type-level lexical Jaccard/containment
   matrix between sources (inverted-index self-join).
+- ``brier_score_decomposition`` — Brier score with the generalized
+  Murphy decomposition (within-bin terms emitted, identity pinned).
+- ``kendall_tau_b`` — tie-corrected Kendall rank correlation from a
+  bounded contingency grid (cell-pair mass, never row pairs).
 
 All dual-dialect per repo conventions: exact integer/decimal aggregates
 before any cross-partition sum, ROUND(...,6) fractional outputs, global
@@ -1062,3 +1066,143 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     view = _doc_view(spark, sf_dir, "sales_telegram_bot_data_pipeline_svo_docs")
     return spark.sql(_vocab_overlap_sql(SPARK, view))
+
+
+# --------------------------------------------------------------------------
+# Brier score with the (generalized) Murphy decomposition
+# --------------------------------------------------------------------------
+def _brier_sql(d: Dialect, table: str) -> str:
+    from .lm_quality import _logreg_sql
+
+    scored = _logreg_sql(d, table)
+    return f"""
+WITH sc AS (
+  SELECT CAST(ROUND(quality_prob * 1000000) AS BIGINT) AS pu,
+         CAST(CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS BIGINT) AS yu,
+         CAST(LEAST({d.idiv("CAST(ROUND(quality_prob * 1000000) AS BIGINT)", "100000")},
+                    9) AS INT) AS bin
+  FROM ({scored}) q
+),
+per_bin AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_k,
+         CAST(SUM(pu) AS BIGINT) AS sp,
+         CAST(SUM(yu) AS BIGINT) AS sy,
+         CAST(SUM(CAST(pu AS DECIMAL(19,0)) * pu) AS DECIMAL(38,0)) AS spp,
+         CAST(SUM(CAST(pu AS DECIMAL(19,0)) * yu) AS DECIMAL(38,0)) AS spy,
+         CAST(SUM(CAST((pu - yu) AS DECIMAL(19,0)) * (pu - yu)) AS DECIMAL(38,0)) AS sq
+  FROM sc GROUP BY bin
+),
+tot AS (
+  SELECT CAST(SUM(n_k) AS BIGINT) AS n, CAST(SUM(sy) AS BIGINT) AS syt,
+         CAST(SUM(sq) AS DECIMAL(38,0)) AS sqt
+  FROM per_bin
+)
+SELECT t.n AS n_docs,
+       ROUND(CAST(t.sqt AS DOUBLE) / t.n / 1e12, 6) AS brier,
+       -- Murphy terms over the EXACT per-bin integer moments; the
+       -- generalized identity brier = rel - res + unc + wbv - 2*wcov is
+       -- test-pinned (the classic 3-term identity holds only for the
+       -- binned forecast pbar_k; raw p adds the within-bin terms)
+       ROUND(SUM(n_k * (CAST(sp AS DOUBLE) / n_k / 1e6
+                        - CAST(sy AS DOUBLE) / n_k / 1e6)
+                     * (CAST(sp AS DOUBLE) / n_k / 1e6
+                        - CAST(sy AS DOUBLE) / n_k / 1e6)) / MAX(t.n), 6)
+         AS reliability,
+       ROUND(SUM(n_k * (CAST(sy AS DOUBLE) / n_k / 1e6
+                        - CAST(t.syt AS DOUBLE) / t.n / 1e6)
+                     * (CAST(sy AS DOUBLE) / n_k / 1e6
+                        - CAST(t.syt AS DOUBLE) / t.n / 1e6)) / MAX(t.n), 6)
+         AS resolution,
+       ROUND((CAST(t.syt AS DOUBLE) / t.n / 1e6)
+             * (1.0e0 - CAST(t.syt AS DOUBLE) / t.n / 1e6), 6) AS uncertainty,
+       ROUND(SUM(CAST(spp AS DOUBLE) / 1e12
+                 - (CAST(sp AS DOUBLE) / 1e6) * (CAST(sp AS DOUBLE) / 1e6) / n_k)
+             / MAX(t.n), 6) AS within_bin_var,
+       ROUND(SUM(CAST(spy AS DOUBLE) / 1e12
+                 - (CAST(sp AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6) / n_k)
+             / MAX(t.n), 6) AS within_bin_cov
+FROM per_bin CROSS JOIN tot t
+GROUP BY t.n, t.syt, t.sqt
+"""
+
+
+@register(
+    "brier_score_decomposition",
+    oracle=_brier_sql(DUCKDB, "documents"),
+    doc="Brier score of the quality classifier against the lang='en' "
+    "label with the GENERALIZED Murphy decomposition: reliability "
+    "(calibration badness), resolution (discrimination), uncertainty "
+    "(label base rate), plus the within-bin variance and covariance "
+    "terms that make the identity brier = rel - res + unc + wbv - "
+    "2*wcov EXACT for raw (unbinned) forecasts (the textbook 3-term "
+    "identity only holds for the binned forecast; most implementations "
+    "silently drop the residual — here it is emitted and test-pinned).  "
+    "Probabilities and labels quantize to micro-units; every sum is an "
+    "exact BIGINT/DECIMAL per decile bin, and only the bounded 10-row "
+    "final projection is floating.  Completes the forecast-quality "
+    "triangle beside quality_score_calibration (table) and "
+    "roc_auc_quality_score (ranking).",
+    tags=("evaluation", "stats", "calibration"),
+)
+def brier_score_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .curation import _doc_view
+
+    view = _doc_view(spark, sf_dir, "sales_telegram_bot_data_pipeline_brier_docs")
+    return spark.sql(_brier_sql(SPARK, view))
+
+
+# --------------------------------------------------------------------------
+# Kendall tau-b over a bounded contingency grid
+# --------------------------------------------------------------------------
+def _kendall_sql(d: Dialect, lineitem: str) -> str:
+    return f"""
+WITH cells AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(ROUND(CAST(l_discount AS DOUBLE) * 100) AS BIGINT) AS y,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM {lineitem} GROUP BY 1, 2
+),
+pairs AS (
+  -- concordant/discordant mass from the BOUNDED cell grid (|qty| x
+  -- |discount| cells, here 50 x 11): never a row-level pair join
+  SELECT CAST(SUM(CASE WHEN b.y > a.y THEN a.c * b.c ELSE 0 END) AS DECIMAL(38,0)) AS p_conc,
+         CAST(SUM(CASE WHEN b.y < a.y THEN a.c * b.c ELSE 0 END) AS DECIMAL(38,0)) AS q_disc
+  FROM cells a JOIN cells b ON b.x > a.x
+),
+margx AS (
+  SELECT CAST(SUM(CAST(tx AS DECIMAL(19,0)) * (tx - 1)) AS DECIMAL(38,0)) / 2 AS t1
+  FROM (SELECT x, SUM(c) AS tx FROM cells GROUP BY x) mx
+),
+margy AS (
+  SELECT CAST(SUM(CAST(ty AS DECIMAL(19,0)) * (ty - 1)) AS DECIMAL(38,0)) / 2 AS t2
+  FROM (SELECT y, SUM(c) AS ty FROM cells GROUP BY y) my
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells)
+SELECT t.n AS n_rows, p.p_conc AS n_concordant, p.q_disc AS n_discordant,
+       ROUND(CAST(p.p_conc - p.q_disc AS DOUBLE)
+             / NULLIF(SQRT((CAST(t.n AS DOUBLE) * (t.n - 1) / 2 - CAST(mx.t1 AS DOUBLE))
+                           * (CAST(t.n AS DOUBLE) * (t.n - 1) / 2 - CAST(my.t2 AS DOUBLE))), 0),
+             6) AS kendall_tau_b
+FROM pairs p CROSS JOIN tot t CROSS JOIN margx mx CROSS JOIN margy my
+"""
+
+
+@register(
+    "kendall_tau_b",
+    oracle=_kendall_sql(DUCKDB, "lineitem"),
+    doc="Kendall tau-b rank correlation (tie-corrected) of l_quantity vs "
+    "l_discount, computed from the BOUNDED contingency grid: the corpus "
+    "collapses to |qty| x |discount| cells in one map-combinable "
+    "groupBy, concordant/discordant pair mass comes from a cell-grid "
+    "self-join (550^2 comparisons regardless of row count — the O(n log "
+    "n) inversion-count problem disappears when the value domains are "
+    "small), and the tie corrections come from the marginals.  All "
+    "counts exact DECIMAL(38,0) (pair mass ~ n^2/2 ~ 1e23 at 1e11 "
+    "rows); one sqrt at the end.  The concordance sibling of "
+    "spearman_rank_correlation (which ranks the near-continuous price "
+    "axis instead).",
+    tags=("analytics", "stats", "agg"),
+)
+def kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("sales_telegram_bot_data_pipeline_kt_li")
+    return spark.sql(_kendall_sql(SPARK, "sales_telegram_bot_data_pipeline_kt_li"))

@@ -226,7 +226,7 @@ except ImportError:  # pragma: no cover
 # covisitation_item_pairs, key_gap_audit, naive_forecast_backtest,
 # stylometric_burrows_delta, behavioral_entropy_profile,
 # shapley_channel_attribution, conformal_coverage_audit,
-# source_vocab_overlap.
+# source_vocab_overlap, brier_score_decomposition, kendall_tau_b.
 # --------------------------------------------------------------------------
 _DRIVER_WINDOW = [
     # core relational / TPC-H (q3 parked round 7; q1/q5 keep the family)

@@ -440,3 +440,99 @@ def test_source_vocab_overlap_matches_python(spark):
                    - round(inter / len(vocab[a] | vocab[b]), 6)) <= 1e-6
         assert abs(r.containment
                    - round(inter / min(len(vocab[a]), len(vocab[b])), 6)) <= 1e-6
+
+
+def test_brier_decomposition_identity_and_python(spark):
+    """The generalized Murphy identity brier = rel - res + unc + wbv -
+    2*wcov must hold EXACTLY (within rounding), and every term matches a
+    pure-Python recomputation from the Spark-scored relation (the logreg
+    score itself is pinned by the quality-suite golden tests)."""
+    from sales_telegram_bot_data_pipeline_spark.functions.dialect import SPARK as SP
+    from sales_telegram_bot_data_pipeline_spark.operators.curation import _doc_view
+    from sales_telegram_bot_data_pipeline_spark.operators.lm_quality import _logreg_sql
+
+    view = _doc_view(spark, SF_SMOKE, "sales_telegram_bot_data_pipeline_brier_test_docs")
+    scored = spark.sql(_logreg_sql(SP, view)).select("quality_prob", "lang").collect()
+    pu = [round(r.quality_prob * 1e6) for r in scored]
+    yu = [1_000_000 if r.lang == "en" else 0 for r in scored]
+    n = len(pu)
+    bins = defaultdict(list)
+    for p, y in zip(pu, yu):
+        bins[min(p // 100_000, 9)].append((p, y))
+    brier = sum((p - y) ** 2 for p, y in zip(pu, yu)) / n / 1e12
+    ybar = sum(yu) / n / 1e6
+    rel = sum(
+        len(v) * ((sum(p for p, _ in v) / len(v) / 1e6)
+                  - (sum(y for _, y in v) / len(v) / 1e6)) ** 2
+        for v in bins.values()
+    ) / n
+    res = sum(
+        len(v) * ((sum(y for _, y in v) / len(v) / 1e6) - ybar) ** 2
+        for v in bins.values()
+    ) / n
+    unc = ybar * (1 - ybar)
+    wbv = sum(
+        sum(p * p for p, _ in v) / 1e12
+        - (sum(p for p, _ in v) / 1e6) ** 2 / len(v)
+        for v in bins.values()
+    ) / n
+    wcov = sum(
+        sum(p * y for p, y in v) / 1e12
+        - (sum(p for p, _ in v) / 1e6) * (sum(y for _, y in v) / 1e6) / len(v)
+        for v in bins.values()
+    ) / n
+    rows = q.REGISTRY["brier_score_decomposition"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_docs == n
+    for got, want in [
+        (r.brier, brier), (r.reliability, rel), (r.resolution, res),
+        (r.uncertainty, unc), (r.within_bin_var, wbv), (r.within_bin_cov, wcov),
+    ]:
+        assert abs(got - round(want, 6)) <= 1e-6
+    # the generalized identity, on the UNROUNDED python terms
+    assert abs(brier - (rel - res + unc + wbv - 2 * wcov)) <= 1e-9
+    # and on the emitted rounded terms, within rounding slack
+    assert abs(
+        r.brier - (r.reliability - r.resolution + r.uncertainty
+                   + r.within_bin_var - 2 * r.within_bin_cov)
+    ) <= 5e-6
+
+
+def test_kendall_tau_b_matches_bruteforce(spark):
+    con = duckdb.connect()
+    rows_in = con.sql(
+        f"SELECT CAST(l_quantity AS BIGINT), "
+        f"CAST(ROUND(l_discount * 100) AS BIGINT) "
+        f"FROM read_parquet('{SF_SMOKE}/lineitem.parquet')"
+    ).fetchall()
+    con.close()
+    cells = defaultdict(int)
+    for x, y in rows_in:
+        cells[(x, y)] += 1
+    items = list(cells.items())
+    P = Q = 0
+    for i, ((x1, y1), c1) in enumerate(items):
+        for (x2, y2), c2 in items[i + 1:]:
+            if x1 == x2 or y1 == y2:
+                continue
+            if (x2 - x1) * (y2 - y1) > 0:
+                P += c1 * c2
+            else:
+                Q += c1 * c2
+    n = len(rows_in)
+    tx = defaultdict(int)
+    ty = defaultdict(int)
+    for x, y in rows_in:
+        tx[x] += 1
+        ty[y] += 1
+    n0 = n * (n - 1) // 2
+    t1 = sum(t * (t - 1) // 2 for t in tx.values())
+    t2 = sum(t * (t - 1) // 2 for t in ty.values())
+    tau = (P - Q) / math.sqrt((n0 - t1) * (n0 - t2))
+    rows = q.REGISTRY["kendall_tau_b"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_rows, int(r.n_concordant), int(r.n_discordant)) == (n, P, Q)
+    assert abs(r.kendall_tau_b - round(tau, 6)) <= 1e-6
+    assert -1 <= r.kendall_tau_b <= 1

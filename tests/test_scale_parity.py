@@ -152,6 +152,11 @@ SF_BENCH = "/root/testdata/sf0.1"
         "conformal_coverage_audit",
         # inverted-index self-join counts at 10x vocabulary
         "source_vocab_overlap",
+        # exact per-bin micro-unit moments -> bounded double projection
+        # at 10x docs (libm EXP in the sigmoid scores)
+        "brier_score_decomposition",
+        # DECIMAL(38,0) pair mass + tie corrections at 10x rows
+        "kendall_tau_b",
     ],
 )
 def test_floor_quantized_queries_match_at_sf01(spark, name):
