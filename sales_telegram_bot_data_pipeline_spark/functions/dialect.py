@@ -183,3 +183,28 @@ class Dialect:
 
 SPARK = Dialect("spark")
 DUCKDB = Dialect("duckdb")
+
+
+def strip_order_by(sql: str) -> str:
+    """Remove the final presentation ``ORDER BY`` clause from a rendered
+    SQL template, for callers that materialize the relation as an
+    INTERMEDIATE (truth sets, candidate feeds) where a global sort
+    shuffle buys nothing.
+
+    Unlike the former ``sql.replace("ORDER BY ...", "")`` string surgery
+    (ADVICE r8: a formatting drift makes the replace silently no-op into
+    a perf-only regression), this FAILS LOUDLY when no trailing ORDER BY
+    is present, so template drift surfaces as an error at query-build
+    time instead of a hidden extra shuffle.  Only a TRAILING clause is
+    stripped — ORDER BYs inside window specs or subqueries are never
+    touched.
+    """
+    import re
+
+    out, n = re.subn(r"ORDER BY [^)]*?\s*$", "", sql.rstrip())
+    if n != 1:
+        raise ValueError(
+            "strip_order_by: no trailing ORDER BY clause found — the "
+            "template this caller expected to de-sort has drifted"
+        )
+    return out

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.dialect import DUCKDB, SPARK, Dialect
+from ..functions.dialect import DUCKDB, SPARK, Dialect, strip_order_by
 from ..registry import register
 from ..sources.tables import load_table
 from .dedup import _shingles_sql
@@ -462,7 +462,7 @@ def _curation_pipeline_tail_sql(d: Dialect, table: str, rep_rel: str) -> str:
     canonical-only keep -> hash-routed split stats.  ``rep_rel`` supplies
     the canonical doc_ids (Spark: the iterative connected-components
     labels, materialized; DuckDB: the recursive-CTE closure)."""
-    q = _repetition_sql(d, table).replace("ORDER BY w.doc_id", "")
+    q = strip_order_by(_repetition_sql(d, table))
     h = d.md5_prefix_int(d.strcast("doc_id"))
     return f"""
 WITH rep AS ({rep_rel}),
@@ -492,7 +492,7 @@ FROM routed GROUP BY split_name ORDER BY split_name
 def _curation_pipeline_oracle_sql(d: Dialect, table: str) -> str:
     from .dedup import _cc_oracle_sql
 
-    cc = _cc_oracle_sql(d, table).replace("ORDER BY doc_id", "")
+    cc = strip_order_by(_cc_oracle_sql(d, table))
     rep = f"SELECT doc_id FROM ({cc}) c WHERE doc_id = cluster_rep"
     return _curation_pipeline_tail_sql(d, table, rep)
 
@@ -1356,7 +1356,7 @@ def _split_leakage_sql(d: Dialect, table: str, pairs_rel: str | None = None) -> 
     pair table on the Spark side (same discipline as pagerank/LPA)."""
     from .dedup import _lsh_pairs_sql
 
-    pairs = pairs_rel or _lsh_pairs_sql(d, table).replace("ORDER BY doc_a, doc_b", "")
+    pairs = pairs_rel or strip_order_by(_lsh_pairs_sql(d, table))
     h = d.md5_prefix_int(d.strcast("doc_id"))
     return f"""
 WITH pairs AS ({pairs}),
@@ -1397,7 +1397,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     view = _doc_view(spark, sf_dir)
     spark.sql(
-        _lsh_pairs_sql(SPARK, view).replace("ORDER BY doc_a, doc_b", "")
+        strip_order_by(_lsh_pairs_sql(SPARK, view))
     ).localCheckpoint().createOrReplaceTempView("sales_telegram_bot_data_pipeline_leak_pairs")
     return spark.sql(
         _split_leakage_sql(
@@ -1435,7 +1435,7 @@ def _curation_v2_sql(d: Dialect, table: str, reps_rel: str | None = None) -> str
         f"(SELECT * FROM {table} WHERE {richness} >= {V2_MIN_DISTINCT_WORDS}) gated_docs"
     )
     if reps_rel is None:
-        cc = _cc_oracle_sql(d, gated).replace("ORDER BY doc_id", "")
+        cc = strip_order_by(_cc_oracle_sql(d, gated))
         reps_rel = f"""
 SELECT doc_id, cluster_size FROM (
   SELECT cc.doc_id, cc.cluster_rep,
@@ -1637,8 +1637,8 @@ def _leakage_safe_split_sql(
     Spark side's materialized labels / pair relations."""
     from .dedup import _cc_oracle_sql, _lsh_pairs_sql
 
-    cc = cc_rel or _cc_oracle_sql(d, table).replace("ORDER BY doc_id", "")
-    pairs = pairs_rel or _lsh_pairs_sql(d, table).replace("ORDER BY doc_a, doc_b", "")
+    cc = cc_rel or strip_order_by(_cc_oracle_sql(d, table))
+    pairs = pairs_rel or strip_order_by(_lsh_pairs_sql(d, table))
     h = d.md5_prefix_int(d.strcast("cluster_rep"))
     return f"""
 WITH cc AS ({cc}),

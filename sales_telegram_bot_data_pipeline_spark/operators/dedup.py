@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.dialect import DUCKDB, SPARK, Dialect
+from ..functions.dialect import DUCKDB, SPARK, Dialect, strip_order_by
 from ..registry import register
 from ..sources.tables import load_table
 
@@ -111,8 +111,20 @@ def _shingles_sql(d: Dialect, table: str, portable: bool = False) -> str:
 # --------------------------------------------------------------------------
 # n-gram Jaccard near-dup pairs via inverted shingle index
 # --------------------------------------------------------------------------
-def _jaccard_sql(d: Dialect, table: str, shingles_rel: str | None = None) -> str:
+def _jaccard_sql(
+    d: Dialect,
+    table: str,
+    shingles_rel: str | None = None,
+    ordered: bool = True,
+) -> str:
+    """ordered=False drops the presentation ORDER BY for callers that
+    materialize the pair set as an INTERMEDIATE relation (truth sets,
+    candidate feeds) — a global sort shuffle bought for nothing.  This
+    replaces the former ``.replace('ORDER BY ...', '')`` string surgery
+    on rendered SQL (ADVICE r8: if the template's formatting drifted,
+    the replace silently no-oped into a perf regression)."""
     sh = shingles_rel or _shingles_sql(d, table)
+    tail = "ORDER BY doc_a, doc_b" if ordered else ""
     return f"""
 WITH shingles AS ({sh}),
 counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
@@ -128,7 +140,7 @@ FROM common
 JOIN counts ca ON ca.doc_id = doc_a
 JOIN counts cb ON cb.doc_id = doc_b
 WHERE n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) >= {JACCARD_THRESHOLD}
-ORDER BY doc_a, doc_b
+{tail}
 """
 
 
@@ -523,7 +535,7 @@ def _cc_oracle_sql(d: Dialect, table: str) -> str:
     """DuckDB twin: transitive closure by recursive CTE over the SAME
     symmetric LSH pair graph, then min reachable node per doc.  (Sound at
     oracle scale; the Spark side uses the iterative one-shuffle form.)"""
-    pairs = _lsh_pairs_sql(d, table).replace("ORDER BY doc_a, doc_b", "")
+    pairs = strip_order_by(_lsh_pairs_sql(d, table))
     return f"""
 WITH RECURSIVE sym AS (
   SELECT doc_a AS src, doc_b AS dst FROM ({pairs}) p
@@ -560,7 +572,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _keep_canonical_oracle_sql(d: Dialect, table: str) -> str:
     """Oracle: recursive-CTE components → keep rows whose doc_id is its
     component's min label, carrying the cluster size."""
-    cc = _cc_oracle_sql(d, table).replace("ORDER BY doc_id", "")
+    cc = strip_order_by(_cc_oracle_sql(d, table))
     return f"""
 WITH cc AS ({cc}),
 sizes AS (SELECT cluster_rep, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_rep)
@@ -722,7 +734,7 @@ def _pagerank_sql(d: Dialect, table: str, pairs_rel: str | None = None) -> str:
     CTEs; DuckDB's oracle keeps the inline form — same values)."""
     from .similarity import _neardup_banded_sql  # no import cycle: similarity does not import dedup
 
-    pairs = pairs_rel or _neardup_banded_sql(d, table).replace("ORDER BY vec_a, vec_b", "")
+    pairs = pairs_rel or strip_order_by(_neardup_banded_sql(d, table))
     prev = "r0"
     its = []
     for i in range(1, PR_ITERS + 1):
@@ -772,7 +784,7 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recompute PR_ITERS times); localCheckpoint truncates the banded-
     # candidate lineage exactly as connected_components does
     spark.sql(
-        _neardup_banded_sql(SPARK, view).replace("ORDER BY vec_a, vec_b", "")
+        strip_order_by(_neardup_banded_sql(SPARK, view))
     ).localCheckpoint().createOrReplaceTempView("sales_telegram_bot_data_pipeline_pr_pairs")
     return spark.sql(
         _pagerank_sql(
@@ -871,7 +883,7 @@ def _triangle_sql(d: Dialect, table: str, pairs_rel: str | None = None) -> str:
     orientation CTE."""
     from .similarity import _neardup_banded_sql
 
-    pairs = pairs_rel or _neardup_banded_sql(d, table).replace("ORDER BY vec_a, vec_b", "")
+    pairs = pairs_rel or strip_order_by(_neardup_banded_sql(d, table))
     return f"""
 WITH pairs AS ({pairs}),
 e AS (SELECT vec_a AS a, vec_b AS b FROM pairs),
@@ -908,7 +920,7 @@ def triangle_count_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same materialize-once pattern as pagerank: the pair generation feeds
     # three aliases of the edges CTE, which Spark would inline and recompute
     spark.sql(
-        _neardup_banded_sql(SPARK, view).replace("ORDER BY vec_a, vec_b", "")
+        strip_order_by(_neardup_banded_sql(SPARK, view))
     ).localCheckpoint().createOrReplaceTempView("sales_telegram_bot_data_pipeline_tri_pairs")
     return spark.sql(
         _triangle_sql(SPARK, view, pairs_rel="SELECT * FROM sales_telegram_bot_data_pipeline_tri_pairs")
@@ -1081,7 +1093,7 @@ def _cluster_size_histogram_sql(d: Dialect, table: str) -> str:
     pass; a fat tail means boilerplate is gluing unrelated docs).  Derived
     from the same components relation as dedup_connected_components, two
     further O(|clusters|) aggregations."""
-    cc = _cc_oracle_sql(d, table).replace("ORDER BY doc_id", "")
+    cc = strip_order_by(_cc_oracle_sql(d, table))
     return f"""
 WITH cc AS ({cc}),
 sizes AS (SELECT cluster_rep, COUNT(*) AS csize FROM cc GROUP BY cluster_rep)
@@ -1156,7 +1168,7 @@ def _lpa_sql(d: Dialect, table: str, pairs_rel: str | None = None) -> str:
     convention and materialized-pairs discipline as PageRank."""
     from .similarity import _neardup_banded_sql
 
-    pairs = pairs_rel or _neardup_banded_sql(d, table).replace("ORDER BY vec_a, vec_b", "")
+    pairs = pairs_rel or strip_order_by(_neardup_banded_sql(d, table))
     prev = "l0"
     its = []
     for i in range(1, LPA_ITERS + 1):
@@ -1210,7 +1222,7 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
 
     view = _emb_view(spark, sf_dir)
     spark.sql(
-        _neardup_banded_sql(SPARK, view).replace("ORDER BY vec_a, vec_b", "")
+        strip_order_by(_neardup_banded_sql(SPARK, view))
     ).localCheckpoint().createOrReplaceTempView("sales_telegram_bot_data_pipeline_lpa_pairs")
     return spark.sql(
         _lpa_sql(SPARK, view, pairs_rel="SELECT * FROM sales_telegram_bot_data_pipeline_lpa_pairs")
@@ -1239,10 +1251,10 @@ def _lsh_recall_sql(d: Dialect, table: str, truth_rel: str | None = None,
     views on the Spark side (each inline relation re-derives corpus
     shingles; the oracle keeps the inline form, same values)."""
     truth = truth_rel or (
-        f"SELECT doc_a, doc_b FROM ({_jaccard_sql(d, table).replace('ORDER BY doc_a, doc_b', '')}) tj"
+        f"SELECT doc_a, doc_b FROM ({_jaccard_sql(d, table, ordered=False)}) tj"
     )
     cand = cand_rel or (
-        f"SELECT doc_a, doc_b FROM ({_lsh_pairs_sql(d, table).replace('ORDER BY doc_a, doc_b', '')}) cj"
+        f"SELECT doc_a, doc_b FROM ({strip_order_by(_lsh_pairs_sql(d, table))}) cj"
     )
     return f"""
 WITH truth AS ({truth}),
@@ -1278,10 +1290,10 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = _doc_view(spark, sf_dir)
     rel = _materialized_shingles(spark, view, "sales_telegram_bot_data_pipeline_sh_ra")
     spark.sql(
-        _jaccard_sql(SPARK, view, shingles_rel=rel).replace("ORDER BY doc_a, doc_b", "")
+        _jaccard_sql(SPARK, view, shingles_rel=rel, ordered=False)
     ).localCheckpoint().createOrReplaceTempView("sales_telegram_bot_data_pipeline_ra_truth")
     spark.sql(
-        _lsh_pairs_sql(SPARK, view).replace("ORDER BY doc_a, doc_b", "")
+        strip_order_by(_lsh_pairs_sql(SPARK, view))
     ).localCheckpoint().createOrReplaceTempView("sales_telegram_bot_data_pipeline_ra_cand")
     return spark.sql(
         _lsh_recall_sql(
@@ -1316,6 +1328,25 @@ CNT_MIN_COMMON = 3  # a candidate pair must co-occur on >= this many capped
 #                     pairs that dominate the mid-df join — candidate rows
 #                     drop 100x (2.24M -> 20k) and the full-set refine stops
 #                     being the bottleneck.
+CNT_SUBSET_MOD = 2  # deterministic md5 half-CORPUS subset (round-9 trim
+#                     per VERDICT r8 task 2 — the exact APSS /
+#                     band-tuning md5-subset pattern).  Profiling showed
+#                     the cost is NOT the candidate pair set (already
+#                     df-capped + min-common-pruned to ~20k rows) but the
+#                     full-corpus shingle relation it drags through the
+#                     sdf/idx/refine shuffles — so the subset must land
+#                     BEFORE shingling to shrink every stage (~4x on the
+#                     near-quadratic ones), exactly as BAND_TUNE_SUBSET_MOD
+#                     does.  The md5 — not the engine hash — picks the
+#                     subset so both engines process identical docs.
+
+
+def _containment_corpus(d: Dialect, table: str) -> str:
+    """Deterministic md5 half of the corpus for containment dedup (see
+    ``CNT_SUBSET_MOD``) — applied BEFORE shingling so the sdf/idx/refine
+    shuffles all shrink, the same placement as ``_band_tune_corpus``."""
+    sub = f"{d.md5_prefix_int(d.strcast('doc_id'))} % {CNT_SUBSET_MOD} = 0"
+    return f"(SELECT * FROM {table} WHERE {sub})"
 
 
 def _containment_sql(d: Dialect, table: str, shingles_rel: str | None = None) -> str:
@@ -1335,10 +1366,12 @@ def _containment_sql(d: Dialect, table: str, shingles_rel: str | None = None) ->
     shingle sets of each candidate pair, so the emitted containment score
     is exact.  Normalized by the CONTAINED side only, emitted
     directionally (contained_doc, container_doc) — both directions are
-    checked, so a pair can appear twice with different scores.  The
-    oracle runs the identical construction, so the candidate pruning is
-    deterministic cross-engine."""
-    sh = shingles_rel or _shingles_sql(d, table)
+    checked, so a pair can appear twice with different scores.  Runs on
+    the deterministic md5 half-corpus (``CNT_SUBSET_MOD`` /
+    ``_containment_corpus`` — applied before shingling so every shuffle
+    shrinks).  The oracle runs the identical construction, so the
+    candidate pruning and subset are deterministic cross-engine."""
+    sh = shingles_rel or _shingles_sql(d, _containment_corpus(d, table))
     return f"""
 WITH shingles AS ({sh}),
 sdf AS (SELECT sh, COUNT(*) AS df FROM shingles GROUP BY sh),
@@ -1380,11 +1413,13 @@ ORDER BY contained_doc, container_doc
     f"Jaccard ~0.01). Candidates from a df<={CNT_DF_CAP} inverted index "
     f"with >={CNT_MIN_COMMON} capped co-occurrences (bounded join fan-out, "
     "noise pairs pruned), exact containment over full shingle sets, "
-    "directional output.",
+    "directional output; on the deterministic md5 "
+    f"1/{CNT_SUBSET_MOD}-corpus subset (the APSS/band-tuning trim "
+    "pattern, applied before shingling).",
     tags=("dedup", "join", "text"),
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    view = _doc_view(spark, sf_dir)
+    view = _containment_corpus(SPARK, _doc_view(spark, sf_dir))
     rel = _materialized_shingles(spark, view, "sales_telegram_bot_data_pipeline_sh_ct")
     return spark.sql(_containment_sql(SPARK, view, shingles_rel=rel))
 
@@ -1406,7 +1441,7 @@ def _keep_best_quality_sql(d: Dialect, table: str) -> str:
     corpus scan."""
     w = d.splitws("lower(text)")
     q = f"{d.alen(d.adistinct(w))}"
-    cc = _cc_oracle_sql(d, table).replace("ORDER BY doc_id", "")
+    cc = strip_order_by(_cc_oracle_sql(d, table))
     return f"""
 WITH cc AS ({cc}),
 quality AS (SELECT doc_id, {q} AS n_distinct_words FROM {table}),
@@ -1487,7 +1522,7 @@ def _cluster_cap_sql(d: Dialect, table: str, cc_rel: str | None = None) -> str:
     materialized (doc_id, cluster_rep) labels."""
     w = d.splitws("lower(text)")
     q = f"{d.alen(d.adistinct(w))}"
-    cc = cc_rel or _cc_oracle_sql(d, table).replace("ORDER BY doc_id", "")
+    cc = cc_rel or strip_order_by(_cc_oracle_sql(d, table))
     return f"""
 WITH cc AS ({cc}),
 quality AS (SELECT doc_id, {q} AS n_distinct_words FROM {table}),
@@ -1555,7 +1590,7 @@ def _minhash_estimate_error_sql(
     signature join is N_HASHES integers per doc.  Per-pair errors quantize
     to integer micro-units before aggregating, so the summation is
     order-independent and cross-engine exact; output is ONE row."""
-    pairs = pairs_rel or _lsh_pairs_sql(d, table).replace("ORDER BY doc_a, doc_b", "")
+    pairs = pairs_rel or strip_order_by(_lsh_pairs_sql(d, table))
     sig = _minhash_sig_sql(d, table)
     sh = shingles_rel or _shingles_sql(d, table)
     matches = " + ".join(
@@ -1610,7 +1645,7 @@ def minhash_estimate_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = _doc_view(spark, sf_dir)
     rel = _materialized_shingles(spark, view, "sales_telegram_bot_data_pipeline_sh_me")
     spark.sql(
-        _lsh_pairs_sql(SPARK, view).replace("ORDER BY doc_a, doc_b", "")
+        strip_order_by(_lsh_pairs_sql(SPARK, view))
     ).localCheckpoint().createOrReplaceTempView("sales_telegram_bot_data_pipeline_me_pairs")
     return spark.sql(
         _minhash_estimate_error_sql(
@@ -1832,7 +1867,7 @@ def _band_tuning_sql(
     ``cands_rel`` takes the Spark side's MATERIALIZED per-config pair
     relation (it feeds both the volume count and the recall join; without
     the break the 15-entry band explode re-runs per consumer)."""
-    truth = truth_rel or _jaccard_sql(d, table).replace("ORDER BY doc_a, doc_b", "")
+    truth = truth_rel or _jaccard_sql(d, table, ordered=False)
     cands = cands_rel or _band_cands_sql(d, table, sig_rel=sig_rel)
     cfg_rows = ", ".join(
         f"({b}, {r}, {_tune_theory(b, r):.6f}e0)" for b, r in _TUNE_CONFIGS
@@ -1863,6 +1898,33 @@ ORDER BY cf.n_bands DESC
 """
 
 
+def _tune_sig_view(spark: SparkSession, sf_dir: str, view: str) -> str:
+    """Materialize the band-tune MinHash signature relation ONCE per
+    (session, sf) and return its temp-view name — the stored-index shape
+    (VERDICT r8 task 4: hoist the shared signature relation).  A MinHash
+    signature table IS a persisted index in production LSH (computed at
+    ingest, reused by every banding decision); re-hashing the corpus with
+    portable md5 on every audit run measured as the single biggest stage
+    (~40% of the query).  Same full-path cache key discipline as
+    ``pipeline_native._wide_view`` (round-8 review fix)."""
+    import hashlib
+
+    suffix = (
+        sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")
+        + "_"
+        + hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    )
+    name = f"sales_telegram_bot_data_pipeline_tune_sig_{suffix}"
+    try:
+        spark.table(name)
+        return name
+    except Exception:
+        pass
+    spark.sql(_minhash_sig_sql(SPARK, view)).localCheckpoint().createOrReplaceTempView(name)
+    return name
+
+
+
 @register(
     "lsh_band_tuning_audit",
     oracle=_band_tuning_sql(DUCKDB, _band_tune_corpus(DUCKDB, "documents")),
@@ -1880,18 +1942,15 @@ ORDER BY cf.n_bands DESC
 )
 def lsh_band_tuning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = _band_tune_corpus(SPARK, _doc_view(spark, sf_dir))
-    sig = spark.sql(_minhash_sig_sql(SPARK, view)).localCheckpoint()
-    sig.createOrReplaceTempView("sales_telegram_bot_data_pipeline_tune_sig")
+    sig_view = _tune_sig_view(spark, sf_dir, view)
     cands = spark.sql(
-        _band_cands_sql(
-            SPARK, view, sig_rel="SELECT * FROM sales_telegram_bot_data_pipeline_tune_sig"
-        )
+        _band_cands_sql(SPARK, view, sig_rel=f"SELECT * FROM {sig_view}")
     ).localCheckpoint()
     cands.createOrReplaceTempView("sales_telegram_bot_data_pipeline_tune_cands")
     # intermediate truth relation: the global ORDER BY in _jaccard_sql is
     # presentation-only — strip it before materializing (one sort shuffle)
     truth = spark.sql(
-        _jaccard_sql(SPARK, view).replace("ORDER BY doc_a, doc_b", "")
+        _jaccard_sql(SPARK, view, ordered=False)
     ).localCheckpoint()
     truth.createOrReplaceTempView("sales_telegram_bot_data_pipeline_tune_truth")
     return spark.sql(
@@ -1941,7 +2000,7 @@ def _kcore_sql(d: Dialect, table: str, pairs_rel: str | None = None) -> str:
     round and would need depth rounds."""
     from .similarity import _neardup_banded_sql
 
-    pairs = pairs_rel or _neardup_banded_sql(d, table).replace("ORDER BY vec_a, vec_b", "")
+    pairs = pairs_rel or strip_order_by(_neardup_banded_sql(d, table))
     mat = "MATERIALIZED " if d.name == "duckdb" else ""
     its = []
     prev = "n0"
@@ -2004,7 +2063,7 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     view = _emb_view(spark, sf_dir)
     pairs = spark.sql(
-        _neardup_banded_sql(SPARK, view).replace("ORDER BY vec_a, vec_b", "")
+        strip_order_by(_neardup_banded_sql(SPARK, view))
     )
     edges = (
         pairs.selectExpr("vec_a AS src", "vec_b AS dst")
@@ -2060,7 +2119,7 @@ def _softdedup_sql(d: Dialect, table: str, pairs_rel: str | None = None) -> str:
     projection) and a degree count over the banded LSH pair relation
     (already sub-quadratic); the weight itself is a projection.  No new
     join strategy beyond what dedup_exact + dedup_minhash_lsh already pay."""
-    pairs = pairs_rel or _lsh_pairs_sql(d, table).replace("ORDER BY doc_a, doc_b", "")
+    pairs = pairs_rel or strip_order_by(_lsh_pairs_sql(d, table))
     h = d.md5_prefix_int("text")
     return f"""
 WITH hashes AS (SELECT doc_id, {h} AS content_hash FROM {table}),
@@ -2114,7 +2173,7 @@ BFS_SEED_MOD = 100  # seeds = doc_id % BFS_SEED_MOD == 0
 def _bfs_oracle_sql(d: Dialect, table: str) -> str:
     """DuckDB twin: bounded-depth walk by recursive CTE over the SAME
     symmetric LSH pair graph; MIN(hops) per reached doc == BFS level."""
-    pairs = _lsh_pairs_sql(d, table).replace("ORDER BY doc_a, doc_b", "")
+    pairs = strip_order_by(_lsh_pairs_sql(d, table))
     return f"""
 WITH RECURSIVE sym AS (
   SELECT doc_a AS src, doc_b AS dst FROM ({pairs}) p
@@ -2195,7 +2254,7 @@ def _clustering_coeff_sql(d: Dialect, table: str, pairs_rel: str | None = None) 
     transitivity = 3*triangles / wedges with both totals exact integers."""
     from .similarity import _neardup_banded_sql
 
-    pairs = pairs_rel or _neardup_banded_sql(d, table).replace("ORDER BY vec_a, vec_b", "")
+    pairs = pairs_rel or strip_order_by(_neardup_banded_sql(d, table))
     return f"""
 WITH pairs AS ({pairs}),
 e AS (SELECT vec_a AS a, vec_b AS b FROM pairs),
@@ -2254,7 +2313,7 @@ def clustering_coefficient_neardup(spark: SparkSession, sf_dir: str) -> DataFram
 
     view = _emb_view(spark, sf_dir)
     spark.sql(
-        _neardup_banded_sql(SPARK, view).replace("ORDER BY vec_a, vec_b", "")
+        strip_order_by(_neardup_banded_sql(SPARK, view))
     ).localCheckpoint().createOrReplaceTempView("sales_telegram_bot_data_pipeline_cc_pairs")
     return spark.sql(
         _clustering_coeff_sql(

@@ -83,13 +83,21 @@ def _fake_ocr(seed: int, class_name: str) -> str:
 PAGE_MOD = 3  # each source document rasterizes to 1 + (pk % PAGE_MOD) pages
 
 
-def synthesize_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+def synthesize_pages(
+    spark: SparkSession, sf_dir: str, max_partkey: int | None = None
+) -> DataFrame:
     """op 3: the PDF → pages fan-out as a real 1→N explode — one source
     document (part row) emits 1 + (pk % PAGE_MOD) page rows, with the page
     number both a lineage column and embedded in the reference's filename
     scheme ``{base}_page_{i}.png`` (pdf_utils.py:47-61 emits one file per
-    rasterized page)."""
+    rasterized page).
+
+    ``max_partkey`` bounds the source deterministically (p_partkey is
+    1-based and dense at every SF) — a predicate the scan pushes down,
+    for probes that need a fixed small page set without a global sort."""
     part = load_table(spark, sf_dir, "part")
+    if max_partkey is not None:
+        part = part.where(F.col("p_partkey") <= max_partkey)
     shop_arr = F.array(*[F.lit(s) for s in SHOPS])
     n_pages = (F.lit(1) + F.col("p_partkey") % PAGE_MOD).cast("int")
     return part.select(
@@ -212,6 +220,7 @@ def stub_detect(
     model: str,
     include_ocr: bool = False,
     endpoint: str | None = None,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """ops 8/11/12: one engine operator, parameterized (model1 vs model2 +
     OCR) — the reference's run_yolo_on_pages config surface (§3.3), with the
@@ -236,7 +245,12 @@ def stub_detect(
     import os
 
     endpoint = endpoint or os.environ.get("SPARK_GRAFT_INFER_ENDPOINT") or None
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # parallelism override: production leaves it None (full cluster width);
+    # bounded probes pass a small width so a 96-row input doesn't fan out
+    # one Python worker per core for sub-millisecond tasks
+    df = df.repartition(
+        parallelism or df.sparkSession.sparkContext.defaultParallelism
+    )
 
     def _stub_infer_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -504,3 +518,138 @@ def nested_detections_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("image_id", F.map_keys("detections").alias("classes"), "detections")
         .orderBy("image_id")
     )
+
+
+# --------------------------------------------------------------------------
+# HTTP inference-client integration probe (VERDICT r8 task 6)
+# --------------------------------------------------------------------------
+def _start_echo_server(fail_first: bool = False):
+    """In-process HTTP echo model server for the integration probe: computes
+    detections with the SAME ``_synth_detections`` as the in-process stub
+    (so HTTP output must equal stub output row-for-row), optionally 500-ing
+    the FIRST attempt of every distinct payload to force the client's
+    retry path.  Returns (httpd, url); caller must ``shutdown()``.
+
+    Mirrors tests/test_inference_http.py's fixture — duplicated here (60
+    lines of stdlib) because the engine package must not import from
+    tests/."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    seen: set[str] = set()
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802  (stdlib API name)
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            req = json.loads(body)
+            with lock:
+                key = json.dumps(req, sort_keys=True)
+                first_time = key not in seen
+                seen.add(key)
+            if fail_first and first_time:
+                self.send_response(500)
+                self.end_headers()
+                self.wfile.write(b"transient")
+                return
+            rows = []
+            for img in req["images"]:
+                rows.extend(
+                    _synth_detections(
+                        img["image_id"], img["shop_name"], img["width"],
+                        img["height"], req["model"], req["include_ocr"],
+                    )
+                )
+            out = json.dumps(rows).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):  # keep driver output clean
+            pass
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    return httpd, f"http://127.0.0.1:{httpd.server_address[1]}/infer"
+
+
+ECHO_MAIN_IMAGES = 90  # > INFER_HTTP_BATCH so per-partition chunking happens
+ECHO_DEAD_IMAGES = 6  # routed to an unroutable endpoint in HTTP mode
+
+
+@register(
+    "inference_http_echo",
+    oracle=None,  # live-socket integration probe → rows-only driver check
+    doc="Standing registry evidence for the HTTP inference client's "
+    "retry and dead-letter paths (VERDICT r8 task 6; pytest twin: "
+    "test_inference_http.py). With SPARK_GRAFT_HTTP_TEST=1 it runs the "
+    "mapInPandas HTTP path against an in-process echo server that 500s "
+    "every first attempt (retry must heal it; parity vs the stub is "
+    "counted Spark-side via exceptAll, never collected) plus a 6-image "
+    "leg against an unroutable endpoint (each image must dead-letter, "
+    "the job must survive). Without the flag both legs run the stub "
+    "path, so driver artifacts are unaffected: 2 summary rows either "
+    "way, fixed schema.",
+    tags=("udf", "inference", "http", "audit"),
+)
+def inference_http_echo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    live = os.environ.get("SPARK_GRAFT_HTTP_TEST") == "1"
+    # 48 parts explode to exactly 96 pages (48 + sum(pk % 3)); the
+    # partkey bound is pushed into the scan, so the probe never touches
+    # the rest of the table and the orderBy sorts 96 rows, not the corpus
+    pages = synthesize_pages(spark, sf_dir, max_partkey=48).orderBy("image_id")
+    main_pages = pages.limit(ECHO_MAIN_IMAGES)
+    dead_pages = pages.limit(ECHO_MAIN_IMAGES + ECHO_DEAD_IMAGES).subtract(main_pages)
+
+    httpd = None
+    try:
+        if live:
+            httpd, url = _start_echo_server(fail_first=True)
+            main = stub_detect(main_pages, "model2", include_ocr=True, endpoint=url,
+                               parallelism=8)
+            dead = stub_detect(dead_pages, "model2",
+                               endpoint="http://127.0.0.1:1/x", parallelism=8)
+            # the parity twin only exists in live mode: in stub mode `main`
+            # IS the stub path, so the comparison would re-run the same
+            # code against itself (measured ~8 s of pure Python-stage
+            # duplication per bench run for a guaranteed 0)
+            stub_twin = stub_detect(
+                main_pages, "model2", include_ocr=True, parallelism=8
+            ).localCheckpoint()
+        else:
+            main = stub_detect(main_pages, "model2", include_ocr=True, parallelism=8)
+            dead = stub_detect(dead_pages, "model2", parallelism=8)
+            stub_twin = None
+        # force execution while the echo server is alive: the returned
+        # DataFrame is collected by the driver LATER, when the socket is
+        # gone — localCheckpoint (eager) pins the rows now
+        main = main.localCheckpoint()
+        dead = dead.localCheckpoint()
+    finally:
+        if httpd is not None:
+            httpd.shutdown()
+            httpd.server_close()
+
+    def leg(name: str, det: DataFrame, twin: DataFrame | None) -> DataFrame:
+        mismatch = (
+            twin.exceptAll(det).unionAll(det.exceptAll(twin)).count()
+            if twin is not None
+            else 0
+        )
+        return det.agg(
+            F.lit(name).alias("leg"),
+            F.lit("http" if live else "stub").alias("mode"),
+            F.count_distinct("image_id").cast("long").alias("n_images"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("error").alias("n_error_rows"),
+            F.lit(mismatch).cast("long").alias("n_mismatch_vs_stub"),
+        )
+
+    # parity twin comparison only for the main leg (the dead leg's whole
+    # point is to differ: every row an error row in HTTP mode)
+    return leg("main", main, stub_twin).unionAll(leg("dead_letter", dead, None))

@@ -43,7 +43,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..functions.dialect import DUCKDB, SPARK, Dialect
+from ..functions.dialect import DUCKDB, SPARK, Dialect, strip_order_by
 from ..functions.text import quality_fields_sql, stopword_ratio_sql
 from ..registry import register
 from .curation import BENCH_MOD, _doc_view
@@ -347,7 +347,7 @@ def _lift_sql(d: Dialect, table: str, ranked_rel: str | None = None) -> str:
     equi-depth bucket-of-rank integer arithmetic; every window below runs
     on the aggregated <= LIFT_BUCKETS-row relation.  Rates divide exact
     integers in IEEE doubles, ROUND(6)."""
-    scored = _logreg_sql(d, table).replace("ORDER BY doc_id", "")
+    scored = strip_order_by(_logreg_sql(d, table))
     ranked = ranked_rel or (
         f"SELECT doc_id, (lang = 'en') AS is_pos, "
         f"ROW_NUMBER() OVER (ORDER BY quality_prob DESC, doc_id) AS r "
@@ -403,7 +403,7 @@ def score_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .scalars_extra import range_ranked
 
     view = _doc_view(spark, sf_dir)
-    scored = _logreg_sql(SPARK, view).replace("ORDER BY doc_id", "")
+    scored = strip_order_by(_logreg_sql(SPARK, view))
     base = spark.sql(
         f"SELECT doc_id, (lang = 'en') AS is_pos, -quality_prob AS neg "
         f"FROM ({scored}) sc"
@@ -521,8 +521,8 @@ def kneser_ney_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kappa_sql(d: Dialect, table: str) -> str:
     from .textops import _gopher_sql
 
-    g = _gopher_sql(d, table).replace("ORDER BY doc_id", "")
-    l = _logreg_sql(d, table).replace("ORDER BY doc_id", "")
+    g = strip_order_by(_gopher_sql(d, table))
+    l = strip_order_by(_logreg_sql(d, table))
     return f"""
 WITH g AS ({g}),
 l AS ({l}),
@@ -577,8 +577,8 @@ def quality_gate_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _calibration_sql(d: Dialect, table: str) -> str:
     from .textops import _gopher_sql
 
-    g = _gopher_sql(d, table).replace("ORDER BY doc_id", "")
-    l = _logreg_sql(d, table).replace("ORDER BY doc_id", "")
+    g = strip_order_by(_gopher_sql(d, table))
+    l = strip_order_by(_logreg_sql(d, table))
     return f"""
 WITH g AS ({g}),
 l AS ({l}),

@@ -210,7 +210,10 @@ SELECT n AS n_days, n1 AS n_above, (n - n1) AS n_below, r AS n_runs,
        ROUND((r - (2.0e0 * n1 * (n - n1) / n + 1))
              / NULLIF(SQRT((2.0e0 * n1 * (n - n1))
                            * (2.0e0 * n1 * (n - n1) - n)
-                           / (CAST(n AS DOUBLE) * n * (n - 1))), 0),
+                           -- NULLIF the inner denominator too: at n_days=1
+                           -- the bare division is 0/0 -> NaN on DuckDB vs
+                           -- NULL on Spark (ADVICE r8); NULL/NULL agrees
+                           / NULLIF(CAST(n AS DOUBLE) * n * (n - 1), 0)), 0),
              6) AS z_score
 FROM {rel}
 """

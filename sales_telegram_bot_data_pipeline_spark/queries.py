@@ -128,6 +128,10 @@ try:
     from .operators import round8  # noqa: F401  (EWMA, seasonal, runs, JL, ...)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from .operators import round9  # noqa: F401  (CUPED, DiD, isotonic, ...)
+except ImportError:  # pragma: no cover
+    pass
 
 
 # --------------------------------------------------------------------------
@@ -144,8 +148,35 @@ except ImportError:  # pragma: no cover
 # outside the static window over time.  A slot may rotate only if its
 # operator family keeps at least one driver row; parked queries stay
 # registered and swept by the local replica (LOCAL_CORRECTNESS_r{N}.json).
-# Round-8 rotation — in (all 10 NEVER previously windowed; the round-7
-# verdict's prescribed priority list — each is its family's only
+# Round-9 rotation — in (all 10 NEVER previously windowed; the round-8
+# verdict's prescribed priority list — first driver-grade exposure for
+# every round-8 operator family): shapley_channel_attribution
+# (cooperative-game attribution), ewma_dyadic_smoothing (exact-weight
+# exponential smoothing), covisitation_item_pairs (co-occurrence
+# recommendation), key_gap_audit (sequence-integrity audit),
+# seasonal_dow_decomposition (seasonal decomposition),
+# kendall_tau_b (rank correlation), brier_score_decomposition
+# (probabilistic-forecast eval), runs_test_daily_revenue
+# (randomness test), jl_projection_distortion_audit
+# (dimensionality-reduction audit), conformal_coverage_audit
+# (distribution-free prediction intervals).
+# Parked round-9 (family cover in parens — every parked query has r08
+# driver-grade evidence, green on all three gates):
+# apss_cosine_join (set-similarity join: dedup_minhash_lsh +
+# dedup_incremental_lsh + semantic_dedup stay), roc_auc_quality_score
+# (classifier eval: brier_score_decomposition in),
+# weighted_median_by_flag (robust/rank stats: kendall_tau_b in),
+# cusum_change_detection (SPC/change-point: runs_test_daily_revenue in),
+# dynamic_partition_pruned_join + bucketed_join_colocated (join
+# strategies: broadcast_lookup_join + interval/asof joins stay),
+# sq8_quantization_error_audit (quantized-ANN audit:
+# jl_projection_distortion_audit in), kaplan_meier_repurchase
+# (customer analytics: shapley + covisitation in),
+# theilsen_trend_robust (trend: seasonal_dow + ewma_dyadic in),
+# hll_cumulative_distinct_audit (sketches: countmin_heavy_hitters
+# stays).
+# Round-8 rotation history — in (all 10 NEVER previously windowed; the
+# round-7 verdict's prescribed priority list — each is its family's only
 # driver-grade candidate): apss_cosine_join (set-similarity join),
 # roc_auc_quality_score (classifier eval), weighted_median_by_flag
 # (robust stats), cusum_change_detection (SPC/change-point),
@@ -195,7 +226,7 @@ except ImportError:  # pragma: no cover
 # Round-5 history: in — q6/q7/q10, recursive_hierarchy_rollup,
 # lateral_topk_orders, pagerank_neardup_graph, bigram_lm_score,
 # pit_join_scd2, full_outer_reconciliation, sketch_rollup_distinct.
-# Round-9 rotation candidates (never windowed): source_quality_ranksum,
+# Round-10 rotation candidates (never windowed): source_quality_ranksum,
 # cluster_balanced_sample, score_decile_lift,
 # join_cardinality_sketch_audit, split_distribution_drift, graph_bfs_hops,
 # misra_gries_topk, revenue_trend_ols, kmeans_separation_audit,
@@ -220,13 +251,15 @@ except ImportError:  # pragma: no cover
 # mann_kendall_trend,
 # trimmed_winsorized_mean, neyman_allocated_sample,
 # share_of_parent_rollup, aggregate_sensitivity_audit,
-# circular_time_profile, cohort_ltv_triangle; round-8 additions:
-# ewma_dyadic_smoothing, seasonal_dow_decomposition,
-# runs_test_daily_revenue, jl_projection_distortion_audit,
-# covisitation_item_pairs, key_gap_audit, naive_forecast_backtest,
+# circular_time_profile, cohort_ltv_triangle; round-8 additions still
+# unwindowed (the other 10 rotated in round 9): naive_forecast_backtest,
 # stylometric_burrows_delta, behavioral_entropy_profile,
-# shapley_channel_attribution, conformal_coverage_audit,
-# source_vocab_overlap, brier_score_decomposition, kendall_tau_b.
+# source_vocab_overlap; round-9 additions (causal/calibration/layout
+# families — each would be its family's first driver exposure):
+# cuped_variance_reduction, did_estimator, isotonic_calibration_bins,
+# ipf_raking_weights, zorder_layout_audit, bradley_terry_priorities.
+# (inference_http_echo is rows-only and sorts after the oracle-backed
+# tail by design — it can never burn a checked slot.)
 # --------------------------------------------------------------------------
 _DRIVER_WINDOW = [
     # core relational / TPC-H (q3 parked round 7; q1/q5 keep the family)
@@ -287,18 +320,18 @@ _DRIVER_WINDOW = [
     "lateral_topk_orders",
     # round-6 swap-in retained (sketch family's only driver row)
     "countmin_heavy_hitters",
-    # round-8 rotation swap-ins (see policy comment above): first driver
-    # rows for the round-7 operator families
-    "apss_cosine_join",
-    "roc_auc_quality_score",
-    "weighted_median_by_flag",
-    "cusum_change_detection",
-    "dynamic_partition_pruned_join",
-    "bucketed_join_colocated",
-    "sq8_quantization_error_audit",
-    "kaplan_meier_repurchase",
-    "theilsen_trend_robust",
-    "hll_cumulative_distinct_audit",
+    # round-9 rotation swap-ins (see policy comment above): first driver
+    # rows for the round-8 operator families
+    "shapley_channel_attribution",
+    "ewma_dyadic_smoothing",
+    "covisitation_item_pairs",
+    "key_gap_audit",
+    "seasonal_dow_decomposition",
+    "kendall_tau_b",
+    "brier_score_decomposition",
+    "runs_test_daily_revenue",
+    "jl_projection_distortion_audit",
+    "conformal_coverage_audit",
 ]
 
 

@@ -118,7 +118,10 @@ EMPTY_OK_ZERO = [
     # orders/events-grain (outside this documents/embeddings fixture) and
     # carry explicit empty-input guards in code;
     # jl_projection_distortion_audit is scalar-shaped (one NULL-aggregate
-    # row on empty input) and excluded like sq8_quantization_error_audit
+    # row on empty input) and excluded like sq8_quantization_error_audit;
+    # round-9: inference_http_echo is aggregate-shaped (its 2 summary
+    # rows survive an empty part table with zero counts) and excluded
+    # like the other scalar-shaped ops
 ]
 
 

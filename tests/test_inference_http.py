@@ -149,3 +149,42 @@ def test_http_dead_letters_on_total_outage(spark, echo_server):
     assert len(rows) == 10  # one dead-letter row per image, job alive
     assert all(r.error is not None and r.class_name is None for r in rows)
     assert {r.image_id for r in rows} == {f"pages/img_{i}.png" for i in range(10)}
+
+
+def test_inference_http_echo_registry_probe(spark, monkeypatch):
+    """The registry-visible probe (VERDICT r8 task 6): stub mode by
+    default (2 rows, zero errors, fixed schema), live mode under
+    SPARK_GRAFT_HTTP_TEST=1 (retry-healed parity on the main leg, one
+    dead-letter per image on the dead leg), schema identical across
+    modes so driver artifacts never depend on the env flag."""
+    from sales_telegram_bot_data_pipeline_spark.operators.inference import (
+        ECHO_DEAD_IMAGES,
+        inference_http_echo,
+    )
+
+    from conftest import SF_SMOKE
+
+    monkeypatch.delenv("SPARK_GRAFT_HTTP_TEST", raising=False)
+    stub = {r["leg"]: r for r in inference_http_echo(spark, SF_SMOKE).collect()}
+    assert set(stub) == {"main", "dead_letter"}
+    assert all(r["mode"] == "stub" for r in stub.values())
+    assert all(r["n_error_rows"] == 0 for r in stub.values())
+    assert all(r["n_mismatch_vs_stub"] == 0 for r in stub.values())
+
+    monkeypatch.setenv("SPARK_GRAFT_HTTP_TEST", "1")
+    live_df = inference_http_echo(spark, SF_SMOKE)
+    live = {r["leg"]: r for r in live_df.collect()}
+    assert all(r["mode"] == "http" for r in live.values())
+    # main leg: echo server 500s every first attempt — retry must heal to
+    # full stub parity (counted Spark-side) with zero error rows
+    assert live["main"]["n_error_rows"] == 0
+    assert live["main"]["n_mismatch_vs_stub"] == 0
+    assert live["main"]["n_rows"] == stub["main"]["n_rows"]
+    # dead leg: unroutable endpoint — every image dead-letters, job alive
+    assert live["dead_letter"]["n_rows"] == ECHO_DEAD_IMAGES
+    assert live["dead_letter"]["n_error_rows"] == ECHO_DEAD_IMAGES
+    # the env flag must never change the driver-visible shape
+    assert [f.name for f in live_df.schema] == [
+        "leg", "mode", "n_images", "n_rows", "n_error_rows",
+        "n_mismatch_vs_stub",
+    ]

@@ -46,6 +46,19 @@ _ONE_ROW_BNLJ_OK = {
     #   calendar-bounded (the sketch path; exact path is range-prefix-sum)
     "weighted_median_by_flag",  # flag-start-offset tb.flag < ta.flag join
     #   over the per-flag totals relation: |flag domain| = 3 rows a side
+    # round-9 swap-ins — every BNLJ is a one-row scalar CROSS JOIN or a
+    # channel-bounded relation (audited in round8.py; the VERDICT r8
+    # anti-pattern audit lists these sites as bounded by construction):
+    "shapley_channel_attribution",  # coalitions relation <= 2^|channels|
+    #   rows (|channels| is the fixed event-type domain); VALUES channel
+    #   list is O(|channels|)
+    "ewma_dyadic_smoothing",  # one-row w0 (series-start week) scalar
+    "covisitation_item_pairs",  # one-row n_users COUNT scalar
+    "seasonal_dow_decomposition",  # one-row grand-total moment scalar
+    "kendall_tau_b",  # one-row tot/margx/margy moment scalars
+    "brier_score_decomposition",  # one-row grand-total moment scalar
+    "runs_test_daily_revenue",  # one-row median + flip-count scalars
+    "conformal_coverage_audit",  # one-row conformal-quantile scalar
 }
 
 # mapInPandas / pandas-UDF operators: Python stages are their design.
@@ -76,6 +89,9 @@ _UNPARTITIONED_WINDOW_OK = {
     "DRIFT_BUCKETS equi-width grid (fixed bucket count)",
     "window_distribution_ranks": "input filtered to o_custkey < 30 — a "
     "fixed key subset, O(orders of 30 customers) rows by construction",
+    "isotonic_calibration_bins": "prefix-sum window runs on the aggregated "
+    f"K-bin relation (fixed ISO_BINS=10 rows); the corpus itself is "
+    "touched once by the binning groupBy",
 }
 
 

@@ -157,6 +157,20 @@ SF_BENCH = "/root/testdata/sf0.1"
         "brier_score_decomposition",
         # DECIMAL(38,0) pair mass + tie corrections at 10x rows
         "kendall_tau_b",
+        # round-9 additions (round-10 rotation candidates enter the net
+        # before any can enter the window); divergence classes:
+        # DECIMAL(38,0) xy moments -> closed-form theta/rho^2 at 10x units
+        "cuped_variance_reduction",
+        # exact cell sums -> four NULLIF-guarded cell means at 10x orders
+        "did_estimator",
+        # idiv equi-width binning + minimax interval averages at 10x rows
+        "isotonic_calibration_bins",
+        # nano-unit floor-div scaling factors at 10x cell mass
+        "ipf_raking_weights",
+        # range-rank file assignment + idiv grid coords at 10x files
+        "zorder_layout_audit",
+        # floor-quantized MM ratios at 10x duel mass
+        "bradley_terry_priorities",
     ],
 )
 def test_floor_quantized_queries_match_at_sf01(spark, name):
