@@ -29,6 +29,18 @@ warehouse or experimentation-platform operator:
   the 5 order priorities from per-customer pairwise spend comparisons:
   bounded 5x5 win matrix, two MM iterations with nano-unit quantization
   between them.
+- ``ks_two_sample_sources`` — exact two-sample Kolmogorov-Smirnov D for
+  every source pair over doc-length distributions, the max CDF gap
+  decided in cross-multiplied BIGINT form on the aggregated value axis.
+- ``overdispersion_audit`` — dispersion index (variance/mean) of daily
+  event counts per type, the Poisson-assumption diagnostic, from exact
+  BIGINT moments.
+- ``covariate_balance_smd`` — standardized mean difference per
+  pre-treatment covariate between the hash-split arms (|SMD| < 0.1
+  balance bar) — the gate before trusting DiD/CUPED.
+- ``ab_power_mde`` — minimum detectable effect at alpha=.05/power=.8,
+  raw and CUPED-adjusted, z quantiles as numeric literals (no engine
+  erf).
 
 All dual-dialect per repo conventions: exact integer/decimal aggregates
 before any cross-partition sum, ROUND(...,6) fractional outputs, explicit
@@ -666,3 +678,341 @@ ORDER BY priority
 def bradley_terry_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("sales_telegram_bot_data_pipeline_bt_o")
     return spark.sql(_bradley_terry_sql(SPARK, "sales_telegram_bot_data_pipeline_bt_o"))
+
+
+# --------------------------------------------------------------------------
+# two-sample Kolmogorov-Smirnov over source pairs
+# --------------------------------------------------------------------------
+def _ks_sql(d: Dialect, docs: str) -> str:
+    """Exact two-sample KS statistic D = max_x |F_a(x) - F_b(x)| for every
+    source pair, over the document-length (n_chars) distributions — the
+    distribution-shift detector between corpus slices (the nonparametric
+    sibling of welch_ttest_sources / psi_split_drift).
+
+    Exactness: D is compared in CROSS-MULTIPLIED integer form
+    |cumA * n_b - cumB * n_a| (BIGINT), so the max is decided on exact
+    integers and only the final normalization divides.  Scale shape: the
+    corpus is touched once (groupBy (source, value) — the aggregated
+    distinct-value relation, O(|sources| x |distinct lengths|), not
+    corpus-sized); pair expansion joins that aggregated relation to the
+    bounded source-pair catalog; the cumulative windows partition by
+    pair OVER THE AGGREGATED VALUE AXIS (bounded per-pair row count by
+    construction — the zipf_fit_audit contract, never a corpus window).
+    Window SUM returns are cast back to BIGINT (DuckDB HUGEINT trap)."""
+    return f"""
+WITH vals AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM {docs} GROUP BY 1, 2
+),
+tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM vals GROUP BY 1),
+prs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM tot a JOIN tot b ON a.source < b.source
+),
+merged AS (
+  -- two EQUI-joins unioned, not one OR-join: an OR condition cannot
+  -- hash-join and would plan a nested loop over pairs x values; each
+  -- arm broadcasts the bounded pair catalog instead
+  SELECT sa, sb, v,
+         CAST(SUM(ca) AS BIGINT) AS ca, CAST(SUM(cb) AS BIGINT) AS cb
+  FROM (
+    SELECT p.sa, p.sb, v.v, v.c AS ca, CAST(0 AS BIGINT) AS cb
+    FROM prs p JOIN vals v ON v.source = p.sa
+    UNION ALL
+    SELECT p.sa, p.sb, v.v, CAST(0 AS BIGINT) AS ca, v.c AS cb
+    FROM prs p JOIN vals v ON v.source = p.sb
+  ) u
+  GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT sa, sb,
+         CAST(SUM(ca) OVER (PARTITION BY sa, sb ORDER BY v) AS BIGINT) AS cna,
+         CAST(SUM(cb) OVER (PARTITION BY sa, sb ORDER BY v) AS BIGINT) AS cnb
+  FROM merged
+),
+dmax AS (
+  SELECT c.sa, c.sb, ta.n AS n_a, tb.n AS n_b,
+         CAST(MAX(ABS(c.cna * tb.n - c.cnb * ta.n)) AS BIGINT) AS dnum
+  FROM cum c
+  JOIN tot ta ON ta.source = c.sa
+  JOIN tot tb ON tb.source = c.sb
+  GROUP BY c.sa, c.sb, ta.n, tb.n
+)
+SELECT sa AS source_a, sb AS source_b, n_a, n_b,
+       ROUND(CAST(dnum AS DOUBLE)
+             / NULLIF(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE), 0), 6)
+         AS ks_d,
+       -- the asymptotic test scaling sqrt(na*nb/(na+nb)) * D
+       ROUND(CAST(dnum AS DOUBLE)
+             / NULLIF(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE), 0)
+             * SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                    / NULLIF(CAST(n_a + n_b AS DOUBLE), 0)), 6)
+         AS ks_lambda
+FROM dmax
+ORDER BY source_a, source_b
+"""
+
+
+@register(
+    "ks_two_sample_sources",
+    oracle=_ks_sql(DUCKDB, "documents"),
+    doc="Exact two-sample Kolmogorov-Smirnov D for every source pair over "
+    "doc-length distributions: the max CDF gap decided in cross-multiplied "
+    "BIGINT form (|cumA*n_b - cumB*n_a|), divisions only at the final "
+    "normalization. Corpus touched once into the aggregated "
+    "(source, value) relation; pair expansion + cumulative windows run on "
+    "that bounded axis (the zipf contract). Distribution-shift detection "
+    "between corpus slices — the nonparametric sibling of "
+    "welch_ttest_sources.",
+    tags=("evaluation", "stats", "text"),
+)
+def ks_two_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("sales_telegram_bot_data_pipeline_ks_d")
+    return spark.sql(_ks_sql(SPARK, "sales_telegram_bot_data_pipeline_ks_d"))
+
+
+# --------------------------------------------------------------------------
+# overdispersion (variance-to-mean) audit of daily event counts
+# --------------------------------------------------------------------------
+_EV_DAY = {
+    "spark": "datediff(to_date(ts), to_date('1970-01-01'))",
+    "duckdb": "datediff('day', DATE '1970-01-01', CAST(ts AS DATE))",
+}
+
+
+def _overdispersion_sql(d: Dialect, events: str) -> str:
+    """Variance-to-mean ratio (dispersion index) of DAILY counts per
+    event type: VMR = 1 under Poisson arrivals; VMR >> 1 (clumped days —
+    campaigns, batch backfills, bot bursts) means a Poisson rate model
+    or a mean-based anomaly threshold will be miscalibrated.  The
+    count-model diagnostic to run before control_chart_anomalies-style
+    alerting.
+
+    Exactness: daily counts are integers; per-type sample variance comes
+    from exact (n, sum, sum-of-squares) BIGINT moments in the textbook
+    closed form; DOUBLE enters only at the two final ratios.  Scale
+    shape: corpus touched once (groupBy (type, day) — map-side
+    combinable), moments on the bounded (types x days) relation."""
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST({_EV_DAY[d.name]} AS BIGINT) AS day_x,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM {events} GROUP BY 1, 2
+),
+mom AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS ss
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n AS n_days, s AS n_events,
+       ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_daily,
+       -- sample variance: (n*ss - s^2) / (n*(n-1)), then VMR = var/mean
+       ROUND((CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)
+             / NULLIF(CAST(n AS DOUBLE) * (n - 1), 0)
+             / NULLIF(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 0), 6)
+         AS dispersion_index,
+       CASE WHEN (CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)
+                 / NULLIF(CAST(n AS DOUBLE) * (n - 1), 0)
+                 > 1.5 * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+            THEN true ELSE false END AS overdispersed
+FROM mom
+ORDER BY event_type
+"""
+
+
+@register(
+    "overdispersion_audit",
+    oracle=_overdispersion_sql(DUCKDB, "events"),
+    doc="Dispersion index (variance/mean of DAILY counts) per event type: "
+    "the Poisson-assumption check (VMR=1 under Poisson; >1.5 flags "
+    "clumped arrivals that break rate models and mean-based alert "
+    "thresholds). Exact BIGINT (n, sum, sum-sq) moments over the bounded "
+    "(type x day) relation, corpus touched once, DOUBLE only at the "
+    "final ratios.",
+    tags=("evaluation", "stats", "agg"),
+)
+def overdispersion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("sales_telegram_bot_data_pipeline_od_e")
+    return spark.sql(_overdispersion_sql(SPARK, "sales_telegram_bot_data_pipeline_od_e"))
+
+
+# --------------------------------------------------------------------------
+# covariate balance (standardized mean difference) for the hash split
+# --------------------------------------------------------------------------
+def _smd_sql(d: Dialect, orders: str, customer: str) -> str:
+    """Standardized mean difference for each pre-treatment covariate
+    between the md5 treatment arms: SMD = (mean_t - mean_c) /
+    sqrt((var_t + var_c)/2), the covariate-balance check run BEFORE
+    trusting a DiD/CUPED readout (|SMD| < 0.1 is the conventional
+    balance bar).  Covariates per customer: account balance (cents),
+    order count, total spend (cents) — unpivoted via a 3-row literal
+    join so each covariate is one exact-moment row, never three separate
+    scans.  Exactness: per-arm (n, sum, sum-sq) as DECIMAL(38,0); DOUBLE
+    at the final SMD only.  Scale: one groupBy(cust) + broadcastable
+    customer dim join; moments map-side combinable."""
+    return f"""
+WITH per_cust AS (
+  SELECT c.c_custkey AS cust,
+         CAST({d.md5_prefix_int(d.strcast("c.c_custkey"))} % 2 AS INT) AS treat,
+         CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acct_cents,
+         CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+         CAST(COALESCE(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                                AS BIGINT)), 0) AS BIGINT) AS spend_cents
+  FROM {customer} c
+  LEFT JOIN {orders} o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2, 3
+),
+unp AS (
+  SELECT p.treat, v.covariate,
+         CASE v.covariate
+           WHEN 'acctbal_cents' THEN p.acct_cents
+           WHEN 'n_orders' THEN p.n_orders
+           ELSE p.spend_cents
+         END AS x
+  FROM per_cust p
+  JOIN (VALUES ('acctbal_cents'), ('n_orders'), ('spend_cents'))
+       AS v(covariate) ON 1 = 1
+),
+mom AS (
+  SELECT covariate, treat,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS ss
+  FROM unp GROUP BY covariate, treat
+),
+wide AS (
+  SELECT covariate,
+         MAX(CASE WHEN treat = 1 THEN n END) AS n_t,
+         MAX(CASE WHEN treat = 0 THEN n END) AS n_c,
+         CAST(MAX(CASE WHEN treat = 1 THEN s END) AS DOUBLE) AS s_t,
+         CAST(MAX(CASE WHEN treat = 0 THEN s END) AS DOUBLE) AS s_c,
+         CAST(MAX(CASE WHEN treat = 1 THEN ss END) AS DOUBLE) AS ss_t,
+         CAST(MAX(CASE WHEN treat = 0 THEN ss END) AS DOUBLE) AS ss_c
+  FROM mom GROUP BY covariate
+)
+SELECT covariate, n_t AS n_treat, n_c AS n_control,
+       ROUND(s_t / n_t, 6) AS mean_treat,
+       ROUND(s_c / n_c, 6) AS mean_control,
+       ROUND((s_t / n_t - s_c / n_c)
+             / NULLIF(SQRT(((n_t * ss_t - s_t * s_t) / (CAST(n_t AS DOUBLE) * (n_t - 1))
+                            + (n_c * ss_c - s_c * s_c) / (CAST(n_c AS DOUBLE) * (n_c - 1)))
+                           / 2), 0), 6) AS smd,
+       CASE WHEN ABS((s_t / n_t - s_c / n_c)
+                     / NULLIF(SQRT(((n_t * ss_t - s_t * s_t) / (CAST(n_t AS DOUBLE) * (n_t - 1))
+                                    + (n_c * ss_c - s_c * s_c) / (CAST(n_c AS DOUBLE) * (n_c - 1)))
+                                   / 2), 0)) < 0.1
+            THEN true ELSE false END AS balanced
+FROM wide
+ORDER BY covariate
+"""
+
+
+@register(
+    "covariate_balance_smd",
+    oracle=_smd_sql(DUCKDB, "orders", "customer"),
+    doc="Covariate-balance check for the md5 A/B assignment: standardized "
+    "mean difference (mean gap over pooled SD) per pre-treatment "
+    "covariate (account balance, order count, total spend), |SMD| < 0.1 "
+    "= balanced — the sanity gate before any did_estimator / "
+    "cuped_variance_reduction readout. One groupBy(cust) + a 3-row "
+    "literal unpivot; exact DECIMAL(38,0) moments, DOUBLE at the final "
+    "SMD only.",
+    tags=("evaluation", "causal", "agg"),
+)
+def covariate_balance_smd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sales_telegram_bot_data_pipeline_smd_o")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("sales_telegram_bot_data_pipeline_smd_c")
+    return spark.sql(
+        _smd_sql(SPARK, "sales_telegram_bot_data_pipeline_smd_o", "sales_telegram_bot_data_pipeline_smd_c")
+    )
+
+
+# --------------------------------------------------------------------------
+# A/B power analysis: minimum detectable effect, raw vs CUPED-adjusted
+# --------------------------------------------------------------------------
+Z_ALPHA_2SIDED_05 = 1.959964  # Phi^{-1}(0.975), literal — no engine erf
+Z_POWER_80 = 0.841621  # Phi^{-1}(0.8)
+
+
+def _mde_sql(d: Dialect, orders: str) -> str:
+    """Minimum detectable effect of the hash-split experiment design at
+    alpha=0.05 (two-sided) / power=0.8:
+    MDE = (z_a + z_b) * sqrt(var_Y * (1/n_t + 1/n_c)), plus the
+    CUPED-adjusted MDE using Var(Y_adj) = (1 - rho^2) Var(Y) — the
+    design-phase readout that says how long to run before an effect of
+    interest is visible, and how much CUPED shortens it.
+
+    The z quantiles are numeric LITERALS (no engine erf/quantile
+    function — the cross-engine libm ban); variance and rho^2 come from
+    the same exact DECIMAL(38,0) per-customer moments as
+    cuped_variance_reduction; one groupBy(cust) shuffle total."""
+    za_zb = Z_ALPHA_2SIDED_05 + Z_POWER_80
+    return f"""
+WITH base AS ({_orders_base(d, orders)}),
+bounds AS (SELECT MIN(day_x) AS lo, MAX(day_x) AS hi FROM base),
+per_cust AS (
+  SELECT b.cust, b.treat,
+         CAST(SUM(CASE WHEN b.day_x * 2 < t.lo + t.hi THEN b.cents ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN b.day_x * 2 >= t.lo + t.hi THEN b.cents ELSE 0 END)
+              AS BIGINT) AS y
+  FROM base b CROSS JOIN bounds t
+  GROUP BY b.cust, b.treat
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(SUM(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+         CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
+  FROM per_cust
+),
+scal AS (
+  SELECT n, n_t, n_c,
+         CAST(sy AS DOUBLE) / n AS mean_y,
+         -- sample variance of Y from exact moments
+         (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * (n - 1)) AS var_y,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / NULLIF((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0) AS rho2
+  FROM mom
+)
+SELECT n AS n_units, n_t AS n_treat, n_c AS n_control,
+       ROUND(mean_y / 100, 6) AS mean_y_dollars,
+       ROUND({za_zb} * SQRT(var_y * (1.0e0 / n_t + 1.0e0 / n_c)) / 100, 6)
+         AS mde_dollars,
+       ROUND({za_zb} * SQRT(var_y * (1 - rho2) * (1.0e0 / n_t + 1.0e0 / n_c)) / 100, 6)
+         AS mde_cuped_dollars,
+       ROUND({za_zb} * SQRT(var_y * (1.0e0 / n_t + 1.0e0 / n_c))
+             / NULLIF(mean_y, 0), 6) AS mde_relative
+FROM scal
+"""
+
+
+@register(
+    "ab_power_mde",
+    oracle=_mde_sql(DUCKDB, "orders"),
+    doc="Experiment power analysis for the md5 hash split: minimum "
+    "detectable effect at alpha=0.05 two-sided / power=0.8 "
+    "((z_a+z_b)*sqrt(var*(1/n_t+1/n_c))), raw AND CUPED-adjusted "
+    "(var scaled by 1-rho^2) — quantifies how much the covariate "
+    "adjustment shortens an experiment. z quantiles are numeric "
+    "literals (no engine erf); moments exact DECIMAL(38,0); one "
+    "groupBy(cust) shuffle.",
+    tags=("evaluation", "causal", "agg"),
+)
+def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sales_telegram_bot_data_pipeline_mde_o")
+    return spark.sql(_mde_sql(SPARK, "sales_telegram_bot_data_pipeline_mde_o"))

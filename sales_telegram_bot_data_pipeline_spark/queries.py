@@ -257,7 +257,9 @@ except ImportError:  # pragma: no cover
 # source_vocab_overlap; round-9 additions (causal/calibration/layout
 # families — each would be its family's first driver exposure):
 # cuped_variance_reduction, did_estimator, isotonic_calibration_bins,
-# ipf_raking_weights, zorder_layout_audit, bradley_terry_priorities.
+# ipf_raking_weights, zorder_layout_audit, bradley_terry_priorities,
+# ks_two_sample_sources, overdispersion_audit, covariate_balance_smd,
+# ab_power_mde.
 # (inference_http_echo is rows-only and sorts after the oracle-backed
 # tail by design — it can never burn a checked slot.)
 # --------------------------------------------------------------------------

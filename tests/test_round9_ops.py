@@ -226,3 +226,126 @@ def test_bradley_terry_matches_python(spark):
         assert abs(rows[p].bt_strength - round(p2n[p] / zz, 6)) <= 1e-6
         s_total += rows[p].bt_strength
     assert abs(s_total - 1.0) <= 1e-5
+
+
+def test_ks_matches_python(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").select("source", "n_chars").collect()
+    by_src: dict[str, list[int]] = {}
+    for r in docs:
+        by_src.setdefault(r.source, []).append(r.n_chars)
+    rows = {
+        (r.source_a, r.source_b): r
+        for r in q.REGISTRY["ks_two_sample_sources"].fn(spark, SF_SMOKE).collect()
+    }
+    srcs = sorted(by_src)
+    assert set(rows) == {(a, b) for a in srcs for b in srcs if a < b}
+    import math
+
+    for (a, b), r in rows.items():
+        xs, ys = sorted(by_src[a]), sorted(by_src[b])
+        na, nb = len(xs), len(ys)
+        grid = sorted(set(xs) | set(ys))
+        dnum = max(
+            abs(
+                sum(1 for v in xs if v <= g) * nb
+                - sum(1 for v in ys if v <= g) * na
+            )
+            for g in grid
+        )
+        assert r.n_a == na and r.n_b == nb
+        assert abs(r.ks_d - round(dnum / (na * nb), 6)) <= 1e-6
+        lam = dnum / (na * nb) * math.sqrt(na * nb / (na + nb))
+        assert abs(r.ks_lambda - round(lam, 6)) <= 2e-6
+        assert 0.0 <= r.ks_d <= 1.0
+
+
+def test_overdispersion_matches_python(spark):
+    ev = load_table(spark, SF_SMOKE, "events").selectExpr(
+        "event_type", "datediff(to_date(ts), to_date('1970-01-01')) AS day_x"
+    ).collect()
+    daily: dict[tuple[str, int], int] = {}
+    for r in ev:
+        daily[(r.event_type, r.day_x)] = daily.get((r.event_type, r.day_x), 0) + 1
+    by_type: dict[str, list[int]] = {}
+    for (t, _), c in daily.items():
+        by_type.setdefault(t, []).append(c)
+    rows = {r.event_type: r for r in q.REGISTRY["overdispersion_audit"].fn(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(by_type)
+    for t, cs in by_type.items():
+        n, s, ss = len(cs), sum(cs), sum(c * c for c in cs)
+        mean = s / n
+        var = (n * ss - s * s) / (n * (n - 1))
+        r = rows[t]
+        assert r.n_days == n and r.n_events == s
+        assert abs(r.mean_daily - round(mean, 6)) <= 1e-6
+        assert abs(r.dispersion_index - round(var / mean, 6)) <= 1e-6
+        assert r.overdispersed == (var > 1.5 * mean)
+
+
+def test_smd_matches_python_and_hash_split_is_balanced(spark):
+    panel = _orders_panel(spark)
+    cust = load_table(spark, SF_SMOKE, "customer").selectExpr(
+        "c_custkey", "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acct"
+    ).collect()
+    per: dict[int, list[int]] = {
+        r.c_custkey: [r.acct, 0, 0] for r in cust
+    }  # acct, n_orders, spend
+    for ck, _, _, cents, _, _ in panel:
+        per[ck][1] += 1
+        per[ck][2] += cents
+
+    def treat(ck: int) -> int:
+        return int(hashlib.md5(str(ck).encode()).hexdigest()[:15], 16) % 2
+
+    rows = {r.covariate: r for r in q.REGISTRY["covariate_balance_smd"].fn(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"acctbal_cents", "n_orders", "spend_cents"}
+    for idx, cov in [(0, "acctbal_cents"), (1, "n_orders"), (2, "spend_cents")]:
+        t = [v[idx] for ck, v in per.items() if treat(ck) == 1]
+        c = [v[idx] for ck, v in per.items() if treat(ck) == 0]
+        mt, mc = sum(t) / len(t), sum(c) / len(c)
+        vt = (len(t) * sum(x * x for x in t) - sum(t) ** 2) / (len(t) * (len(t) - 1))
+        vc = (len(c) * sum(x * x for x in c) - sum(c) ** 2) / (len(c) * (len(c) - 1))
+        smd = (mt - mc) / ((vt + vc) / 2) ** 0.5
+        r = rows[cov]
+        assert r.n_treat == len(t) and r.n_control == len(c)
+        assert abs(r.smd - round(smd, 6)) <= 2e-6
+        assert r.balanced == (abs(smd) < 0.1)
+    # an md5 hash split over iid units is balanced in expectation, but at
+    # SF_SMOKE (~75 units per arm) the SMD sampling noise is ~sqrt(4/n)
+    # ~= 0.16, so the 0.1 bar can legitimately trip — assert only that no
+    # covariate shows a LARGE imbalance (a broken assignment would)
+    assert all(abs(r.smd) < 0.5 for r in rows.values())
+
+
+def test_mde_matches_python_and_cuped_helps(spark):
+    import math
+
+    panel = _orders_panel(spark)
+    lo = min(p[2] for p in panel)
+    hi = max(p[2] for p in panel)
+    per: dict[int, list[int]] = {}
+    for ck, tr, dx, cents, _, _ in panel:
+        e = per.setdefault(ck, [tr, 0, 0])
+        if dx * 2 < lo + hi:
+            e[1] += cents
+        else:
+            e[2] += cents
+    n = len(per)
+    n_t = sum(1 for v in per.values() if v[0] == 1)
+    n_c = n - n_t
+    sx = sum(v[1] for v in per.values())
+    sy = sum(v[2] for v in per.values())
+    sxx = sum(v[1] * v[1] for v in per.values())
+    sxy = sum(v[1] * v[2] for v in per.values())
+    syy = sum(v[2] * v[2] for v in per.values())
+    var_y = (n * syy - sy * sy) / (n * (n - 1))
+    rho2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    zz = 1.959964 + 0.841621
+    mde = zz * math.sqrt(var_y * (1 / n_t + 1 / n_c))
+    mde_cuped = zz * math.sqrt(var_y * (1 - rho2) * (1 / n_t + 1 / n_c))
+    out = q.REGISTRY["ab_power_mde"].fn(spark, SF_SMOKE).collect()[0]
+    assert out.n_units == n and out.n_treat == n_t and out.n_control == n_c
+    assert abs(out.mde_dollars - round(mde / 100, 6)) <= 2e-6
+    assert abs(out.mde_cuped_dollars - round(mde_cuped / 100, 6)) <= 2e-6
+    # CUPED can only shrink the MDE (rho^2 >= 0)
+    assert out.mde_cuped_dollars <= out.mde_dollars

@@ -171,6 +171,14 @@ SF_BENCH = "/root/testdata/sf0.1"
         "zorder_layout_audit",
         # floor-quantized MM ratios at 10x duel mass
         "bradley_terry_priorities",
+        # cross-multiplied BIGINT CDF gaps at 10x distinct lengths
+        "ks_two_sample_sources",
+        # BIGINT daily-count moments -> VMR ratio at 10x days/events
+        "overdispersion_audit",
+        # DECIMAL(38,0) per-arm moments -> pooled-SD division at 10x units
+        "covariate_balance_smd",
+        # same moment base as CUPED + literal z arithmetic at 10x units
+        "ab_power_mde",
     ],
 )
 def test_floor_quantized_queries_match_at_sf01(spark, name):
