@@ -132,6 +132,14 @@ try:
     from .operators import round9  # noqa: F401  (CUPED, DiD, isotonic, ...)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from .operators import round9b  # noqa: F401  (BH-FDR, McNemar, hashing)
+except ImportError:  # pragma: no cover
+    pass
+try:
+    from .operators import round9c  # noqa: F401  (EVT, stump, JS, PR-AUC, RBO)
+except ImportError:  # pragma: no cover
+    pass
 
 
 # --------------------------------------------------------------------------

@@ -92,6 +92,17 @@ _UNPARTITIONED_WINDOW_OK = {
     "isotonic_calibration_bins": "prefix-sum window runs on the aggregated "
     f"K-bin relation (fixed ISO_BINS=10 rows); the corpus itself is "
     "touched once by the binning groupBy",
+    "bh_fdr_source_audit": "rank / COUNT(*) / step-up MAX windows all run "
+    "on the aggregated per-source relation — O(|sources|) rows (~20); the "
+    "corpus collapses in one map-side-combinable groupBy first",
+    "decision_stump_split_audit": "argmin ROW_NUMBER runs on the "
+    "aggregated 8-row threshold grid; the corpus is touched once by the "
+    "conditional-cell groupBy",
+    "good_turing_smoothing_audit": "class-rank window runs on the "
+    "counts-of-counts relation: sum(r * N_r) = N bounds it at "
+    "O(sqrt(2N)) rows (~thousands at 100 TB), never the corpus or vocab",
+    "rbo_ranking_overlap": "both rank windows run on LIMIT-20 TakeOrdered "
+    "sublists (docstring contract), never the per-part aggregate",
 }
 
 

@@ -179,6 +179,31 @@ SF_BENCH = "/root/testdata/sf0.1"
         "covariate_balance_smd",
         # same moment base as CUPED + literal z arithmetic at 10x units
         "ab_power_mde",
+        # round-9 continuation additions; divergence classes:
+        # exact-moment Welch z^2 -> Chebyshev p ordering + step-up
+        # frontier at 10x docs (rank ties on the p axis)
+        "bh_fdr_source_audit",
+        # integer discordance cells at 10x docs (pure-count class)
+        "mcnemar_gate_disagreement",
+        # 60-bit md5 bucket routing over a 10x bigram vocabulary
+        "feature_hashing_collision_audit",
+        # exact cent sums -> m-estimate division at 10x orders per cell
+        "target_encoding_smoothed",
+        # counts-of-counts class axis shifts composition at 10x bigram
+        # mass (smallest-10 rank guard must stay deterministic)
+        "good_turing_smoothing_audit",
+        # floor-div threshold grid + conditional excess sums at 10x
+        # order mass (exact-cent class)
+        "mean_excess_tail_audit",
+        # integer split cells -> Gini argmin ordering at 10x docs
+        "decision_stump_split_audit",
+        # exact-moment shrink factor + O(k) tail at 10x docs per source
+        "james_stein_shrinkage",
+        # nano-unit integer-division AP terms over a 10x score axis
+        # (libm EXP in the sigmoid scores)
+        "pr_auc_exact",
+        # TakeOrdered top-20 determinism + dyadic weights at 10x parts
+        "rbo_ranking_overlap",
     ],
 )
 def test_floor_quantized_queries_match_at_sf01(spark, name):
