@@ -337,22 +337,27 @@ def pr_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("c_pos"),
     )
     # descending score axis = ascending on the negated key; v is a key of
-    # the grouped relation, so -v is too (strict monotone)
-    g = g.withColumn("vneg", -F.col("v"))
-    c_sum, _ = range_prefix_summed(spark, g, ["vneg"], "c")
-    if c_sum is None:
+    # the grouped relation, so -v is too (strict monotone).  BOTH running
+    # counters ride ONE prefix pass: pack = c * 2^31 + c_pos (c_pos <= c
+    # < 2^31 per group and summed over the corpus n < 2^31, so the packed
+    # prefix sum fits BIGINT and unpacks exactly by div/mod).
+    pack = F.lit(2147483648).cast("bigint")
+    g = g.withColumn("vneg", -F.col("v")).withColumn(
+        "packed", (F.col("c").cast("bigint") * pack + F.col("c_pos")).cast("bigint")
+    )
+    packed_sum, _ = range_prefix_summed(spark, g, ["vneg"], "packed")
+    if packed_sum is None:
         return spark.createDataFrame(
             [], "n_docs bigint, n_pos bigint, pr_auc double, prevalence_baseline double"
         )
-    pos_sum, _ = range_prefix_summed(spark, g.select("vneg", "c_pos"), ["vneg"], "c_pos")
-    cum = (
-        c_sum.select("vneg", "c", "c_pos", (F.col("cum_before") + F.col("c")).alias("pred"))
-        .join(
-            pos_sum.select(
-                "vneg", (F.col("cum_before") + F.col("c_pos")).alias("tp")
-            ),
-            "vneg",
-        )
+    cum = packed_sum.selectExpr(
+        "vneg",
+        "c",
+        "c_pos",
+        # integer div/mod (never float division: exactness must not depend
+        # on the packed sum fitting a double mantissa)
+        "CAST((cum_before + packed) div 2147483648 AS BIGINT) AS pred",
+        "CAST((cum_before + packed) % 2147483648 AS BIGINT) AS tp",
     )
     term = SPARK.idiv("CAST(c_pos AS DECIMAL(38,0)) * 1000000000 * tp", "pred")
     cum.createOrReplaceTempView("sales_telegram_bot_data_pipeline_prauc_cum")

@@ -140,6 +140,14 @@ try:
     from .operators import round9c  # noqa: F401  (EVT, stump, JS, PR-AUC, RBO)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from .operators import round9d  # noqa: F401  (NA hazard, Cochran Q, C-index)
+except ImportError:  # pragma: no cover
+    pass
+try:
+    from .operators import round9e  # noqa: F401  (nDCG, modularity, ADF)
+except ImportError:  # pragma: no cover
+    pass
 
 
 # --------------------------------------------------------------------------

@@ -103,6 +103,12 @@ _UNPARTITIONED_WINDOW_OK = {
     "O(sqrt(2N)) rows (~thousands at 100 TB), never the corpus or vocab",
     "rbo_ranking_overlap": "both rank windows run on LIMIT-20 TakeOrdered "
     "sublists (docstring contract), never the per-part aggregate",
+    "quantile_pinball_fit_audit": "argmin ROW_NUMBER runs on the "
+    "aggregated 8-row candidate grid; the fact table is touched once by "
+    "the conditional-loss groupBy",
+    "ndcg_retrieval_eval": "rank ROW_NUMBER runs on the LIMIT-25 BM25 "
+    "sublist (TakeOrdered feeds it), never the corpus; BM25's own df "
+    "window is partitioned by term",
 }
 
 

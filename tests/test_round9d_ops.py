@@ -1,0 +1,181 @@
+"""Round-9 continuation batch-3 pins: Nelson-Aalen, Cochran's Q, Harrell's
+C-index (vs a brute-force O(n^2) pair loop), pinball quantile fit, and
+SNIPS off-policy estimates re-derived in pure Python."""
+
+from __future__ import annotations
+
+import hashlib
+
+from sales_telegram_bot_data_pipeline_spark import queries as q
+from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
+
+from conftest import SF_SMOKE
+
+
+def _cohort(spark):
+    """(ck, t_days, is_event) — Python twin of the KM/NA duration relation:
+    event = second DISTINCT order day, censored at the corpus horizon."""
+    rows = load_table(spark, SF_SMOKE, "orders").selectExpr(
+        "o_custkey AS ck", "CAST(o_orderdate AS DATE) AS d"
+    ).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.ck, set()).add(r.d)
+    hmax = max(d for days in per.values() for d in days)
+    out = []
+    for ck, days in per.items():
+        d1 = min(days)
+        later = sorted(x for x in days if x > d1)
+        if later:
+            out.append((ck, (later[0] - d1).days, 1))
+        else:
+            out.append((ck, (hmax - d1).days, 0))
+    return out
+
+
+def test_nelson_aalen_matches_python(spark):
+    rows = q.REGISTRY["nelson_aalen_hazard"].fn(spark, SF_SMOKE).collect()
+    cohort = _cohort(spark)
+    per_t = {}
+    for _, t, ev in cohort:
+        e, c = per_t.get(t, (0, 0))
+        per_t[t] = (e + ev, c + (1 - ev))
+    n = len(cohort)
+    seen = 0
+    cum_nano = 0
+    expect = []
+    for t in sorted(per_t):
+        e, c = per_t[t]
+        at_risk = n - seen
+        cum_nano += (e * 1_000_000_000) // at_risk
+        expect.append((t, at_risk, e, c, cum_nano / 1e9))
+        seen += e + c
+    assert len(rows) == len(expect)
+    for r, (t, ar, e, c, h) in zip(rows, expect):
+        assert (r.t_days, r.at_risk, r.n_event, r.n_censor) == (t, ar, e, c)
+        assert abs(r.cum_hazard - h) < 1e-6
+    # cumulative hazard is nondecreasing
+    hs = [r.cum_hazard for r in rows]
+    assert hs == sorted(hs)
+
+
+def test_cochran_q_matches_python(spark):
+    row = q.REGISTRY["cochran_q_gates"].fn(spark, SF_SMOKE).collect()[0]
+    docs = load_table(spark, SF_SMOKE, "documents").selectExpr("text").collect()
+    t1 = t2 = t3 = sum_l2 = 0
+    for r in docs:
+        toks = len([w for w in r.text.lower().split() if w])
+        g1 = 1 if len(r.text) >= 600 else 0
+        g2 = 1 if toks >= 90 else 0
+        g3 = 1 if len(r.text) < 7 * toks else 0
+        t1 += g1
+        t2 += g2
+        t3 += g3
+        sum_l2 += (g1 + g2 + g3) ** 2
+    T = t1 + t2 + t3
+    qstat = 2 * (3 * (t1 * t1 + t2 * t2 + t3 * t3) - T * T) / (3 * T - sum_l2)
+    assert (row.pass_len, row.pass_tokens, row.pass_wordlen) == (t1, t2, t3)
+    assert abs(row.cochran_q - qstat) < 1e-5
+    assert row.cochran_q >= 0
+
+
+def test_harrell_c_index_matches_bruteforce(spark):
+    row = q.REGISTRY["harrell_c_index"].fn(spark, SF_SMOKE).collect()[0]
+    cohort = _cohort(spark)
+    bal = {
+        r.ck: r.cents
+        for r in load_table(spark, SF_SMOKE, "customer").selectExpr(
+            "c_custkey AS ck",
+            "CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents",
+        ).collect()
+    }
+    units = [(t, ev, bal[ck]) for ck, t, ev in cohort if ck in bal]
+    lo = min(b for _, _, b in units)
+    hi = max(b for _, _, b in units)
+    binned = [(t, ev, min(15, ((b - lo) * 16) // (hi - lo + 1))) for t, ev, b in units]
+    conc = ties = comp = 0
+    # brute force O(n^2): every (event i, any j) pair with t_i < t_j
+    for ti, evi, bi in binned:
+        if not evi:
+            continue
+        for tj, _, bj in binned:
+            if tj > ti:
+                comp += 1
+                if bj < bi:
+                    conc += 1
+                elif bj == bi:
+                    ties += 1
+    assert (row.n_comparable_pairs, row.n_concordant, row.n_tied_score) == (
+        comp, conc, ties,
+    )
+    assert abs(row.c_index - (2 * conc + ties) / (2 * comp)) < 1e-6
+    assert 0.0 <= row.c_index <= 1.0
+
+
+def test_pinball_matches_python(spark):
+    rows = q.REGISTRY["quantile_pinball_fit_audit"].fn(spark, SF_SMOKE).collect()
+    cents = [
+        r.x
+        for r in load_table(spark, SF_SMOKE, "orders")
+        .selectExpr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x")
+        .collect()
+    ]
+    lo, hi, n = min(cents), max(cents), len(cents)
+    losses = {}
+    for j in range(1, 9):
+        c = lo + (j * (hi - lo)) // 9
+        loss10 = sum(9 * (x - c) if x > c else (c - x) for x in cents)
+        below = sum(1 for x in cents if x <= c)
+        losses[j] = (c, loss10, below)
+    best_j = min(losses, key=lambda j: (losses[j][1], losses[j][0]))
+    for r in rows:
+        c, loss10, below = losses[r.ninth]
+        assert abs(r.candidate_dollars - round(c / 100, 2)) < 1e-9
+        assert abs(r.mean_pinball_loss_dollars - loss10 / 10 / 100 / n) < 1e-4
+        assert abs(r.frac_below - below / n) < 1e-6
+        assert r.is_argmin == (1 if r.ninth == best_j else 0)
+    assert sum(r.is_argmin for r in rows) == 1
+    # the argmin candidate brackets the tau=0.9 quantile from one side:
+    # its below-fraction is the closest grid point to 0.9 in pinball terms,
+    # so sanity-check it is not wildly off
+    best = next(r for r in rows if r.is_argmin)
+    assert 0.5 <= best.frac_below <= 1.0
+
+
+def test_snips_matches_python(spark):
+    rows = {
+        r.policy: r
+        for r in q.REGISTRY["snips_offpolicy_eval"].fn(spark, SF_SMOKE).collect()
+    }
+    orders = load_table(spark, SF_SMOKE, "orders").selectExpr(
+        "o_orderkey", "o_custkey", "o_orderpriority",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents",
+    ).collect()
+    seg = {
+        r.c_custkey: r.c_mktsegment
+        for r in load_table(spark, SF_SMOKE, "customer").select(
+            "c_custkey", "c_mktsegment"
+        ).collect()
+    }
+    prio_ix = {"1-URGENT": 0, "2-HIGH": 1, "3-MEDIUM": 2, "4-NOT SPECIFIED": 3}
+    for policy in (1, 2):
+        n = wr = w = w2 = 0
+        for o in orders:
+            if o.o_custkey not in seg:
+                continue
+            n += 1
+            a_log = int(hashlib.md5(str(o.o_orderkey).encode()).hexdigest()[:15], 16) % 5
+            a_true = prio_ix.get(o.o_orderpriority, 4)
+            a_tgt = 0 if policy == 1 else (0 if seg[o.o_custkey] == "BUILDING" else 4)
+            if a_log == a_tgt:
+                w += 5
+                w2 += 25
+                if a_log == a_true:
+                    wr += 5 * o.cents
+        r = rows[policy]
+        assert r.n == n and r.n_matched == w // 5
+        assert abs(r.value_ips_dollars - wr / n / 100) < 1e-4
+        assert abs(r.value_snips_dollars - wr / w / 100) < 1e-4
+        assert abs(r.effective_sample_size - w * w / w2) < 1e-3
+        # ESS of a w in {0,5} weighting equals the match count exactly
+        assert abs(r.effective_sample_size - r.n_matched) < 1e-6

@@ -204,6 +204,29 @@ SF_BENCH = "/root/testdata/sf0.1"
         "pr_auc_exact",
         # TakeOrdered top-20 determinism + dyadic weights at 10x parts
         "rbo_ranking_overlap",
+        # nano-unit integer-division hazard steps over a 10x duration axis
+        "nelson_aalen_hazard",
+        # pure integer gate cells at 10x docs
+        "cochran_q_gates",
+        # dense (duration x bin) grid windows + BIGINT pair masses at 10x
+        # cohort (grid rows grow with the day domain)
+        "harrell_c_index",
+        # exact BIGINT loss grid + integer argmin at 10x order mass
+        "quantile_pinball_fit_audit",
+        # md5 action routing + integer weight sums at 10x logs
+        "snips_offpolicy_eval",
+        # BM25 TakeOrdered top-25 determinism + nano-unit DCG terms at
+        # 10x corpus (libm LN inside the BM25 scores)
+        "ndcg_retrieval_eval",
+        # banded pair graph composition + integer degree sums at 10x docs
+        "graph_modularity_by_source",
+        # exact-unit level aggregates + libm LN regression at 10x lines
+        "price_elasticity_ols",
+        # DECIMAL(38,0) lag moments -> closed-form t at 10x daily mass
+        "adf_stationarity_audit",
+        # per-row nano-unit calibration terms at 10x docs (libm EXP in
+        # the sigmoid scores)
+        "spiegelhalter_calibration_z",
     ],
 )
 def test_floor_quantized_queries_match_at_sf01(spark, name):
