@@ -275,7 +275,20 @@ except ImportError:  # pragma: no cover
 # cuped_variance_reduction, did_estimator, isotonic_calibration_bins,
 # ipf_raking_weights, zorder_layout_audit, bradley_terry_priorities,
 # ks_two_sample_sources, overdispersion_audit, covariate_balance_smd,
-# ab_power_mde.
+# ab_power_mde; round-9-continuation additions (each its family's first
+# candidate): bh_fdr_source_audit (multiple-testing control),
+# mcnemar_gate_disagreement + cochran_q_gates (paired categorical
+# tests), feature_hashing_collision_audit + target_encoding_smoothed
+# (feature engineering), good_turing_smoothing_audit (LM smoothing),
+# mean_excess_tail_audit (extreme values), decision_stump_split_audit
+# (tree primitives), james_stein_shrinkage (empirical Bayes),
+# pr_auc_exact + ndcg_retrieval_eval + rbo_ranking_overlap (IR/ranking
+# eval), nelson_aalen_hazard + harrell_c_index (survival siblings),
+# quantile_pinball_fit_audit (quantile regression),
+# snips_offpolicy_eval (off-policy eval), graph_modularity_by_source
+# (graph quality), price_elasticity_ols (econometrics),
+# adf_stationarity_audit (stationarity testing),
+# spiegelhalter_calibration_z (calibration testing).
 # (inference_http_echo is rows-only and sorts after the oracle-backed
 # tail by design — it can never burn a checked slot.)
 # --------------------------------------------------------------------------
