@@ -51,22 +51,6 @@ from .lm_quality import _bigram_rel
 _BH_ALPHA = "0.10e0"  # FDR level; a literal so both engines see one constant
 
 
-def _words_rel(d: Dialect, table: str) -> str:
-    """Exploded lowercase whitespace tokens — the shared corpus-word scan
-    (same shape as zipf/countmin: LATERAL VIEW on Spark, unnest on
-    DuckDB)."""
-    w = d.splitws("lower(text)")
-    if d.name == "spark":
-        return (
-            f"SELECT word FROM (SELECT {w} AS ws FROM {table}) s "
-            f"LATERAL VIEW explode(ws) t AS word WHERE length(word) > 0"
-        )
-    return (
-        f"SELECT word FROM (SELECT unnest({w}) AS word FROM {table}) s "
-        f"WHERE length(word) > 0"
-    )
-
-
 def _bh_fdr_sql(d: Dialect, table: str) -> str:
     """BH step-up over per-source 'is this source's mean doc length
     different from the rest of the corpus?' tests.
