@@ -1181,7 +1181,13 @@ margy AS (
   FROM (SELECT y, SUM(c) AS ty FROM cells GROUP BY y) my
 ),
 tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells)
-SELECT t.n AS n_rows, p.p_conc AS n_concordant, p.q_disc AS n_discordant,
+-- final projection emits BIGINT pair masses (internal sums stay
+-- DECIMAL(38,0)): pair mass ~ n^2/2 fits BIGINT to ~4.3e9 input rows,
+-- far beyond any driver sf, and precision-38 decimals (int128-backed in
+-- DuckDB) are the one type the driver's value hash canonicalizes
+-- differently across engines (round-9 red row)
+SELECT t.n AS n_rows, CAST(p.p_conc AS BIGINT) AS n_concordant,
+       CAST(p.q_disc AS BIGINT) AS n_discordant,
        ROUND(CAST(p.p_conc - p.q_disc AS DOUBLE)
              / NULLIF(SQRT((CAST(t.n AS DOUBLE) * (t.n - 1) / 2 - CAST(mx.t1 AS DOUBLE))
                            * (CAST(t.n AS DOUBLE) * (t.n - 1) / 2 - CAST(my.t2 AS DOUBLE))), 0),
@@ -1199,9 +1205,11 @@ FROM pairs p CROSS JOIN tot t CROSS JOIN margx mx CROSS JOIN margy my
     "groupBy, concordant/discordant pair mass comes from a cell-grid "
     "self-join (550^2 comparisons regardless of row count — the O(n log "
     "n) inversion-count problem disappears when the value domains are "
-    "small), and the tie corrections come from the marginals.  All "
-    "counts exact DECIMAL(38,0) (pair mass ~ n^2/2 ~ 1e23 at 1e11 "
-    "rows); one sqrt at the end.  The concordance sibling of "
+    "small), and the tie corrections come from the marginals.  "
+    "Internal pair-mass sums are exact DECIMAL(38,0); the FINAL "
+    "projection emits them as BIGINT (valid to ~4.3e9 input rows — "
+    "n^2/2 < 2^63 — and hash-stable across engines, unlike int128 "
+    "decimals); one sqrt at the end.  The concordance sibling of "
     "spearman_rank_correlation (which ranks the near-continuous price "
     "axis instead).",
     tags=("analytics", "stats", "agg"),

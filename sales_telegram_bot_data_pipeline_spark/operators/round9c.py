@@ -232,8 +232,11 @@ dev AS (
 ),
 shrink AS (
   SELECT sc.k, sc.grand, sc.avg_se2, dv.s_dev,
-         GREATEST(0.0e0,
-                  1.0e0 - (sc.k - 3) * sc.avg_se2 / NULLIF(dv.s_dev, 0))
+         -- clamp BOTH sides: with k < 4 groups (k-3) <= 0 would push
+         -- the raw factor above 1 and EXPAND means away from the grand
+         -- mean; c = 1 (no shrinkage) is the correct degenerate limit
+         LEAST(1.0e0, GREATEST(0.0e0,
+                  1.0e0 - (sc.k - 3) * sc.avg_se2 / NULLIF(dv.s_dev, 0)))
            AS c
   FROM scal sc CROSS JOIN dev dv
 )

@@ -289,7 +289,12 @@ crossed AS (
   FROM suffixed
 ),
 mass AS (
-  SELECT CAST(SUM(CAST(n_event AS DECIMAL(38,0)) * later_low)
+  -- concordant = event unit's bin strictly LOWER than the later unit's
+  -- (later_any - later_same - later_low = later units in strictly
+  -- HIGHER bins): low balance on the churner = higher risk, matching
+  -- the documented convention (ADVICE r9 flagged the inverted form)
+  SELECT CAST(SUM(CAST(n_event AS DECIMAL(38,0))
+                  * (later_any - later_same - later_low))
               AS DECIMAL(38,0)) AS conc,
          CAST(SUM(CAST(n_event AS DECIMAL(38,0)) * later_same)
               AS DECIMAL(38,0)) AS ties,

@@ -101,7 +101,7 @@ grades AS (
 ideal AS (
   SELECT CAST(SUM((CASE WHEN p.pos <= g.n2 THEN 2
                         WHEN p.pos <= g.n_rel THEN 1 ELSE 0 END)
-                  * (CASE p.pos {w_rank.replace('WHEN', 'WHEN')} END))
+                  * (CASE p.pos {w_rank} END))
               AS BIGINT) AS idcg_nano
   FROM (SELECT * FROM (VALUES {pos_grid}) AS pp(pos)) p CROSS JOIN grades g
 )

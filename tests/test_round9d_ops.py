@@ -101,7 +101,9 @@ def test_harrell_c_index_matches_bruteforce(spark):
         for tj, _, bj in binned:
             if tj > ti:
                 comp += 1
-                if bj < bi:
+                # concordant: the shorter-duration EVENT unit carries
+                # the strictly LOWER bin (low balance = higher risk)
+                if bj > bi:
                     conc += 1
                 elif bj == bi:
                     ties += 1
