@@ -164,10 +164,39 @@ except ImportError:  # pragma: no cover
 # outside the static window over time.  A slot may rotate only if its
 # operator family keeps at least one driver row; parked queries stay
 # registered and swept by the local replica (LOCAL_CORRECTNESS_r{N}.json).
-# Round-9 rotation — in (all 10 NEVER previously windowed; the round-8
+# Round-10 rotation — in (all 10 NEVER previously windowed; the round-9
 # verdict's prescribed priority list — first driver-grade exposure for
-# every round-8 operator family): shapley_channel_attribution
-# (cooperative-game attribution), ewma_dyadic_smoothing (exact-weight
+# the round-9 operator families): bh_fdr_source_audit (multiple-testing
+# control), pr_auc_exact (exact PR-curve classifier eval),
+# nelson_aalen_hazard (survival hazard), cuped_variance_reduction
+# (experimentation/causal), isotonic_calibration_bins (PAV
+# calibration), ipf_raking_weights (survey raking),
+# zorder_layout_audit (storage layout), ks_two_sample_sources
+# (two-sample testing), adf_stationarity_audit (stationarity testing),
+# snips_offpolicy_eval (off-policy eval).
+# kendall_tau_b STAYS windowed (not a rotation slot): its round-9
+# driver row was red on the typed hash only (values verified
+# bit-identical to the oracle — VERDICT r9); the final projection now
+# emits BIGINT pair masses and the window must show it green.
+# Parked round-10 (family cover in parens — every parked query has r09
+# driver-grade evidence, green on all three gates):
+# shapley_channel_attribution (attribution/policy-value:
+# snips_offpolicy_eval in), ewma_dyadic_smoothing +
+# seasonal_dow_decomposition (time-series: adf_stationarity_audit in;
+# kendall_tau_b stays), covisitation_item_pairs (co-occurrence:
+# bm25_topk_search stays), key_gap_audit (integrity audits:
+# table_checksum_audit stays), brier_score_decomposition +
+# conformal_coverage_audit (forecast eval/calibration: pr_auc_exact +
+# isotonic_calibration_bins in), runs_test_daily_revenue
+# (distributional tests: ks_two_sample_sources in),
+# jl_projection_distortion_audit (embedding audits: semantic_dedup
+# stays, zorder_layout_audit in), q5_revenue_by_nation (TPC-H:
+# q1_pricing_summary stays).
+# Round-9 rotation history — in (all 10 NEVER previously windowed; the
+# round-8 verdict's prescribed priority list — first driver-grade
+# exposure for every round-8 operator family):
+# shapley_channel_attribution (cooperative-game attribution),
+# ewma_dyadic_smoothing (exact-weight
 # exponential smoothing), covisitation_item_pairs (co-occurrence
 # recommendation), key_gap_audit (sequence-integrity audit),
 # seasonal_dow_decomposition (seasonal decomposition),
@@ -242,7 +271,7 @@ except ImportError:  # pragma: no cover
 # Round-5 history: in — q6/q7/q10, recursive_hierarchy_rollup,
 # lateral_topk_orders, pagerank_neardup_graph, bigram_lm_score,
 # pit_join_scd2, full_outer_reconciliation, sketch_rollup_distinct.
-# Round-10 rotation candidates (never windowed): source_quality_ranksum,
+# Round-11 rotation candidates (never windowed): source_quality_ranksum,
 # cluster_balanced_sample, score_decile_lift,
 # join_cardinality_sketch_audit, split_distribution_drift, graph_bfs_hops,
 # misra_gries_topk, revenue_trend_ols, kmeans_separation_audit,
@@ -272,30 +301,29 @@ except ImportError:  # pragma: no cover
 # stylometric_burrows_delta, behavioral_entropy_profile,
 # source_vocab_overlap; round-9 additions (causal/calibration/layout
 # families — each would be its family's first driver exposure):
-# cuped_variance_reduction, did_estimator, isotonic_calibration_bins,
-# ipf_raking_weights, zorder_layout_audit, bradley_terry_priorities,
-# ks_two_sample_sources, overdispersion_audit, covariate_balance_smd,
+# did_estimator, bradley_terry_priorities,
+# overdispersion_audit, covariate_balance_smd,
 # ab_power_mde; round-9-continuation additions (each its family's first
-# candidate): bh_fdr_source_audit (multiple-testing control),
-# mcnemar_gate_disagreement + cochran_q_gates (paired categorical
-# tests), feature_hashing_collision_audit + target_encoding_smoothed
-# (feature engineering), good_turing_smoothing_audit (LM smoothing),
-# mean_excess_tail_audit (extreme values), decision_stump_split_audit
-# (tree primitives), james_stein_shrinkage (empirical Bayes),
-# pr_auc_exact + ndcg_retrieval_eval + rbo_ranking_overlap (IR/ranking
-# eval), nelson_aalen_hazard + harrell_c_index (survival siblings),
-# quantile_pinball_fit_audit (quantile regression),
-# snips_offpolicy_eval (off-policy eval), graph_modularity_by_source
-# (graph quality), price_elasticity_ols (econometrics),
-# adf_stationarity_audit (stationarity testing),
-# spiegelhalter_calibration_z (calibration testing).
+# candidate): mcnemar_gate_disagreement + cochran_q_gates (paired
+# categorical tests), feature_hashing_collision_audit +
+# target_encoding_smoothed (feature engineering),
+# good_turing_smoothing_audit (LM smoothing), mean_excess_tail_audit
+# (extreme values), decision_stump_split_audit (tree primitives),
+# james_stein_shrinkage (empirical Bayes), ndcg_retrieval_eval +
+# rbo_ranking_overlap (IR/ranking eval), harrell_c_index (survival
+# sibling of nelson_aalen_hazard), quantile_pinball_fit_audit
+# (quantile regression), graph_modularity_by_source (graph quality),
+# price_elasticity_ols (econometrics), spiegelhalter_calibration_z
+# (calibration testing).  The 10 round-9 names windowed in round 10
+# (bh_fdr, pr_auc, nelson_aalen, cuped, isotonic, ipf, zorder, ks,
+# adf, snips) left this backlog.
 # (inference_http_echo is rows-only and sorts after the oracle-backed
 # tail by design — it can never burn a checked slot.)
 # --------------------------------------------------------------------------
 _DRIVER_WINDOW = [
-    # core relational / TPC-H (q3 parked round 7; q1/q5 keep the family)
+    # core relational / TPC-H (q3 parked round 7, q5 parked round 10;
+    # q1 keeps the family)
     "q1_pricing_summary",
-    "q5_revenue_by_nation",
     "broadcast_lookup_join",
     "semi_join_active_customers",
     # reference-pipeline operators (SURVEY §2 named forms)
@@ -351,18 +379,21 @@ _DRIVER_WINDOW = [
     "lateral_topk_orders",
     # round-6 swap-in retained (sketch family's only driver row)
     "countmin_heavy_hitters",
-    # round-9 rotation swap-ins (see policy comment above): first driver
-    # rows for the round-8 operator families
-    "shapley_channel_attribution",
-    "ewma_dyadic_smoothing",
-    "covisitation_item_pairs",
-    "key_gap_audit",
-    "seasonal_dow_decomposition",
+    # round-9 holdover: red on typed hash only in r9 (values verified
+    # correct); final projection now BIGINT — must show green this round
     "kendall_tau_b",
-    "brier_score_decomposition",
-    "runs_test_daily_revenue",
-    "jl_projection_distortion_audit",
-    "conformal_coverage_audit",
+    # round-10 rotation swap-ins (see policy comment above): first driver
+    # rows for the round-9 operator families
+    "bh_fdr_source_audit",
+    "pr_auc_exact",
+    "nelson_aalen_hazard",
+    "cuped_variance_reduction",
+    "isotonic_calibration_bins",
+    "ipf_raking_weights",
+    "zorder_layout_audit",
+    "ks_two_sample_sources",
+    "adf_stationarity_audit",
+    "snips_offpolicy_eval",
 ]
 
 

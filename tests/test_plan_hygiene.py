@@ -59,6 +59,21 @@ _ONE_ROW_BNLJ_OK = {
     "brier_score_decomposition",  # one-row grand-total moment scalar
     "runs_test_daily_revenue",  # one-row median + flip-count scalars
     "conformal_coverage_audit",  # one-row conformal-quantile scalar
+    # round-10 swap-ins — every BNLJ build side is a one-row moment
+    # scalar or a relation bounded by the fixed source catalog (~20) /
+    # bin grid, verified by stage rowCounts at analysis (1-490 rows):
+    "bh_fdr_source_audit",  # one-row m (test count) scalar over the
+    #   per-source p-value relation (|sources| rows)
+    "cuped_variance_reduction",  # one-row pre/post moment scalars
+    #   (theta, means) joined back to the arm-level aggregates
+    "isotonic_calibration_bins",  # decile-grid (10-row) PAV prefix
+    #   joins + one-row total scalars — bin axis is fixed
+    "ipf_raking_weights",  # 5x5 margin grid x fixed iteration count;
+    #   every relation is O(grid), never corpus-scale
+    "ks_two_sample_sources",  # source-pair grid (|sources| choose 2 =
+    #   190) x per-source CDF scalars — catalog-bounded both sides
+    "snips_offpolicy_eval",  # one-row behavior-policy normalizer
+    #   scalars (self-normalized IPS denominator)
 }
 
 # mapInPandas / pandas-UDF operators: Python stages are their design.
@@ -238,3 +253,42 @@ def test_unpartitioned_window_allowlist_entries_still_flag(spark):
             f"allowlist entry {name} ({bound}) no longer plans an "
             "unpartitioned window — remove the stale entry"
         )
+
+
+def test_registry_wide_no_high_precision_final_decimals(spark):
+    """VERDICT r9 task 8: no registered query's FINAL schema (top-level or
+    nested) may contain a decimal with precision > 18.  Precision-38
+    decimals are int128-backed in DuckDB and were the one type the
+    driver's cross-engine value hash canonicalized differently — the
+    round-9 ``kendall_tau_b`` red row, whose VALUES were bit-identical to
+    the oracle.  High-precision decimals stay welcome in INTERNAL CTEs
+    (exact pair-mass sums); the final projection must land on
+    BIGINT/DOUBLE/decimal(<=18,*).  Schema-only: analysis fixes the
+    projection types, no execution needed."""
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
+
+    def _walk(dt, path):
+        if isinstance(dt, DecimalType) and dt.precision > 18:
+            yield f"{path}: {dt}"
+        elif isinstance(dt, StructType):
+            for f in dt.fields:
+                yield from _walk(f.dataType, f"{path}.{f.name}")
+        elif isinstance(dt, ArrayType):
+            yield from _walk(dt.elementType, f"{path}[]")
+        elif isinstance(dt, MapType):
+            yield from _walk(dt.valueType, f"{path}{{v}}")
+
+    offenders: dict[str, list[str]] = {}
+    for name in sorted(q.REGISTRY):
+        df = q.REGISTRY[name].fn(spark, SF_SMOKE)
+        hits = [
+            h for f in df.schema.fields for h in _walk(f.dataType, f.name)
+        ]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, (
+        f"final schemas with precision>18 decimals: {offenders} — the "
+        "driver's typed value hash is not stable for int128-backed "
+        "decimals across engines; CAST the final projection to BIGINT "
+        "(document the bound) or a <=18-precision decimal"
+    )
