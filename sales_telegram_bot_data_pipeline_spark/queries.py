@@ -148,6 +148,10 @@ try:
     from .operators import round9e  # noqa: F401  (nDCG, modularity, ADF)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from .operators import round10  # noqa: F401  (Levene, Hill, Theil, ...)
+except ImportError:  # pragma: no cover
+    pass
 
 
 # --------------------------------------------------------------------------
@@ -316,7 +320,16 @@ except ImportError:  # pragma: no cover
 # price_elasticity_ols (econometrics), spiegelhalter_calibration_z
 # (calibration testing).  The 10 round-9 names windowed in round 10
 # (bh_fdr, pr_auc, nelson_aalen, cuped, isotonic, ipf, zorder, ks,
-# adf, snips) left this backlog.
+# adf, snips) left this backlog.  Round-10 additions (each its
+# family's first candidate): levene_brown_forsythe (variance
+# homogeneity), hill_tail_index (order-statistics tail),
+# theil_inequality_decomposition (decomposable inequality),
+# granger_lag_causality (lead-lag), ljung_box_whiteness (portmanteau
+# whiteness), degree_assortativity + adamic_adar_link_prediction
+# (graph mixing / link prediction), logrank_test_segments (survival
+# significance), query_likelihood_dirichlet (LM retrieval),
+# mrr_retrieval_eval (first-hit IR eval), curriculum_schedule_plan
+# (curriculum ordering), ipw_ate_stratified (stratified ATE).
 # (inference_http_echo is rows-only and sorts after the oracle-backed
 # tail by design — it can never burn a checked slot.)
 # --------------------------------------------------------------------------

@@ -124,6 +124,10 @@ _UNPARTITIONED_WINDOW_OK = {
     "ndcg_retrieval_eval": "rank ROW_NUMBER runs on the LIMIT-25 BM25 "
     "sublist (TakeOrdered feeds it), never the corpus; BM25's own df "
     "window is partitioned by term",
+    "hill_tail_index": "rank ROW_NUMBER runs on the LIMIT-101 TakeOrdered "
+    "top-k relation (docstring contract), never the fact table",
+    "mrr_retrieval_eval": "rank ROW_NUMBER runs on the LIMIT-25 BM25 "
+    "sublist (the ndcg pattern), never the corpus",
 }
 
 
