@@ -152,6 +152,10 @@ try:
     from .operators import round10  # noqa: F401  (Levene, Hill, Theil, ...)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from .operators import round10b  # noqa: F401  (Gumbel, Friedman, Katz)
+except ImportError:  # pragma: no cover
+    pass
 
 
 # --------------------------------------------------------------------------
@@ -329,7 +333,12 @@ except ImportError:  # pragma: no cover
 # (graph mixing / link prediction), logrank_test_segments (survival
 # significance), query_likelihood_dirichlet (LM retrieval),
 # mrr_retrieval_eval (first-hit IR eval), curriculum_schedule_plan
-# (curriculum ordering), ipw_ate_stratified (stratified ATE).
+# (curriculum ordering), ipw_ate_stratified (stratified ATE),
+# gumbel_block_maxima_fit (block-maxima EVT), friedman_rank_test
+# (k-sample ordinal), cramers_v_bias_corrected (association effect
+# size), katz_centrality (walk centrality), sax_daily_revenue_motifs
+# (symbolic series), mutual_information_source_lang (feature
+# relevance), loso_source_influence (data valuation).
 # (inference_http_echo is rows-only and sorts after the oracle-backed
 # tail by design — it can never burn a checked slot.)
 # --------------------------------------------------------------------------

@@ -1,0 +1,204 @@
+"""Round-10 second-batch pins: Gumbel MoM, tie-corrected Friedman,
+bias-corrected Cramer's V, Katz power iterations, SAX motifs, MI/NMI,
+and LOSO influence re-derived in pure Python at sf0.001."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+from sales_telegram_bot_data_pipeline_spark import queries as q
+from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
+
+from conftest import SF_SMOKE
+
+_GAMMA = 0.5772156649015329
+_S6PI = 0.7796968012336761
+
+
+def _daily_cents(spark):
+    daily = defaultdict(int)
+    for r in load_table(spark, SF_SMOKE, "orders").selectExpr(
+        "datediff(to_date(o_orderdate), to_date('1970-01-01')) AS day",
+        "date_format(to_date(o_orderdate), 'yyyy-MM') AS ym",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x",
+    ).collect():
+        daily[(r.ym, r.day)] += r.x
+    return daily
+
+
+def test_gumbel_matches_python(spark):
+    row = q.REGISTRY["gumbel_block_maxima_fit"].fn(spark, SF_SMOKE).collect()[0]
+    daily = _daily_cents(spark)
+    blocks = defaultdict(int)
+    for (ym, _), cents in daily.items():
+        blocks[ym] = max(blocks[ym], cents)
+    xs = list(blocks.values())
+    n = len(xs)
+    s1, s2 = sum(xs), sum(x * x for x in xs)
+    mean = s1 / n / 100
+    sd = math.sqrt((n * s2 - s1 * s1) / n / (n - 1)) / 100
+    scale = sd * _S6PI
+    loc = mean - _GAMMA * scale
+    rl = loc - scale * math.log(-math.log(1 - 1 / 12))
+    assert row.n_blocks == n
+    assert abs(row.mean_block_max_dollars - round(mean, 2)) < 1e-6
+    assert abs(row.gumbel_scale - scale) < 1e-4
+    assert abs(row.gumbel_loc - loc) < 1e-4
+    assert abs(row.return_level_12_blocks - rl) < 1e-4
+    assert row.return_level_12_blocks > row.gumbel_loc
+
+
+def test_friedman_matches_python(spark):
+    rows = {r.event_type: r for r in q.REGISTRY["friedman_rank_test"].fn(spark, SF_SMOKE).collect()}
+    cells = defaultdict(int)
+    for r in load_table(spark, SF_SMOKE, "events").selectExpr(
+        "to_date(ts) AS day", "event_type"
+    ).collect():
+        cells[(r.day, r.event_type)] += 1
+    days = sorted({d for d, _ in cells})
+    types = sorted({t for _, t in cells})
+    k, n = len(types), len(days)
+    r2sum = Counter()
+    r2sq = 0
+    for d in days:
+        cnts = [(cells.get((d, t), 0), t) for t in types]
+        for c, t in cnts:
+            smaller = sum(1 for c2, _ in cnts if c2 < c)
+            ties = sum(1 for c2, _ in cnts if c2 == c)
+            r2 = 2 * (smaller + 1) + ties - 1  # 2x tie-averaged rank
+            r2sum[t] += r2
+            r2sq += r2 * r2
+    num = sum((r2sum[t] - n * (k + 1)) ** 2 for t in types)
+    den = r2sq - n * k * (k + 1) ** 2
+    qstat = (k - 1) * num / den
+    for t in types:
+        r = rows[t]
+        assert abs(r.mean_rank - r2sum[t] / 2 / n) < 1e-6
+        assert (r.n_days, r.k_treatments) == (n, k)
+        assert abs(r.friedman_chi2 - qstat) < 1e-5
+        assert r.reject_equal_5pct == (1 if qstat > 9.488 else 0)
+
+
+def test_cramers_v_matches_python(spark):
+    row = q.REGISTRY["cramers_v_bias_corrected"].fn(spark, SF_SMOKE).collect()[0]
+    cells = Counter()
+    for r in load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderpriority", "o_orderstatus"
+    ).collect():
+        cells[(r.o_orderpriority, r.o_orderstatus)] += 1
+    ra = Counter(); cb = Counter()
+    for (a, b), c in cells.items():
+        ra[a] += c
+        cb[b] += c
+    n = sum(cells.values())
+    rr, cc = len(ra), len(cb)
+    chi_nano = 0
+    for a in ra:
+        for b in cb:
+            e = ra[a] * cb[b] / n
+            o = cells.get((a, b), 0)
+            chi_nano += math.floor((o - e) ** 2 / e * 1e9)
+    chi2 = chi_nano / 1e9
+    phi2 = chi2 / n
+    v = math.sqrt(phi2 / (min(rr, cc) - 1))
+    phi2c = max(0.0, phi2 - (rr - 1) * (cc - 1) / (n - 1))
+    rc = rr - (rr - 1) ** 2 / (n - 1)
+    ccc = cc - (cc - 1) ** 2 / (n - 1)
+    vc = math.sqrt(phi2c / (min(rc, ccc) - 1))
+    assert (row.n_orders, row.n_priorities, row.n_statuses) == (n, rr, cc)
+    assert abs(row.chi_squared - chi2) < 1e-5
+    assert abs(row.cramers_v - v) < 1e-6
+    assert abs(row.cramers_v_corrected - vc) < 1e-6
+    assert 0 <= row.cramers_v_corrected <= row.cramers_v + 1e-9
+
+
+def test_katz_matches_python(spark):
+    rows = q.REGISTRY["katz_centrality"].fn(spark, SF_SMOKE).collect()
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in q.REGISTRY["dedup_minhash_lsh"].fn(spark, SF_SMOKE).collect()
+    ]
+    nbr = defaultdict(list)
+    for a, b in pairs:
+        nbr[a].append(b)
+        nbr[b].append(a)
+    x = {v: 10**12 for v in nbr}
+    for _ in range(6):
+        x = {v: 10**12 + sum(x[u] for u in nbr[v]) // 10 for v in nbr}
+    want = sorted(x.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r.doc_id, r.katz_centrality) for r in rows] == [
+        (v, round(xv / 1e12, 6)) for v, xv in want
+    ]
+
+
+def test_sax_matches_python(spark):
+    rows = q.REGISTRY["sax_daily_revenue_motifs"].fn(spark, SF_SMOKE).collect()
+    daily = defaultdict(int)
+    for (ym, day), cents in _daily_cents(spark).items():
+        daily[day] += cents
+    xs = list(daily.values())
+    n = len(xs)
+    s1, s2 = sum(xs), sum(v * v for v in xs)
+    mean = s1 / n
+    sd = math.sqrt((n * s2 - s1 * s1) / n / (n - 1))
+
+    def sym(v):
+        z = (v - mean) / sd
+        return "a" if z < -0.6745 else ("b" if z < 0 else ("c" if z < 0.6745 else "d"))
+
+    sax = {d: sym(v) for d, v in daily.items()}
+    words = Counter(
+        sax[d] + sax[d + 1] + sax[d + 2]
+        for d in sax
+        if d + 1 in sax and d + 2 in sax
+    )
+    got = {(r.motif, r.n_occurrences) for r in rows}
+    assert got == set(words.items())
+    # output ordering: count desc then motif
+    ordered = sorted(words.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [(r.motif, r.n_occurrences) for r in rows] == ordered
+
+
+def test_mi_matches_python(spark):
+    row = q.REGISTRY["mutual_information_source_lang"].fn(spark, SF_SMOKE).collect()[0]
+    cells = Counter()
+    for r in load_table(spark, SF_SMOKE, "documents").select("source", "lang").collect():
+        cells[(r.source, r.lang)] += 1
+    n = sum(cells.values())
+    ms = Counter(); ml = Counter()
+    for (s, l), c in cells.items():
+        ms[s] += c
+        ml[l] += c
+    mi = sum(
+        math.floor((c / n) * math.log(c * n / (ms[s] * ml[l])) * 1e9)
+        for (s, l), c in cells.items()
+    )
+    hs = sum(math.floor(-(c / n) * math.log(c / n) * 1e9) for c in ms.values())
+    hl = sum(math.floor(-(c / n) * math.log(c / n) * 1e9) for c in ml.values())
+    assert row.n_docs == n
+    assert abs(row.mi_nats - mi / 1e9) < 1e-6
+    assert abs(row.h_source_nats - hs / 1e9) < 1e-6
+    assert abs(row.h_lang_nats - hl / 1e9) < 1e-6
+    assert abs(row.nmi - 2 * mi / (hs + hl)) < 1e-5
+    assert 0 <= row.nmi <= 1.000001
+
+
+def test_loso_matches_python(spark):
+    rows = {r.source: r for r in q.REGISTRY["loso_source_influence"].fn(spark, SF_SMOKE).collect()}
+    groups = defaultdict(list)
+    for r in load_table(spark, SF_SMOKE, "documents").select("source", "n_chars").collect():
+        groups[r.source].append(r.n_chars)
+    n = sum(len(v) for v in groups.values())
+    s = sum(sum(v) for v in groups.values())
+    for src, vs in groups.items():
+        r = rows[src]
+        assert r.n_docs == len(vs)
+        assert abs(r.mean_chars_source - sum(vs) / len(vs)) < 1e-5
+        without = (s - sum(vs)) / (n - len(vs))
+        assert abs(r.mean_chars_without - without) < 1e-5
+        assert abs(r.delta_mean_chars - (s / n - without)) < 1e-5
+    # influence sums to ~0 weighted by (n - n_g) -- sanity: deltas not all
+    # the same sign unless one source dominates
+    signs = {r.delta_mean_chars > 0 for r in rows.values()}
+    assert len(rows) == len(groups)
