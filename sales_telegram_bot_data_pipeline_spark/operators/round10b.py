@@ -515,3 +515,172 @@ ORDER BY g.source
 def loso_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = _doc_view(spark, sf_dir, "sales_telegram_bot_data_pipeline_lo_docs")
     return spark.sql(_loso_sql(SPARK, view))
+
+
+# --------------------------------------------------------------------------
+# Hilbert-curve layout audit (the zorder_layout_audit twin)
+# --------------------------------------------------------------------------
+def _hilbert_steps_sql(bits: int) -> str:
+    """Unrolled Hilbert xy2d recurrence as a CTE chain: 8 projection
+    steps over (okey, x, y, d), each pure integer CASE arithmetic — the
+    classic algorithm (d += s^2 * ((3 rx) xor ry); reflect-about-grid +
+    swap when ry = 0), with the tiny xor table inlined as a CASE on
+    (rx, ry).  Verified a bijection with perfect step-1 adjacency for
+    the full grid in tests."""
+    n = 1 << bits
+    steps = []
+    prev = "h0"
+    for i, shift in enumerate(range(bits - 1, -1, -1)):
+        s = 1 << shift
+        nxt = f"h{i + 1}"
+        q = (
+            f"CASE WHEN rx = 0 AND ry = 0 THEN 0 "
+            f"WHEN rx = 0 AND ry = 1 THEN 1 "
+            f"WHEN rx = 1 AND ry = 1 THEN 2 ELSE 3 END"
+        )
+        steps.append(
+            f"{nxt} AS (\n"
+            f"  SELECT okey, bx, by, z,\n"
+            f"         CASE WHEN ry = 1 THEN x\n"
+            f"              WHEN rx = 1 THEN {n} - 1 - y\n"
+            f"              ELSE y END AS x,\n"
+            f"         CASE WHEN ry = 1 THEN y\n"
+            f"              WHEN rx = 1 THEN {n} - 1 - x\n"
+            f"              ELSE x END AS y,\n"
+            f"         d + {s * s} * ({q}) AS d\n"
+            f"  FROM (SELECT okey, bx, by, z, x, y, d,\n"
+            f"               CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END AS rx,\n"
+            f"               CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END AS ry\n"
+            f"        FROM {prev}) p\n"
+            f")"
+        )
+        prev = nxt
+    return ",\n".join(steps), prev
+
+
+def _hilbert_oracle() -> str:
+    from .round9 import ZORDER_FILE_ROWS, _zorder_base_sql
+
+    d = DUCKDB
+    bits = 8
+    grid = 1 << bits
+    steps_sql, last = _hilbert_steps_sql(bits)
+    return f"""
+WITH base AS ({_zorder_base_sql(d, "orders")}),
+h0 AS (SELECT okey, bx, by, z, bx AS x, by AS y, CAST(0 AS BIGINT) AS d FROM base),
+{steps_sql},
+hilb AS (SELECT okey, bx, by, z, d AS hd FROM {last}),
+assigned AS (
+  SELECT 'custkey_1d' AS layout,
+         (ROW_NUMBER() OVER (ORDER BY bx, okey) - 1) // {ZORDER_FILE_ROWS}
+           AS file_id, bx, by
+  FROM hilb
+  UNION ALL
+  SELECT 'zorder' AS layout,
+         (ROW_NUMBER() OVER (ORDER BY z, okey) - 1) // {ZORDER_FILE_ROWS}
+           AS file_id, bx, by
+  FROM hilb
+  UNION ALL
+  SELECT 'hilbert' AS layout,
+         (ROW_NUMBER() OVER (ORDER BY hd, okey) - 1) // {ZORDER_FILE_ROWS}
+           AS file_id, bx, by
+  FROM hilb
+),
+files AS (
+  SELECT layout, file_id,
+         MIN(bx) AS mn_bx, MAX(bx) AS mx_bx,
+         MIN(by) AS mn_by, MAX(by) AS mx_by
+  FROM assigned GROUP BY layout, file_id
+)
+SELECT layout,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       ROUND(AVG(CAST(mx_bx - mn_bx + 1 AS DOUBLE)) / {grid}, 6)
+         AS avg_x_span_frac,
+       ROUND(AVG(CAST(mx_by - mn_by + 1 AS DOUBLE)) / {grid}, 6)
+         AS avg_y_span_frac,
+       ROUND(AVG(CAST((mx_bx - mn_bx + 1) AS DOUBLE)
+                 * CAST((mx_by - mn_by + 1) AS DOUBLE)) / {grid * grid}, 6)
+         AS avg_file_area_frac
+FROM files
+GROUP BY layout
+ORDER BY layout
+"""
+
+
+@register(
+    "hilbert_layout_audit",
+    oracle=_hilbert_oracle(),
+    doc="Hilbert-curve clustering vs Z-order vs a 1-D sort: the same "
+    "(custkey, orderdate) 256x256 grid and fixed-size simulated files "
+    "as zorder_layout_audit, with the Hilbert index built by 8 unrolled "
+    "INTEGER-exact recurrence steps (reflect+swap as CASE arithmetic, "
+    "the xor table inlined — no engine bit builtins beyond & and >).  "
+    "Hilbert's no-jump property should show the smallest per-file "
+    "bounding-box area — the liquid-clustering argument over plain "
+    "Z-order at 100 TB.  Spark side ranks each layout via the "
+    "distributed range-rank primitive, never a single-partition sort.",
+    tags=("layout", "audit", "scale"),
+)
+def hilbert_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .round9 import ZORDER_FILE_ROWS, _zorder_base_sql
+    from .scalars_extra import range_ranked
+
+    bits = 8
+    grid = 1 << bits
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sales_telegram_bot_data_pipeline_hi_o")
+    steps_sql, last = _hilbert_steps_sql(bits)
+    base = spark.sql(
+        f"""
+WITH base AS ({_zorder_base_sql(SPARK, "sales_telegram_bot_data_pipeline_hi_o")}),
+h0 AS (SELECT okey, bx, by, z, bx AS x, by AS y, CAST(0 AS BIGINT) AS d FROM base),
+{steps_sql}
+SELECT okey, bx, by, z, d AS hd FROM {last}
+"""
+    ).localCheckpoint()
+    legs = []
+    for layout, col in (("custkey_1d", "bx"), ("zorder", "z"), ("hilbert", "hd")):
+        ranked, _ = range_ranked(spark, base, [col, "okey"])
+        if ranked is None:
+            continue
+        legs.append(
+            ranked.select(
+                F.lit(layout).alias("layout"),
+                ((F.col("r") - 1) / ZORDER_FILE_ROWS).cast("long").alias("file_id"),
+                "bx", "by",
+            )
+        )
+    if not legs:
+        return spark.sql(
+            "SELECT CAST(NULL AS STRING) AS layout, CAST(0 AS BIGINT) AS n_files, "
+            "CAST(NULL AS DOUBLE) AS avg_x_span_frac, "
+            "CAST(NULL AS DOUBLE) AS avg_y_span_frac, "
+            "CAST(NULL AS DOUBLE) AS avg_file_area_frac WHERE 1 = 0"
+        )
+    union = legs[0]
+    for leg in legs[1:]:
+        union = union.unionByName(leg)
+    union.createOrReplaceTempView("sales_telegram_bot_data_pipeline_hi_assigned")
+    return spark.sql(
+        f"""
+WITH files AS (
+  SELECT layout, file_id,
+         MIN(bx) AS mn_bx, MAX(bx) AS mx_bx,
+         MIN(by) AS mn_by, MAX(by) AS mx_by
+  FROM sales_telegram_bot_data_pipeline_hi_assigned GROUP BY layout, file_id
+)
+SELECT layout,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       ROUND(AVG(CAST(mx_bx - mn_bx + 1 AS DOUBLE)) / {grid}, 6)
+         AS avg_x_span_frac,
+       ROUND(AVG(CAST(mx_by - mn_by + 1 AS DOUBLE)) / {grid}, 6)
+         AS avg_y_span_frac,
+       ROUND(AVG(CAST((mx_bx - mn_bx + 1) AS DOUBLE)
+                 * CAST((mx_by - mn_by + 1) AS DOUBLE)) / {grid * grid}, 6)
+         AS avg_file_area_frac
+FROM files
+GROUP BY layout
+ORDER BY layout
+"""
+    )

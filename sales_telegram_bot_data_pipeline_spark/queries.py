@@ -338,7 +338,8 @@ except ImportError:  # pragma: no cover
 # (k-sample ordinal), cramers_v_bias_corrected (association effect
 # size), katz_centrality (walk centrality), sax_daily_revenue_motifs
 # (symbolic series), mutual_information_source_lang (feature
-# relevance), loso_source_influence (data valuation).
+# relevance), loso_source_influence (data valuation),
+# hilbert_layout_audit (space-filling-curve layout, the zorder twin).
 # (inference_http_echo is rows-only and sorts after the oracle-backed
 # tail by design — it can never burn a checked slot.)
 # --------------------------------------------------------------------------

@@ -202,3 +202,69 @@ def test_loso_matches_python(spark):
     # the same sign unless one source dominates
     signs = {r.delta_mean_chars > 0 for r in rows.values()}
     assert len(rows) == len(groups)
+
+
+def _hilbert_xy2d(n, x, y):
+    d, s = 0, n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_recurrence_is_a_true_hilbert_curve():
+    """The unrolled SQL recurrence's Python twin must be a bijection on
+    the grid with perfect step-1 Manhattan adjacency (the no-jump
+    property that makes Hilbert beat Z-order)."""
+    n = 16
+    ds = {}
+    for x in range(n):
+        for y in range(n):
+            ds[_hilbert_xy2d(n, x, y)] = (x, y)
+    assert sorted(ds) == list(range(n * n))
+    for i in range(n * n - 1):
+        (x1, y1), (x2, y2) = ds[i], ds[i + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_layout_audit_matches_python(spark):
+    rows = {r.layout: r for r in q.REGISTRY["hilbert_layout_audit"].fn(spark, SF_SMOKE).collect()}
+    orders = load_table(spark, SF_SMOKE, "orders").selectExpr(
+        "o_orderkey AS okey", "o_custkey AS ck",
+        "datediff(to_date(o_orderdate), to_date('1970-01-01')) AS day",
+    ).collect()
+    grid = 256
+    mnc = min(r.ck for r in orders); mxc = max(r.ck for r in orders)
+    mnd = min(r.day for r in orders); mxd = max(r.day for r in orders)
+    pts = []
+    for r in orders:
+        bx = grid * (r.ck - mnc) // (mxc - mnc + 1)
+        by = grid * (r.day - mnd) // (mxd - mnd + 1)
+        zx = sum(((bx >> k) & 1) * 4**k for k in range(8))
+        zy = sum(((by >> k) & 1) * 2 * 4**k for k in range(8))
+        pts.append((r.okey, bx, by, zx + zy, _hilbert_xy2d(grid, bx, by)))
+    file_rows = 1024
+    for layout, key in (("custkey_1d", 1), ("zorder", 3), ("hilbert", 4)):
+        order = sorted(pts, key=lambda p: (p[key], p[0]))
+        files = defaultdict(list)
+        for i, p in enumerate(order):
+            files[i // file_rows].append(p)
+        n_files = len(files)
+        ax = sum(max(p[1] for p in f) - min(p[1] for p in f) + 1 for f in files.values()) / n_files
+        ay = sum(max(p[2] for p in f) - min(p[2] for p in f) + 1 for f in files.values()) / n_files
+        aa = sum(
+            (max(p[1] for p in f) - min(p[1] for p in f) + 1)
+            * (max(p[2] for p in f) - min(p[2] for p in f) + 1)
+            for f in files.values()
+        ) / n_files
+        r = rows[layout]
+        assert r.n_files == n_files
+        assert abs(r.avg_x_span_frac - round(ax / grid, 6)) < 1e-6
+        assert abs(r.avg_y_span_frac - round(ay / grid, 6)) < 1e-6
+        assert abs(r.avg_file_area_frac - round(aa / grid / grid, 6)) < 1e-6
