@@ -156,6 +156,10 @@ try:
     from .operators import round10b  # noqa: F401  (Gumbel, Friedman, Katz)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from .sources import arrowipc  # noqa: F401  (Arrow IPC corpus source)
+except ImportError:  # pragma: no cover
+    pass
 
 
 # --------------------------------------------------------------------------
@@ -339,7 +343,9 @@ except ImportError:  # pragma: no cover
 # size), katz_centrality (walk centrality), sax_daily_revenue_motifs
 # (symbolic series), mutual_information_source_lang (feature
 # relevance), loso_source_influence (data valuation),
-# hilbert_layout_audit (space-filling-curve layout, the zorder twin).
+# hilbert_layout_audit (space-filling-curve layout, the zorder twin),
+# arrow_ipc_corpus_roundtrip (Arrow IPC source — the dataloader
+# handoff format beside JSONL/CSV/ORC).
 # (inference_http_echo is rows-only and sorts after the oracle-backed
 # tail by design — it can never burn a checked slot.)
 # --------------------------------------------------------------------------

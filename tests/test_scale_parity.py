@@ -78,6 +78,15 @@ SF_BENCH = "/root/testdata/sf0.1"
         # DECIMAL(38,0)-exact sums feeding double ratios at 10x mass
         "revenue_trend_ols",
         "time_weighted_average_value",
+        # round-10: the float-moment-cancellation class that DID break at
+        # sf0.1 during development (fixed with n-scaled exact decimals) —
+        # permanent net membership
+        "granger_lag_causality",
+        # per-row x*ln(x) over the data-scale fact table, nano-quantized
+        # pre-sum — the libm class at 10x rows
+        "theil_inequality_decomposition",
+        # range-rank file-boundary class across THREE layouts at 10x rows
+        "hilbert_layout_audit",
         # libm EXP inside the logreg arm of the kappa join at 10x docs
         "quality_gate_agreement_kappa",
         # MG summaries evict under real pressure only at scale; output

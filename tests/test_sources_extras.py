@@ -429,3 +429,57 @@ def test_csv_roundtrip_preserves_values(spark):
         .collect()
     )
     assert got == want
+
+
+def test_arrow_ipc_roundtrip_preserves_values(spark):
+    from sales_telegram_bot_data_pipeline_spark.queries import REGISTRY
+    from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = REGISTRY["arrow_ipc_corpus_roundtrip"].fn(spark, sf).collect()
+    want = (
+        load_table(spark, sf, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert got == want
+
+
+def test_arrow_ipc_schema_drift_fails_loudly(spark, tmp_path):
+    """A stream file whose embedded schema drifts from the declared
+    contract must FAIL the decode task, never silently cast."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from sales_telegram_bot_data_pipeline_spark.sources.arrowipc import read_arrow_documents
+
+    p = tmp_path / "arrow_corpus"
+    p.mkdir()
+    tbl = pa.table({"doc_id": [1], "body": ["x"]})  # wrong column name
+    with pa.OSFile(str(p / "part-00000.arrows"), "wb") as sink:
+        with pa.ipc.new_stream(sink, tbl.schema) as w:
+            w.write_table(tbl)
+    with _pytest.raises(Exception, match="schema drift|PYTHON"):
+        read_arrow_documents(spark, str(p)).collect()
+
+
+def test_arrow_ipc_write_is_partition_parallel(spark, tmp_path):
+    """One .arrows file per non-empty partition; the write job's result
+    is the bounded per-file summary."""
+    import os as _os
+
+    from sales_telegram_bot_data_pipeline_spark.sources.arrowipc import (
+        read_arrow_documents,
+        write_documents_arrow,
+    )
+    from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").repartition(4)
+    path = str(tmp_path / "shards")
+    summary = write_documents_arrow(docs, path)
+    files = [f for f in _os.listdir(path) if f.endswith(".arrows")]
+    assert 1 <= len(files) <= 4
+    assert len(summary) == len(files)
+    assert sum(r.n_rows for r in summary) == docs.count()
+    assert read_arrow_documents(spark, path).count() == docs.count()
