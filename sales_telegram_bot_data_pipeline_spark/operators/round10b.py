@@ -684,3 +684,94 @@ GROUP BY layout
 ORDER BY layout
 """
     )
+
+
+# --------------------------------------------------------------------------
+# whole-document length-bucket packing plan
+# --------------------------------------------------------------------------
+_PACK_CAP = 2048
+_PACK_SHARD_DOCS = 1000  # target docs per packing shard
+
+
+def _bucketed_packing_sql(d: Dialect, table: str) -> str:
+    toks = d.alen(d.splitws("text"))
+    h = d.md5_prefix_int(f"('pack|' || {d.strcast('doc_id')})")
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST({toks} AS BIGINT) AS n_tok FROM {table}
+),
+nshard AS (
+  SELECT CAST({d.idiv(f"(COUNT(*) + {_PACK_SHARD_DOCS} - 1)", str(_PACK_SHARD_DOCS))}
+              AS BIGINT) AS s
+  FROM base
+),
+-- power-of-two length bucket (16..2048); docs over cap are truncated to
+-- one bin each (bucket = cap)
+bucketed AS (
+  SELECT b.doc_id, b.n_tok,
+         CAST(CASE WHEN b.n_tok <= 16 THEN 16
+              WHEN b.n_tok <= 32 THEN 32
+              WHEN b.n_tok <= 64 THEN 64
+              WHEN b.n_tok <= 128 THEN 128
+              WHEN b.n_tok <= 256 THEN 256
+              WHEN b.n_tok <= 512 THEN 512
+              WHEN b.n_tok <= 1024 THEN 1024
+              ELSE {_PACK_CAP} END AS BIGINT) AS bucket,
+         CAST(({h}) % ns.s AS BIGINT) AS shard
+  FROM base b CROSS JOIN nshard ns
+),
+-- slot within (shard, bucket): window partitions are bounded by the
+-- shard sizing (~{_PACK_SHARD_DOCS} docs), never corpus-scale
+slotted AS (
+  SELECT doc_id, n_tok, bucket, shard,
+         ROW_NUMBER() OVER (PARTITION BY shard, bucket ORDER BY doc_id) - 1
+           AS slot
+  FROM bucketed
+),
+-- bin = slot div (cap/bucket): every bin holds docs of ONE bucket, so
+-- fill is bucket-exact and document boundaries are never crossed
+binned AS (
+  SELECT bucket, shard,
+         {d.idiv("slot", d.idiv(str(_PACK_CAP), "bucket"))} AS bin_in_shard,
+         n_tok
+  FROM slotted
+),
+bins AS (
+  SELECT bucket, shard, bin_in_shard,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS real_toks
+  FROM binned GROUP BY bucket, shard, bin_in_shard
+)
+SELECT bucket,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(ROUND(CAST(SUM(real_toks) AS DOUBLE)
+                  / (COUNT(*) * {_PACK_CAP}), 6) AS DOUBLE)
+         AS fill_frac_vs_cap,
+       CAST(ROUND(CAST(SUM(real_toks) AS DOUBLE)
+                  / (CAST(SUM(n_docs) AS DOUBLE) * bucket), 6) AS DOUBLE)
+         AS fill_frac_vs_bucket
+FROM bins
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@register(
+    "bucketed_packing_plan",
+    oracle=_bucketed_packing_sql(DUCKDB, "documents"),
+    doc=f"Whole-document length-bucket packing plan ({_PACK_CAP}-token "
+    "bins, power-of-two buckets): docs route to hash shards sized "
+    f"~{_PACK_SHARD_DOCS} docs (shard count scales with the corpus), "
+    "slot within (shard, bucket) from a bounded-partition window, bin = "
+    "slot div (cap/bucket) — every bin holds one bucket's docs, so "
+    "DOCUMENT BOUNDARIES ARE NEVER CROSSED (no cross-doc attention "
+    "contamination), unlike sequence_packing's concat-and-split.  The "
+    "per-bucket summary (bins, fill vs cap, fill vs bucket) quantifies "
+    "the packing-efficiency / boundary-purity tradeoff that "
+    "padding_waste_audit measures for the naive loader.",
+    tags=("curation", "packing", "plan"),
+)
+def bucketed_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    view = _doc_view(spark, sf_dir, "sales_telegram_bot_data_pipeline_bp_docs")
+    return spark.sql(_bucketed_packing_sql(SPARK, view))

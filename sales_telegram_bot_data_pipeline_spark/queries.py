@@ -345,7 +345,9 @@ except ImportError:  # pragma: no cover
 # relevance), loso_source_influence (data valuation),
 # hilbert_layout_audit (space-filling-curve layout, the zorder twin),
 # arrow_ipc_corpus_roundtrip (Arrow IPC source — the dataloader
-# handoff format beside JSONL/CSV/ORC).
+# handoff format beside JSONL/CSV/ORC), bucketed_packing_plan
+# (boundary-preserving length-bucket packing beside sequence_packing's
+# concat-and-split).
 # (inference_http_echo is rows-only and sorts after the oracle-backed
 # tail by design — it can never burn a checked slot.)
 # --------------------------------------------------------------------------

@@ -268,3 +268,41 @@ def test_hilbert_layout_audit_matches_python(spark):
         assert abs(r.avg_x_span_frac - round(ax / grid, 6)) < 1e-6
         assert abs(r.avg_y_span_frac - round(ay / grid, 6)) < 1e-6
         assert abs(r.avg_file_area_frac - round(aa / grid / grid, 6)) < 1e-6
+
+
+def test_bucketed_packing_matches_python(spark):
+    import hashlib as _hashlib
+
+    rows = {r.bucket: r for r in q.REGISTRY["bucketed_packing_plan"].fn(spark, SF_SMOKE).collect()}
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    n = len(docs)
+    nshard = (n + 999) // 1000
+
+    def bucket_of(t):
+        for b in (16, 32, 64, 128, 256, 512, 1024):
+            if t <= b:
+                return b
+        return 2048
+
+    groups = defaultdict(list)  # (shard, bucket) -> [(doc_id, n_tok)]
+    for r in docs:
+        nt = len(r.text.split())
+        h = int(_hashlib.md5(f"pack|{r.doc_id}".encode()).hexdigest()[:15], 16)
+        groups[(h % nshard, bucket_of(nt))].append((r.doc_id, nt))
+    per_bucket = defaultdict(lambda: [0, 0, 0])  # bucket -> [docs, bins, toks]
+    for (shard, b), items in groups.items():
+        items.sort()
+        per_bin = 2048 // b
+        nbins = (len(items) + per_bin - 1) // per_bin
+        per_bucket[b][0] += len(items)
+        per_bucket[b][1] += nbins
+        per_bucket[b][2] += sum(t for _, t in items)
+    assert set(rows) == set(per_bucket)
+    for b, (nd, nb, toks) in per_bucket.items():
+        r = rows[b]
+        assert (r.n_docs, r.n_bins) == (nd, nb)
+        assert abs(r.fill_frac_vs_cap - round(toks / (nb * 2048), 6)) < 1e-9
+        assert abs(r.fill_frac_vs_bucket - round(toks / (nd * b), 6)) < 1e-9
+    # boundary purity: fill vs bucket is high (docs near their bucket
+    # size), fill vs cap reflects the padding the bucket granularity costs
+    assert all(r.fill_frac_vs_bucket > 0.5 for r in rows.values())
