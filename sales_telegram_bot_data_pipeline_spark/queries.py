@@ -160,6 +160,10 @@ try:
     from .sources import arrowipc  # noqa: F401  (Arrow IPC corpus source)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from .operators import round10c  # noqa: F401  (Qini, SPRT, BetaBin)
+except ImportError:  # pragma: no cover
+    pass
 
 
 # --------------------------------------------------------------------------
@@ -347,7 +351,10 @@ except ImportError:  # pragma: no cover
 # arrow_ipc_corpus_roundtrip (Arrow IPC source — the dataloader
 # handoff format beside JSONL/CSV/ORC), bucketed_packing_plan
 # (boundary-preserving length-bucket packing beside sequence_packing's
-# concat-and-split).
+# concat-and-split), qini_uplift_curve (uplift eval),
+# sprt_poisson_audit (sequential testing), beta_binomial_shrinkage
+# (empirical-Bayes rates), capture_recapture_dedup (dedup-completeness
+# estimation without ground truth).
 # (inference_http_echo is rows-only and sorts after the oracle-backed
 # tail by design — it can never burn a checked slot.)
 # --------------------------------------------------------------------------
