@@ -164,6 +164,14 @@ try:
     from .operators import round10c  # noqa: F401  (Qini, SPRT, BetaBin)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from .operators import round10d  # noqa: F401  (KW, HL, CA, MH)
+except ImportError:  # pragma: no cover
+    pass
+try:
+    from .operators import round10e  # noqa: F401  (binseg, H-rate, CvM)
+except ImportError:  # pragma: no cover
+    pass
 
 
 # --------------------------------------------------------------------------
@@ -354,7 +362,13 @@ except ImportError:  # pragma: no cover
 # concat-and-split), qini_uplift_curve (uplift eval),
 # sprt_poisson_audit (sequential testing), beta_binomial_shrinkage
 # (empirical-Bayes rates), capture_recapture_dedup (dedup-completeness
-# estimation without ground truth).
+# estimation without ground truth), kruskal_wallis_doclen (k-sample
+# rank test), hodges_lehmann_shift (robust shift estimate),
+# cochran_armitage_trend (ordered-categories trend),
+# mantel_haenszel_or (stratified odds ratio),
+# binary_segmentation_split (changepoint location),
+# markov_entropy_rate (sequence predictability),
+# cramer_von_mises_two_sample (integral-type EDF distance).
 # (inference_http_echo is rows-only and sorts after the oracle-backed
 # tail by design — it can never burn a checked slot.)
 # --------------------------------------------------------------------------
