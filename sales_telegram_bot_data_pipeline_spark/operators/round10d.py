@@ -84,15 +84,18 @@ terms AS (
               / 4.0e0 / gg.n_g * 1e6) AS BIGINT) AS rr_micro
   FROM g gg
 ),
+rr AS (SELECT CAST(SUM(rr_micro) AS BIGINT) AS rrm FROM terms),
+-- every joined side is a one-row ungrouped aggregate, so the planner
+-- broadcasts (BNLJ) instead of falling into a CartesianProduct (a
+-- grouped aggregate OVER the cross join planned one initially)
 h AS (
   SELECT t.n, t.k,
          12.0e0 / (CAST(t.n AS DOUBLE) * (t.n + 1))
-           * (CAST(SUM(te.rr_micro) AS DOUBLE) / 1e6)
+           * (CAST(r.rrm AS DOUBLE) / 1e6)
            - 3.0e0 * (t.n + 1) AS h_raw,
          1.0e0 - CAST(ti.t3t AS DOUBLE)
            / (CAST(t.n AS DOUBLE) * t.n * t.n - t.n) AS tie_c
-  FROM terms te CROSS JOIN tot t CROSS JOIN ties ti
-  GROUP BY t.n, t.k, ti.t3t
+  FROM rr r CROSS JOIN tot t CROSS JOIN ties ti
 )
 SELECT gg.source,
        gg.n_g AS n_docs,
