@@ -296,3 +296,26 @@ def test_registry_wide_no_high_precision_final_decimals(spark):
         "decimals across engines; CAST the final projection to BIGINT "
         "(document the bound) or a <=18-precision decimal"
     )
+
+
+def test_registry_wide_no_cartesian_product(spark):
+    """Round-10 sweep companion to the unbounded-window net: NO
+    registered query may plan a CartesianProduct node — not even in the
+    pre-AQE initial plan (a one-row scalar cross join must broadcast as
+    BNLJ; a grouped aggregate OVER a scalar cross join planned a real
+    CartesianProduct in kruskal_wallis before the round-10 fix).
+    Plan-only: the join strategy is fixed at planning time."""
+    offenders: dict[str, int] = {}
+    for name in sorted(q.REGISTRY):
+        df = q.REGISTRY[name].fn(spark, SF_SMOKE)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        hits = len(re.findall(r"^\(\d+\) CartesianProduct", plan, re.M))
+        if hits:
+            offenders[name] = hits
+    assert not offenders, (
+        f"CartesianProduct nodes in plans: {offenders} — restructure so "
+        "every non-equi join side is a guaranteed one-row aggregate "
+        "(broadcastable) or an equi-join"
+    )
