@@ -172,6 +172,10 @@ try:
     from .operators import round10e  # noqa: F401  (binseg, H-rate, CvM)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from .operators import round10f  # noqa: F401  (CLES, Hellinger, ECE)
+except ImportError:  # pragma: no cover
+    pass
 
 
 # --------------------------------------------------------------------------
@@ -368,7 +372,9 @@ except ImportError:  # pragma: no cover
 # mantel_haenszel_or (stratified odds ratio),
 # binary_segmentation_split (changepoint location),
 # markov_entropy_rate (sequence predictability),
-# cramer_von_mises_two_sample (integral-type EDF distance).
+# cramer_von_mises_two_sample (integral-type EDF distance),
+# cles_effect_size (Vargha-Delaney A), hellinger_bhattacharyya
+# (f-divergence distances), expected_calibration_error (ECE/MCE).
 # (inference_http_echo is rows-only and sorts after the oracle-backed
 # tail by design — it can never burn a checked slot.)
 # --------------------------------------------------------------------------
