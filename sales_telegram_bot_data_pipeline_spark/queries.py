@@ -187,12 +187,62 @@ except ImportError:  # pragma: no cover
 # ALL of them at sf0.001/sf0.01); rows-only queries (no oracle) sort last so
 # they never burn a checked slot on a weaker rows-only row.
 #
-# ROTATION POLICY (round 5+): each round, ~10 slots rotate among
+# ROTATION POLICY (round 5+): each round, slots rotate among
 # equivalence-class representatives so driver-grade evidence reaches queries
 # outside the static window over time.  A slot may rotate only if its
-# operator family keeps at least one driver row; parked queries stay
-# registered and swept by the local replica (LOCAL_CORRECTNESS_r{N}.json).
-# Round-10 rotation — in (all 10 NEVER previously windowed; the round-9
+# operator family keeps at least one driver row (a prior-round driver row
+# counts as standing cover); parked queries stay registered and swept by
+# the local replica (LOCAL_CORRECTNESS_r{N}.json).  Round 11 widened the
+# rotation from ~10 to 17 slots per the round-10 verdict (two consecutive
+# cohorts went first-time-green and the judge pre-verified all 36 round-10
+# newcomers strict-PASS, while the never-windowed backlog had reached 211).
+# Round-11 rotation — in (all 17 NEVER previously windowed; the round-10
+# verdict's prescribed priority list, all 15 names, plus
+# capture_recapture_dedup and bucketed_packing_plan so the parked dedup /
+# packing slots keep an in-window family representative):
+# kruskal_wallis_doclen (k-sample rank test), qini_uplift_curve (uplift
+# eval), hellinger_bhattacharyya (f-divergence distances),
+# katz_centrality (walk centrality — the graph family's first driver
+# exposure), logrank_test_segments (survival significance),
+# mutual_information_source_lang (contingency-grid feature relevance),
+# markov_entropy_rate (sequence predictability),
+# gumbel_block_maxima_fit (block-maxima EVT),
+# expected_calibration_error (ECE/MCE), hilbert_layout_audit
+# (space-filling-curve layout), arrow_ipc_corpus_roundtrip (corpus
+# sources — the source family's first driver exposure),
+# sprt_poisson_audit (sequential testing), cles_effect_size
+# (Vargha-Delaney A), friedman_rank_test (k-sample ordinal),
+# cramer_von_mises_two_sample (integral-type EDF distance),
+# capture_recapture_dedup (dedup-completeness estimation),
+# bucketed_packing_plan (boundary-preserving packing).
+# Parked round-11 (family cover in parens — every parked query has
+# r10-or-earlier driver-grade evidence, green on all three gates):
+# bh_fdr_source_audit (testing-procedure audits: sprt_poisson_audit in),
+# pr_auc_exact (classifier eval: expected_calibration_error +
+# cles_effect_size in), nelson_aalen_hazard (survival:
+# logrank_test_segments in), cuped_variance_reduction
+# (experimentation/causal: qini_uplift_curve in),
+# isotonic_calibration_bins (calibration: expected_calibration_error
+# in), ipf_raking_weights (contingency-grid estimation:
+# mutual_information_source_lang in), zorder_layout_audit (layout:
+# hilbert_layout_audit in), ks_two_sample_sources (two-sample EDF:
+# cramer_von_mises_two_sample in), adf_stationarity_audit (series
+# diagnostics: markov_entropy_rate + gumbel_block_maxima_fit in),
+# snips_offpolicy_eval (off-policy/uplift: qini_uplift_curve in),
+# kendall_tau_b (rank stats: kruskal_wallis_doclen + friedman_rank_test
+# in; its round-9 red-hash purpose is served — the BIGINT fix showed
+# green in CORRECTNESS_r10.json), dedup_connected_components (dedup
+# clustering: dedup_exact + dedup_minhash_lsh + semantic_dedup +
+# curation_pipeline_end2end — which runs CC inside — stay;
+# capture_recapture_dedup in), dedup_incremental_lsh (LSH:
+# dedup_minhash_lsh stays), dsir_importance (quality:
+# text_quality_stats stays; hellinger_bhattacharyya in covers the
+# distribution-distance shape), watermark_tail_stats
+# (streaming-parity: session_window_stats stays;
+# arrow_ipc_corpus_roundtrip in), sequence_packing (packing:
+# bucketed_packing_plan in), contamination_overlap (curation:
+# curation_pipeline_end2end + document_chunking + pii_redaction stay).
+# Round-10 rotation history — in (all 10 NEVER previously windowed; the round-9
 # verdict's prescribed priority list — first driver-grade exposure for
 # the round-9 operator families): bh_fdr_source_audit (multiple-testing
 # control), pr_auc_exact (exact PR-curve classifier eval),
@@ -403,27 +453,18 @@ _DRIVER_WINDOW = [
     "interval_join_shipments",
     "asof_join_purchase_signup",
     "session_window_stats",
-    "watermark_tail_stats",
     # LLM-data-pipeline family
     "lang_id_heuristic",
     "text_quality_stats",
     "dedup_exact",
-    # dedup_ngram_jaccard stays registered + locally swept; its slot goes to
-    # the model-based-quality family rep (dsir_importance) — the stopshingle
-    # twin is the stronger (skew-safe) Jaccard row and keeps that covered
-    "dsir_importance",
     "dedup_minhash_lsh",
-    "dedup_connected_components",
     "curation_pipeline_end2end",
-    "dedup_incremental_lsh",
     "semantic_dedup",
-    "sequence_packing",
     "dataset_hash_split",
     # stratified_sample stays registered + locally swept; its slot goes to
     # the record-linkage family rep (symspell fuzzy correction) —
     # dataset_hash_split keeps the salted-hash-routing projection covered
     "symspell_name_correction",
-    "contamination_overlap",
     "document_chunking",
     "pii_redaction",
     "bm25_topk_search",
@@ -437,21 +478,26 @@ _DRIVER_WINDOW = [
     "lateral_topk_orders",
     # round-6 swap-in retained (sketch family's only driver row)
     "countmin_heavy_hitters",
-    # round-9 holdover: red on typed hash only in r9 (values verified
-    # correct); final projection now BIGINT — must show green this round
-    "kendall_tau_b",
-    # round-10 rotation swap-ins (see policy comment above): first driver
-    # rows for the round-9 operator families
-    "bh_fdr_source_audit",
-    "pr_auc_exact",
-    "nelson_aalen_hazard",
-    "cuped_variance_reduction",
-    "isotonic_calibration_bins",
-    "ipf_raking_weights",
-    "zorder_layout_audit",
-    "ks_two_sample_sources",
-    "adf_stationarity_audit",
-    "snips_offpolicy_eval",
+    # round-11 rotation swap-ins (see policy comment above): first driver
+    # rows for the round-10 operator families — the round-10 verdict's
+    # 15-name priority list plus the two family-cover completions
+    "kruskal_wallis_doclen",
+    "qini_uplift_curve",
+    "hellinger_bhattacharyya",
+    "katz_centrality",
+    "logrank_test_segments",
+    "mutual_information_source_lang",
+    "markov_entropy_rate",
+    "gumbel_block_maxima_fit",
+    "expected_calibration_error",
+    "hilbert_layout_audit",
+    "arrow_ipc_corpus_roundtrip",
+    "sprt_poisson_audit",
+    "cles_effect_size",
+    "friedman_rank_test",
+    "cramer_von_mises_two_sample",
+    "capture_recapture_dedup",
+    "bucketed_packing_plan",
 ]
 
 
