@@ -22,7 +22,9 @@ handoff instead.  Design points, 100-TB honest:
 
 from __future__ import annotations
 
+import hashlib
 import os
+import shutil
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,24 +38,48 @@ DOC_SPARK_SCHEMA = (
 )
 
 
+def _expected_pa_schema():
+    """The declared Arrow contract — names AND types.  A file whose
+    embedded schema drifts in type (doc_id written int32, n_chars
+    double) must fail at decode, not silently cast through to_pandas."""
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+
+
 def write_documents_arrow(df: DataFrame, path: str) -> list:
     """Spool a documents-shaped DataFrame as one Arrow IPC stream file
     per partition; returns the bounded (file, n_rows) summary rows."""
     import pandas as pd
 
+    # Fresh directory every write: a re-run that produces FEWER partitions
+    # must not leave stale part-*.arrows files for the reader to silently
+    # re-read (duplicate rows).
+    shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
 
     def _write(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pyarrow as pa
         from pyspark import TaskContext
 
+        contract = _expected_pa_schema()
         pid = TaskContext.get().partitionId()
         fname = os.path.join(path, f"part-{pid:05d}.arrows")
         n = 0
         writer = None
         try:
             for pdf in batches:
-                tbl = pa.Table.from_pandas(pdf[DOC_COLS], preserve_index=False)
+                tbl = pa.Table.from_pandas(
+                    pdf[DOC_COLS], preserve_index=False
+                ).cast(contract)  # pin the written schema to the contract
                 if writer is None:
                     sink = pa.OSFile(fname, "wb")
                     writer = pa.ipc.new_stream(sink, tbl.schema)
@@ -82,13 +108,17 @@ def read_arrow_documents(spark: SparkSession, path: str) -> DataFrame:
     def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pyarrow as pa
 
+        contract = _expected_pa_schema()
         for pdf in batches:
             for content in pdf["content"]:
                 with pa.ipc.open_stream(pa.BufferReader(content)) as reader:
-                    names = reader.schema.names
-                    if list(names) != DOC_COLS:
+                    # names AND types — a type drift (doc_id int32,
+                    # n_chars double) must fail loudly, not be cast by
+                    # to_pandas on the way through
+                    if not reader.schema.equals(contract):
                         raise ValueError(
-                            f"arrow schema drift: {names} != {DOC_COLS}"
+                            f"arrow schema drift: {reader.schema} "
+                            f"!= {contract}"
                         )
                     for batch in reader:
                         yield batch.to_pandas()
@@ -118,10 +148,16 @@ def read_arrow_documents(spark: SparkSession, path: str) -> DataFrame:
 )
 def arrow_ipc_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # key the spool dir on the FULL sf_dir path (md5), not its basename —
+    # two datasets sharing a leaf dir name in one app must not collide
+    # (same keying as the session-view cache)
+    sf_key = hashlib.md5(
+        os.path.abspath(sf_dir.rstrip("/")).encode("utf-8")
+    ).hexdigest()[:16]
     path = os.path.join(
         "/tmp",
         f"sales_telegram_bot_data_pipeline_arrow_{spark.sparkContext.applicationId}",
-        os.path.basename(sf_dir.rstrip("/")),
+        sf_key,
     )
     write_documents_arrow(docs, path)
     return read_arrow_documents(spark, path).orderBy("doc_id")

@@ -464,6 +464,49 @@ def test_arrow_ipc_schema_drift_fails_loudly(spark, tmp_path):
         read_arrow_documents(spark, str(p)).collect()
 
 
+def test_arrow_ipc_type_drift_fails_loudly(spark, tmp_path):
+    """Names alone are not the contract: a file with the RIGHT column
+    names but drifted types (doc_id int32, n_chars double) must fail the
+    decode — to_pandas would otherwise silently cast it through."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from sales_telegram_bot_data_pipeline_spark.sources.arrowipc import read_arrow_documents
+
+    p = tmp_path / "arrow_corpus"
+    p.mkdir()
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int32()),  # drifted: int32 not int64
+            "text": ["x"],
+            "lang": ["en"],
+            "source": ["s"],
+            "n_chars": pa.array([1.0], pa.float64()),  # drifted: double
+        }
+    )
+    with pa.OSFile(str(p / "part-00000.arrows"), "wb") as sink:
+        with pa.ipc.new_stream(sink, tbl.schema) as w:
+            w.write_table(tbl)
+    with _pytest.raises(Exception, match="schema drift|PYTHON"):
+        read_arrow_documents(spark, str(p)).collect()
+
+
+def test_arrow_ipc_rewrite_clears_stale_shards(spark, tmp_path):
+    """A re-run that produces FEWER partitions must not leave the prior
+    run's extra part files behind for the reader to re-read (dup rows)."""
+    from sales_telegram_bot_data_pipeline_spark.sources.arrowipc import (
+        read_arrow_documents,
+        write_documents_arrow,
+    )
+    from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "shards")
+    write_documents_arrow(docs.repartition(4), path)
+    write_documents_arrow(docs.repartition(1), path)  # fewer partitions
+    assert read_arrow_documents(spark, path).count() == docs.count()
+
+
 def test_arrow_ipc_write_is_partition_parallel(spark, tmp_path):
     """One .arrows file per non-empty partition; the write job's result
     is the bounded per-file summary."""
