@@ -129,3 +129,48 @@ def test_registry_md_is_fresh():
 
     path = pathlib.Path(__file__).resolve().parent.parent / "REGISTRY.md"
     assert path.read_text() == render()
+
+
+def test_registry_md_derives_from_committed_artifacts():
+    """The rotation-debt numbers in REGISTRY.md derive from the
+    CORRECTNESS_r*.json files on disk; every artifact the committed
+    report was generated from must be git-tracked, or a fresh clone
+    regenerates a DIFFERENT report than the one committed (ADVICE r10)."""
+    import pathlib
+    import subprocess
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    on_disk = {p.name for p in root.glob("CORRECTNESS_r*.json")}
+    tracked = set(
+        subprocess.run(
+            ["git", "ls-files", "CORRECTNESS_r*.json"],
+            cwd=root,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.split()
+    )
+    missing = sorted(on_disk - tracked)
+    assert not missing, (
+        f"untracked driver artifacts feed REGISTRY.md: {missing} — "
+        "commit them in the same change that regenerates the report"
+    )
+
+
+def test_operators_md_bench_block_is_fresh():
+    """The closing bench numbers in OPERATORS.md are a GENERATED block —
+    they must match BENCH_DETAIL.json exactly; regenerate with
+    `python -m sales_telegram_bot_data_pipeline_spark.bench_summary`.
+    (Stale hand-written bench prose was flagged by three verdicts.)"""
+    import pathlib
+
+    from sales_telegram_bot_data_pipeline_spark.bench_summary import BEGIN, END, render_block
+
+    path = pathlib.Path(__file__).resolve().parent.parent / "OPERATORS.md"
+    text = path.read_text()
+    assert BEGIN in text and END in text, "sentinel markers missing"
+    block = text.split(BEGIN, 1)[1].split(END, 1)[0].strip("\n")
+    assert block == render_block(), (
+        "OPERATORS.md bench block is stale — rerun "
+        "python -m sales_telegram_bot_data_pipeline_spark.bench_summary"
+    )
