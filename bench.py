@@ -19,7 +19,13 @@ timed out):
   parallel work the single-query sweep leaves idle) absorbs per-plan-shape
   compile cost before any timing: measured, detected_data_pipeline's first
   sf0.1 run is 9.6 s vs 3.0 s steady state.  Untimed, so job interleaving
-  cannot pollute any number.
+  cannot pollute any number.  The warm-up also PRE-BUILDS every
+  materialize-once session view (dedup.session_view: shingles, shingle-df,
+  LSH pairs, detection feed, ...) because it executes every query once —
+  so no TIMED row ever absorbs a view build and per-row timings are
+  order-independent (ADVICE r10); `--quiet-head` gets the same guarantee
+  from its serial warm-up loop.  PLANS.md's `stored` column shows which
+  window rows read such views (they measure read cost only).
 - The timed phase is two-pass, coverage-first.  PASS 1 takes ONE steady
   sample of every query, slowest-first (any fixed-samples-per-query
   policy starves the tail: at 229 queries, 2-samples-each left 141
