@@ -179,7 +179,12 @@ def billa(d: Dialect, x: str, cls: str) -> dict[str, str]:
     return out
 
 
-def albert(d: Dialect, x: str, cls: str) -> dict[str, str]:
+def _albert_val(d: Dialect, x: str) -> str:
+    """Albert's class-independent parsed value (NULL unless first >= 5) —
+    factored out so the extended hoist can compute it ONCE per row as a
+    context column; the three class-gated fields reference this exact
+    string (CASE WHEN first >= 5 is NULL-safe: NULL >= 5 is NULL, so the
+    old explicit IS NOT NULL guard is redundant in both engines)."""
     cleaned = d.re_all(x, r"[^0-9\s.,'\-:]", "")
     toks = d.splitws(cleaned)
     parts = d.split_char("t", "''")
@@ -195,23 +200,32 @@ def albert(d: Dialect, x: str, cls: str) -> dict[str, str]:
     )
     P = d.filter(d.transform(toks, f"t -> {per_token}"), "p -> p IS NOT NULL")
     first = d.get1(P, 1)
-    ok = f"({first} IS NOT NULL AND {first} >= 5)"
+    return f"(CASE WHEN {first} >= 5 THEN {first} END)"
+
+
+def albert(d: Dialect, x: str, cls: str) -> dict[str, str]:
+    val = _albert_val(d, x)
     out = _null_fields()
-    out["item_price"] = f"CASE WHEN {cls} = 'item_price' AND {ok} THEN {first} END"
-    out["member_price"] = f"CASE WHEN {cls} = 'item_member_price' AND {ok} THEN {first} END"
-    out["initial_price"] = f"CASE WHEN {cls} = 'item_initial_price' AND {ok} THEN {first} END"
+    out["item_price"] = f"CASE WHEN {cls} = 'item_price' THEN {val} END"
+    out["member_price"] = f"CASE WHEN {cls} = 'item_member_price' THEN {val} END"
+    out["initial_price"] = f"CASE WHEN {cls} = 'item_initial_price' THEN {val} END"
     return out
 
 
-def tesco(d: Dialect, x: str, cls: str) -> dict[str, str]:
+def _tesco_val(d: Dialect, x: str) -> str:
+    """Tesco's class-independent parsed value (see _albert_val)."""
     cleaned = d.re_all(x, r"\d{1,2}\.\d{1,2}\.\s*-\s*\d{1,2}\.\d{1,2}\.", "")
     reject = f"(contains({cleaned}, '%') OR contains({cleaned}, 'HOP'))"
     first = d.get1(_parsed(d, cleaned), 1)
-    ok = f"(NOT {reject} AND {first} IS NOT NULL)"
+    return f"(CASE WHEN NOT {reject} THEN {first} END)"
+
+
+def tesco(d: Dialect, x: str, cls: str) -> dict[str, str]:
+    val = _tesco_val(d, x)
     out = _null_fields()
-    out["item_price"] = f"CASE WHEN {cls} = 'item_price' AND {ok} THEN {first} END"
-    out["member_price"] = f"CASE WHEN {cls} = 'item_member_price' AND {ok} THEN {first} END"
-    out["initial_price"] = f"CASE WHEN {cls} = 'item_initial_price' AND {ok} THEN {first} END"
+    out["item_price"] = f"CASE WHEN {cls} = 'item_price' THEN {val} END"
+    out["member_price"] = f"CASE WHEN {cls} = 'item_member_price' THEN {val} END"
+    out["initial_price"] = f"CASE WHEN {cls} = 'item_initial_price' THEN {val} END"
     return out
 
 
@@ -248,16 +262,27 @@ def travel_free(d: Dialect, x: str, cls: str) -> dict[str, str]:
     return out
 
 
-def makro(d: Dialect, x: str, cls: str) -> dict[str, str]:
+def _makro_vals(d: Dialect, x: str) -> tuple[str, str, str]:
+    """Makro's class-independent (item, initial, packaging) value exprs —
+    factored out so the extended hoist can compute the two price values
+    ONCE per row as context columns."""
     pkg = d.re_extract(x, r"^(\d+-?\d?\s*(BAL|ks|A VICE|AViCE))", 1)
     rest = f"(CASE WHEN {pkg} <> '' THEN trim(substr({x}, length({pkg}) + 1)) ELSE {x} END)"
     P = _parsed(d, rest)
     n = d.alen(P)
     g1, g2 = d.get1(P, 1), d.get1(P, 2)
+    v1 = f"(CASE WHEN {n} >= 1 THEN {g1} END)"
+    v2 = f"(CASE WHEN {n} >= 2 THEN {g2} END)"
+    vpkg = f"CASE WHEN {n} >= 1 THEN nullif({pkg}, '') END"
+    return v1, v2, vpkg
+
+
+def makro(d: Dialect, x: str, cls: str) -> dict[str, str]:
+    v1, v2, vpkg = _makro_vals(d, x)
     out = _null_fields()
-    out["item_price"] = f"CASE WHEN {n} >= 1 THEN {g1} END"
-    out["initial_price"] = f"CASE WHEN {n} >= 2 THEN {g2} END"
-    out["packaging"] = f"CASE WHEN {n} >= 1 THEN nullif({pkg}, '') END"
+    out["item_price"] = v1
+    out["initial_price"] = v2
+    out["packaging"] = vpkg
     return out
 
 
@@ -270,7 +295,8 @@ def ratio(d: Dialect, x: str, cls: str) -> dict[str, str]:
     return out
 
 
-def globus(d: Dialect, x: str, cls: str) -> dict[str, str]:
+def _globus_val(d: Dialect, x: str) -> str:
+    """Globus's class-independent parsed value (see _albert_val)."""
     # reject '%' or any char outside [0-9.,'whitespace-] (:288)
     reject = f"(contains({x}, '%') OR {d.re_search(x, r_globus_cls())})"
     y = f"replace({x}, '''', '.')"
@@ -279,10 +305,14 @@ def globus(d: Dialect, x: str, cls: str) -> dict[str, str]:
     P = _parsed(d, z)
     n = d.alen(P)
     g1 = d.get1(P, 1)
-    ok = f"(NOT {reject} AND {n} = 1)"
+    return f"(CASE WHEN NOT {reject} AND {n} = 1 THEN {g1} END)"
+
+
+def globus(d: Dialect, x: str, cls: str) -> dict[str, str]:
+    val = _globus_val(d, x)
     out = _null_fields()
-    out["item_price"] = f"CASE WHEN {cls} = 'item_price' AND {ok} THEN {g1} END"
-    out["member_price"] = f"CASE WHEN {cls} = 'item_member_price' AND {ok} THEN {g1} END"
+    out["item_price"] = f"CASE WHEN {cls} = 'item_price' THEN {val} END"
+    out["member_price"] = f"CASE WHEN {cls} = 'item_member_price' THEN {val} END"
     return out
 
 
@@ -291,16 +321,21 @@ def r_globus_cls() -> str:
     return r"[^0-9.,'\s\-]"
 
 
-def tamda(d: Dialect, x: str, cls: str) -> dict[str, str]:
+def _tamda_val(d: Dialect, x: str) -> str:
+    """Tamda's class-independent parsed value (see _albert_val)."""
     reject = f"(contains({x}, '%') OR contains({x}, '('))"
     y = f"trim({d.re_all(x, '[KCkc]+', '')})"
     P = _parsed(d, y)
     n = d.alen(P)
     g1 = d.get1(P, 1)
-    ok = f"(NOT {reject} AND {n} = 1)"
+    return f"(CASE WHEN NOT {reject} AND {n} = 1 THEN {g1} END)"
+
+
+def tamda(d: Dialect, x: str, cls: str) -> dict[str, str]:
+    val = _tamda_val(d, x)
     out = _null_fields()
-    out["item_price"] = f"CASE WHEN {cls} = 'item_price' AND {ok} THEN {g1} END"
-    out["member_price"] = f"CASE WHEN {cls} = 'item_member_price' AND {ok} THEN {g1} END"
+    out["item_price"] = f"CASE WHEN {cls} = 'item_price' THEN {val} END"
+    out["member_price"] = f"CASE WHEN {cls} = 'item_member_price' THEN {val} END"
     return out
 
 
@@ -435,6 +470,68 @@ def price_context_exprs(d: Dialect, x: str) -> dict[str, str]:
 def hoist_price_context(sql: str, d: Dialect, x: str) -> str:
     """Rewrite a dispatcher SQL string to reference the hoisted columns."""
     return sql.replace(_parsed(d, x), TOK_COL).replace(parse_price_sql(d, x), PP_COL)
+
+
+def extended_price_context_exprs(d: Dialect, x: str) -> dict[str, str]:
+    """Second hoisting layer: the five shops whose parsers run their OWN
+    token pipeline over a transformed input (Albert, Tesco, Globus, Tamda,
+    Makro) each re-instantiated that pipeline once per class branch of
+    ``dispatcher_value_sql`` — three textual copies apiece, which pushed
+    the dispatched-value SQL to ~53k chars and made per-call Catalyst
+    analysis+optimization (~1.4 s, data-independent) the dominant cost of
+    the detected_data queries.  Hoisting each shop's class-independent
+    parsed VALUE to one context column shrinks the tree ~3x; runtime work
+    also drops (one parse per row instead of one per matching branch)."""
+    ctx = price_context_exprs(d, x)
+    ctx["__alb_val"] = _albert_val(d, x)
+    ctx["__tsc_val"] = _tesco_val(d, x)
+    ctx["__glb_val"] = _globus_val(d, x)
+    ctx["__tmd_val"] = _tamda_val(d, x)
+    v1, v2, _ = _makro_vals(d, x)
+    ctx["__mkr_v1"] = v1
+    ctx["__mkr_v2"] = v2
+    return ctx
+
+
+def hoist_price_context_extended(sql: str, d: Dialect, x: str) -> str:
+    """Rewrite a dispatcher SQL string to reference ALL hoisted context
+    columns (longest expression first, so a shop value containing a
+    shorter hoisted fragment is replaced wholesale before the fragment)."""
+    ctx = extended_price_context_exprs(d, x)
+    for name, expr in sorted(ctx.items(), key=lambda kv: -len(kv[1])):
+        sql = sql.replace(expr, name)
+    return sql
+
+
+def price_context_gates(shop: str = "shop_name") -> dict[str, str]:
+    """Per-context-column SHOP gate: each hoisted column is only read by
+    its own shops' dispatcher branches, so computing it for other rows is
+    pure waste — the inline (pre-hoist) form got this for free from CASE
+    branch laziness, and WITHOUT these gates every row paid every shop's
+    token pipeline (~6x the regex work; measured 2.3 -> 4.5 s per call on
+    the sf0.1 detection feed).  Derived from the _PARSERS table so a shop
+    reassignment cannot silently drift the gates."""
+    by_fn = {fn.__name__: shops for shops, fn in _PARSERS}
+    tok_shops = tuple(
+        s
+        for fn_name in ("penny", "billa", "kaufland", "flop", "travel_free", "ratio")
+        for s in by_fn[fn_name]
+    )
+    pp_shops = by_fn["esomarket"] + by_fn["passthrough"]
+
+    def gate(shops: tuple[str, ...]) -> str:
+        return _shop_cond(shop, shops)
+
+    return {
+        TOK_COL: gate(tok_shops),
+        PP_COL: gate(pp_shops),
+        "__alb_val": gate(by_fn["albert"]),
+        "__tsc_val": gate(by_fn["tesco"]),
+        "__glb_val": gate(by_fn["globus"]),
+        "__tmd_val": gate(by_fn["tamda"]),
+        "__mkr_v1": gate(by_fn["makro"]),
+        "__mkr_v2": gate(by_fn["makro"]),
+    }
 
 
 # --------------------------------------------------------------------------

@@ -410,17 +410,27 @@ def detected_data(spark: SparkSession, sf_dir: str, padding: float = 0.10) -> Da
     from ..functions.dialect import SPARK
     from ..functions.prices import (
         dispatcher_value_sql,
-        hoist_price_context,
-        price_context_exprs,
+        extended_price_context_exprs,
+        hoist_price_context_extended,
+        price_context_gates,
     )
 
-    ctx = price_context_exprs(SPARK, "ocr_text")
-    pv_sql = hoist_price_context(
+    ctx = extended_price_context_exprs(SPARK, "ocr_text")
+    gates = price_context_gates("shop_name")
+    price_cls = "class_name IN ('item_price', 'item_member_price', 'item_initial_price')"
+    pv_sql = hoist_price_context_extended(
         dispatcher_value_sql(SPARK, "shop_name", "ocr_text", "class_name"), SPARK, "ocr_text"
     )
     parsed = det2
     for name, expr_sql in ctx.items():
-        parsed = parsed.withColumn(name, F.expr(expr_sql))
+        # gate each context column to price-class rows AND its own shops:
+        # only the matching shop's dispatcher branch reads it, so ungated
+        # every row would pay every shop's token pipeline (see
+        # price_context_gates)
+        parsed = parsed.withColumn(
+            name,
+            F.expr(f"CASE WHEN {price_cls} AND {gates[name]} THEN {expr_sql} END"),
+        )
     parsed = parsed.withColumn("pv", F.expr(pv_sql))
 
     def last_wins(value, cls: str):

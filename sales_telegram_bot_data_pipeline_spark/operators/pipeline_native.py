@@ -17,8 +17,9 @@ from ..functions.dialect import DUCKDB, SPARK, Dialect
 from ..functions.prices import (
     SHOPS,
     dispatcher_value_sql,
-    hoist_price_context,
-    price_context_exprs,
+    extended_price_context_exprs,
+    hoist_price_context_extended,
+    price_context_gates,
 )
 from ..registry import register
 from ..sources.tables import load_table
@@ -125,15 +126,27 @@ def _wide_sql(d: Dialect, part_table: str, detections_rel: str | None = None) ->
 
     # Dispatch BEFORE the pivot, as ONE SCALAR expression: the row's
     # class_name selects its parsed value (dispatcher_value_sql), with the
-    # shared token-/whole-string-parse subexpressions hoisted to CTE columns
-    # computed once per row.  parse() is deterministic per text, so
-    # arg_max(parse(text), idx) == parse(arg_max(text, idx)).  The struct
-    # form is unusable here: extracting 3 fields replicates the whole
-    # 7-field parser chain 3x (SimplifyExtractValueOps), >1 MiB task
-    # binaries and 10 s+ Janino compiles.
-    ctx = price_context_exprs(d, "ocr_text")
-    ctx_cols = ", ".join(f"{expr} AS {name}" for name, expr in ctx.items())
-    pv = hoist_price_context(
+    # shared subexpressions hoisted to CTE columns computed once per row —
+    # the token/whole-string parses AND the five per-shop token pipelines
+    # (extended_price_context_exprs; the three class branches otherwise
+    # carried a textual copy each, and per-call Catalyst analysis of the
+    # ~53k-char tree cost ~1.4 s regardless of data size).  parse() is
+    # deterministic per text, so arg_max(parse(text), idx) ==
+    # parse(arg_max(text, idx)).  The struct form is unusable here:
+    # extracting 3 fields replicates the whole 7-field parser chain 3x
+    # (SimplifyExtractValueOps), >1 MiB task binaries and 10 s+ Janino
+    # compiles.  Context columns are gated to price-class rows AND to each
+    # column's own shops (price_context_gates — the inline form's CASE
+    # laziness got this for free; ungated, every row paid every shop's
+    # token pipeline), and projections are narrowed to the pivot's input.
+    price_cls = "class_name IN ('item_price', 'item_member_price', 'item_initial_price')"
+    ctx = extended_price_context_exprs(d, "ocr_text")
+    gates = price_context_gates("shop_name")
+    ctx_cols = ", ".join(
+        f"CASE WHEN {price_cls} AND {gates[name]} THEN {expr} END AS {name}"
+        for name, expr in ctx.items()
+    )
+    pv = hoist_price_context_extended(
         dispatcher_value_sql(d, "shop_name", "ocr_text", "class_name"), d, "ocr_text"
     )
     picks = ", ".join(
@@ -145,8 +158,8 @@ def _wide_sql(d: Dialect, part_table: str, detections_rel: str | None = None) ->
     )
     return f"""
 WITH detections AS ({det}),
-ctx AS (SELECT *, {ctx_cols} FROM detections),
-parsed AS (SELECT *, {pv} AS pv FROM ctx),
+ctx AS (SELECT image_id, shop_name, class_name, det_idx, ocr_text, {ctx_cols} FROM detections),
+parsed AS (SELECT image_id, shop_name, class_name, det_idx, ocr_text, {pv} AS pv FROM ctx),
 wide AS (
   SELECT image_id, shop_name, {picks}
   FROM parsed GROUP BY image_id, shop_name
