@@ -287,3 +287,52 @@ def test_duckdb_matches_model():
         if vals != pytest.approx(want):
             bad.append((shop, cls, text, want, vals))
     assert not bad, f"{len(bad)} mismatches; first: {bad[0]}"
+
+
+def test_dispatcher_hoisted_tree_stays_small():
+    """Planning-cost regression guard: the hoisted dispatched-value SQL
+    must stay an order of magnitude below the inline form's ~53k chars
+    (per-call Catalyst analysis of that tree cost ~1.4 s, data-independent
+    — it dominated the detected_data bench rows for two rounds), and every
+    per-shop pipeline must be hoisted out (no leftover heavy fragments)."""
+    from sales_telegram_bot_data_pipeline_spark.functions.dialect import DUCKDB, SPARK
+    from sales_telegram_bot_data_pipeline_spark.functions.prices import (
+        dispatcher_value_sql,
+        extended_price_context_exprs,
+        hoist_price_context_extended,
+    )
+
+    for d in (SPARK, DUCKDB):
+        pv = hoist_price_context_extended(
+            dispatcher_value_sql(d, "shop_name", "ocr_text", "class_name"), d, "ocr_text"
+        )
+        assert len(pv) < 10_000, f"{d.name}: hoisted pv regrew to {len(pv)} chars"
+        for marker in ("splitws", "BAL|ks", "HOP"):
+            assert marker not in pv, f"{d.name}: {marker} pipeline not hoisted"
+        for name in extended_price_context_exprs(d, "ocr_text"):
+            assert name in pv, f"{d.name}: hoisted column {name} unused in pv"
+
+
+def test_price_context_gates_cover_every_shop_and_column():
+    """Every hoisted context column carries a shop gate (ungated, every row
+    pays every shop's token pipeline — measured 2x the per-call cost), and
+    the gates jointly cover all 21 dispatcher shops exactly once each."""
+    import re
+
+    from sales_telegram_bot_data_pipeline_spark.functions.dialect import SPARK
+    from sales_telegram_bot_data_pipeline_spark.functions.prices import (
+        SHOPS,
+        extended_price_context_exprs,
+        price_context_gates,
+    )
+
+    gates = price_context_gates("shop_name")
+    assert set(gates) == set(extended_price_context_exprs(SPARK, "ocr_text"))
+    seen = []
+    for col, gate in gates.items():
+        shops = re.findall(r"'([^']+)'", gate)
+        assert shops, f"{col}: empty gate"
+        if col not in ("__mkr_v1", "__mkr_v2"):  # makro has two columns
+            seen.extend(shops)
+    seen.extend(re.findall(r"'([^']+)'", gates["__mkr_v1"]))
+    assert sorted(seen) == sorted(SHOPS), "gates must partition the shop set"
