@@ -233,6 +233,36 @@ def test_hilbert_recurrence_is_a_true_hilbert_curve():
         assert abs(x1 - x2) + abs(y1 - y2) == 1
 
 
+def test_hilbert_fold_equals_unrolled_chain_full_grid(spark):
+    """The Spark-side aggregate() fold (O(1) expression tree — the
+    unrolled CTE chain collapses to a 2^bits-expanded projection under
+    CollapseProject) must be bit-identical to the chain the DuckDB
+    oracle still runs, over the ENTIRE 256x256 grid."""
+    from sales_telegram_bot_data_pipeline_spark.operators.round10b import (
+        _hilbert_fold_expr,
+        _hilbert_steps_sql,
+    )
+
+    steps_sql, last = _hilbert_steps_sql(8)
+    spark.sql(
+        "SELECT CAST(id % 256 AS INT) AS bx, CAST(id DIV 256 AS INT) AS by "
+        "FROM range(65536)"
+    ).createOrReplaceTempView("hilb_grid_full")
+    mismatches = spark.sql(
+        f"""
+WITH fold AS (SELECT bx, by, {_hilbert_fold_expr(8)} AS hd FROM hilb_grid_full),
+h0 AS (SELECT bx, by, bx AS x, by AS y, CAST(0 AS BIGINT) AS d,
+              CAST(bx AS BIGINT) AS okey, CAST(0 AS BIGINT) AS z
+       FROM hilb_grid_full),
+{steps_sql},
+chain AS (SELECT bx, by, d AS hd FROM {last})
+SELECT COUNT(*) AS n FROM fold f JOIN chain c
+  ON f.bx = c.bx AND f.by = c.by AND f.hd <> c.hd
+"""
+    ).collect()[0]["n"]
+    assert mismatches == 0
+
+
 def test_hilbert_layout_audit_matches_python(spark):
     rows = {r.layout: r for r in q.REGISTRY["hilbert_layout_audit"].fn(spark, SF_SMOKE).collect()}
     orders = load_table(spark, SF_SMOKE, "orders").selectExpr(
