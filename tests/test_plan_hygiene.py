@@ -74,13 +74,46 @@ _ONE_ROW_BNLJ_OK = {
     #   190) x per-source CDF scalars — catalog-bounded both sides
     "snips_offpolicy_eval",  # one-row behavior-policy normalizer
     #   scalars (self-normalized IPS denominator)
+    # round-11 swap-ins (first driver-window exposure for the round-10
+    # operator families) — every BNLJ build side is a one-row moment /
+    # total scalar or a fixed-grid relation, same classes as above; the
+    # round-10 verdict's scale audit covered these operators' SQL
+    # (bounded distinct-value grids, never corpus x corpus):
+    "kruskal_wallis_doclen",  # one-row N / tie-correction scalars over
+    #   the bounded doc-length value grid
+    "qini_uplift_curve",  # one-row arm-total scalars (treated/control
+    #   counts, conversions) joined to the fixed decile grid
+    "hellinger_bhattacharyya",  # one-row per-distribution mass scalars
+    #   over the bounded source x length-band grid
+    "logrank_test_segments",  # one-row at-risk/observed total scalars
+    #   per event-time step relation (bounded by distinct durations)
+    "mutual_information_source_lang",  # one-row grand-total scalar over
+    #   the fixed source x lang contingency grid
+    "markov_entropy_rate",  # one-row total-transitions scalar over the
+    #   fixed event-type x event-type transition grid
+    "expected_calibration_error",  # one-row corpus-count scalar over
+    #   the fixed ECE bin grid
+    "cles_effect_size",  # one-row group-count scalars over the bounded
+    #   count-product value grid
+    "friedman_rank_test",  # one-row k/n scalars over the fixed
+    #   treatment x block rank grid
+    "cramer_von_mises_two_sample",  # one-row per-sample size scalars
+    #   over the bounded pooled value grid
+    "bucketed_packing_plan",  # one-row corpus token-total scalar
+    #   deriving the shard count
 }
 
 # mapInPandas / pandas-UDF operators: Python stages are their design.
 # detected_data_native is deliberately NOT here: it is pure spark.sql
 # (pipeline_native.py), so a Python stage sneaking into the flagship
 # native query must trip this test.
-_PYTHON_OK = {"word_segmentation"}
+_PYTHON_OK = {
+    "word_segmentation",
+    # Arrow IPC corpus source: the mapInPandas write spool + binaryFile
+    # Arrow-decode read ARE the operator (rotated into the window round
+    # 11) — Python is its design, Arrow-batched on both sides
+    "arrow_ipc_corpus_roundtrip",
+}
 
 # Unpartitioned WindowExec ("No Partition Defined ... moving all data to a
 # single partition") is the scale-killer class that produced VERDICT r5
