@@ -302,24 +302,34 @@ def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
 
-    def rank2(col: str, out: str) -> tuple[DataFrame | None, int]:
-        grp = li.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("c"))
-        summed, total = range_prefix_summed(spark, grp, ["v"], "c")
-        if summed is None:
-            return None, 0
-        return (
-            summed.select(
-                "v", (2 * F.col("cum_before") + F.col("c") + 1).cast("bigint").alias(out)
-            ),
-            total,
-        )
-
-    # n = grand total of the value-group counts — range_prefix_summed
-    # already computed it, so no extra corpus scan for a bare count()
-    xr, n = rank2("l_quantity", "rx2")
-    if xr is None:
+    # ONE distributed prefix-sum pass for BOTH rank axes (the per-axis
+    # form paid two repartitionByRange checkpoints + two bounded offset
+    # collects): the two value grids are axis-tagged and unioned, and
+    # under (axis, v) ordering each axis' rows form a contiguous block —
+    # axis 1's exclusive prefix is just the global prefix minus the
+    # axis-0 grand mass, which equals n (each axis' counts sum to the
+    # row count, so total = 2n — no extra corpus scan for a bare count).
+    gx = (
+        li.groupBy(F.col("l_quantity").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.lit(0).alias("axis"), "v", "c")
+    )
+    gy = (
+        li.groupBy(F.col("l_extendedprice").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.lit(1).alias("axis"), "v", "c")
+    )
+    summed, total = range_prefix_summed(spark, gx.unionByName(gy), ["axis", "v"], "c")
+    if summed is None:
         return spark.createDataFrame([], "n_rows bigint, spearman_rho double")
-    yr, _ = rank2("l_extendedprice", "ry2")
+    n = total // 2
+    xr = summed.where(F.col("axis") == 0).select(
+        "v", (2 * F.col("cum_before") + F.col("c") + 1).cast("bigint").alias("rx2")
+    )
+    yr = summed.where(F.col("axis") == 1).select(
+        "v",
+        (2 * (F.col("cum_before") - n) + F.col("c") + 1).cast("bigint").alias("ry2"),
+    )
     d = (
         li.join(xr, li.l_quantity == xr.v)
         .drop("v")
