@@ -349,7 +349,25 @@ except ImportError:  # pragma: no cover
 # Round-5 history: in — q6/q7/q10, recursive_hierarchy_rollup,
 # lateral_topk_orders, pagerank_neardup_graph, bigram_lm_score,
 # pit_join_scd2, full_outer_reconciliation, sketch_rollup_distinct.
-# Round-11 rotation candidates (never windowed): source_quality_ranksum,
+# Round-12 rotation candidates (never windowed, highest-priority first —
+# each would be its family's first driver exposure): the round-9-
+# continuation additions mcnemar_gate_disagreement, cochran_q_gates,
+# feature_hashing_collision_audit, target_encoding_smoothed,
+# good_turing_smoothing_audit, mean_excess_tail_audit,
+# decision_stump_split_audit, james_stein_shrinkage, ndcg_retrieval_eval,
+# rbo_ranking_overlap, harrell_c_index, quantile_pinball_fit_audit,
+# graph_modularity_by_source, price_elasticity_ols,
+# spiegelhalter_calibration_z; and the round-10 additions not windowed in
+# round 11: levene_brown_forsythe, hill_tail_index,
+# theil_inequality_decomposition, granger_lag_causality,
+# ljung_box_whiteness, degree_assortativity, adamic_adar_link_prediction,
+# query_likelihood_dirichlet, mrr_retrieval_eval, curriculum_schedule_plan,
+# ipw_ate_stratified, cramers_v_bias_corrected, sax_daily_revenue_motifs,
+# mutual_information... (windowed r11), loso_source_influence,
+# beta_binomial_shrinkage, hodges_lehmann_shift, cochran_armitage_trend,
+# mantel_haenszel_or, binary_segmentation_split.  The full never-windowed
+# backlog (194 after round 11) is below, oldest families first.
+# Round-11 rotation candidates at the time (historical): source_quality_ranksum,
 # cluster_balanced_sample, score_decile_lift,
 # join_cardinality_sketch_audit, split_distribution_drift, graph_bfs_hops,
 # misra_gries_topk, revenue_trend_ols, kmeans_separation_audit,
