@@ -84,16 +84,40 @@ def _sync_operators_md(detail_path: str, full_registry: bool) -> None:
     would misrepresent the registry."""
     import pathlib
 
-    if not full_registry or detail_path != "BENCH_DETAIL.json":
+    root = pathlib.Path(__file__).resolve().parent
+    detail = pathlib.Path(detail_path).resolve()
+    # compare resolved paths, not the raw string: a bench run from a
+    # non-root CWD writes its artifact to CWD and must not resync
+    # OPERATORS.md from a stale repo-root copy (ADVICE r11)
+    if not full_registry or detail != root / "BENCH_DETAIL.json":
         return
     try:
         from sales_telegram_bot_data_pipeline_spark.bench_summary import rewrite
 
-        md = pathlib.Path(__file__).resolve().parent / "OPERATORS.md"
-        if rewrite(md):
+        md = root / "OPERATORS.md"
+        if rewrite(md, detail_path=detail):
             print("[bench] OPERATORS.md bench block resynced", file=sys.stderr)
     except Exception as exc:  # never fail the bench over a doc rewrite
         print(f"[bench] OPERATORS.md resync skipped: {exc}", file=sys.stderr)
+
+
+def _protocol_fields(times: dict, samples: dict, fallback: list) -> dict:
+    """deadline_hit + unfinished-phase list for the JSON artifact (VERDICT
+    r11 item 7): a deadline-compromised artifact is machine-distinguishable
+    from a steady one without cross-referencing fallback/n_samples."""
+    flag_single = sorted(
+        n for n in times if times[n] > FLAG_SEC and samples.get(n, 1) < 2
+    )
+    unfinished = []
+    if fallback:
+        unfinished.append("pass1_steady_coverage")
+    if flag_single:
+        unfinished.append("pass2_mandatory_min2")
+    return {
+        "deadline_hit": bool(unfinished),
+        "protocol_unfinished": unfinished,
+        "flagged_single_sample": flag_single,
+    }
 
 
 def quiet_head(n_head: int) -> int:
@@ -128,6 +152,9 @@ def quiet_head(n_head: int) -> int:
             out["fallback"].remove(name)
     out["value"] = round(sum(out["queries"].values()), 3)
     out["quiet_head"] = head
+    out.update(_protocol_fields(
+        out["queries"], out.get("n_samples", {}), out.get("fallback", [])
+    ))
     with open(detail_path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
         fh.write("\n")
@@ -136,6 +163,8 @@ def quiet_head(n_head: int) -> int:
         "metric": out["metric"], "value": out["value"], "unit": "sec",
         "n_queries": len(out["queries"]), "sf": out["sf"],
         "detail": detail_path,
+        "deadline_hit": out["deadline_hit"],
+        "n_protocol_unfinished": len(out["protocol_unfinished"]),
     }))
     _sync_operators_md(detail_path, full_registry=len(out["queries"]) == len(q.REGISTRY))
     spark.stop()
@@ -284,6 +313,7 @@ def main() -> int:
         "fallback": sorted(fallback_names),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    out.update(_protocol_fields(times, samples, fallback_names))
     # The driver captures only the TAIL of stdout; with per-query entries
     # the full map once overflowed the capture and the head of the line
     # (metric/value) was cut off, leaving the driver with parsed:null
@@ -305,6 +335,11 @@ def main() -> int:
         "n_queries": len(times),
         "sf": out["sf"],
         "detail": detail_path,
+        # VERDICT r11 item 7: the FINAL captured line says whether the
+        # sampling protocol finished, so a deadline-compromised total is
+        # self-explaining without reading the detail artifact
+        "deadline_hit": out["deadline_hit"],
+        "n_protocol_unfinished": len(out["protocol_unfinished"]),
     }
     print(json.dumps(compact))  # LAST line is short: always survives capture
     _sync_operators_md(detail_path, full_registry=len(times) == len(q.REGISTRY))

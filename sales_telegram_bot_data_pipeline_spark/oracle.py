@@ -157,6 +157,26 @@ def compare_query(
     return CompareResult(name, True, f"match: {len(s_rows)} rows", len(s_rows), len(o_rows))
 
 
+def code_tree_hash() -> str:
+    """md5 over the package's .py files (path + content, sorted) — the
+    working-tree code that actually RAN a sweep.  Stamped into
+    LOCAL_CORRECTNESS artifacts so 'sweep recorded at final code' is
+    checkable (VERDICT r11 task 5: the committed r11 sf0.1 sweep predated
+    the spearman fuse commit)."""
+    import hashlib
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parent
+    h = hashlib.md5()
+    for p in sorted(pkg.rglob("*.py")):
+        if "__pycache__" in p.parts:
+            continue
+        h.update(str(p.relative_to(pkg)).encode())
+        h.update(b"\0")
+        h.update(p.read_bytes())
+    return h.hexdigest()
+
+
 def compare_all(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> list[CompareResult]:
     import sales_telegram_bot_data_pipeline_spark.queries  # noqa: F401  (populate registry)
 
@@ -190,8 +210,28 @@ if __name__ == "__main__":
     # LOCAL_CORRECTNESS_r05.json).
     out_path = os.environ.get("SPARK_GRAFT_LOCAL_CORRECTNESS")
     if out_path:
+        import subprocess
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+        def _git(*args: str) -> str:
+            try:
+                return subprocess.run(
+                    ["git", *args], cwd=repo, capture_output=True,
+                    text=True, check=True,
+                ).stdout.strip()
+            except Exception:
+                return ""
+
         payload = {
             "sf_dir": sf_dir,
+            # provenance stamp (VERDICT r11 task 5): the exact code this
+            # sweep ran on — close-of-round pytest (SPARK_GRAFT_CLOSE_CHECK)
+            # asserts the newest sf0.1 sweep matches the final tree
+            "git_head": _git("rev-parse", "HEAD"),
+            "git_dirty": bool(_git("status", "--porcelain",
+                                   "sales_telegram_bot_data_pipeline_spark")),
+            "code_tree": code_tree_hash(),
             "n_total": len(results),
             "n_pass": sum(r.ok for r in results),
             "n_fail": sum(not r.ok for r in results),

@@ -174,3 +174,73 @@ def test_operators_md_bench_block_is_fresh():
         "OPERATORS.md bench block is stale — rerun "
         "python -m sales_telegram_bot_data_pipeline_spark.bench_summary"
     )
+
+
+def test_operators_md_no_totals_outside_block():
+    """No bench RUN TOTAL may appear in OPERATORS.md outside the generated
+    sentinel block (VERDICT r11 task 4: hand-written delta prose quoting
+    totals contradicted the generated block directly below it).  Per-query
+    numbers are fine; 'X s / N queries'-shaped totals and 'totaled X'
+    phrasings are not."""
+    import pathlib
+    import re
+
+    from sales_telegram_bot_data_pipeline_spark.bench_summary import BEGIN, END
+
+    path = pathlib.Path(__file__).resolve().parent.parent / "OPERATORS.md"
+    text = path.read_text()
+    head, rest = text.split(BEGIN, 1)
+    _, tail = rest.split(END, 1)
+    outside = head + tail
+    pat = re.compile(r"\d+\.\d+ ?s */ *\d+|totaled \d")
+    hits = [
+        line.strip()
+        for line in outside.splitlines()
+        if pat.search(line)
+    ]
+    assert not hits, (
+        f"run totals outside the generated bench block: {hits} — move the "
+        "number into BENCH_DETAIL.json (the block regenerates from it)"
+    )
+
+
+def test_local_sweep_recorded_at_final_code():
+    """VERDICT r11 task 5: sweep artifacts must be recorded on final code
+    (the committed r11 sf0.1 sweep predated the spearman-fuse commit).
+    Mechanism: the oracle replica stamps `code_tree` (md5 of the package's
+    .py files) + `git_head` + `git_dirty` into every LOCAL_CORRECTNESS
+    artifact it writes.  Always-on: the newest stamped sf0.1 sweep must
+    not have run on a dirty package tree.  With SPARK_GRAFT_CLOSE_CHECK=1
+    (the closing-verification pass), additionally assert the stamp equals
+    the CURRENT package tree — i.e. no operator-touching change landed
+    after the sweep.  Strictness is env-gated because mid-round operator
+    work legitimately postdates last round's sweep."""
+    import json
+    import os
+    import pathlib
+    import re
+
+    from sales_telegram_bot_data_pipeline_spark.oracle import code_tree_hash
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    stamped = []
+    for p in root.glob("LOCAL_CORRECTNESS_r*_sf01.json"):
+        d = json.loads(p.read_text())
+        if "code_tree" in d:
+            rnum = int(re.search(r"_r(\d+)_", p.name).group(1))
+            stamped.append((rnum, p.name, d))
+    if not stamped:
+        import pytest
+
+        pytest.skip("no stamped sf0.1 sweep artifact yet (pre-round-12)")
+    rnum, name, d = max(stamped)
+    assert not d.get("git_dirty"), (
+        f"{name} was swept on a DIRTY package tree (git_head "
+        f"{d.get('git_head', '')[:12]}) — re-run the sweep after committing"
+    )
+    if os.environ.get("SPARK_GRAFT_CLOSE_CHECK"):
+        assert d["code_tree"] == code_tree_hash(), (
+            f"{name} (git_head {d.get('git_head', '')[:12]}) was swept on a "
+            "DIFFERENT package tree than the current one — operator code "
+            "changed after the closing sweep; freeze ops and re-sweep"
+        )
