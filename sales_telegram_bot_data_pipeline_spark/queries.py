@@ -349,24 +349,27 @@ except ImportError:  # pragma: no cover
 # Round-5 history: in — q6/q7/q10, recursive_hierarchy_rollup,
 # lateral_topk_orders, pagerank_neardup_graph, bigram_lm_score,
 # pit_join_scd2, full_outer_reconciliation, sketch_rollup_distinct.
-# Round-12 rotation candidates (never windowed, highest-priority first —
-# each would be its family's first driver exposure): the round-9-
-# continuation additions mcnemar_gate_disagreement, cochran_q_gates,
+# Round-12 history: in — the 15-name priority list
+# (mcnemar_gate_disagreement, cochran_q_gates,
 # feature_hashing_collision_audit, target_encoding_smoothed,
 # good_turing_smoothing_audit, mean_excess_tail_audit,
 # decision_stump_split_audit, james_stein_shrinkage, ndcg_retrieval_eval,
 # rbo_ranking_overlap, harrell_c_index, quantile_pinball_fit_audit,
 # graph_modularity_by_source, price_elasticity_ols,
-# spiegelhalter_calibration_z; and the round-10 additions not windowed in
-# round 11: levene_brown_forsythe, hill_tail_index,
-# theil_inequality_decomposition, granger_lag_causality,
-# ljung_box_whiteness, degree_assortativity, adamic_adar_link_prediction,
-# query_likelihood_dirichlet, mrr_retrieval_eval, curriculum_schedule_plan,
-# ipw_ate_stratified, cramers_v_bias_corrected, sax_daily_revenue_motifs,
-# mutual_information... (windowed r11), loso_source_influence,
-# beta_binomial_shrinkage, hodges_lehmann_shift, cochran_armitage_trend,
-# mantel_haenszel_or, binary_segmentation_split.  The full never-windowed
-# backlog (194 after round 11) is below, oldest families first.
+# spiegelhalter_calibration_z) + 5 round-10 names (levene_brown_forsythe,
+# hill_tail_index, adamic_adar_link_prediction, ipw_ate_stratified,
+# sax_daily_revenue_motifs); parked — the 17 round-11 swap-ins plus
+# dedup_exact / lang_id_heuristic / document_chunking.
+# Round-13 rotation candidates (never windowed, highest-priority first —
+# each its family's first driver exposure): the remaining round-10
+# additions theil_inequality_decomposition, granger_lag_causality,
+# ljung_box_whiteness, degree_assortativity, query_likelihood_dirichlet,
+# mrr_retrieval_eval, curriculum_schedule_plan, cramers_v_bias_corrected,
+# loso_source_influence, beta_binomial_shrinkage, hodges_lehmann_shift,
+# cochran_armitage_trend, mantel_haenszel_or, binary_segmentation_split;
+# then the oldest never-windowed families from the backlog below.  The
+# full never-windowed backlog (174 after round 12) is below, oldest
+# families first.
 # Round-11 rotation candidates at the time (historical): source_quality_ranksum,
 # cluster_balanced_sample, score_decile_lift,
 # join_cardinality_sketch_audit, split_distribution_drift, graph_bfs_hops,
@@ -471,10 +474,11 @@ _DRIVER_WINDOW = [
     "interval_join_shipments",
     "asof_join_purchase_signup",
     "session_window_stats",
-    # LLM-data-pipeline family
-    "lang_id_heuristic",
+    # LLM-data-pipeline family (round-12 rotation: lang_id_heuristic and
+    # dedup_exact parked — text keeps text_quality_stats +
+    # preprocess_text_normalize, dedup keeps dedup_minhash_lsh +
+    # semantic_dedup + the curation capstone's gate->LSH->CC chain)
     "text_quality_stats",
-    "dedup_exact",
     "dedup_minhash_lsh",
     "curation_pipeline_end2end",
     "semantic_dedup",
@@ -483,7 +487,8 @@ _DRIVER_WINDOW = [
     # the record-linkage family rep (symspell fuzzy correction) —
     # dataset_hash_split keeps the salted-hash-routing projection covered
     "symspell_name_correction",
-    "document_chunking",
+    # document_chunking parked round 12 (curation family keeps
+    # pii_redaction + dataset_hash_split + curation_pipeline_end2end)
     "pii_redaction",
     "bm25_topk_search",
     # §2.G representatives (the rest of the family is swept locally;
@@ -496,26 +501,35 @@ _DRIVER_WINDOW = [
     "lateral_topk_orders",
     # round-6 swap-in retained (sketch family's only driver row)
     "countmin_heavy_hitters",
-    # round-11 rotation swap-ins (see policy comment above): first driver
-    # rows for the round-10 operator families — the round-10 verdict's
-    # 15-name priority list plus the two family-cover completions
-    "kruskal_wallis_doclen",
-    "qini_uplift_curve",
-    "hellinger_bhattacharyya",
-    "katz_centrality",
-    "logrank_test_segments",
-    "mutual_information_source_lang",
-    "markov_entropy_rate",
-    "gumbel_block_maxima_fit",
-    "expected_calibration_error",
-    "hilbert_layout_audit",
-    "arrow_ipc_corpus_roundtrip",
-    "sprt_poisson_audit",
-    "cles_effect_size",
-    "friedman_rank_test",
-    "cramer_von_mises_two_sample",
-    "capture_recapture_dedup",
-    "bucketed_packing_plan",
+    # round-12 rotation swap-ins (see policy comment above): the round-11
+    # verdict's 15-name priority list (the round-9-continuation families'
+    # first driver exposure) plus 5 of the never-windowed round-10 names
+    # (adamic_adar and sax chosen because the r11 driver refresh flagged
+    # them among the largest phantom inflations — a driver-green row plus
+    # a fresh min-of-2 bench row settles both).  All 20 pre-verified vs
+    # DuckDB at sf0.01 before landing.  Parked: the 17 round-11 swap-ins
+    # (driver-green r11) + dedup_exact, lang_id_heuristic,
+    # document_chunking (families keep cover — see inline notes above).
+    "mcnemar_gate_disagreement",
+    "cochran_q_gates",
+    "feature_hashing_collision_audit",
+    "target_encoding_smoothed",
+    "good_turing_smoothing_audit",
+    "mean_excess_tail_audit",
+    "decision_stump_split_audit",
+    "james_stein_shrinkage",
+    "ndcg_retrieval_eval",
+    "rbo_ranking_overlap",
+    "harrell_c_index",
+    "quantile_pinball_fit_audit",
+    "graph_modularity_by_source",
+    "price_elasticity_ols",
+    "spiegelhalter_calibration_z",
+    "levene_brown_forsythe",
+    "hill_tail_index",
+    "adamic_adar_link_prediction",
+    "ipw_ate_stratified",
+    "sax_daily_revenue_motifs",
 ]
 
 
