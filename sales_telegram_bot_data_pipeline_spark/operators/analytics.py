@@ -1349,6 +1349,77 @@ ORDER BY event_type
 """
 
 
+def _markov_stationary_fold_sql(events: str) -> str:
+    """Spark-side twin of :func:`_markov_stationary_sql` with the
+    {MARKOV_ITERS} power iterations as ONE ``aggregate()`` fold over the
+    collapsed bounded matrix instead of an unrolled CTE chain.  The chain
+    form inlines the windowed transition matrix once per iteration, so
+    Catalyst re-analyzes an O(iters)-deep tree — measured ~3 s of pure
+    planning at ANY scale (sf0.001 == sf0.1; round-12 probe), the same
+    CollapseProject class as the round-11 Hilbert fix.  The fold is an
+    O(1) expression tree: the <= |types|^2 matrix collapses to one array
+    row, the mass vector is a map, and each step floor-divides per edge
+    then sums — integer arithmetic identical to the unrolled form
+    (bit-equality pytest-pinned; same Python twin test applies)."""
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM {events}
+),
+trans AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY event_type, next_type
+),
+live AS (SELECT DISTINCT from_type AS ty FROM trans),
+trans2 AS (SELECT t.* FROM trans t JOIN live l ON l.ty = t.to_type),
+rt AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM trans2 GROUP BY from_type),
+p AS (
+  SELECT t.from_type AS i, t.to_type AS j,
+         CAST(((t.n * {_MK_PQ}) div r.tot) AS BIGINT) AS pm
+  FROM trans2 t JOIN rt r ON r.from_type = t.from_type
+),
+tot_in AS (
+  SELECT to_type AS ty, CAST(SUM(n) AS BIGINT) AS n_in FROM trans GROUP BY to_type
+),
+grand AS (SELECT CAST(SUM(n) AS BIGINT) AS g FROM trans),
+-- bounded grid (<= |types|^2 edges) collapses to ONE row; the iterations
+-- run inside a single fold, so the plan tree is iteration-count-free
+matv AS (
+  SELECT collect_list(named_struct('i', i, 'j', j, 'pm', pm)) AS m,
+         CAST(COUNT(DISTINCT i) AS BIGINT) AS c,
+         array_sort(collect_set(i)) AS ts
+  FROM p
+),
+fin AS (
+  SELECT aggregate(
+           sequence(1, {MARKOV_ITERS}),
+           map_from_entries(transform(ts, ty ->
+             struct(ty, CAST(({_MK_UNIT} div c) AS BIGINT)))),
+           (acc, k) -> map_from_entries(transform(ts, ty ->
+             struct(ty, aggregate(filter(m, e -> e.j = ty),
+                                  CAST(0 AS BIGINT),
+                                  (s, e) -> s + ((acc[e.i] * e.pm)
+                                                 div {_MK_PQ})))))
+         ) AS vm
+  FROM matv
+),
+vfin AS (SELECT explode(vm) AS (ty, pmass) FROM fin),
+mass AS (SELECT CAST(SUM(pmass) AS BIGINT) AS m FROM vfin)
+SELECT v.ty AS event_type,
+       ROUND(CAST(v.pmass AS DOUBLE) / {_MK_UNIT}, 6) AS stationary_prob,
+       ROUND(CAST(COALESCE(ti.n_in, 0) AS DOUBLE) / g.g, 6) AS empirical_in_share,
+       ROUND(1.0 - CAST(ms.m AS DOUBLE) / {_MK_UNIT}, 6) AS mass_leak
+FROM vfin v
+LEFT JOIN tot_in ti ON ti.ty = v.ty
+CROSS JOIN grand g
+CROSS JOIN mass ms
+ORDER BY event_type
+"""
+
+
 @register(
     "markov_stationary_distribution",
     oracle=_markov_stationary_sql(DUCKDB, "events"),
@@ -1366,7 +1437,7 @@ ORDER BY event_type
 )
 def markov_stationary_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("sales_telegram_bot_data_pipeline_mk_ev")
-    return spark.sql(_markov_stationary_sql(SPARK, "sales_telegram_bot_data_pipeline_mk_ev"))
+    return spark.sql(_markov_stationary_fold_sql("sales_telegram_bot_data_pipeline_mk_ev"))
 
 
 # --------------------------------------------------------------------------

@@ -130,3 +130,22 @@ def test_markov_stationary_matches_integer_python(spark):
         total += r.stationary_prob
     assert abs(total - 1.0) < 1e-4  # flooring loses < types*iters pico-units
     assert all(abs(r.mass_leak) < 1e-4 for r in rows)  # no terminal leak here
+
+
+def test_markov_fold_bit_equal_to_unrolled_chain(spark):
+    """The round-12 aggregate() fold form of markov_stationary_distribution
+    must be BIT-identical to the original unrolled-CTE power iteration
+    (same integer quantization, flooring, and iteration count) — the fold
+    only collapses the plan tree (planning was ~3 s at any scale), never
+    the arithmetic."""
+    from sales_telegram_bot_data_pipeline_spark.functions.dialect import SPARK as SPARK_D
+    from sales_telegram_bot_data_pipeline_spark.operators.analytics import (
+        _markov_stationary_fold_sql,
+        _markov_stationary_sql,
+    )
+    from sales_telegram_bot_data_pipeline_spark.sources.tables import load_table
+
+    load_table(spark, SF_SMOKE, "events").createOrReplaceTempView("mk_bit_ev")
+    unrolled = spark.sql(_markov_stationary_sql(SPARK_D, "mk_bit_ev")).collect()
+    fold = spark.sql(_markov_stationary_fold_sql("mk_bit_ev")).collect()
+    assert [tuple(r) for r in fold] == [tuple(r) for r in unrolled]
