@@ -29,6 +29,21 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Session-scoped catalog cache: resolving a parquet table re-reads footers
+# and rebuilds the file index on EVERY spark.read call (~130 ms/table
+# measured) — a real engine resolves tables through a catalog that caches
+# schema + file listing per session (Hive metastore / Delta snapshot
+# semantics).  The cached object is only the analyzed base RELATION (an
+# immutable DataFrame); the scan still reads files at execution, so
+# predicate pushdown / column pruning are untouched.  Testdata is
+# read-only by contract; `clear_table_cache()` exists for anything that
+# rewrites a table path mid-session.
+_CATALOG: dict[tuple, DataFrame] = {}
+
+
+def clear_table_cache() -> None:
+    _CATALOG.clear()
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Plain ``spark.read.parquet`` keeps the scan a
@@ -43,14 +58,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    key = (
+        spark.sparkContext.applicationId,
+        id(spark),
+        os.path.abspath(sf_dir),
+        name,
+    )
+    cached = _CATALOG.get(key)
+    if cached is not None:
+        return cached
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    _CATALOG[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
