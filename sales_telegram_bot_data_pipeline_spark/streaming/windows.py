@@ -137,11 +137,13 @@ def run_to_completion(stream_df: DataFrame, query_name: str, output_mode: str = 
 # State-store instances per stateful streaming operator = shuffle partitions
 # (a stream-stream join keeps FOUR stores per partition: two per side).  For
 # these bounded AvailableNow replays the session default (32) means 128
-# store init/commit cycles per micro-batch dominating wall-clock; 8 is
-# right-sized for the replayed volume.  At 100 TB this is the deployment
-# knob sized UP with the stream's key cardinality — the point is that state
-# partitioning is chosen per stream, not inherited from the batch default.
-STREAM_STATE_PARTITIONS = 8
+# store init/commit cycles per micro-batch dominating wall-clock; 4 is
+# right-sized for the replayed volume (measured on the outer attribution
+# join at sf0.1: 32 -> 8.3 s, 8 -> 3.3 s, 4 -> 2.7 s, and still exercises
+# multi-partition state).  At 100 TB this is the deployment knob sized UP
+# with the stream's key cardinality — the point is that state partitioning
+# is chosen per stream, not inherited from the batch default.
+STREAM_STATE_PARTITIONS = 4
 
 
 def stream_session(spark: SparkSession, state_partitions: int = STREAM_STATE_PARTITIONS) -> SparkSession:

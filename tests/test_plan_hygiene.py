@@ -101,6 +101,41 @@ _ONE_ROW_BNLJ_OK = {
     #   over the bounded pooled value grid
     "bucketed_packing_plan",  # one-row corpus token-total scalar
     #   deriving the shard count
+    # round-12 swap-ins (first driver-window exposure) — every BNLJ
+    # build side re-audited from executed-plan stage rowCounts at this
+    # rotation (1 to ~2.4k rows, each a one-row moment/total scalar or
+    # a fixed grid: decile/bin axes, the source catalog (~20), the
+    # calendar day domain (~2.4k)):
+    "feature_hashing_collision_audit",  # 3-row hash-width axis +
+    #   one-row vocab-total scalar
+    "target_encoding_smoothed",  # one-row global-mean scalar over the
+    #   bounded category (nation x segment) grid
+    "good_turing_smoothing_audit",  # one-row N scalar over the bounded
+    #   frequency-of-frequencies axis (37 rows)
+    "mean_excess_tail_audit",  # one-row scale scalars over the fixed
+    #   6-threshold axis
+    "decision_stump_split_audit",  # one-row parent-impurity scalar
+    #   over the fixed 8-candidate split axis
+    "james_stein_shrinkage",  # one-row grand-mean / variance scalars
+    #   over the source catalog (~20 rows)
+    "ndcg_retrieval_eval",  # one-row IDCG / query-count scalars over
+    #   the fixed top-k rank axis (10)
+    "rbo_ranking_overlap",  # one-row overlap-total scalar over the two
+    #   fixed top-20 rank lists
+    "harrell_c_index",  # one-row horizon/bounds scalars; dense grid is
+    #   (distinct durations <= day domain) x 16 bins, calendar-bounded
+    "quantile_pinball_fit_audit",  # one-row fit scalars over the fixed
+    #   8-quantile axis
+    "graph_modularity_by_source",  # one-row total-edge-weight scalar
+    #   over the source catalog (~20 communities)
+    "levene_brown_forsythe",  # one-row k/N scalars over the source
+    #   catalog x per-group median grid
+    "hill_tail_index",  # one-row threshold scalar over the fixed
+    #   top-100 order-statistics axis
+    "ipw_ate_stratified",  # one-row arm-total scalars over the fixed
+    #   stratum x arm grid
+    "sax_daily_revenue_motifs",  # one-row moment scalars over the
+    #   calendar-bounded daily series (~2.4k days); motif space <= 64
 }
 
 # mapInPandas / pandas-UDF operators: Python stages are their design.
