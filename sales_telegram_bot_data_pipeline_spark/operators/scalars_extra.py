@@ -656,6 +656,24 @@ def price_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # distributed exact global rank (shared by equi-depth / robust stats)
 # --------------------------------------------------------------------------
+RANK_PARTITIONS_CONF = "spark.sales_telegram_bot_data_pipeline.rankPartitions"
+
+
+def _rank_partitions(spark: SparkSession) -> int:
+    """Range-partition count for the rank/prefix-sum primitives.  The
+    relations these primitives order are distinct-value / bounded
+    aggregates — typically orders of magnitude smaller than the corpus —
+    so the session shuffle default oversplits them into per-task overhead
+    (A/B/A/B at sf0.1: 8 partitions ~18% faster than 32 across 7
+    primitive-backed queries, two jobs each).  Deployments size this UP
+    with the ranked relation's cardinality via the conf key; exactness
+    never depends on the count."""
+    try:
+        return int(spark.conf.get(RANK_PARTITIONS_CONF, "8"))
+    except Exception:
+        return 8
+
+
 def range_ranked(spark: SparkSession, df: DataFrame, cols: list[str]):
     """Exact global 1-based rank over ``cols`` WITHOUT a single-partition
     sort — the distributed-ORDER-BY technique:
@@ -675,7 +693,7 @@ def range_ranked(spark: SparkSession, df: DataFrame, cols: list[str]):
     columns plus BIGINT ``r``; ``(None, 0)`` on empty input."""
     from pyspark.sql.window import Window
 
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    nparts = _rank_partitions(spark)
     parted = (
         df.repartitionByRange(nparts, *cols)
         .localCheckpoint(eager=False)
@@ -720,7 +738,7 @@ def range_prefix_summed(spark: SparkSession, df: DataFrame, cols: list[str], sum
     ``(None, 0)`` on empty input."""
     from pyspark.sql.window import Window
 
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    nparts = _rank_partitions(spark)
     parted = (
         df.repartitionByRange(nparts, *cols)
         .localCheckpoint(eager=False)
