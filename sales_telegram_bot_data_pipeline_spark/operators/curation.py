@@ -1479,7 +1479,7 @@ LIMIT {V2_SAMPLE_K}
 )
 def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.dialect import SPARK as _S
-    from .dedup import _lsh_pairs_sql, connected_components
+    from .dedup import _lsh_pairs_view, connected_components
 
     view = _doc_view(spark, sf_dir)
     w = _S.splitws("lower(text)")
@@ -1489,10 +1489,19 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"WHERE {richness} >= {V2_MIN_DISTINCT_WORDS}"
     )
     gated.createOrReplaceTempView("sales_telegram_bot_data_pipeline_v2_gated")
-    pairs = spark.sql(
-        _lsh_pairs_sql(_S, "sales_telegram_bot_data_pipeline_v2_gated").replace(
-            "ORDER BY doc_a, doc_b", ""
-        )
+    # A doc's MinHash bands depend only on its own text, so the gated
+    # subset's LSH pairs are EXACTLY the stored corpus pair view
+    # restricted to both endpoints passing the gate (band-bucket equi-join
+    # is pair-local) — production filters the written candidate-pair
+    # table after gating instead of re-minhashing the subset.  The CC
+    # fixpoint still runs per call: components legitimately split when a
+    # bridging doc is gated out, so subgraph labels can't come from the
+    # stored corpus labels.
+    gids = gated.select("doc_id")
+    pairs = (
+        spark.table(_lsh_pairs_view(spark, sf_dir))
+        .join(gids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+        .join(gids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
     )
     labels = connected_components(spark, gated.select("doc_id"), pairs)
     from pyspark.sql.window import Window
