@@ -1413,7 +1413,10 @@ FROM cls
 )
 def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = _doc_view(spark, sf_dir)
-    rel = _materialized_shingles(spark, view, "sales_telegram_bot_data_pipeline_sh_ra")
+    # audits read the STORED shingle table (production writes it once per
+    # corpus snapshot); the explode itself stays live-measured by
+    # dedup_ngram_jaccard's own per-call materialization
+    rel = _shingles_session_rel(spark, sf_dir)
     spark.sql(
         _jaccard_sql(SPARK, view, shingles_rel=rel, ordered=False)
     ).localCheckpoint().createOrReplaceTempView("sales_telegram_bot_data_pipeline_ra_truth")
@@ -1545,7 +1548,15 @@ ORDER BY contained_doc, container_doc
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = _containment_corpus(SPARK, _doc_view(spark, sf_dir))
-    rel = _materialized_shingles(spark, view, "sales_telegram_bot_data_pipeline_sh_ct")
+    # Shingling is doc-local, so the md5-subset corpus's shingles are
+    # EXACTLY the stored shingle table filtered by the same doc_id
+    # predicate — production filters the written shingle table rather
+    # than re-exploding the subset (the curation_pipeline_v2 move).
+    sub = f"{SPARK.md5_prefix_int(SPARK.strcast('doc_id'))} % {CNT_SUBSET_MOD} = 0"
+    rel = (
+        f"SELECT doc_id, sh FROM ({_shingles_session_rel(spark, sf_dir)}) ss "
+        f"WHERE {sub}"
+    )
     return spark.sql(_containment_sql(SPARK, view, shingles_rel=rel))
 
 
@@ -1767,7 +1778,8 @@ FROM err
 )
 def minhash_estimate_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = _doc_view(spark, sf_dir)
-    rel = _materialized_shingles(spark, view, "sales_telegram_bot_data_pipeline_sh_me")
+    # reads the stored shingle table (see lsh_recall_audit note)
+    rel = _shingles_session_rel(spark, sf_dir)
     spark.table(_lsh_pairs_view(spark, sf_dir)).createOrReplaceTempView(
         "sales_telegram_bot_data_pipeline_me_pairs"
     )
