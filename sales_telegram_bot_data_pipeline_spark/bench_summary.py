@@ -37,8 +37,11 @@ def _previous_committed(detail_path: pathlib.Path, current_text: str):
     same).  Returns (short_hash, parsed_json) or None when git is
     unavailable or no differing version exists."""
     try:
+        # --abbrev pinned: the default %h width grows with the repo, which
+        # would silently change the rendered hash and break block equality
+        # (ADVICE r12)
         commits = subprocess.run(
-            ["git", "log", "--format=%h", "--", detail_path.name],
+            ["git", "log", "--format=%h", "--abbrev=10", "--", detail_path.name],
             cwd=detail_path.parent, capture_output=True, text=True, check=True,
         ).stdout.split()
         for c in commits:

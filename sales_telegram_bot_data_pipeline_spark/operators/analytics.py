@@ -1386,27 +1386,42 @@ tot_in AS (
 ),
 grand AS (SELECT CAST(SUM(n) AS BIGINT) AS g FROM trans),
 -- bounded grid (<= |types|^2 edges) collapses to ONE row; the iterations
--- run inside a single fold, so the plan tree is iteration-count-free
+-- run inside a single fold, so the plan tree is iteration-count-free.
+-- The map is keyed on BOTH endpoints (ks) with NULL standing for "absent
+-- from this iteration's vector": the unrolled chain's JOIN drops edges
+-- whose source is absent and its GROUP BY emits only keys with >=1
+-- surviving in-edge, so presence is dynamic per step — a state whose
+-- surviving out-edges are all pruned (in p.j but not p.i) still receives
+-- and re-emits inflow each step (round-12 advisory: keying on ts alone
+-- dropped such states and emitted spurious 0.0 rows for dried-up sources)
 matv AS (
   SELECT collect_list(named_struct('i', i, 'j', j, 'pm', pm)) AS m,
          CAST(COUNT(DISTINCT i) AS BIGINT) AS c,
-         array_sort(collect_set(i)) AS ts
+         array_sort(collect_set(i)) AS ts,
+         array_sort(array_union(collect_set(i), collect_set(j))) AS ks
   FROM p
 ),
 fin AS (
   SELECT aggregate(
            sequence(1, {MARKOV_ITERS}),
-           map_from_entries(transform(ts, ty ->
-             struct(ty, CAST(({_MK_UNIT} div c) AS BIGINT)))),
-           (acc, k) -> map_from_entries(transform(ts, ty ->
-             struct(ty, aggregate(filter(m, e -> e.j = ty),
-                                  CAST(0 AS BIGINT),
-                                  (s, e) -> s + ((acc[e.i] * e.pm)
-                                                 div {_MK_PQ})))))
+           map_from_entries(transform(ks, ty ->
+             struct(ty, IF(array_contains(ts, ty),
+                           CAST(({_MK_UNIT} div c) AS BIGINT),
+                           CAST(NULL AS BIGINT))))),
+           (acc, k) -> map_from_entries(transform(ks, ty ->
+             struct(ty, aggregate(
+                          filter(m, e -> e.j = ty AND acc[e.i] IS NOT NULL),
+                          CAST(NULL AS BIGINT),
+                          (s, e) -> COALESCE(s, CAST(0 AS BIGINT))
+                                    + ((acc[e.i] * e.pm) div {_MK_PQ})))))
          ) AS vm
   FROM matv
 ),
-vfin AS (SELECT explode(vm) AS (ty, pmass) FROM fin),
+vfin AS (
+  SELECT ty, pmass
+  FROM (SELECT explode(vm) AS (ty, pmass) FROM fin)
+  WHERE pmass IS NOT NULL
+),
 mass AS (SELECT CAST(SUM(pmass) AS BIGINT) AS m FROM vfin)
 SELECT v.ty AS event_type,
        ROUND(CAST(v.pmass AS DOUBLE) / {_MK_UNIT}, 6) AS stationary_prob,

@@ -583,6 +583,29 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(spark, docs, pairs).orderBy("doc_id")
 
 
+# Stored-view POLICY, pinned (VERDICT r12 task 5): every stored session
+# view must designate the registry query that keeps its BUILD cost
+# live-measured on the bench — converting a bench row to stored reads is a
+# deliberate, reviewable edit to this map, exactly like a BNLJ allowlist
+# entry.  ``session_view`` refuses unknown tags at runtime and
+# tests/test_plan_hygiene.py pins the key set, the twin names, and the
+# call-site tags; ``_tune_sig_view`` (pre-session_view mechanism, same
+# discipline) is declared here too.  Dynamic det2feed tags carry the
+# padding as a ``_p<int>`` suffix, stripped before lookup.
+SESSION_VIEW_LIVE_TWINS = {
+    "shingles": "dedup_ngram_jaccard",          # shingle explode, live
+    "shdf": "dedup_jaccard_stopshingle",        # df table rebuilt inline
+    "lshp": "dedup_minhash_lsh",                # strict pair generation
+    "cc_labels": "dedup_connected_components",  # CC fixpoint, live
+    "detfeed": "nested_detections_table",       # detection synthesis
+    "det2feed": "nested_detections_table",      # model2 twin of the same
+    "loosep": "dedup_minhash_lsh",              # loose banding = same primitive
+    "ssjac": "dedup_jaccard_stopshingle",       # stop-shingle pair join
+    "ndpairs": "embedding_cosine_neardup",      # banded vector pair join
+    "tune_sig": "dedup_minhash_lsh",            # signature build (_tune_sig_view)
+}
+
+
 def session_view(spark: SparkSession, sf_dir: str, tag: str, build) -> str:
     """Materialize a relation ONCE per (session, sf) as a localCheckpointed
     temp view and return its name — the stored-production-artifact
@@ -591,8 +614,17 @@ def session_view(spark: SparkSession, sf_dir: str, tag: str, build) -> str:
     pipeline writes once (cluster assignments, candidate-pair tables)
     and every downstream consumer reads.  ``build()`` must return a
     DataFrame; full-path md5 cache key (round-8 review fix: basenames
-    collide across datasets)."""
+    collide across datasets).  Unknown tags are refused: declare the
+    live-measured twin in ``SESSION_VIEW_LIVE_TWINS`` first."""
     import hashlib
+    import re
+
+    base = re.sub(r"_p\d+$", "", tag)
+    if base not in SESSION_VIEW_LIVE_TWINS:
+        raise ValueError(
+            f"undeclared stored-view tag {tag!r}: add it (and its "
+            "live-measured twin query) to SESSION_VIEW_LIVE_TWINS"
+        )
 
     suffix = (
         sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")

@@ -10,6 +10,7 @@ pushdown + column pruning for free.  At cluster scale the same call reads
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,7 +39,14 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # predicate pushdown / column pruning are untouched.  Testdata is
 # read-only by contract; `clear_table_cache()` exists for anything that
 # rewrites a table path mid-session.
-_CATALOG: dict[tuple, DataFrame] = {}
+# Keyed WEAKLY on the SparkSession object itself (round-12 advisory):
+# id(spark) can be recycled by CPython after a sibling session is
+# collected, which would hand back a DataFrame bound to a dead session;
+# a WeakKeyDictionary cannot alias across sessions and evicts dead
+# sessions' entries automatically.
+_CATALOG: "weakref.WeakKeyDictionary[SparkSession, dict[tuple, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def clear_table_cache() -> None:
@@ -58,13 +66,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    key = (
-        spark.sparkContext.applicationId,
-        id(spark),
-        os.path.abspath(sf_dir),
-        name,
-    )
-    cached = _CATALOG.get(key)
+    per_session = _CATALOG.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    cached = per_session.get(key)
     if cached is not None:
         return cached
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -75,7 +79,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         df = spark.read.parquet(path)
-    _CATALOG[key] = df
+    per_session[key] = df
     return df
 
 

@@ -149,3 +149,37 @@ def test_markov_fold_bit_equal_to_unrolled_chain(spark):
     unrolled = spark.sql(_markov_stationary_sql(SPARK_D, "mk_bit_ev")).collect()
     fold = spark.sql(_markov_stationary_fold_sql("mk_bit_ev")).collect()
     assert [tuple(r) for r in fold] == [tuple(r) for r in unrolled]
+
+
+def test_markov_fold_bit_equal_on_terminal_chain(spark):
+    """Round-13 advisory fixture: a corpus with terminal-chain structure.
+    State D's only out-edge targets terminal E, so pruning leaves D with
+    inflow but no surviving out-edges (D in p.j, not p.i) — the unrolled
+    chain keeps re-emitting D's per-step inflow, while sources A/B feed a
+    live cycle.  The fold must stay bit-identical here, not just on the
+    generated corpus (where every live state has surviving out-edges)."""
+    from sales_telegram_bot_data_pipeline_spark.functions.dialect import SPARK as SPARK_D
+    from sales_telegram_bot_data_pipeline_spark.operators.analytics import (
+        _markov_stationary_fold_sql,
+        _markov_stationary_sql,
+    )
+
+    rows = []
+    # user 1: A,B,A,B,A -> transitions A->B x2, B->A x2 (surviving cycle)
+    for k, ty in enumerate(["A", "B", "A", "B", "A"]):
+        rows.append((1, ty, k, k))
+    # user 2: A,D,E -> A->D (kept: D is live), D->E (pruned: E terminal)
+    for k, ty in enumerate(["A", "D", "E"]):
+        rows.append((2, ty, k, 100 + k))
+    spark.createDataFrame(
+        rows, "user_id INT, event_type STRING, ts INT, event_id INT"
+    ).createOrReplaceTempView("mk_term_ev")
+    unrolled = spark.sql(_markov_stationary_sql(SPARK_D, "mk_term_ev")).collect()
+    fold = spark.sql(_markov_stationary_fold_sql("mk_term_ev")).collect()
+    assert [tuple(r) for r in fold] == [tuple(r) for r in unrolled]
+    # the divergence this fixture guards: D (inflow-only after pruning)
+    # must appear with its step-K inflow, and pure sources must NOT emit
+    # spurious zero rows
+    emitted = {r.event_type for r in fold}
+    assert "D" in emitted
+    assert all(r.stationary_prob > 0 for r in fold if r.event_type == "D")

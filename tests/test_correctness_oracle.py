@@ -170,7 +170,21 @@ def test_operators_md_bench_block_is_fresh():
     text = path.read_text()
     assert BEGIN in text and END in text, "sentinel markers missing"
     block = text.split(BEGIN, 1)[1].split(END, 1)[0].strip("\n")
-    assert block == render_block(), (
+    rendered = render_block()
+
+    def _drop_cmp(s: str) -> str:
+        # the cross-round comparison line is git-history-derived; in a
+        # shallow clone / sdist export it is absent from the fresh render
+        # — tolerate its presence-or-absence, not its content drift
+        # (ADVICE r12)
+        return "\n".join(
+            ln for ln in s.splitlines()
+            if not ln.startswith("Vs previous committed artifact")
+        )
+
+    if "Vs previous committed artifact" not in rendered:
+        block, rendered = _drop_cmp(block), _drop_cmp(rendered)
+    assert block == rendered, (
         "OPERATORS.md bench block is stale — rerun "
         "python -m sales_telegram_bot_data_pipeline_spark.bench_summary"
     )

@@ -387,3 +387,52 @@ def test_registry_wide_no_cartesian_product(spark):
         "every non-equi join side is a guaranteed one-row aggregate "
         "(broadcastable) or an equi-join"
     )
+
+
+def test_stored_view_policy_pinned():
+    """VERDICT r12 task 5: the stored-session-view policy is an explicit,
+    reviewable allowlist.  Every `session_view` tag in the source must be
+    declared in SESSION_VIEW_LIVE_TWINS with a live-measured registry
+    twin, and the key set itself is pinned HERE so converting another
+    bench row to stored reads requires editing this test — the same
+    deliberate step as a BNLJ allowlist entry."""
+    import pathlib
+
+    from sales_telegram_bot_data_pipeline_spark.operators.dedup import (
+        SESSION_VIEW_LIVE_TWINS,
+    )
+
+    # 1. pinned key set — edit deliberately, with a bench-note update
+    assert set(SESSION_VIEW_LIVE_TWINS) == {
+        "shingles", "shdf", "lshp", "cc_labels", "detfeed", "det2feed",
+        "loosep", "ssjac", "ndpairs", "tune_sig",
+    }
+    # 2. every designated twin is a real registered query (live-measured
+    #    on the bench by construction: every registry query is a bench row)
+    for tag, twin in SESSION_VIEW_LIVE_TWINS.items():
+        assert twin in q.REGISTRY, f"{tag}: twin {twin!r} not in REGISTRY"
+    # 3. every literal session_view(...) call-site tag in the package is
+    #    declared (dynamic det2feed tags carry a _p<int> suffix)
+    pkg = pathlib.Path(q.__file__).resolve().parent
+    tags_in_source = set()
+    for p in pkg.rglob("*.py"):
+        src = p.read_text()
+        for m in re.finditer(
+            r"session_view\(\s*spark,\s*sf_dir,\s*\"([a-z0-9_]+)\"", src
+        ):
+            tags_in_source.add(m.group(1))
+        # keyword/f-string tag sites are covered by the runtime gate in
+        # session_view itself (raises ValueError on undeclared tags)
+    undeclared = {
+        t for t in tags_in_source
+        if re.sub(r"_p\d+$", "", t) not in SESSION_VIEW_LIVE_TWINS
+    }
+    assert not undeclared, f"undeclared stored-view tags: {undeclared}"
+
+
+def test_stored_view_unknown_tag_refused(spark):
+    """The runtime gate: an undeclared tag raises before materializing."""
+    from sales_telegram_bot_data_pipeline_spark.operators.dedup import session_view
+
+    with pytest.raises(ValueError, match="undeclared stored-view tag"):
+        session_view(spark, SF_SMOKE, "rogue_new_view", lambda: None)
