@@ -24,11 +24,12 @@ All hashes are the portable md5-prefix hash (identical in Spark and DuckDB).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.dialect import DUCKDB, SPARK, Dialect, strip_order_by
 from ..registry import register
+from ..session import fixed_plan
 from ..sources.tables import load_table
 
 N_HASHES = 8
@@ -465,6 +466,27 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 CC_MAX_ITERS = 20  # safety cap; loop exits at fixpoint (diameter iterations)
 
+CC_PARTITIONS_CONF = "spark.sales_telegram_bot_data_pipeline.ccLoopPartitions"
+
+# label relations at or below this edge count broadcast inside the CC loop
+# (2 cols x ~2M rows ~= tens of MB, comfortably under executor memory);
+# larger graphs take the sort-merge path
+_CC_BROADCAST_EDGES = 2_000_000
+
+
+def _cc_partitions(spark: SparkSession) -> int:
+    """Shuffle-partition count for the CC fixpoint's in-loop stages.  The
+    label/edge relations the loop shuffles are the near-dup SUBSET of the
+    corpus — orders of magnitude smaller than the documents table — so the
+    session shuffle default oversplits them into per-task overhead (the
+    same class as ``scalars_extra.RANK_PARTITIONS_CONF``).  Deployments
+    size this UP with the candidate-graph cardinality via the conf key;
+    label exactness never depends on the count."""
+    try:
+        return int(spark.conf.get(CC_PARTITIONS_CONF, "8"))
+    except Exception:
+        return 8
+
 
 def connected_components(spark: SparkSession, nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """Connected components by min-label propagation to fixpoint — the
@@ -474,16 +496,16 @@ def connected_components(spark: SparkSession, nodes: DataFrame, edges: DataFrame
     (undirected, deduped).  Returns (doc_id, cluster_rep) with cluster_rep =
     min doc_id of the component; singletons map to themselves.
 
-    Scale design: each iteration is ONE shuffle — neighbor labels aggregate
-    by dst with a map-side-combining MIN, then a left join back to labels.
-    Iteration count = component diameter, and near-dup clusters are
-    shallow (dups of a common source), so 2-4 iterations in practice; the
-    ``CC_MAX_ITERS`` cap guards pathological chains.  Labels and the
-    symmetric edge list persist across iterations (the expensive candidate
-    SQL is never re-derived), previous iterations unpersist eagerly, and
-    convergence is detected with a count of changed labels — an O(1)-row
-    action, not a collect.  Deterministic for any partitioning: min-label
-    is order-insensitive."""
+    Scale design: each propagation hop is ONE shuffle — neighbor labels
+    aggregate by dst with a map-side-combining MIN, then a left join back
+    to labels; rounds run TWO hops in a single action.  Hop count =
+    component diameter, and near-dup clusters are shallow (dups of a
+    common source), so 1-2 rounds in practice; the ``CC_MAX_ITERS`` cap
+    (in hops) guards pathological chains.  Labels and the symmetric edge
+    list persist across rounds (the expensive candidate SQL is never
+    re-derived), and convergence is OBSERVED on each round's
+    materializing job (``Observation`` metric — no separate action).
+    Deterministic for any partitioning: min-label is order-insensitive."""
     # localCheckpoint (eager) rather than persist: an iterative driver loop
     # grows the logical plan every round, and even with caching Catalyst
     # re-analyzes the full lineage per iteration — O(iters²) planning that
@@ -497,43 +519,96 @@ def connected_components(spark: SparkSession, nodes: DataFrame, edges: DataFrame
     # symmetric union: unionAll has two branches over `edges`, and
     # checkpointing after the union would evaluate the full pair SQL twice.
     mat = edges.localCheckpoint()
-    sym = (
-        mat.selectExpr("doc_a AS src", "doc_b AS dst")
-        .unionAll(mat.selectExpr("doc_b AS src", "doc_a AS dst"))
-        .repartition("src")
-        .localCheckpoint()
-    )
-    # Iterate ONLY over nodes that touch an edge: every other node is its
-    # own singleton component by definition.  At corpus scale this shrinks
-    # the loop's label relation from |corpus| to the near-dup subset
-    # (typically orders of magnitude smaller); singletons rejoin at the end.
-    labels = (
-        sym.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("lbl"))
-        .localCheckpoint()
-    )
-    for _ in range(CC_MAX_ITERS):
-        neighbor_min = (
-            sym.join(labels, sym.src == labels.doc_id)
-            .groupBy("dst")
-            .agg(F.min("lbl").alias("nlbl"))
-        )
-        # old and new label in ONE frame: the convergence check is a filter
-        # over this iteration's result, not an extra self-join.
-        merged = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.dst, "left")
-            .select(
-                "doc_id",
-                F.col("lbl").alias("old_lbl"),
-                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
-            )
+    # Loop structure (VERDICT r12 task 2 — the loop measured 8 Spark jobs
+    # PER iteration, ~0.15 s of scheduler overhead each, dwarfing the
+    # actual label work): (a) TWO propagation hops per round, halving the
+    # round count at identical total shuffle volume; (b) the changed-label
+    # count rides the checkpoint job as an Observation instead of a
+    # separate count action; (c) AQE is gated OFF and shuffle partitions
+    # right-sized (``CC_PARTITIONS_CONF``) from the symmetric-edge build
+    # through the loop — each round's plan is a fixed small-relation shape
+    # that gains nothing from runtime re-planning, and AQE materializes
+    # every exchange as its own job (measured 8 jobs/round -> 1).  The
+    # corpus-scale stages (pair generation upstream via ``mat``, consumers
+    # downstream) plan OUTSIDE the gate and keep AQE; min-label
+    # propagation stays exact and order-insensitive.
+    spark = nodes.sparkSession
+    with fixed_plan(spark, _cc_partitions(spark)):
+        obs_n = Observation()
+        sym = (
+            mat.selectExpr("doc_a AS src", "doc_b AS dst")
+            .unionAll(mat.selectExpr("doc_b AS src", "doc_a AS dst"))
+            .repartition("src")
+            .observe(obs_n, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
-        changed = merged.where(F.col("lbl") != F.col("old_lbl")).count()
-        labels = merged.select("doc_id", "lbl")
-        if changed == 0:
-            break
+        # Iterate ONLY over nodes that touch an edge: every other node is
+        # its own singleton component by definition.  At corpus scale this
+        # shrinks the loop's label relation from |corpus| to the near-dup
+        # subset (typically orders of magnitude smaller); singletons
+        # rejoin at the end.
+        labels = (
+            sym.select(F.col("src").alias("doc_id"))
+            .distinct()
+            .select("doc_id", F.col("doc_id").alias("lbl"))
+            .localCheckpoint()
+        )
+        # The label relation is bounded by the symmetric edge count; below
+        # the broadcast bound the label side rides to every edge partition
+        # and the (possibly huge) symmetric edge relation is NEVER
+        # shuffled by the propagation join — the decision AQE was
+        # re-deriving per exchange per round, made ONCE here from the edge
+        # count observed on the sym checkpoint job (no extra action).
+        # Above the bound the loop degrades to sort-merge joins — the
+        # correct plan when the near-dup subset itself is cluster-scale.
+        bcast = (
+            F.broadcast
+            if (obs_n.get["n"] or 0) <= _CC_BROADCAST_EDGES
+            else (lambda df: df)
+        )
+        for _ in range((CC_MAX_ITERS + 1) // 2):
+            nm1 = (
+                sym.join(bcast(labels), sym.src == labels.doc_id)
+                .groupBy("dst")
+                .agg(F.min("lbl").alias("n1"))
+            )
+            m1 = (
+                labels.join(nm1, labels.doc_id == nm1.dst, "left")
+                .select(
+                    "doc_id",
+                    F.col("lbl").alias("old_lbl"),
+                    F.least(F.col("lbl"), F.coalesce(F.col("n1"), F.col("lbl"))).alias("l1"),
+                )
+            )
+            nm2 = (
+                sym.join(bcast(m1), sym.src == m1.doc_id)
+                .groupBy("dst")
+                .agg(F.min("l1").alias("n2"))
+            )
+            # Convergence is observed on the materializing job itself,
+            # never a second action — and only the SECOND hop's change
+            # count matters: hop 2 is a full application of the
+            # propagation operator to the post-hop-1 labels, so zero
+            # changes there IS the fixpoint certificate, no confirmation
+            # round needed (hop 1's count is irrelevant to the test).
+            obs = Observation()
+            merged = (
+                m1.join(bcast(nm2), m1.doc_id == nm2.dst, "left")
+                .select(
+                    "doc_id",
+                    F.col("l1"),
+                    F.least(F.col("l1"), F.coalesce(F.col("n2"), F.col("l1"))).alias("lbl"),
+                )
+                .observe(
+                    obs,
+                    F.sum((F.col("lbl") != F.col("l1")).cast("long")).alias("chg2"),
+                )
+                .localCheckpoint()
+            )
+            changed2 = obs.get["chg2"] or 0
+            labels = merged.select("doc_id", "lbl")
+            if changed2 == 0:
+                break
     resolved = labels.select("doc_id", F.col("lbl").alias("cluster_rep"))
     # Singletons rejoin here: consumers fan out over this frame (sizes,
     # representative filter, corpus join), but its lineage is one shallow
@@ -2237,31 +2312,67 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     view = _emb_view(spark, sf_dir)
     pairs = spark.table(_neardup_pairs_view(spark, sf_dir))
-    edges = (
-        pairs.selectExpr("vec_a AS src", "vec_b AS dst")
-        .unionAll(pairs.selectExpr("vec_b AS src", "vec_a AS dst"))
-        .localCheckpoint()
-    )
-    surv = edges.selectExpr("src AS node").distinct().localCheckpoint()
-    n_prev = surv.count()
-    converged = False
-    for _ in range(KCORE_ROUNDS):
-        nxt = (
-            edges.alias("e")
-            .join(surv.alias("a"), F.col("e.src") == F.col("a.node"))
-            .join(surv.alias("b"), F.col("e.dst") == F.col("b.node"))
-            .groupBy(F.col("e.src").alias("node"))
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .where(F.col("deg") >= KCORE_K)
-            .select("node")
+    # Loop mechanics share the CC fixpoint's round discipline (VERDICT r12
+    # task 2 — the peel measured 51 Spark jobs of ~0.15 s scheduler
+    # overhead each): AQE off + right-sized shuffle partitions inside the
+    # loop, survivor counts observed on the checkpoint job instead of a
+    # separate count action, the survivor set broadcast into the edge
+    # joins below the same edge-count bound, and TWO peels per round.  A
+    # double round removing zero nodes certifies single-peel convergence
+    # (monotone: if peel 1 removed any node the total would drop), so the
+    # flag semantics are unchanged; the last two of the fixed
+    # KCORE_ROUNDS run as SINGLE peels so a non-converged run still stops
+    # at exactly the oracle's unrolled peel count.
+    with fixed_plan(spark, _cc_partitions(spark)):
+        obs_e = Observation()
+        edges = (
+            pairs.selectExpr("vec_a AS src", "vec_b AS dst")
+            .unionAll(pairs.selectExpr("vec_b AS src", "vec_a AS dst"))
+            .observe(obs_e, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
-        n_now = nxt.count()
-        surv = nxt
-        if n_now == n_prev:
-            converged = True
-            break
-        n_prev = n_now
+        obs_s = Observation()
+        surv = (
+            edges.selectExpr("src AS node")
+            .distinct()
+            .observe(obs_s, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()
+        )
+        bcast = (
+            F.broadcast
+            if (obs_e.get["n"] or 0) <= _CC_BROADCAST_EDGES
+            else (lambda df: df)
+        )
+
+        def peel(s: DataFrame) -> DataFrame:
+            return (
+                edges.alias("e")
+                .join(bcast(s.alias("a")), F.col("e.src") == F.col("a.node"))
+                .join(bcast(s.alias("b")), F.col("e.dst") == F.col("b.node"))
+                .groupBy(F.col("e.src").alias("node"))
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .where(F.col("deg") >= KCORE_K)
+                .select("node")
+            )
+
+        n_prev = obs_s.get["n"] or 0
+        converged = False
+        peels_left = KCORE_ROUNDS
+        while peels_left > 0:
+            step = 2 if peels_left > 2 else 1
+            obs = Observation()
+            nxt = (
+                (peel(peel(surv)) if step == 2 else peel(surv))
+                .observe(obs, F.count(F.lit(1)).alias("n"))
+                .localCheckpoint()
+            )
+            n_now = obs.get["n"] or 0
+            surv = nxt
+            peels_left -= step
+            if n_now == n_prev:
+                converged = True
+                break
+            n_prev = n_now
     return (
         surv.alias("n")
         .join(edges.alias("e"), F.col("e.src") == F.col("n.node"))

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from ..functions.dialect import DUCKDB, SPARK, Dialect
 from ..registry import register
+from ..session import fixed_plan
 from ..sources.tables import load_table
 
 N_QUERIES = 5  # vec_id < 5 are the query vectors
@@ -1382,21 +1383,27 @@ def ivf_nprobe_tuning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = _emb_view(spark, sf_dir)
     cent, assigned = _cent_assigned_ctes(SPARK, view)
     pre = f"WITH cent AS ({cent}) "
-    spark.sql(pre + assigned).localCheckpoint().createOrReplaceTempView(
-        "sales_telegram_bot_data_pipeline_np_assigned"
-    )
-    cos_qc = _cosine(SPARK, "q.embedding", "cent.embedding")
-    spark.sql(
-        pre
-        + f"SELECT q.vec_id AS query_id, cent.cid AS cid, "
-        f"ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {cos_qc} DESC, cent.cid) AS r "
-        f"FROM {view} q JOIN cent ON q.vec_id < {N_QUERIES}"
-    ).localCheckpoint().createOrReplaceTempView("sales_telegram_bot_data_pipeline_np_qrank")
-    spark.sql(
-        _rank_window_sql(_bruteforce_scored(SPARK, view))
-    ).localCheckpoint().createOrReplaceTempView("sales_telegram_bot_data_pipeline_np_truth")
-    cos_qn = _cosine(SPARK, "q.embedding", "c.embedding")
-    scored = f"""
+    # The four shared-index materializations run under fixed_plan (VERDICT
+    # r12 task 3: AQE staged them into 31 jobs): every join side here is
+    # either constant-bounded (cent = K_LISTS rows, q = N_QUERIES rows,
+    # the VALUES grid) or parquet-backed with static stats, so the static
+    # planner already picks the broadcast plans AQE would re-derive.
+    with fixed_plan(spark, 8):
+        spark.sql(pre + assigned).localCheckpoint().createOrReplaceTempView(
+            "sales_telegram_bot_data_pipeline_np_assigned"
+        )
+        cos_qc = _cosine(SPARK, "q.embedding", "cent.embedding")
+        spark.sql(
+            pre
+            + f"SELECT q.vec_id AS query_id, cent.cid AS cid, "
+            f"ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {cos_qc} DESC, cent.cid) AS r "
+            f"FROM {view} q JOIN cent ON q.vec_id < {N_QUERIES}"
+        ).localCheckpoint().createOrReplaceTempView("sales_telegram_bot_data_pipeline_np_qrank")
+        spark.sql(
+            _rank_window_sql(_bruteforce_scored(SPARK, view))
+        ).localCheckpoint().createOrReplaceTempView("sales_telegram_bot_data_pipeline_np_truth")
+        cos_qn = _cosine(SPARK, "q.embedding", "c.embedding")
+        scored = f"""
 SELECT cf.np, p.query_id, a.vec_id AS neighbor_id, {cos_qn} AS cosine
 FROM (SELECT * FROM (VALUES {", ".join(f"({n})" for n in _NPROBE_CONFIGS)}) AS v(np)) cf
 JOIN sales_telegram_bot_data_pipeline_np_qrank p ON p.r <= cf.np
@@ -1404,9 +1411,9 @@ JOIN sales_telegram_bot_data_pipeline_np_assigned a ON a.cid = p.cid AND a.vec_i
 JOIN {view} q ON q.vec_id = p.query_id
 JOIN {view} c ON c.vec_id = a.vec_id
 """
-    spark.sql(scored).localCheckpoint().createOrReplaceTempView(
-        "sales_telegram_bot_data_pipeline_np_scored"
-    )
+        spark.sql(scored).localCheckpoint().createOrReplaceTempView(
+            "sales_telegram_bot_data_pipeline_np_scored"
+        )
     return spark.sql(
         _nprobe_tuning_sql(
             SPARK,

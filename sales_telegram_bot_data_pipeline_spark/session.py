@@ -9,6 +9,7 @@ and bench.py use locally.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -50,3 +51,31 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
     )
     return builder.getOrCreate()
+
+
+@contextmanager
+def fixed_plan(spark: SparkSession, partitions: int = 8):
+    """Static small plans for iterative loops and multi-materialization
+    audit bodies (VERDICT r12 tasks 2/3).
+
+    AQE materializes EVERY exchange as its own Spark job; a fixpoint loop
+    or an audit that localCheckpoints four intermediates turns into 30-50
+    jobs of ~0.1-0.3 s scheduler overhead each, dwarfing the actual work
+    when the shuffled relations are bounded (parameter grids, per-query
+    top-k sets, near-dup subsets).  Inside this gate, plans are fixed at
+    planning time and shuffles are right-sized via ``partitions`` — the
+    same discipline as ``scalars_extra.RANK_PARTITIONS_CONF``.  Join-side
+    choices AQE would have made at runtime must be made statically by the
+    caller (broadcast hints on constant-bounded sides, or an observed
+    count as in the CC loop).  Corpus-scale scans should stay OUTSIDE the
+    gate; deployments size ``partitions`` up with the gated relations'
+    cardinality.  Restores both confs on exit."""
+    aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    shp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", shp)
