@@ -360,16 +360,26 @@ except ImportError:  # pragma: no cover
 # hill_tail_index, adamic_adar_link_prediction, ipw_ate_stratified,
 # sax_daily_revenue_motifs); parked — the 17 round-11 swap-ins plus
 # dedup_exact / lang_id_heuristic / document_chunking.
-# Round-13 rotation candidates (never windowed, highest-priority first —
-# each its family's first driver exposure): the remaining round-10
-# additions theil_inequality_decomposition, granger_lag_causality,
-# ljung_box_whiteness, degree_assortativity, query_likelihood_dirichlet,
-# mrr_retrieval_eval, curriculum_schedule_plan, cramers_v_bias_corrected,
-# loso_source_influence, beta_binomial_shrinkage, hodges_lehmann_shift,
-# cochran_armitage_trend, mantel_haenszel_or, binary_segmentation_split;
-# then the oldest never-windowed families from the backlog below.  The
-# full never-windowed backlog (174 after round 12) is below, oldest
-# families first.
+# Round-13 rotation history — in (all 20 never previously windowed): the
+# round-12 verdict's 14-name priority list (theil_inequality_decomposition,
+# granger_lag_causality, ljung_box_whiteness, degree_assortativity,
+# query_likelihood_dirichlet, mrr_retrieval_eval, curriculum_schedule_plan,
+# cramers_v_bias_corrected, loso_source_influence, beta_binomial_shrinkage,
+# hodges_lehmann_shift, cochran_armitage_trend, mantel_haenszel_or,
+# binary_segmentation_split) + the 6 oldest never-windowed backlog names
+# (source_quality_ranksum, cluster_balanced_sample, score_decile_lift,
+# join_cardinality_sketch_audit, split_distribution_drift, graph_bfs_hops).
+# Parked round-13: the 20 round-12 swap-ins (driver-green r12) — their
+# families keep cover per the round-12 notes below.
+# Round-14 rotation candidates (never windowed, oldest families first from
+# the backlog below): misra_gries_topk, revenue_trend_ols,
+# kmeans_separation_audit, scd2_build_from_events, k_anonymity_audit,
+# ab_conversion_ztest, revenue_concentration_audit,
+# growth_accounting_weekly, time_weighted_average_value,
+# quality_gate_agreement_kappa, band_join_price_neighbors,
+# epoch_shuffle_plan, file_compaction_plan, t_closeness_audit,
+# control_chart_anomalies, asof_join_forward, multitouch_attribution_credit,
+# activity_heatmap_dow_hour, unpivot_doc_metrics, negative_sampling_plan.
 # Round-11 rotation candidates at the time (historical): source_quality_ranksum,
 # cluster_balanced_sample, score_decile_lift,
 # join_cardinality_sketch_audit, split_distribution_drift, graph_bfs_hops,
@@ -501,35 +511,34 @@ _DRIVER_WINDOW = [
     "lateral_topk_orders",
     # round-6 swap-in retained (sketch family's only driver row)
     "countmin_heavy_hitters",
-    # round-12 rotation swap-ins (see policy comment above): the round-11
-    # verdict's 15-name priority list (the round-9-continuation families'
-    # first driver exposure) plus 5 of the never-windowed round-10 names
-    # (adamic_adar and sax chosen because the r11 driver refresh flagged
-    # them among the largest phantom inflations — a driver-green row plus
-    # a fresh min-of-2 bench row settles both).  All 20 pre-verified vs
-    # DuckDB at sf0.01 before landing.  Parked: the 17 round-11 swap-ins
-    # (driver-green r11) + dedup_exact, lang_id_heuristic,
-    # document_chunking (families keep cover — see inline notes above).
-    "mcnemar_gate_disagreement",
-    "cochran_q_gates",
-    "feature_hashing_collision_audit",
-    "target_encoding_smoothed",
-    "good_turing_smoothing_audit",
-    "mean_excess_tail_audit",
-    "decision_stump_split_audit",
-    "james_stein_shrinkage",
-    "ndcg_retrieval_eval",
-    "rbo_ranking_overlap",
-    "harrell_c_index",
-    "quantile_pinball_fit_audit",
-    "graph_modularity_by_source",
-    "price_elasticity_ols",
-    "spiegelhalter_calibration_z",
-    "levene_brown_forsythe",
-    "hill_tail_index",
-    "adamic_adar_link_prediction",
-    "ipw_ate_stratified",
-    "sax_daily_revenue_motifs",
+    # round-13 rotation swap-ins (see policy comment above): the 14-name
+    # round-12 verdict priority list (the remaining round-10 families'
+    # first driver exposure) plus the 6 OLDEST never-windowed backlog
+    # names (round-6/7-era families: quality ranking, cluster-balanced
+    # sampling, lift curves, join-cardinality sketches, split drift, BFS).
+    # All 20 pre-verified vs DuckDB at sf0.01 before landing.  Parked:
+    # the 20 round-12 swap-ins (driver-green r12; families keep cover —
+    # see inline notes above).
+    "theil_inequality_decomposition",
+    "granger_lag_causality",
+    "ljung_box_whiteness",
+    "degree_assortativity",
+    "query_likelihood_dirichlet",
+    "mrr_retrieval_eval",
+    "curriculum_schedule_plan",
+    "cramers_v_bias_corrected",
+    "loso_source_influence",
+    "beta_binomial_shrinkage",
+    "hodges_lehmann_shift",
+    "cochran_armitage_trend",
+    "mantel_haenszel_or",
+    "binary_segmentation_split",
+    "source_quality_ranksum",
+    "cluster_balanced_sample",
+    "score_decile_lift",
+    "join_cardinality_sketch_audit",
+    "split_distribution_drift",
+    "graph_bfs_hops",
 ]
 
 

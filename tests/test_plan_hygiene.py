@@ -136,6 +136,38 @@ _ONE_ROW_BNLJ_OK = {
     #   stratum x arm grid
     "sax_daily_revenue_motifs",  # one-row moment scalars over the
     #   calendar-bounded daily series (~2.4k days); motif space <= 64
+    # round-13 swap-ins (first driver-window exposure) — every BNLJ
+    # build side audited from executed-plan numOutputRows at this
+    # rotation (adaptive-plan walk, sf0.001): all Cross BuildRight
+    # one-row scalars except where noted; the two larger grids are
+    # value-domain / calendar bounded, never corpus-sized:
+    "theil_inequality_decomposition",  # 5x one-row grand-total scalars
+    "ljung_box_whiteness",  # one-row moment scalars + the fixed 7-lag
+    #   axis (Inner BuildLeft, 7 rows)
+    "degree_assortativity",  # one-row edge-moment scalar
+    "query_likelihood_dirichlet",  # one-row corpus-stat scalar + the
+    #   fixed query-term axis (4 rows)
+    "mrr_retrieval_eval",  # one-row query-count scalar
+    "curriculum_schedule_plan",  # one-row corpus-total scalar
+    "cramers_v_bias_corrected",  # one-row N/phi2 scalars + the bounded
+    #   contingency axis (3 rows)
+    "loso_source_influence",  # one-row full-corpus metric scalar
+    "beta_binomial_shrinkage",  # one-row method-of-moments scalars
+    "hodges_lehmann_shift",  # one-row n/median-rank scalars; the
+    #   triangular cumulative LEFT JOIN runs on the |V|x|V| pairwise
+    #   DIFFERENCE grid (413 rows at sf0.001) — value-domain bounded
+    #   (doc-length domain), never corpus-squared, per the op's design
+    "cochran_armitage_trend",  # one-row trend-moment scalar
+    "mantel_haenszel_or",  # one-row stratified-total scalar
+    "binary_segmentation_split",  # one-row grand-total scalar; the
+    #   triangular prefix join runs on the calendar-bounded daily grid
+    #   (1094 rows at sf0.001, ~2.4k ceiling — same class as sax)
+    "source_quality_ranksum",  # one-row rank-total scalar
+    "score_decile_lift",  # one-row base-rate scalar over the fixed
+    #   decile axis
+    "join_cardinality_sketch_audit",  # one-row exact-join-size scalar
+    #   beside the fixed sketch-grid axes
+    "split_distribution_drift",  # 5x one-row per-split total scalars
 }
 
 # mapInPandas / pandas-UDF operators: Python stages are their design.
