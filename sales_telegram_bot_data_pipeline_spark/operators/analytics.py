@@ -158,26 +158,52 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # three rank passes fan out from here
     )
 
-    def quintile(dim: str, rank_df_cols: list[str], ascending_is_best: bool):
-        ranked, n = range_ranked(spark, cust.select("ck", dim), rank_df_cols)
-        if ranked is None:
-            return None, 0
-        bucket = F.expr(f"cast((5 * (r - 1)) div {n} as int)")
-        score = (5 - bucket) if not ascending_is_best else (1 + bucket)
-        return ranked.select("ck", score.alias(f"{dim}_score")), n
-
-    r_s, n = quintile("recency_days", ["recency_days", "ck"], ascending_is_best=False)
-    if r_s is None:
+    # ONE distributed rank pass for ALL THREE quintile axes (guide §2.4 —
+    # same fusion as spearman_rank_correlation's two-axis prefix pass): the
+    # three per-dimension relations are axis-tagged and unioned, and under
+    # (axis, v, ck) ordering each axis' rows form a contiguous block of
+    # exactly n rows (every customer appears once per axis), so the
+    # per-axis rank is the global rank minus axis*n.  The per-axis form
+    # paid three repartitionByRange samplings + three bounded offset
+    # collects + three joins back to cust; this pays one of each (the
+    # score pivot is a groupBy on ck).  Values compare in DECIMAL(38,0):
+    # recency/freq are exact integers, monetary is already that type, so
+    # per-axis ordering — and therefore every quintile bucket — is
+    # unchanged.
+    dec = "decimal(38,0)"
+    axes = (
+        cust.select(
+            F.lit(0).alias("axis"), F.col("recency_days").cast(dec).alias("v"), "ck"
+        )
+        .unionByName(
+            cust.select(F.lit(1).alias("axis"), F.col("freq").cast(dec).alias("v"), "ck")
+        )
+        .unionByName(
+            cust.select(
+                F.lit(2).alias("axis"), F.col("monetary_cents").cast(dec).alias("v"), "ck"
+            )
+        )
+    )
+    ranked, total = range_ranked(spark, axes, ["axis", "v", "ck"])
+    if ranked is None:
         return spark.createDataFrame(
             [],
             "r_score int, f_score int, m_score int, n_customers bigint, avg_monetary double",
         )
-    f_s, _ = quintile("freq", ["freq", "ck"], ascending_is_best=True)
-    m_s, _ = quintile("monetary_cents", ["monetary_cents", "ck"], ascending_is_best=True)
+    n = total // 3
+    bucket = F.expr(f"cast((5 * (r - axis * {n} - 1)) div {n} as int)")
+    score = F.when(F.col("axis") == 0, 5 - bucket).otherwise(1 + bucket)
+    scores = (
+        ranked.select("ck", "axis", score.alias("s"))
+        .groupBy("ck")
+        .agg(
+            F.max(F.when(F.col("axis") == 0, F.col("s"))).alias("r_score"),
+            F.max(F.when(F.col("axis") == 1, F.col("s"))).alias("f_score"),
+            F.max(F.when(F.col("axis") == 2, F.col("s"))).alias("m_score"),
+        )
+    )
     return (
-        cust.join(r_s.withColumnRenamed("recency_days_score", "r_score"), "ck")
-        .join(f_s.withColumnRenamed("freq_score", "f_score"), "ck")
-        .join(m_s.withColumnRenamed("monetary_cents_score", "m_score"), "ck")
+        cust.join(scores, "ck")
         .groupBy("r_score", "f_score", "m_score")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_customers"),

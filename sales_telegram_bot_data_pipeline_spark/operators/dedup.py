@@ -515,44 +515,44 @@ def connected_components(spark: SparkSession, nodes: DataFrame, edges: DataFrame
     # unionAll branches read the materialized edges, not the lineage.
     # (On a production cluster with executor loss, swap for checkpoint()
     # against a reliable store — same shape, durable materialization.)
-    # Materialize the (possibly expensive) candidate-pair lineage BEFORE the
-    # symmetric union: unionAll has two branches over `edges`, and
-    # checkpointing after the union would evaluate the full pair SQL twice.
-    mat = edges.localCheckpoint()
     # Loop structure (VERDICT r12 task 2 — the loop measured 8 Spark jobs
     # PER iteration, ~0.15 s of scheduler overhead each, dwarfing the
     # actual label work): (a) TWO propagation hops per round, halving the
     # round count at identical total shuffle volume; (b) the changed-label
     # count rides the checkpoint job as an Observation instead of a
     # separate count action; (c) AQE is gated OFF and shuffle partitions
-    # right-sized (``CC_PARTITIONS_CONF``) from the symmetric-edge build
-    # through the loop — each round's plan is a fixed small-relation shape
-    # that gains nothing from runtime re-planning, and AQE materializes
-    # every exchange as its own job (measured 8 jobs/round -> 1).  The
-    # corpus-scale stages (pair generation upstream via ``mat``, consumers
-    # downstream) plan OUTSIDE the gate and keep AQE; min-label
-    # propagation stays exact and order-insensitive.
+    # right-sized (``CC_PARTITIONS_CONF``) inside the loop — each round's
+    # plan is a fixed small-relation shape that gains nothing from runtime
+    # re-planning, and AQE materializes every exchange as its own job
+    # (measured 8 jobs/round -> 1).  The corpus-scale stages (pair
+    # generation inside the sym build, consumers downstream) plan OUTSIDE
+    # the gate and keep AQE; min-label propagation stays exact and
+    # order-insensitive.
     spark = nodes.sparkSession
-    with fixed_plan(spark, _cc_partitions(spark)):
-        obs_n = Observation()
-        sym = (
-            mat.selectExpr("doc_a AS src", "doc_b AS dst")
-            .unionAll(mat.selectExpr("doc_b AS src", "doc_a AS dst"))
-            .repartition("src")
-            .observe(obs_n, F.count(F.lit(1)).alias("n"))
-            .localCheckpoint()
+    nparts = _cc_partitions(spark)
+    # ONE materialization for pair SQL + symmetric fan-out (r13: was two —
+    # an eager `edges` checkpoint and then a sym checkpoint over it): the
+    # explode form has a single branch over the pair lineage, so the
+    # expensive candidate SQL still evaluates exactly once, inside the one
+    # checkpoint job, and the whole build keeps AQE (corpus-scale stages).
+    # The explicit repartition count pins the loop's join partitioning
+    # (AQE never coalesces an explicit numPartitions repartition).
+    obs_n = Observation()
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                    F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+                )
+            ).alias("e")
         )
-        # Iterate ONLY over nodes that touch an edge: every other node is
-        # its own singleton component by definition.  At corpus scale this
-        # shrinks the loop's label relation from |corpus| to the near-dup
-        # subset (typically orders of magnitude smaller); singletons
-        # rejoin at the end.
-        labels = (
-            sym.select(F.col("src").alias("doc_id"))
-            .distinct()
-            .select("doc_id", F.col("doc_id").alias("lbl"))
-            .localCheckpoint()
-        )
+        .select("e.src", "e.dst")
+        .repartition(nparts, "src")
+        .observe(obs_n, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    with fixed_plan(spark, nparts):
         # The label relation is bounded by the symmetric edge count; below
         # the broadcast bound the label side rides to every edge partition
         # and the (possibly huge) symmetric edge relation is NEVER
@@ -566,20 +566,39 @@ def connected_components(spark: SparkSession, nodes: DataFrame, edges: DataFrame
             if (obs_n.get["n"] or 0) <= _CC_BROADCAST_EDGES
             else (lambda df: df)
         )
+        labels = None  # round 1 starts from identity labels, never built
         for _ in range((CC_MAX_ITERS + 1) // 2):
-            nm1 = (
-                sym.join(bcast(labels), sym.src == labels.doc_id)
-                .groupBy("dst")
-                .agg(F.min("lbl").alias("n1"))
-            )
-            m1 = (
-                labels.join(nm1, labels.doc_id == nm1.dst, "left")
-                .select(
-                    "doc_id",
-                    F.col("lbl").alias("old_lbl"),
-                    F.least(F.col("lbl"), F.coalesce(F.col("n1"), F.col("lbl"))).alias("l1"),
+            if labels is None:
+                # Round-1 hop 1 degenerates: joining sym against IDENTITY
+                # labels (every edge-touching node labelled by itself) is
+                # sym itself, so the hop is ONE map-side-combining
+                # aggregation — no identity-label build, no checkpoint for
+                # it, no broadcast.  Symmetry guarantees every
+                # edge-touching node appears as dst, so the left-join
+                # against the identity set is total and drops out too;
+                # iterating only over edge-touching nodes (singletons
+                # rejoin at the end) is unchanged.
+                m1 = (
+                    sym.groupBy("dst")
+                    .agg(F.min("src").alias("n1"))
+                    .select(
+                        F.col("dst").alias("doc_id"),
+                        F.least(F.col("dst"), F.col("n1")).alias("l1"),
+                    )
                 )
-            )
+            else:
+                nm1 = (
+                    sym.join(bcast(labels), sym.src == labels.doc_id)
+                    .groupBy("dst")
+                    .agg(F.min("lbl").alias("n1"))
+                )
+                m1 = (
+                    labels.join(nm1, labels.doc_id == nm1.dst, "left")
+                    .select(
+                        "doc_id",
+                        F.least(F.col("lbl"), F.coalesce(F.col("n1"), F.col("lbl"))).alias("l1"),
+                    )
+                )
             nm2 = (
                 sym.join(bcast(m1), sym.src == m1.doc_id)
                 .groupBy("dst")
@@ -707,11 +726,11 @@ def session_view(spark: SparkSession, sf_dir: str, tag: str, build) -> str:
         + hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
     )
     name = f"sales_telegram_bot_data_pipeline_{tag}_{suffix}"
-    try:
-        spark.table(name)
+    # catalog probe, not a try/except spark.table(): a failed table()
+    # resolution is a failed QueryExecution that every registered
+    # ExecutionListener (e.g. Observation's) re-walks and error-logs
+    if spark.catalog.tableExists(name):
         return name
-    except Exception:
-        pass
     build().localCheckpoint().createOrReplaceTempView(name)
     return name
 
@@ -2164,11 +2183,8 @@ def _tune_sig_view(spark: SparkSession, sf_dir: str, view: str) -> str:
         + hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
     )
     name = f"sales_telegram_bot_data_pipeline_tune_sig_{suffix}"
-    try:
-        spark.table(name)
+    if spark.catalog.tableExists(name):  # see session_view: never a failed query
         return name
-    except Exception:
-        pass
     spark.sql(_minhash_sig_sql(SPARK, view)).localCheckpoint().createOrReplaceTempView(name)
     return name
 

@@ -373,7 +373,7 @@ cum AS (
     tags=("evaluation", "survival", "distributed-rank"),
 )
 def kaplan_meier_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .scalars_extra import range_prefix_summed
+    from .scalars_extra import range_prefix_summed_pair
 
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("sales_telegram_bot_data_pipeline_km_o")
     g = spark.sql(
@@ -383,20 +383,43 @@ def kaplan_meier_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             dd_censor="datediff(h.hmax, s.d1)",
         )
     ).withColumn("c_total", (F.col("n_event") + F.col("n_censor")).cast("bigint"))
-    summed, n_total = range_prefix_summed(spark, g, ["t"], "c_total")
-    if summed is None:
+
+    # Both prefix passes (at-risk counts, then the LN-step running sum)
+    # are keyed on the same t order, so they share ONE range partitioning
+    # via range_prefix_summed_pair (guide §2.4) — the two-primitive form
+    # paid a second repartitionByRange sampling + checkpoint + offset
+    # collect and an intermediate localCheckpoint between the passes.
+    # lq derives row-wise from (n_event, at_risk), so partition alignment
+    # is untouched and every summed value is bit-identical.
+    def derive(risk, n_total):
+        risk = risk.withColumn(
+            "at_risk", (F.lit(n_total) - F.col("cum_before")).cast("bigint")
+        )
+        lq = (
+            F.when(F.col("n_event") >= F.col("at_risk"), F.lit(_KM_ZERO_SENTINEL))
+            .when(F.col("n_event") == 0, F.lit(0))
+            .otherwise(
+                F.round(
+                    F.log(
+                        (F.col("at_risk") - F.col("n_event"))
+                        * 1.0
+                        / F.col("at_risk")
+                    )
+                    * 1000000000
+                )
+            )
+            .cast("bigint")
+        )
+        return risk.withColumn("lq", lq), "lq"
+
+    cum, _ = range_prefix_summed_pair(spark, g, ["t"], "c_total", derive)
+    if cum is None:
         return spark.createDataFrame(
             [],
             "t_days bigint, at_risk bigint, n_event bigint, n_censor bigint, survival double",
         )
-    risk = summed.withColumn(
-        "at_risk", (F.lit(n_total) - F.col("cum_before")).cast("bigint")
-    ).localCheckpoint(eager=False)  # two prefix passes fan out from here
-    risk.createOrReplaceTempView("sales_telegram_bot_data_pipeline_km_risk")
-    steps = spark.sql(_KM_STEP_SQL.format(steps="sales_telegram_bot_data_pipeline_km_risk"))
-    cum, _ = range_prefix_summed(spark, steps, ["t"], "lq")
     cum = cum.withColumn(
-        "cum_lq", (F.col("cum_before") + F.col("lq")).cast("bigint")
+        "cum_lq", (F.col("cum_before2") + F.col("lq")).cast("bigint")
     )
     cum.createOrReplaceTempView("sales_telegram_bot_data_pipeline_km_cum")
     return spark.sql(_KM_FINAL_SQL.format(cum="sales_telegram_bot_data_pipeline_km_cum"))

@@ -228,11 +228,10 @@ def _wide_view(spark: SparkSession, sf_dir: str) -> str:
         + hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
     )
     name = f"sales_telegram_bot_data_pipeline_wide_{suffix}"
-    try:
-        spark.table(name)
+    # catalog probe, not try/except spark.table(): a failed resolution is
+    # a failed QueryExecution every ExecutionListener re-walks + logs
+    if spark.catalog.tableExists(name):
         return name
-    except Exception:
-        pass
     det = _detections_view(spark, sf_dir)  # reuse the stored detection feed
     spark.sql(
         _wide_sql(SPARK, "unused", detections_rel=f"SELECT * FROM {det}")

@@ -558,28 +558,37 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("sales_telegram_bot_data_pipeline_zo_o")
     base = spark.sql(_zorder_base_sql(SPARK, "sales_telegram_bot_data_pipeline_zo_o")).localCheckpoint()
-    legs = []
-    for layout, col in (("custkey_1d", "bx"), ("zorder", "z")):
-        ranked, n = range_ranked(spark, base, [col, "okey"])
-        if ranked is None:
-            continue
-        legs.append(
-            ranked.select(
-                F.lit(layout).alias("layout"),
-                ((F.col("r") - 1) / ZORDER_FILE_ROWS).cast("long").alias("file_id"),
-                "bx", "by",
-            )
-        )
-    if not legs:
+    # ONE distributed rank pass for BOTH layout axes (guide §2.4 — the
+    # spearman/rfm axis-fusion): the two sort legs are axis-tagged and
+    # unioned, and under (axis, key, okey) ordering each leg is a
+    # contiguous block of exactly n rows, so the per-leg rank is the
+    # global rank minus axis*n.  The per-leg form paid two
+    # repartitionByRange samplings + two offset collects over the same
+    # checkpointed base; sort keys bx and z are both BIGINT, so the fused
+    # key column compares exactly as each leg did.
+    axes = base.select(
+        F.lit(0).alias("axis"), F.col("bx").alias("k"), "okey", "bx", "by"
+    ).unionByName(
+        base.select(F.lit(1).alias("axis"), F.col("z").alias("k"), "okey", "bx", "by")
+    )
+    ranked, total = range_ranked(spark, axes, ["axis", "k", "okey"])
+    if ranked is None:
         return spark.sql(
             "SELECT CAST(NULL AS STRING) AS layout, CAST(0 AS BIGINT) AS n_files, "
             "CAST(NULL AS DOUBLE) AS avg_x_span_frac, "
             "CAST(NULL AS DOUBLE) AS avg_y_span_frac, "
             "CAST(NULL AS DOUBLE) AS avg_file_area_frac WHERE 1=0"
         )
-    assigned = legs[0]
-    for df in legs[1:]:
-        assigned = assigned.unionAll(df)
+    n = total // 2
+    assigned = ranked.select(
+        F.when(F.col("axis") == 0, F.lit("custkey_1d"))
+        .otherwise(F.lit("zorder"))
+        .alias("layout"),
+        ((F.col("r") - F.col("axis") * n - 1) / ZORDER_FILE_ROWS)
+        .cast("long")
+        .alias("file_id"),
+        "bx", "by",
+    )
     assigned.createOrReplaceTempView("sales_telegram_bot_data_pipeline_zo_assigned")
     grid = 1 << ZORDER_BITS
     return spark.sql(

@@ -107,7 +107,7 @@ cum AS (
     tags=("evaluation", "survival", "distributed-rank"),
 )
 def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .scalars_extra import range_prefix_summed
+    from .scalars_extra import range_prefix_summed_pair
 
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("sales_telegram_bot_data_pipeline_na_o")
     g = spark.sql(
@@ -117,21 +117,26 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             dd_censor="datediff(h.hmax, s.d1)",
         )
     ).withColumn("c_total", (F.col("n_event") + F.col("n_censor")).cast("bigint"))
-    summed, n_total = range_prefix_summed(spark, g, ["t"], "c_total")
-    if summed is None:
+
+    # Same chained-pass fusion as kaplan_meier_repurchase (guide §2.4):
+    # both prefix sums ride ONE range partitioning; hq is a row-wise
+    # integer division of (n_event, at_risk), so partition alignment and
+    # every summed value are untouched.
+    def derive(risk, n_total):
+        risk = risk.withColumn(
+            "at_risk", (F.lit(n_total) - F.col("cum_before")).cast("bigint")
+        )
+        return risk.withColumn(
+            "hq", F.expr(f"CAST({_na_hq(SPARK)} AS BIGINT)")
+        ), "hq"
+
+    cum, _ = range_prefix_summed_pair(spark, g, ["t"], "c_total", derive)
+    if cum is None:
         return spark.createDataFrame(
             [],
             "t_days bigint, at_risk bigint, n_event bigint, n_censor bigint, cum_hazard double",
         )
-    risk = summed.withColumn(
-        "at_risk", (F.lit(n_total) - F.col("cum_before")).cast("bigint")
-    ).localCheckpoint(eager=False)
-    risk.createOrReplaceTempView("sales_telegram_bot_data_pipeline_na_risk")
-    steps = spark.sql(
-        _NA_STEP_SQL.format(steps="sales_telegram_bot_data_pipeline_na_risk", hq=_na_hq(SPARK))
-    )
-    cum, _ = range_prefix_summed(spark, steps, ["t"], "hq")
-    cum = cum.withColumn("cum_hq", (F.col("cum_before") + F.col("hq")).cast("bigint"))
+    cum = cum.withColumn("cum_hq", (F.col("cum_before2") + F.col("hq")).cast("bigint"))
     cum.createOrReplaceTempView("sales_telegram_bot_data_pipeline_na_cum")
     return spark.sql(_NA_FINAL_SQL.format(cum="sales_telegram_bot_data_pipeline_na_cum"))
 

@@ -773,6 +773,72 @@ def range_prefix_summed(spark: SparkSession, df: DataFrame, cols: list[str], sum
     return out, grand_total
 
 
+def range_prefix_summed_pair(spark: SparkSession, df: DataFrame, cols, sum_col: str, derive):
+    """TWO chained exact exclusive prefix sums sharing ONE range
+    partitioning (guide §2.4: two operations keyed the same way share one
+    exchange).  Pass 1 is exactly :func:`range_prefix_summed`; ``derive``
+    then maps ``(pass1_frame_with_cum_before, grand_total)`` to
+    ``(frame2, col2)`` where ``frame2`` adds ROW-WISE derived columns only
+    (anything that reorders, filters or re-partitions would break the
+    pinned partition alignment) and ``col2`` names the second summand.
+    Pass 2 prefix-sums ``col2`` in the SAME ``cols`` order WITHOUT a new
+    repartitionByRange sampling job, checkpoint, or intermediate pin —
+    the survival-curve pair (at-risk counts, then per-step increments)
+    previously paid the full primitive twice plus a localCheckpoint
+    between.  Returns ``(frame2 + cum_before2, grand_total)``;
+    ``(None, 0)`` on empty input."""
+    from pyspark.sql.window import Window
+
+    nparts = _rank_partitions(spark)
+    parted = (
+        df.repartitionByRange(nparts, *cols)
+        .localCheckpoint(eager=False)
+        .withColumn("pid", F.spark_partition_id())
+    )
+    psums = {
+        r["pid"]: r["s"]
+        for r in parted.groupBy("pid")
+        .agg(F.sum(F.col(sum_col).cast("bigint")).alias("s"))
+        .collect()
+    }
+    if not psums:
+        return None, 0
+    grand_total = sum(psums.values())
+
+    def _off_map(sums: dict) -> "F.Column":
+        offsets, acc = {}, 0
+        for pid in sorted(sums):
+            offsets[pid] = acc
+            acc += sums[pid]
+        return F.create_map(
+            *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+        )
+
+    w = (
+        Window.partitionBy("pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out1 = parted.withColumn(
+        "cum_before",
+        F.coalesce(F.sum(F.col(sum_col).cast("bigint")).over(w), F.lit(0).cast("bigint"))
+        + F.element_at(_off_map(psums), F.col("pid")),
+    )
+    frame2, col2 = derive(out1, grand_total)
+    psums2 = {
+        r["pid"]: r["s"]
+        for r in frame2.groupBy("pid")
+        .agg(F.sum(F.col(col2).cast("bigint")).alias("s"))
+        .collect()
+    }
+    out2 = frame2.withColumn(
+        "cum_before2",
+        F.coalesce(F.sum(F.col(col2).cast("bigint")).over(w), F.lit(0).cast("bigint"))
+        + F.element_at(_off_map(psums2), F.col("pid")),
+    ).drop("pid")
+    return out2, grand_total
+
+
 # --------------------------------------------------------------------------
 # equi-depth histogram (NTILE — the frequency-balanced sibling)
 # --------------------------------------------------------------------------
