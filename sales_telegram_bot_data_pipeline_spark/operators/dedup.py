@@ -2347,13 +2347,6 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .observe(obs_e, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
-        obs_s = Observation()
-        surv = (
-            edges.selectExpr("src AS node")
-            .distinct()
-            .observe(obs_s, F.count(F.lit(1)).alias("n"))
-            .localCheckpoint()
-        )
         bcast = (
             F.broadcast
             if (obs_e.get["n"] or 0) <= _CC_BROADCAST_EDGES
@@ -2371,14 +2364,34 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("node")
             )
 
-        n_prev = obs_s.get["n"] or 0
+        # The initial survivor set is every edge-touching node, so peel 1
+        # degenerates (r13, same argument as the CC round-1 shortcut):
+        # both survivor joins are total against that set — by symmetry
+        # every src and every dst is in it — leaving one map-side-
+        # combining degree count.  The materialized initial-survivor
+        # checkpoint is gone; its count (the round-1 convergence
+        # reference) is one bounded count action over the checkpointed
+        # edges.
+        n_prev = (
+            edges.selectExpr("src AS node").distinct().count()
+        )
+        surv = None
         converged = False
         peels_left = KCORE_ROUNDS
         while peels_left > 0:
             step = 2 if peels_left > 2 else 1
+            if surv is None:
+                p1 = (
+                    edges.groupBy(F.col("src").alias("node"))
+                    .agg(F.count(F.lit(1)).alias("deg"))
+                    .where(F.col("deg") >= KCORE_K)
+                    .select("node")
+                )
+            else:
+                p1 = peel(surv)
             obs = Observation()
             nxt = (
-                (peel(peel(surv)) if step == 2 else peel(surv))
+                (peel(p1) if step == 2 else p1)
                 .observe(obs, F.count(F.lit(1)).alias("n"))
                 .localCheckpoint()
             )
@@ -2700,10 +2713,36 @@ def _apss_sql(d: Dialect, table: str, pw_rel: str | None = None) -> str:
     # engine hash) picks the subset so both engines see identical docs.
     pw_cte = f"pw AS ({pw_rel})" if pw_rel else f"pw AS ({_apss_pw_sql(d, table)})"
     t2n, t2d = APSS_T_NUM * APSS_T_NUM, APSS_T_DEN * APSS_T_DEN
-    return f"""
-WITH {pw_cte},
-norms AS (SELECT doc_id, CAST(SUM(wq * wq) AS BIGINT) AS n2 FROM pw GROUP BY doc_id),
-tails AS (
+    if d.name == "spark":
+        # The prefix test needs each doc's FULL norm beside its suffix
+        # norm; a whole-partition window over the SAME doc_id partitioning
+        # as the tail cumsum delivers it with zero extra exchange and no
+        # tails-to-norms join (guide §2.4: operations keyed the same way
+        # share one exchange) — the groupBy+join form re-shuffled pw and
+        # sort-merge-joined it back (the checkpointed pw relation carries
+        # no stats, so Catalyst plans its joins pessimistically until AQE
+        # rescues each at runtime, one materialized exchange job apiece).
+        # SUM(wq*wq) OVER (PARTITION BY doc_id) is the exact same BIGINT
+        # as the grouped norm, so the kept pairs are identical; the oracle
+        # keeps the grouped form (DuckDB plans it fine) and the unchanged
+        # PASS is the equivalence proof.  norms stays for the final
+        # cosine denominators (verify output is tiny).
+        tails_cte = f"""tails AS (
+  SELECT p.doc_id, p.f, p.wq,
+         CAST(SUM(p.wq * p.wq) OVER (PARTITION BY p.doc_id
+              ORDER BY p.df DESC, p.f
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+           AS tail2,
+         CAST(SUM(p.wq * p.wq) OVER (PARTITION BY p.doc_id) AS BIGINT) AS n2
+  FROM pw p
+),
+prefix AS (
+  SELECT t.doc_id, t.f
+  FROM tails t
+  WHERE {t2d} * t.tail2 >= {t2n} * t.n2
+),"""
+    else:
+        tails_cte = f"""tails AS (
   SELECT p.doc_id, p.f, p.wq,
          CAST(SUM(p.wq * p.wq) OVER (PARTITION BY p.doc_id
               ORDER BY p.df DESC, p.f
@@ -2715,7 +2754,11 @@ prefix AS (
   SELECT t.doc_id, t.f
   FROM tails t JOIN norms nm ON nm.doc_id = t.doc_id
   WHERE {t2d} * t.tail2 >= {t2n} * nm.n2
-),
+),"""
+    return f"""
+WITH {pw_cte},
+norms AS (SELECT doc_id, CAST(SUM(wq * wq) AS BIGINT) AS n2 FROM pw GROUP BY doc_id),
+{tails_cte}
 cand AS (
   SELECT DISTINCT LEAST(px.doc_id, fp.doc_id) AS a,
                   GREATEST(px.doc_id, fp.doc_id) AS b
