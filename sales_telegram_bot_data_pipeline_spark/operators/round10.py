@@ -71,12 +71,20 @@ _CENTS = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
 # --------------------------------------------------------------------------
 # Brown-Forsythe / Levene homogeneity of variance
 # --------------------------------------------------------------------------
-def _levene_sql(d: Dialect, table: str) -> str:
+def _levene_cells_sql(d: Dialect, table: str) -> str:
+    """The bounded (source x n_chars) cell grid every downstream CTE
+    references — split out so the Spark side can materialize it once per
+    call (guide §3.3: CTE inlining re-scanned the corpus per reference,
+    24 executed scans for one statement)."""
     return f"""
-WITH cells AS (
   SELECT source, CAST(n_chars AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
   FROM {table} GROUP BY source, n_chars
-),
+"""
+
+
+def _levene_sql(d: Dialect, table: str, cells_rel: str | None = None) -> str:
+    return f"""
+WITH cells AS ({cells_rel or _levene_cells_sql(d, table)}),
 gtot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_g FROM cells GROUP BY source),
 cum AS (
   SELECT source, v, c,
@@ -166,8 +174,11 @@ ORDER BY te.source
     tags=("analytics", "stats", "agg"),
 )
 def levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import materialize_once
+
     view = _doc_view(spark, sf_dir, "sales_telegram_bot_data_pipeline_lev_docs")
-    return spark.sql(_levene_sql(SPARK, view))
+    cells = materialize_once(spark, _levene_cells_sql(SPARK, view), "lev_cells")
+    return spark.sql(_levene_sql(SPARK, view, cells_rel=f"SELECT * FROM {cells}"))
 
 
 # --------------------------------------------------------------------------

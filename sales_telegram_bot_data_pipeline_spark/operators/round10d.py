@@ -140,26 +140,42 @@ SELECT source FROM (
 """
 
 
-def _hl_sql(d: Dialect, table: str) -> str:
+def _hl_diffs_sql(d: Dialect, table: str) -> str:
+    """The bounded pairwise-difference grid WITH the two source labels
+    carried on every row — the relation every downstream CTE of the
+    Hodges-Lehmann estimator references (7 references; CTE inlining
+    expanded them into 38 executed corpus scans per statement, guide
+    §3.3).  Split out so the Spark side materializes it once per call."""
     return f"""
-WITH two AS ({_hl_sources_rel(d, table)}),
-lo AS (SELECT MIN(source) AS s FROM two),
-hi AS (SELECT MAX(source) AS s FROM two),
-ga AS (
-  SELECT CAST(n_chars AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
-  FROM {table} t JOIN lo ON t.source = lo.s GROUP BY n_chars
-),
-gb AS (
-  SELECT CAST(n_chars AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
-  FROM {table} t JOIN hi ON t.source = hi.s GROUP BY n_chars
-),
--- pairwise-difference grid: |V_a| x |V_b| cells (value-domain squared,
--- NEVER corpus squared), weight = product of cell counts
-diffs AS (
-  SELECT a.v - b.v AS dd, CAST(SUM(a.c * b.c) AS BIGINT) AS w
-  FROM ga a CROSS JOIN gb b
+  WITH two AS ({_hl_sources_rel(d, table)}),
+  lo AS (SELECT MIN(source) AS s FROM two),
+  hi AS (SELECT MAX(source) AS s FROM two),
+  ga AS (
+    SELECT CAST(n_chars AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
+    FROM {table} t JOIN lo ON t.source = lo.s GROUP BY n_chars
+  ),
+  gb AS (
+    SELECT CAST(n_chars AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
+    FROM {table} t JOIN hi ON t.source = hi.s GROUP BY n_chars
+  )
+  SELECT a.v - b.v AS dd, CAST(SUM(a.c * b.c) AS BIGINT) AS w,
+         MAX(lo.s) AS sa, MAX(hi.s) AS sb
+  FROM ga a CROSS JOIN gb b CROSS JOIN lo CROSS JOIN hi
   GROUP BY a.v - b.v
-),
+"""
+
+
+def _hl_sql(d: Dialect, table: str, diffs_rel: str | None = None) -> str:
+    # pairwise-difference grid: |V_a| x |V_b| cells (value-domain squared,
+    # NEVER corpus squared), weight = product of cell counts; the two
+    # source labels ride the grid rows so the final projection never
+    # re-derives the lo/hi scalar subtrees
+    diffs = diffs_rel or _hl_diffs_sql(d, table)
+    return f"""
+WITH dgrid AS ({diffs}),
+diffs AS (SELECT dd, w FROM dgrid),
+lo AS (SELECT MAX(sa) AS s FROM dgrid),
+hi AS (SELECT MAX(sb) AS s FROM dgrid),
 tot AS (SELECT CAST(SUM(w) AS BIGINT) AS n FROM diffs),
 -- weighted median via the triangular cumulative on the bounded
 -- difference axis: med2 = d_(floor((n+1)/2)) + d_(floor((n+2)/2))
@@ -204,8 +220,11 @@ FROM tot t CROSS JOIN mlo ml CROSS JOIN mhi mh
     tags=("analytics", "stats", "agg"),
 )
 def hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import materialize_once
+
     view = _doc_view(spark, sf_dir, "sales_telegram_bot_data_pipeline_hl_docs")
-    return spark.sql(_hl_sql(SPARK, view))
+    dgrid = materialize_once(spark, _hl_diffs_sql(SPARK, view), "hl_diffs")
+    return spark.sql(_hl_sql(SPARK, view, diffs_rel=f"SELECT * FROM {dgrid}"))
 
 
 # --------------------------------------------------------------------------

@@ -347,7 +347,20 @@ def isotonic_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # iterative proportional fitting (survey raking), two exact-unit passes
 # --------------------------------------------------------------------------
-def _ipf_sql(d: Dialect, orders: str, customer: str) -> str:
+def _ipf_cells_sql(d: Dialect, orders: str, customer: str) -> str:
+    """The 25-cell (priority x segment) count grid — the one corpus touch
+    of IPF, split out so the Spark side can materialize it once per call
+    (guide §3.3: CTE inlining re-ran the orders-join-customer subtree per
+    downstream reference, 30 executed scans for one statement)."""
+    return f"""
+  SELECT o.o_orderpriority AS priority, c.c_mktsegment AS segment,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM {orders} o JOIN {customer} c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+"""
+
+
+def _ipf_sql(d: Dialect, orders: str, customer: str, cells_rel: str | None = None) -> str:
     """One full IPF round (row pass then column pass) raking the
     (o_orderpriority x c_mktsegment) contingency grid to UNIFORM target
     margins — the survey-calibration primitive (Deming–Stephan 1940,
@@ -365,12 +378,7 @@ def _ipf_sql(d: Dialect, orders: str, customer: str) -> str:
     entirely on the bounded grid — the shapley coalition-table
     contract."""
     return f"""
-WITH cells AS (
-  SELECT o.o_orderpriority AS priority, c.c_mktsegment AS segment,
-         CAST(COUNT(*) AS BIGINT) AS n
-  FROM {orders} o JOIN {customer} c ON c.c_custkey = o.o_custkey
-  GROUP BY 1, 2
-),
+WITH cells AS ({cells_rel or _ipf_cells_sql(d, orders, customer)}),
 tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t,
                CAST(COUNT(DISTINCT priority) AS BIGINT) AS np,
                CAST(COUNT(DISTINCT segment) AS BIGINT) AS ns
@@ -441,10 +449,23 @@ ORDER BY r.priority, r.segment
     tags=("analytics", "calibration", "agg"),
 )
 def ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import materialize_once
+
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("sales_telegram_bot_data_pipeline_ipf_o")
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("sales_telegram_bot_data_pipeline_ipf_c")
     return spark.sql(
-        _ipf_sql(SPARK, "sales_telegram_bot_data_pipeline_ipf_o", "sales_telegram_bot_data_pipeline_ipf_c")
+        _ipf_sql(
+            SPARK,
+            "sales_telegram_bot_data_pipeline_ipf_o",
+            "sales_telegram_bot_data_pipeline_ipf_c",
+            cells_rel="SELECT * FROM " + materialize_once(
+                spark,
+                _ipf_cells_sql(
+                    SPARK, "sales_telegram_bot_data_pipeline_ipf_o", "sales_telegram_bot_data_pipeline_ipf_c"
+                ),
+                "ipf_cells",
+            ),
+        )
     )
 
 
@@ -602,7 +623,30 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Bradley-Terry preference strengths (two MM iterations, exact units)
 # --------------------------------------------------------------------------
-def _bradley_terry_sql(d: Dialect, orders: str) -> str:
+def _bt_duels_sql(d: Dialect, orders: str) -> str:
+    """The <= C(5,2)-row per-priority win matrix — the bounded relation
+    every downstream MM-iteration CTE references; split out so the Spark
+    side can materialize it once per call (guide §3.3: CTE inlining
+    re-derived it — and its two orders scans — per reference, 36 executed
+    scans for one statement) while the oracle keeps the single-statement
+    form."""
+    return f"""
+  WITH ps AS (
+    SELECT o_custkey AS cust, o_orderpriority AS pri,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS DECIMAL(38,0)) AS sp
+    FROM {orders}
+    GROUP BY 1, 2
+  )
+  SELECT a.pri AS pi, b.pri AS pj,
+         CAST(SUM(CASE WHEN a.sp > b.sp THEN 1 ELSE 0 END) AS BIGINT) AS wi,
+         CAST(SUM(CASE WHEN b.sp > a.sp THEN 1 ELSE 0 END) AS BIGINT) AS wj
+  FROM ps a JOIN ps b ON a.cust = b.cust AND a.pri < b.pri
+  GROUP BY 1, 2
+"""
+
+
+def _bradley_terry_sql(d: Dialect, orders: str, duels_rel: str | None = None) -> str:
     """Bradley-Terry strengths for the 5 order priorities from
     per-customer pairwise spend duels (priority i "beats" j for a
     customer when the customer spent strictly more on i).
@@ -621,21 +665,9 @@ def _bradley_terry_sql(d: Dialect, orders: str) -> str:
     priority catalog, never by data); everything after the second
     groupBy lives on the <= 5x5 win matrix — the bounded-model contract
     of the shapley coalition table."""
+    duels = duels_rel or _bt_duels_sql(d, orders)
     return f"""
-WITH ps AS (
-  SELECT o_custkey AS cust, o_orderpriority AS pri,
-         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
-              AS DECIMAL(38,0)) AS sp
-  FROM {orders}
-  GROUP BY 1, 2
-),
-duels AS (
-  SELECT a.pri AS pi, b.pri AS pj,
-         CAST(SUM(CASE WHEN a.sp > b.sp THEN 1 ELSE 0 END) AS BIGINT) AS wi,
-         CAST(SUM(CASE WHEN b.sp > a.sp THEN 1 ELSE 0 END) AS BIGINT) AS wj
-  FROM ps a JOIN ps b ON a.cust = b.cust AND a.pri < b.pri
-  GROUP BY 1, 2
-),
+WITH duels AS ({duels}),
 pairs AS (
   SELECT pi AS i, pj AS j, wi AS w, wi + wj AS g FROM duels WHERE wi + wj > 0
   UNION ALL
@@ -685,8 +717,17 @@ ORDER BY priority
     tags=("analytics", "ranking", "agg"),
 )
 def bradley_terry_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import materialize_once
+
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("sales_telegram_bot_data_pipeline_bt_o")
-    return spark.sql(_bradley_terry_sql(SPARK, "sales_telegram_bot_data_pipeline_bt_o"))
+    duels = materialize_once(
+        spark, _bt_duels_sql(SPARK, "sales_telegram_bot_data_pipeline_bt_o"), "bt_duels"
+    )
+    return spark.sql(
+        _bradley_terry_sql(
+            SPARK, "sales_telegram_bot_data_pipeline_bt_o", duels_rel=f"SELECT * FROM {duels}"
+        )
+    )
 
 
 # --------------------------------------------------------------------------

@@ -1471,7 +1471,40 @@ def _subl2(d: Dialect, a: str, b: str, m: int) -> str:
     )
 
 
-def _pq_sql(d: Dialect, table: str) -> str:
+def _pq_cb_sql(d: Dialect, table: str) -> str:
+    """The frozen PQ codebook relation (cid, embedding)."""
+    return (
+        f"SELECT vec_id - {CENTROID_BASE} AS cid, embedding FROM {table} "
+        f"WHERE vec_id >= {CENTROID_BASE} AND vec_id < {CENTROID_BASE + PQ_KC}"
+    )
+
+
+def _pq_codes_sql(d: Dialect, table: str) -> str:
+    """Standalone PQ encode pass (vec_id, code0..code{PQ_M-1}) with the
+    codebook embedded — the relation knn_cosine_pq materializes once per
+    call (guide §3.3: CTE inlining re-ran this corpus x codebook argmin
+    once per subspace union leg of codes_long)."""
+    if d.name == "spark":
+        code_cols = ", ".join(
+            f"min(named_struct('d', {_subl2(d, 'v.embedding', 'cb.embedding', m)}, "
+            f"'cid', cb.cid)).cid AS code{m}"
+            for m in range(PQ_M)
+        )
+    else:
+        code_cols = ", ".join(
+            f"(min({{'d': {_subl2(d, 'v.embedding', 'cb.embedding', m)}, "
+            f"'cid': cb.cid}})).cid AS code{m}"
+            for m in range(PQ_M)
+        )
+    return f"""
+  WITH cb AS ({_pq_cb_sql(d, table)})
+  SELECT v.vec_id, {code_cols}
+  FROM {table} v JOIN cb ON 1=1
+  GROUP BY v.vec_id
+"""
+
+
+def _pq_sql(d: Dialect, table: str, codes_rel: str | None = None) -> str:
     """PQ-ADC top-k: m per-subspace codebooks of frozen corpus vectors
     (vec_id in [CENTROID_BASE, CENTROID_BASE+PQ_KC) — the same frozen-init
     discipline as the IVF centroids, so both engines build the identical
@@ -1491,23 +1524,7 @@ def _pq_sql(d: Dialect, table: str) -> str:
     order-independent exact integer arithmetic — cross-engine identical
     candidate sets by construction (the double-summation order of a
     4-row SUM is not portable; integers are)."""
-    cb = (
-        f"SELECT vec_id - {CENTROID_BASE} AS cid, embedding FROM {table} "
-        f"WHERE vec_id >= {CENTROID_BASE} AND vec_id < {CENTROID_BASE + PQ_KC}"
-    )
-    # per-subspace argmin-L2 code columns, one GROUP BY pass
-    if d.name == "spark":
-        code_cols = ", ".join(
-            f"min(named_struct('d', {_subl2(d, 'v.embedding', 'cb.embedding', m)}, "
-            f"'cid', cb.cid)).cid AS code{m}"
-            for m in range(PQ_M)
-        )
-    else:
-        code_cols = ", ".join(
-            f"(min({{'d': {_subl2(d, 'v.embedding', 'cb.embedding', m)}, "
-            f"'cid': cb.cid}})).cid AS code{m}"
-            for m in range(PQ_M)
-        )
+    cb = _pq_cb_sql(d, table)
     codes_long = " UNION ALL ".join(
         f"SELECT vec_id, {m} AS m, code{m} AS cid FROM codes" for m in range(PQ_M)
     )
@@ -1526,13 +1543,13 @@ def _pq_sql(d: Dialect, table: str) -> str:
         adc_p = "SELECT *, 0 AS pid FROM adc"
         pid_part = ""
     cos_qn = _cosine(d, "q.embedding", "n.embedding")
+    # codes_long references the encode pass once per subspace; a caller-
+    # supplied codes_rel (a materialized view) stops CTE inlining from
+    # re-running the corpus x codebook argmin PQ_M times (guide §3.3)
+    codes_cte = codes_rel or _pq_codes_sql(d, table)
     return f"""
 WITH cb AS ({cb}),
-codes AS (
-  SELECT v.vec_id, {code_cols}
-  FROM {table} v JOIN cb ON 1=1
-  GROUP BY v.vec_id
-),
+codes AS ({codes_cte}),
 codes_long AS ({codes_long}),
 lut AS ({lut}),
 adc AS (
@@ -1587,7 +1604,14 @@ ORDER BY query_id, rank
     tags=("similarity", "pq", "topk"),
 )
 def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(_pq_sql(SPARK, _emb_view(spark, sf_dir)))
+    from ..session import materialize_once
+
+    view = _emb_view(spark, sf_dir)
+    # Materialize the PQ encode pass once per call (guide §3.3): CTE
+    # inlining re-ran the corpus x codebook argmin GROUP BY once per
+    # subspace union leg — 18 executed embedding scans per statement.
+    codes = materialize_once(spark, _pq_codes_sql(SPARK, view), "pq_codes")
+    return spark.sql(_pq_sql(SPARK, view, codes_rel=f"SELECT * FROM {codes}"))
 
 
 # --------------------------------------------------------------------------

@@ -53,6 +53,22 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def materialize_once(spark: SparkSession, sql_text: str, tag: str) -> str:
+    """Per-CALL localCheckpoint of a subquery, returned as a temp-view
+    name (r13, guide §3.3).  Spark INLINES every multi-referenced CTE
+    (InlineCTE has no materialization path), so a query whose CTE chain
+    references a base relation k times re-executes — and re-SCANS — the
+    whole subtree k times; executed plans measured up to 38 parquet scans
+    for one statement.  Checkpointing the shared relation once per call
+    truncates every reference to a leaf.  NOT a stored session view: the
+    name is call-scoped and rebuilt on every invocation, so bench rows
+    keep paying the build (no cross-run reuse; the stored-view policy and
+    its allowlist are unaffected)."""
+    name = f"sales_telegram_bot_data_pipeline_mat_{tag}"
+    spark.sql(sql_text).localCheckpoint().createOrReplaceTempView(name)
+    return name
+
+
 @contextmanager
 def fixed_plan(spark: SparkSession, partitions: int = 8):
     """Static small plans for iterative loops and multi-materialization
