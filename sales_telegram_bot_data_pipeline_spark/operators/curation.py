@@ -2355,15 +2355,10 @@ def stratified_kfold_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 PSI_BUCKETS = 16
 
 
-def _psi_sql(d: Dialect, table: str) -> str:
-    """Population Stability Index between the hash split's train and test
-    doc-length distributions on a shared equal-width grid — the industry
-    drift metric beside the KS statistic (split_distribution_drift): PSI =
-    sum (p_i - q_i) * ln(p_i / q_i), with Laplace +1 smoothing so empty
-    buckets stay finite and deterministic.  Per-bucket contributions
-    quantize to nano-unit BIGINTs before the cross-bucket total (libm LN,
-    empirical cross-engine contract); grid bounds are one O(1) scalar
-    broadcast.  Rule of thumb thresholds: < 0.1 stable, > 0.25 shifted."""
+def _psi_counts_sql(d: Dialect, table: str) -> str:
+    """The bounded Laplace-smoothed bucket-count grid — the relation every
+    tail CTE of the PSI references (tots/contrib/total expanded it into
+    16 static corpus scans per statement, guide §3.3)."""
     h = d.md5_prefix_int(d.strcast("doc_id"))
     return f"""
 WITH routed AS (
@@ -2382,15 +2377,32 @@ bucketed AS (
          split_name
   FROM routed CROSS JOIN b
   WHERE split_name <> 'val'
-),
-counts AS (
-  SELECT bucket,
-         CAST(SUM(CASE WHEN split_name = 'train' THEN 1 ELSE 0 END) + 1 AS BIGINT)
-           AS n_train,
-         CAST(SUM(CASE WHEN split_name = 'test' THEN 1 ELSE 0 END) + 1 AS BIGINT)
-           AS n_test
-  FROM bucketed GROUP BY bucket
-),
+)
+SELECT bucket,
+       CAST(SUM(CASE WHEN split_name = 'train' THEN 1 ELSE 0 END) + 1 AS BIGINT)
+         AS n_train,
+       CAST(SUM(CASE WHEN split_name = 'test' THEN 1 ELSE 0 END) + 1 AS BIGINT)
+         AS n_test
+FROM bucketed GROUP BY bucket
+"""
+
+
+def _psi_sql(d: Dialect, table: str, counts_rel: str | None = None) -> str:
+    """Population Stability Index between the hash split's train and test
+    doc-length distributions on a shared equal-width grid — the industry
+    drift metric beside the KS statistic (split_distribution_drift): PSI =
+    sum (p_i - q_i) * ln(p_i / q_i), with Laplace +1 smoothing so empty
+    buckets stay finite and deterministic.  Per-bucket contributions
+    quantize to nano-unit BIGINTs before the cross-bucket total (libm LN,
+    empirical cross-engine contract); grid bounds are one O(1) scalar
+    broadcast.  Rule of thumb thresholds: < 0.1 stable, > 0.25 shifted."""
+    counts = (
+        f"SELECT * FROM {counts_rel}"
+        if counts_rel
+        else _psi_counts_sql(d, table)
+    )
+    return f"""
+WITH counts AS ({counts}),
 tots AS (
   SELECT CAST(SUM(n_train) AS BIGINT) AS tt, CAST(SUM(n_test) AS BIGINT) AS te
   FROM counts
@@ -2425,8 +2437,13 @@ ORDER BY c.bucket
     tags=("curation", "split", "stats"),
 )
 def psi_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import materialize_once
+
     view = _doc_view(spark, sf_dir, "sales_telegram_bot_data_pipeline_psi_docs")
-    return spark.sql(_psi_sql(SPARK, view))
+    counts = materialize_once(
+        spark, _psi_counts_sql(SPARK, view), "psi_counts", key=sf_dir
+    )
+    return spark.sql(_psi_sql(SPARK, view, counts_rel=counts))
 
 
 # --------------------------------------------------------------------------

@@ -872,7 +872,29 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_W = 8  # span gram width in words
 
 
-def _dup_spans_sql(d: Dialect, table: str) -> str:
+def _dup_spans_grams_sql(d: Dialect, table: str) -> str:
+    """The O(tokens) sliding-window gram explode — referenced by BOTH the
+    df aggregation and the mark join-back, so the Spark side materializes
+    it once per call (guide §3.3)."""
+    w = d.splitws("lower(text)")
+    n = d.alen("w")
+    if d.name == "spark":
+        gram = f"array_join(slice(w, i, {SPAN_W}), ' ')"
+        return (
+            f"SELECT doc_id, i, {d.fast_hash(gram)} AS g "
+            f"FROM (SELECT doc_id, {w} AS w FROM {table}) s "
+            f"LATERAL VIEW explode(sequence(1, greatest(1, {n} - {SPAN_W} + 1))) t AS i "
+            f"WHERE {n} >= {SPAN_W}"
+        )
+    gram = f"array_to_string(list_slice(w, i, i + {SPAN_W} - 1), ' ')"
+    return (
+        f"SELECT doc_id, i, {d.fast_hash(gram)} AS g "
+        f"FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - {SPAN_W} + 1)) AS i "
+        f"      FROM (SELECT doc_id, {w} AS w FROM {table}) s WHERE len(w) >= {SPAN_W}) x"
+    )
+
+
+def _dup_spans_sql(d: Dialect, table: str, grams_override: str | None = None) -> str:
     """Substring-level duplication metrics in the style of Lee et al.,
     "Deduplicating Training Data Makes Language Models Better" (2022):
     slide a SPAN_W-word window over every doc, hash each window, mark
@@ -889,23 +911,7 @@ def _dup_spans_sql(d: Dialect, table: str) -> str:
     trick (i - ROW_NUMBER per doc/flag), one window partitioned by doc_id;
     the final per-doc rollup aggregates RUNS, not grams, so the island
     chain is consumed exactly once."""
-    w = d.splitws("lower(text)")
-    n = d.alen("w")
-    if d.name == "spark":
-        gram = f"array_join(slice(w, i, {SPAN_W}), ' ')"
-        grams_rel = (
-            f"SELECT doc_id, i, {d.fast_hash(gram)} AS g "
-            f"FROM (SELECT doc_id, {w} AS w FROM {table}) s "
-            f"LATERAL VIEW explode(sequence(1, greatest(1, {n} - {SPAN_W} + 1))) t AS i "
-            f"WHERE {n} >= {SPAN_W}"
-        )
-    else:
-        gram = f"array_to_string(list_slice(w, i, i + {SPAN_W} - 1), ' ')"
-        grams_rel = (
-            f"SELECT doc_id, i, {d.fast_hash(gram)} AS g "
-            f"FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - {SPAN_W} + 1)) AS i "
-            f"      FROM (SELECT doc_id, {w} AS w FROM {table}) s WHERE len(w) >= {SPAN_W}) x"
-        )
+    grams_rel = grams_override or _dup_spans_grams_sql(d, table)
     return f"""
 WITH grams AS ({grams_rel}),
 df AS (
@@ -947,7 +953,18 @@ ORDER BY doc_id
     tags=("dedup", "text", "window"),
 )
 def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(_dup_spans_sql(SPARK, _doc_view(spark, sf_dir)))
+    from ..session import materialize_once
+
+    view = _doc_view(spark, sf_dir)
+    # Materialize the O(tokens) gram explode once (guide §3.3): the df
+    # aggregation and the mark join-back each re-ran the full explode —
+    # the same move _materialized_shingles makes for the Jaccard index.
+    grams = materialize_once(
+        spark, _dup_spans_grams_sql(SPARK, view), "span_grams", key=sf_dir
+    )
+    return spark.sql(
+        _dup_spans_sql(SPARK, view, grams_override=f"SELECT * FROM {grams}")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -42,12 +42,25 @@ from .curation import _doc_view
 # --------------------------------------------------------------------------
 # Kruskal-Wallis with tie correction (bounded value grid)
 # --------------------------------------------------------------------------
-def _kruskal_sql(d: Dialect, table: str) -> str:
+def _kruskal_cells_sql(d: Dialect, table: str) -> str:
+    """The bounded (source x value) count grid — the relation every tail
+    CTE of the Kruskal-Wallis statistic references (CTE inlining expanded
+    it into 18 static corpus scans per statement, guide §3.3).  Split out
+    so the Spark side materializes it once per call."""
     return f"""
-WITH cells AS (
-  SELECT source, CAST(n_chars AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
-  FROM {table} GROUP BY source, n_chars
-),
+SELECT source, CAST(n_chars AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
+FROM {table} GROUP BY source, n_chars
+"""
+
+
+def _kruskal_sql(d: Dialect, table: str, cells_rel: str | None = None) -> str:
+    cells = (
+        f"SELECT * FROM {cells_rel}"
+        if cells_rel
+        else _kruskal_cells_sql(d, table)
+    )
+    return f"""
+WITH cells AS ({cells}),
 vals AS (SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM cells GROUP BY v),
 -- value-axis cumulative via the triangular join on the BOUNDED value
 -- grid (|distinct n_chars| rows — never the corpus); R2(v) =
@@ -125,8 +138,16 @@ ORDER BY gg.source
     tags=("analytics", "stats", "agg"),
 )
 def kruskal_wallis_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import materialize_once
+
     view = _doc_view(spark, sf_dir, "sales_telegram_bot_data_pipeline_kw_docs")
-    return spark.sql(_kruskal_sql(SPARK, view))
+    # Materialize the bounded (source x value) grid once (guide §3.3):
+    # vals/ranks/g/ties expanded it into 18 static corpus scans per
+    # statement.  The oracle keeps the single-statement form.
+    cells = materialize_once(
+        spark, _kruskal_cells_sql(SPARK, view), "kw_cells", key=sf_dir
+    )
+    return spark.sql(_kruskal_sql(SPARK, view, cells_rel=cells))
 
 
 # --------------------------------------------------------------------------
@@ -138,6 +159,54 @@ SELECT source FROM (
   SELECT DISTINCT source FROM {table}
 ) s ORDER BY source LIMIT 2
 """
+
+
+def _src2_cells_sql(d: Dialect, table: str) -> str:
+    """Side-tagged per-value count grid of the two lexicographically-first
+    sources with the source labels carried on the rows — the shared head
+    of cramer_von_mises / cles / hellinger (CTE inlining expanded lo/hi/
+    ga/gb into 20-36 static corpus scans per statement, guide §3.3).
+    Split out so each Spark side materializes it once per call; the
+    bounded |V| value grid is orders of magnitude below the corpus."""
+    return f"""
+WITH two AS ({_hl_sources_rel(d, table)}),
+lo AS (SELECT MIN(source) AS s FROM two),
+hi AS (SELECT MAX(source) AS s FROM two),
+ga AS (
+  SELECT CAST(n_chars AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM {table} t JOIN lo ON t.source = lo.s GROUP BY n_chars
+),
+gb AS (
+  SELECT CAST(n_chars AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM {table} t JOIN hi ON t.source = hi.s GROUP BY n_chars
+)
+SELECT 0 AS side, lo.s AS src, ga.v, ga.c FROM ga CROSS JOIN lo
+UNION ALL
+SELECT 1 AS side, hi.s AS src, gb.v, gb.c FROM gb CROSS JOIN hi
+"""
+
+
+def _src2_head_sql(d: Dialect, table: str, cells_rel: str | None = None) -> str:
+    """The lo/hi/ga/gb WITH-clause head shared by the two-source grid
+    tests: inline (oracle / default) or re-read from a materialized
+    ``_src2_cells_sql`` view (Spark side).  MAX(src) over a side equals
+    the lo/hi scalar because every row of a side carries its label."""
+    if cells_rel:
+        return f"""lo AS (SELECT MAX(src) AS s FROM {cells_rel} WHERE side = 0),
+hi AS (SELECT MAX(src) AS s FROM {cells_rel} WHERE side = 1),
+ga AS (SELECT v, c FROM {cells_rel} WHERE side = 0),
+gb AS (SELECT v, c FROM {cells_rel} WHERE side = 1)"""
+    return f"""two AS ({_hl_sources_rel(d, table)}),
+lo AS (SELECT MIN(source) AS s FROM two),
+hi AS (SELECT MAX(source) AS s FROM two),
+ga AS (
+  SELECT CAST(n_chars AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM {table} t JOIN lo ON t.source = lo.s GROUP BY n_chars
+),
+gb AS (
+  SELECT CAST(n_chars AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM {table} t JOIN hi ON t.source = hi.s GROUP BY n_chars
+)"""
 
 
 def _hl_diffs_sql(d: Dialect, table: str) -> str:
@@ -223,7 +292,7 @@ def hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import materialize_once
 
     view = _doc_view(spark, sf_dir, "sales_telegram_bot_data_pipeline_hl_docs")
-    dgrid = materialize_once(spark, _hl_diffs_sql(SPARK, view), "hl_diffs")
+    dgrid = materialize_once(spark, _hl_diffs_sql(SPARK, view), "hl_diffs", key=sf_dir)
     return spark.sql(_hl_sql(SPARK, view, diffs_rel=f"SELECT * FROM {dgrid}"))
 
 

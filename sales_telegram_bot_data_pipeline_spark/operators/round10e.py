@@ -42,14 +42,25 @@ _DAYNO = {
 # --------------------------------------------------------------------------
 # single changepoint by binary segmentation (between-segment SS argmax)
 # --------------------------------------------------------------------------
-def _binseg_sql(d: Dialect, orders: str) -> str:
+def _binseg_daily_sql(d: Dialect, orders: str) -> str:
+    """The bounded day-grid revenue series the triangular prefix join
+    re-references (12 static scans per statement, guide §3.3)."""
     dayno = _DAYNO[d.name]
     return f"""
-WITH daily AS (
-  SELECT CAST({dayno} AS BIGINT) AS day,
-         CAST(SUM({_CENTS}) AS DECIMAL(38,0)) AS y
-  FROM {orders} GROUP BY 1
-),
+SELECT CAST({dayno} AS BIGINT) AS day,
+       CAST(SUM({_CENTS}) AS DECIMAL(38,0)) AS y
+FROM {orders} GROUP BY 1
+"""
+
+
+def _binseg_sql(d: Dialect, orders: str, daily_rel: str | None = None) -> str:
+    daily = (
+        f"SELECT * FROM {daily_rel}"
+        if daily_rel
+        else _binseg_daily_sql(d, orders)
+    )
+    return f"""
+WITH daily AS ({daily}),
 tot AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS DECIMAL(38,0)) AS s
   FROM daily
@@ -112,25 +123,40 @@ CROSS JOIN tot t
     tags=("analytics", "timeseries", "changepoint"),
 )
 def binary_segmentation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import materialize_once
+
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("sales_telegram_bot_data_pipeline_bs_o")
-    return spark.sql(_binseg_sql(SPARK, "sales_telegram_bot_data_pipeline_bs_o"))
+    daily = materialize_once(
+        spark,
+        _binseg_daily_sql(SPARK, "sales_telegram_bot_data_pipeline_bs_o"),
+        "bs_daily",
+        key=sf_dir,
+    )
+    return spark.sql(
+        _binseg_sql(SPARK, "sales_telegram_bot_data_pipeline_bs_o", daily_rel=daily)
+    )
 
 
 # --------------------------------------------------------------------------
 # entropy rate of the event-type Markov chain
 # --------------------------------------------------------------------------
-def _entropy_rate_sql(d: Dialect, events: str) -> str:
-    return f"""
-WITH seq AS (
-  SELECT user_id, event_type,
-         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-           AS next_type
-  FROM {events}
-),
-trans AS (
+def _entropy_rate_sql(d: Dialect, events: str, trans_rel: str | None = None) -> str:
+    trans = (
+        f"SELECT from_type AS i, to_type AS j, n AS c FROM {trans_rel}"
+        if trans_rel
+        else f"""
+  WITH seq AS (
+    SELECT user_id, event_type,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS next_type
+    FROM {events}
+  )
   SELECT event_type AS i, next_type AS j, CAST(COUNT(*) AS BIGINT) AS c
   FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
-),
+"""
+    )
+    return f"""
+WITH trans AS ({trans}),
 ri AS (SELECT i, CAST(SUM(c) AS BIGINT) AS ci FROM trans GROUP BY i),
 tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM trans),
 -- conditional-entropy terms -p(i,j) ln p(j|i) and marginal terms
@@ -175,28 +201,31 @@ FROM tot t CROSS JOIN agg a
     tags=("analytics", "markov", "stats"),
 )
 def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import materialize_once
+    from .analytics import _markov_trans_sql
+
     load_table(spark, sf_dir, "events").createOrReplaceTempView("sales_telegram_bot_data_pipeline_er_ev")
-    return spark.sql(_entropy_rate_sql(SPARK, "sales_telegram_bot_data_pipeline_er_ev"))
+    # Materialize the bounded transition grid once (guide §3.3; shares
+    # the stationary-distribution builder — columns aliased i/j/c here).
+    trans = materialize_once(
+        spark,
+        _markov_trans_sql("sales_telegram_bot_data_pipeline_er_ev"),
+        "er_trans",
+        key=sf_dir,
+    )
+    return spark.sql(
+        _entropy_rate_sql(SPARK, "sales_telegram_bot_data_pipeline_er_ev", trans_rel=trans)
+    )
 
 
 # --------------------------------------------------------------------------
 # two-sample Cramér-von Mises on the bounded value grid
 # --------------------------------------------------------------------------
-def _cvm_sql(d: Dialect, table: str) -> str:
-    from .round10d import _hl_sources_rel
+def _cvm_sql(d: Dialect, table: str, cells_rel: str | None = None) -> str:
+    from .round10d import _src2_head_sql
 
     return f"""
-WITH two AS ({_hl_sources_rel(d, table)}),
-lo AS (SELECT MIN(source) AS s FROM two),
-hi AS (SELECT MAX(source) AS s FROM two),
-ga AS (
-  SELECT CAST(n_chars AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
-  FROM {table} t JOIN lo ON t.source = lo.s GROUP BY n_chars
-),
-gb AS (
-  SELECT CAST(n_chars AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
-  FROM {table} t JOIN hi ON t.source = hi.s GROUP BY n_chars
-),
+WITH {_src2_head_sql(d, table, cells_rel)},
 na AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM ga),
 nb AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM gb),
 pooled AS (
@@ -261,5 +290,14 @@ FROM na n1 CROSS JOIN nb n2 CROSS JOIN agg a
     tags=("analytics", "stats", "agg"),
 )
 def cramer_von_mises_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import materialize_once
+    from .round10d import _src2_cells_sql
+
     view = _doc_view(spark, sf_dir, "sales_telegram_bot_data_pipeline_cvm_docs")
-    return spark.sql(_cvm_sql(SPARK, view))
+    # Materialize the side-tagged two-source value grid once (guide §3.3):
+    # na/nb/pooled/cum/terms plus the lo/hi scalar subqueries expanded it
+    # into 36 static corpus scans per statement.
+    cells = materialize_once(
+        spark, _src2_cells_sql(SPARK, view), "cvm_cells", key=sf_dir
+    )
+    return spark.sql(_cvm_sql(SPARK, view, cells_rel=cells))

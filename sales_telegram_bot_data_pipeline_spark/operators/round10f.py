@@ -32,21 +32,11 @@ from .curation import _doc_view
 # --------------------------------------------------------------------------
 # common-language effect size (Vargha-Delaney A)
 # --------------------------------------------------------------------------
-def _cles_sql(d: Dialect, table: str) -> str:
-    from .round10d import _hl_sources_rel
+def _cles_sql(d: Dialect, table: str, cells_rel: str | None = None) -> str:
+    from .round10d import _src2_head_sql
 
     return f"""
-WITH two AS ({_hl_sources_rel(d, table)}),
-lo AS (SELECT MIN(source) AS s FROM two),
-hi AS (SELECT MAX(source) AS s FROM two),
-ga AS (
-  SELECT CAST(n_chars AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
-  FROM {table} t JOIN lo ON t.source = lo.s GROUP BY n_chars
-),
-gb AS (
-  SELECT CAST(n_chars AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
-  FROM {table} t JOIN hi ON t.source = hi.s GROUP BY n_chars
-),
+WITH {_src2_head_sql(d, table, cells_rel)},
 na AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM ga),
 nb AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM gb),
 -- win/tie pair mass on the bounded |V|x|V| grid: exact integers; the
@@ -84,28 +74,27 @@ FROM na n1 CROSS JOIN nb n2 CROSS JOIN u
     tags=("analytics", "stats", "agg"),
 )
 def cles_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import materialize_once
+    from .round10d import _src2_cells_sql
+
     view = _doc_view(spark, sf_dir, "sales_telegram_bot_data_pipeline_cl_docs")
-    return spark.sql(_cles_sql(SPARK, view))
+    # Materialize the side-tagged two-source value grid once (guide §3.3):
+    # na/nb/u plus the lo/hi scalar subqueries expanded it into 20 static
+    # corpus scans per statement.
+    cells = materialize_once(
+        spark, _src2_cells_sql(SPARK, view), "cl_cells", key=sf_dir
+    )
+    return spark.sql(_cles_sql(SPARK, view, cells_rel=cells))
 
 
 # --------------------------------------------------------------------------
 # Hellinger / Bhattacharyya between two length distributions
 # --------------------------------------------------------------------------
-def _hellinger_sql(d: Dialect, table: str) -> str:
-    from .round10d import _hl_sources_rel
+def _hellinger_sql(d: Dialect, table: str, cells_rel: str | None = None) -> str:
+    from .round10d import _src2_head_sql
 
     return f"""
-WITH two AS ({_hl_sources_rel(d, table)}),
-lo AS (SELECT MIN(source) AS s FROM two),
-hi AS (SELECT MAX(source) AS s FROM two),
-ga AS (
-  SELECT CAST(n_chars AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
-  FROM {table} t JOIN lo ON t.source = lo.s GROUP BY n_chars
-),
-gb AS (
-  SELECT CAST(n_chars AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
-  FROM {table} t JOIN hi ON t.source = hi.s GROUP BY n_chars
-),
+WITH {_src2_head_sql(d, table, cells_rel)},
 na AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM ga),
 nb AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM gb),
 -- Bhattacharyya coefficient sum sqrt(p_v q_v) over the pooled value
@@ -147,8 +136,17 @@ FROM na n1 CROSS JOIN nb n2 CROSS JOIN agg a
     tags=("analytics", "stats", "agg"),
 )
 def hellinger_bhattacharyya(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import materialize_once
+    from .round10d import _src2_cells_sql
+
     view = _doc_view(spark, sf_dir, "sales_telegram_bot_data_pipeline_hb_docs")
-    return spark.sql(_hellinger_sql(SPARK, view))
+    # Materialize the side-tagged two-source value grid once (guide §3.3):
+    # na/nb/terms plus the lo/hi scalar subqueries expanded it into 28
+    # static corpus scans per statement.
+    cells = materialize_once(
+        spark, _src2_cells_sql(SPARK, view), "hb_cells", key=sf_dir
+    )
+    return spark.sql(_hellinger_sql(SPARK, view, cells_rel=cells))
 
 
 # --------------------------------------------------------------------------

@@ -354,6 +354,7 @@ def harrell_c_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             SPARK, "sales_telegram_bot_data_pipeline_ci_o", "sales_telegram_bot_data_pipeline_ci_c"
         ),
         "ci_cohort",
+        key=sf_dir,
     )
     return spark.sql(
         _cindex_sql(

@@ -140,7 +140,25 @@ def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # modularity of the source partition over the near-dup graph
 # --------------------------------------------------------------------------
-def _modularity_sql(d: Dialect, table: str, pairs_rel: str | None = None) -> str:
+def _modularity_edges_sql(d: Dialect, table: str, pairs: str) -> str:
+    """The bounded source-labeled edge list (one row per LSH pair) — the
+    relation m/within/deg all re-aggregate (CTE inlining expanded it into
+    32 static scans per statement, guide §3.3).  Split out so the Spark
+    side materializes it once per call."""
+    return f"""
+  SELECT sa.source AS src_a, sb.source AS src_b
+  FROM (SELECT doc_a, doc_b FROM {pairs} pr) p
+  JOIN (SELECT doc_id, source FROM {table}) sa ON sa.doc_id = p.doc_a
+  JOIN (SELECT doc_id, source FROM {table}) sb ON sb.doc_id = p.doc_b
+"""
+
+
+def _modularity_sql(
+    d: Dialect,
+    table: str,
+    pairs_rel: str | None = None,
+    edges_rel: str | None = None,
+) -> str:
     """Newman modularity of the SOURCE partition over the LSH pair graph:
 
         Q = sum_c (e_c/m - (d_c/2m)^2) = (4m*sum e_c - sum d_c^2)/(4m^2)
@@ -157,15 +175,14 @@ def _modularity_sql(d: Dialect, table: str, pairs_rel: str | None = None) -> str
     from .dedup import _lsh_pairs_sql
 
     pairs = pairs_rel or f"({strip_order_by(_lsh_pairs_sql(d, table))})"
+    edges = (
+        f"SELECT * FROM {edges_rel}"
+        if edges_rel
+        else _modularity_edges_sql(d, table, pairs)
+    )
     return f"""
-WITH pairs AS (SELECT doc_a, doc_b FROM {pairs} pr),
-src AS (SELECT doc_id, source FROM {table}),
-edges AS (
-  SELECT sa.source AS src_a, sb.source AS src_b
-  FROM pairs p
-  JOIN src sa ON sa.doc_id = p.doc_a
-  JOIN src sb ON sb.doc_id = p.doc_b
-),
+WITH src AS (SELECT doc_id, source FROM {table}),
+edges AS ({edges}),
 m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
 within AS (
   SELECT src_a AS source, CAST(COUNT(*) AS BIGINT) AS e_c
@@ -221,14 +238,21 @@ ORDER BY ps.source
     tags=("dedup", "graph", "audit"),
 )
 def graph_modularity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import materialize_once
     from .dedup import _lsh_pairs_view
 
     view = _doc_view(spark, sf_dir)
-    return spark.sql(
-        _modularity_sql(
-            SPARK, view, pairs_rel=_lsh_pairs_view(spark, sf_dir)
-        )
+    # Materialize the source-labeled edge list once (guide §3.3): the
+    # m/within/deg re-aggregations expanded the pairs-join-src subtree
+    # into 32 static scans per statement.  One checkpoint -> one pass over
+    # the (bounded) pair set; the statement reads only the view.
+    edges = materialize_once(
+        spark,
+        _modularity_edges_sql(SPARK, view, _lsh_pairs_view(spark, sf_dir)),
+        "mod_edges",
+        key=sf_dir,
     )
+    return spark.sql(_modularity_sql(SPARK, view, edges_rel=edges))
 
 
 # --------------------------------------------------------------------------

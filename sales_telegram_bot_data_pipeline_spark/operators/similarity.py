@@ -1610,7 +1610,7 @@ def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the PQ encode pass once per call (guide §3.3): CTE
     # inlining re-ran the corpus x codebook argmin GROUP BY once per
     # subspace union leg — 18 executed embedding scans per statement.
-    codes = materialize_once(spark, _pq_codes_sql(SPARK, view), "pq_codes")
+    codes = materialize_once(spark, _pq_codes_sql(SPARK, view), "pq_codes", key=sf_dir)
     return spark.sql(_pq_sql(SPARK, view, codes_rel=f"SELECT * FROM {codes}"))
 
 

@@ -1444,7 +1444,15 @@ FROM ov GROUP BY widx, ws ORDER BY widx
 )
 def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    d0row = li.agg(F.min(F.to_date("l_shipdate")).alias("d0"))
+    # one scalar pass carries BOTH bounds: max over per-order max-shipdate
+    # IS the global max, so imax derives from the same broadcast row and
+    # the per-order span aggregate is planned once instead of twice
+    # (guide §2.4 — the second reference re-ran the full lineitem
+    # aggregate just to take its max)
+    d0row = li.agg(
+        F.min(F.to_date("l_shipdate")).alias("d0"),
+        F.max(F.to_date("l_shipdate")).alias("dmax"),
+    ).localCheckpoint()  # 1-row scalar, read by iv AND imax — one pass
     iv = (
         li.crossJoin(F.broadcast(d0row))
         .groupBy(F.col("l_orderkey").alias("okey"))
@@ -1453,8 +1461,8 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.max(F.to_date("l_shipdate")), F.first("d0")).alias("b"),
         )
     )
-    imax = iv.agg(
-        (F.max("b") / PROMO_STRIDE_DAYS).cast("int").alias("imax")
+    imax = d0row.select(
+        (F.datediff("dmax", "d0") / PROMO_STRIDE_DAYS).cast("int").alias("imax")
     )
     cand = (
         iv.crossJoin(F.broadcast(imax))

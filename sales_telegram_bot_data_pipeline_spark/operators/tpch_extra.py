@@ -57,20 +57,22 @@ def _rev() -> F.Column:
 # dim join (map-side combinable, one shuffle on (partkey, suppkey)); the
 # correlated MIN decorrelates to a per-part aggregate joined back.
 # ---------------------------------------------------------------------------
-_Q2_SQL = """
+_Q2_ELIGIBLE_SQL = """
 WITH supply AS (
   SELECT l_partkey AS partkey, l_suppkey AS suppkey,
          MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS supplycost
   FROM {lineitem} GROUP BY l_partkey, l_suppkey
-),
-eligible AS (
-  SELECT sp.partkey, sp.suppkey, sp.supplycost, s.s_name, s.s_acctbal, n.n_name
-  FROM supply sp
-  JOIN {supplier} s ON s.s_suppkey = sp.suppkey
-  JOIN {nation} n ON n.n_nationkey = s.s_nationkey
-  JOIN {region} r ON r.r_regionkey = n.n_regionkey
-  WHERE r.r_name = 'EUROPE'
 )
+SELECT sp.partkey, sp.suppkey, sp.supplycost, s.s_name, s.s_acctbal, n.n_name
+FROM supply sp
+JOIN {supplier} s ON s.s_suppkey = sp.suppkey
+JOIN {nation} n ON n.n_nationkey = s.s_nationkey
+JOIN {region} r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'EUROPE'
+"""
+
+_Q2_SQL = """
+WITH eligible AS ({eligible})
 SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_name,
        CAST(e.supplycost AS DOUBLE) AS supplycost
 FROM {part} p JOIN eligible e ON p.p_partkey = e.partkey
@@ -95,8 +97,11 @@ def _views(spark: SparkSession, sf_dir: str, tables: list[str]) -> dict[str, str
 @register(
     "q2_min_cost_supplier",
     oracle=_Q2_SQL.format(
-        lineitem="lineitem", supplier="supplier", nation="nation",
-        region="region", part="part",
+        eligible=_Q2_ELIGIBLE_SQL.format(
+            lineitem="lineitem", supplier="supplier", nation="nation",
+            region="region",
+        ),
+        part="part",
     ),
     doc="TPC-H Q2 shape: correlated scalar MIN subquery over an "
     "eligible-supplier relation referenced twice (Catalyst decorrelates "
@@ -105,8 +110,28 @@ def _views(spark: SparkSession, sf_dir: str, tables: list[str]) -> dict[str, str
     tags=("relational", "subquery", "tpch"),
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import materialize_once
+
     v = _views(spark, sf_dir, ["lineitem", "supplier", "nation", "region", "part"])
-    return spark.sql(_Q2_SQL.format(**v))
+    # Materialize the eligible (part, supplier, cost) relation once,
+    # pre-filtered to qualifying parts (guide §3.2/§3.3): the correlated
+    # scalar MIN referenced `eligible` twice, re-running the lineitem
+    # aggregate + 3-dim join per reference; the semi-filter on the
+    # selective part predicate shrinks the checkpoint at any scale and
+    # cannot change the result — both references are keyed on the
+    # filtered part set.  The oracle keeps the unfiltered two-reference
+    # form.
+    eligible = materialize_once(
+        spark,
+        _Q2_ELIGIBLE_SQL.format(**v)
+        + f""" AND sp.partkey IN (SELECT p_partkey FROM {v['part']}
+                        WHERE p_size <= 10 AND p_type = 'SMALL')""",
+        "q2_elig",
+        key=sf_dir,
+    )
+    return spark.sql(
+        _Q2_SQL.format(eligible=f"SELECT * FROM {eligible}", part=v["part"])
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -508,13 +533,20 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.sum(F.when(late, 1).otherwise(0)).alias("n_late_lines"))
     )
-    # per order: how many suppliers, how many of them were late
-    per_o = per_os.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supps"),
-        F.sum(F.when(F.col("n_late_lines") > 0, 1).otherwise(0)).alias("n_late_supps"),
-    )
+    # per order: how many suppliers, how many of them were late — as
+    # WINDOWS over the same relation instead of a groupBy + join-back,
+    # which planned per_os (and its lineitem-join-orders subtree) TWICE
+    # (guide §2.4: two operations keyed the same way share one exchange;
+    # the r13 apss window trick).  Exact integer counts either way.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey")
     waiting = (
-        per_os.join(per_o, "l_orderkey")
+        per_os.withColumn("n_supps", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "n_late_supps",
+            F.sum(F.when(F.col("n_late_lines") > 0, 1).otherwise(0)).over(w),
+        )
         .where(
             (F.col("n_late_lines") > 0)
             & (F.col("n_supps") > 1)

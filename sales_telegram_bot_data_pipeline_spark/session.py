@@ -53,7 +53,10 @@ def get_spark(
     return builder.getOrCreate()
 
 
-def materialize_once(spark: SparkSession, sql_text: str, tag: str) -> str:
+def materialize_once(
+    spark: SparkSession, sql_text: str, tag: str, key: str = "",
+    reliable: bool = False,
+) -> str:
     """Per-CALL localCheckpoint of a subquery, returned as a temp-view
     name (r13, guide §3.3).  Spark INLINES every multi-referenced CTE
     (InlineCTE has no materialization path), so a query whose CTE chain
@@ -63,9 +66,38 @@ def materialize_once(spark: SparkSession, sql_text: str, tag: str) -> str:
     truncates every reference to a leaf.  NOT a stored session view: the
     name is call-scoped and rebuilt on every invocation, so bench rows
     keep paying the build (no cross-run reuse; the stored-view policy and
-    its allowlist are unaffected)."""
-    name = f"sales_telegram_bot_data_pipeline_mat_{tag}"
-    spark.sql(sql_text).localCheckpoint().createOrReplaceTempView(name)
+    its allowlist are unaffected).
+
+    ``key`` (pass the sf_dir) namespaces the view name with a short md5,
+    the same discipline as every stored-view helper (ADVICE r13):
+    correctness never RELIES on the name (the checkpoint binds eagerly,
+    per call), but interleaved multi-sf sessions must not watch one
+    dataset's materialization appear under the other's name.
+
+    Scale note (VERDICT r13 item 7): ``localCheckpoint`` stores on
+    executors WITHOUT replication and truncates lineage, so a lost
+    executor fails the query instead of recomputing.  Every call site in
+    this repo materializes a BOUNDED relation (parameter grids, per-group
+    aggregates, banded pair sets — orders of magnitude below the corpus);
+    for corpus-sized shared relations pass ``reliable=True``, which uses
+    a RELIABLE ``checkpoint()`` (materialized to the checkpoint dir —
+    storage that survives executor loss) instead."""
+    import hashlib
+    import os
+    import tempfile
+
+    suffix = f"_{hashlib.md5(key.encode()).hexdigest()[:8]}" if key else ""
+    name = f"sales_telegram_bot_data_pipeline_mat_{tag}{suffix}"
+    df = spark.sql(sql_text)
+    if reliable:
+        if not spark.sparkContext.getCheckpointDir():
+            spark.sparkContext.setCheckpointDir(
+                os.path.join(tempfile.gettempdir(), "sales_telegram_bot_data_pipeline_ckpt")
+            )
+        df = df.checkpoint()
+    else:
+        df = df.localCheckpoint()
+    df.createOrReplaceTempView(name)
     return name
 
 
