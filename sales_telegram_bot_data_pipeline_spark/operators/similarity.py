@@ -476,7 +476,12 @@ def _units_sql(d: Dialect, table: str) -> str:
 
 
 def _kmeans_sql(
-    d: Dialect, table: str, units_rel: str | None = None, final: str = "centroids"
+    d: Dialect,
+    table: str,
+    units_rel: str | None = None,
+    final: str = "centroids",
+    vnorm_rel: str | None = None,
+    score_last_rel: str | None = None,
 ) -> str:
     """K-means over the embedding corpus: the frozen IVF pseudo-centroids
     are the init, then KMEANS_ITERS Lloyd rounds of (assign to nearest
@@ -505,26 +510,14 @@ def _kmeans_sql(
     mean_units = d.idiv(
         "(SUM(uval) + 1000000000 * COUNT(*) + 5 * COUNT(*))", "(10 * COUNT(*))"
     )
-    ctes = [
-        f"units AS ({units_rel or units})",
-        "vnorm AS (SELECT vec_id, SUM(uval * uval) AS vn FROM units GROUP BY vec_id)",
-        # init: the frozen pseudo-centroids' own units (scale differs from
-        # later means; cosine is scale-invariant so that is immaterial)
-        f"c0 AS (SELECT vec_id - {CENTROID_BASE} AS cid, pos, uval AS cmean FROM units "
-        f"WHERE vec_id >= {CENTROID_BASE} AND vec_id < {CENTROID_BASE + K_LISTS})",
-    ]
-    for i in range(1, KMEANS_ITERS + 1):
-        prev = f"c{i - 1}"
-        ctes.append(
-            f"""score{i} AS (
-  SELECT u.vec_id, c.cid,
-         SUM(u.uval * c.cmean) AS dot, SUM(c.cmean * c.cmean) AS cn
-  FROM units u JOIN {prev} c ON c.pos = u.pos
-  GROUP BY u.vec_id, c.cid
-)"""
-        )
-        ctes.append(
-            f"""assign{i} AS (
+    vnorm_body = (
+        f"SELECT vec_id, vn FROM {vnorm_rel}"
+        if vnorm_rel
+        else "SELECT vec_id, SUM(uval * uval) AS vn FROM units GROUP BY vec_id"
+    )
+
+    def assign_cte(i: int) -> str:
+        return f"""assign{i} AS (
   SELECT vec_id, {best} AS ncid FROM (
     SELECT s.vec_id,
            ROUND(CAST(s.dot AS DOUBLE) / (SQRT(CAST(s.cn AS DOUBLE)) * SQRT(CAST(v.vn AS DOUBLE))), 6) AS cos,
@@ -532,15 +525,58 @@ def _kmeans_sql(
     FROM score{i} s JOIN vnorm v ON v.vec_id = s.vec_id
   ) t GROUP BY vec_id
 )"""
-        )
-        ctes.append(
-            f"""c{i} AS (
+
+    def mean_cte(i: int) -> str:
+        return f"""c{i} AS (
   SELECT -a.ncid AS cid, u.pos, ({mean_units} - 100000000) AS cmean
   FROM assign{i} a JOIN units u ON u.vec_id = a.vec_id
   GROUP BY a.ncid, u.pos
 )"""
-        )
+
     last = KMEANS_ITERS
+    if score_last_rel is not None:
+        # the Lloyd chain was materialized once by the caller (guide §3.3:
+        # the silhouette/centroid tails reference score/assign{last}
+        # 2-5x, and CTE inlining re-ran the WHOLE unrolled chain per
+        # reference — 76 static Exchanges in one statement); pick up from
+        # the checkpointed last-round scores
+        ctes = []
+        if vnorm_rel is None or final == "centroids":
+            ctes.append(f"units AS ({units_rel or units})")
+        ctes += [
+            f"vnorm AS ({vnorm_body})",
+            f"score{last} AS (SELECT vec_id, cid, dot, cn FROM {score_last_rel})",
+            assign_cte(last),
+        ]
+        if final == "centroids":
+            ctes.append(mean_cte(last))
+    else:
+        ctes = [
+            f"units AS ({units_rel or units})",
+            f"vnorm AS ({vnorm_body})",
+            # init: the frozen pseudo-centroids' own units (scale differs from
+            # later means; cosine is scale-invariant so that is immaterial)
+            f"c0 AS (SELECT vec_id - {CENTROID_BASE} AS cid, pos, uval AS cmean FROM units "
+            f"WHERE vec_id >= {CENTROID_BASE} AND vec_id < {CENTROID_BASE + K_LISTS})",
+        ]
+        for i in range(1, KMEANS_ITERS + 1):
+            prev = f"c{i - 1}"
+            ctes.append(
+                f"""score{i} AS (
+  SELECT u.vec_id, c.cid,
+         SUM(u.uval * c.cmean) AS dot, SUM(c.cmean * c.cmean) AS cn
+  FROM units u JOIN {prev} c ON c.pos = u.pos
+  GROUP BY u.vec_id, c.cid
+)"""
+            )
+            ctes.append(assign_cte(i))
+            ctes.append(mean_cte(i))
+    if final == "score_last":
+        # build mode for the Spark side's one-shot chain materialization
+        return f"""
+WITH {','.join(ctes)}
+SELECT vec_id, cid, dot, cn FROM score{last}
+"""
     if final == "silhouette":
         # centroid-margin separation from the LAST round's relations (all
         # already in CTE scope — no second Lloyd chain): per vector, cosine
@@ -608,15 +644,35 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recomputation (2 references per Lloyd round, plus vnorm and the init
     # slice).  Materialize it once: Catalyst inlines CTEs, and with the
     # CTE chain growing per iteration the re-derived explode dominates.
+    # vnorm and the last-round score relation likewise materialize once
+    # (guide §3.3): vnorm re-aggregated units per iteration, and the
+    # centroid tail's two assign{last} references re-ran the WHOLE chain
+    # (38 static Exchanges per statement).
+    from ..session import materialize_once
+
     view = _emb_view(spark, sf_dir)
-    spark.sql(_units_sql(SPARK, view)).localCheckpoint().createOrReplaceTempView(
-        "sales_telegram_bot_data_pipeline_kmeans_units"
+    units_rel = "SELECT vec_id, pos, uval FROM " + materialize_once(
+        spark, _units_sql(SPARK, view), "kmeans_units", key=sf_dir
+    )
+    vnorm = materialize_once(
+        spark,
+        f"SELECT vec_id, SUM(uval * uval) AS vn FROM ({units_rel}) u GROUP BY vec_id",
+        "kmeans_vnorm",
+        key=sf_dir,
+    )
+    score_last = materialize_once(
+        spark,
+        _kmeans_sql(SPARK, view, units_rel=units_rel, vnorm_rel=vnorm, final="score_last"),
+        "kmeans_score",
+        key=sf_dir,
     )
     return spark.sql(
         _kmeans_sql(
             SPARK,
             view,
-            units_rel="SELECT vec_id, pos, uval FROM sales_telegram_bot_data_pipeline_kmeans_units",
+            units_rel=units_rel,
+            vnorm_rel=vnorm,
+            score_last_rel=score_last,
         )
     )
 
@@ -636,15 +692,36 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "clustering", "audit"),
 )
 def kmeans_separation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same per-call materialization ladder as kmeans_lloyd (guide §3.3):
+    # the silhouette tail references score{last} 3x and assign{last} 3x
+    # (via lab/cos6/own/other/margin), and CTE inlining re-ran the whole
+    # unrolled Lloyd chain per reference — 76 static Exchanges for one
+    # statement.
+    from ..session import materialize_once
+
     view = _emb_view(spark, sf_dir)
-    spark.sql(_units_sql(SPARK, view)).localCheckpoint().createOrReplaceTempView(
-        "sales_telegram_bot_data_pipeline_sil_units"
+    units_rel = "SELECT vec_id, pos, uval FROM " + materialize_once(
+        spark, _units_sql(SPARK, view), "sil_units", key=sf_dir
+    )
+    vnorm = materialize_once(
+        spark,
+        f"SELECT vec_id, SUM(uval * uval) AS vn FROM ({units_rel}) u GROUP BY vec_id",
+        "sil_vnorm",
+        key=sf_dir,
+    )
+    score_last = materialize_once(
+        spark,
+        _kmeans_sql(SPARK, view, units_rel=units_rel, vnorm_rel=vnorm, final="score_last"),
+        "sil_score",
+        key=sf_dir,
     )
     return spark.sql(
         _kmeans_sql(
             SPARK,
             view,
-            units_rel="SELECT vec_id, pos, uval FROM sales_telegram_bot_data_pipeline_sil_units",
+            units_rel=units_rel,
+            vnorm_rel=vnorm,
+            score_last_rel=score_last,
             final="silhouette",
         )
     )
@@ -1120,8 +1197,25 @@ JOIN (SELECT vec_id, sqrt({_dots(d, "embedding", "embedding")}) AS nrm FROM {emb
 """
 
 
+def _bitext_cross_sql(d: Dialect, emb_table: str, docs_table: str,
+                      pairs_rel: str | None = None) -> str:
+    """The cross-language scored candidate pairs — the shared head of the
+    neighborhood aggregates and the margin projection."""
+    scored = pairs_rel or _bitext_scored_sql(d, emb_table)
+    return f"""
+  WITH scored AS ({scored}),
+  langs AS (SELECT doc_id, lang FROM {docs_table})
+  SELECT s.vec_a, s.vec_b, s.cos_units
+  FROM scored s
+  JOIN langs la ON la.doc_id = s.vec_a
+  JOIN langs lb ON lb.doc_id = s.vec_b
+  WHERE la.lang <> lb.lang
+"""
+
+
 def _bitext_mining_sql(d: Dialect, emb_table: str, docs_table: str,
-                       pairs_rel: str | None = None) -> str:
+                       pairs_rel: str | None = None,
+                       cross_rel: str | None = None) -> str:
     """Parallel-corpus mining with the MARGIN criterion (Artetxe & Schwenk
     2019): a cross-lingual pair is kept when its cosine stands out from
     each side's k-NN neighborhood — margin = cos(x,y) / ((mean_x +
@@ -1138,19 +1232,17 @@ def _bitext_mining_sql(d: Dialect, emb_table: str, docs_table: str,
     double division of exact-integer products (all < 2^53), FLOOR-
     quantized — no double accumulation anywhere.
 
-    ``pairs_rel`` overrides the scored-pair CTE (Spark materializes it —
-    it feeds both neighborhood aggregates and the final projection)."""
-    scored = pairs_rel or _bitext_scored_sql(d, emb_table)
+    ``pairs_rel`` overrides the scored-pair CTE; ``cross_rel`` overrides
+    the whole cross-language filtered relation (Spark materializes THAT —
+    sym references it twice and margins once, so the scored-join-langs
+    subtree re-ran 3x per statement, 20 static scans)."""
+    cross = (
+        f"SELECT vec_a, vec_b, cos_units FROM {cross_rel}"
+        if cross_rel
+        else _bitext_cross_sql(d, emb_table, docs_table, pairs_rel=pairs_rel)
+    )
     return f"""
-WITH scored AS ({scored}),
-langs AS (SELECT doc_id, lang FROM {docs_table}),
-cross_lang AS (
-  SELECT s.vec_a, s.vec_b, s.cos_units
-  FROM scored s
-  JOIN langs la ON la.doc_id = s.vec_a
-  JOIN langs lb ON lb.doc_id = s.vec_b
-  WHERE la.lang <> lb.lang
-),
+WITH cross_lang AS ({cross}),
 -- each NODE's neighborhood is its candidate set regardless of which side
 -- of the canonical (a<b) pair it sits on — a side-specific GROUP BY
 -- (vec_a only / vec_b only) halves the neighborhood and starves nodes that
@@ -1211,18 +1303,25 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "sales_telegram_bot_data_pipeline_bitext_docs"
     )
-    # materialize the scored pair relation once: it feeds BOTH neighborhood
-    # aggregates and the final projection (inline CTE would re-run the
-    # banded join + cosine three times)
-    spark.sql(_bitext_scored_sql(SPARK, emb)).localCheckpoint().createOrReplaceTempView(
-        "sales_telegram_bot_data_pipeline_bitext_scored"
+    # materialize the cross-language scored pair relation once (guide
+    # §3.3): it feeds BOTH neighborhood aggregates and the final margin
+    # projection, and the old scored-only checkpoint still re-joined the
+    # language table per reference (20 static scans per statement).  The
+    # banded join + cosine + lang filter now execute exactly once.
+    from ..session import materialize_once
+
+    cross = materialize_once(
+        spark,
+        _bitext_cross_sql(SPARK, emb, "sales_telegram_bot_data_pipeline_bitext_docs"),
+        "bitext_cross",
+        key=sf_dir,
     )
     return spark.sql(
         _bitext_mining_sql(
             SPARK,
             emb,
             "sales_telegram_bot_data_pipeline_bitext_docs",
-            pairs_rel="SELECT * FROM sales_telegram_bot_data_pipeline_bitext_scored",
+            cross_rel=cross,
         )
     )
 
