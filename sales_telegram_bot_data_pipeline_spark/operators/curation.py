@@ -2114,7 +2114,10 @@ NEG_K = 4  # negatives per positive
 NEG_ORDER_MOD = 50  # sampled positive subset keeps the plan oracle-sized
 
 
-def _neg_sample_sql(d: Dialect, lineitem: str, orders: str, part: str) -> str:
+def _neg_sample_sql(
+    d: Dialect, lineitem: str, orders: str, part: str,
+    pairs_rel: str | None = None,
+) -> str:
     h = d.md5_prefix_int(
         f"('neg|' || {d.strcast('o_custkey')} || '|' || "
         f"{d.strcast('l_partkey')} || '|' || {d.strcast('i')})"
@@ -2125,11 +2128,21 @@ def _neg_sample_sql(d: Dialect, lineitem: str, orders: str, part: str) -> str:
     else:
         expl = ""
         unnest_sel = f", unnest(generate_series(1, {NEG_K})) AS i"
-    pos_from = (
-        f"SELECT DISTINCT o.o_custkey, l.l_partkey FROM {lineitem} l "
-        f"JOIN {orders} o ON o.o_orderkey = l.l_orderkey "
-        f"WHERE o.o_orderkey % {NEG_ORDER_MOD} = 0"
-    )
+    if pairs_rel:
+        pos_from = (
+            f"SELECT o_custkey, l_partkey FROM {pairs_rel} WHERE in_pos = 1"
+        )
+        allpos_from = f"SELECT o_custkey, l_partkey FROM {pairs_rel}"
+    else:
+        pos_from = (
+            f"SELECT DISTINCT o.o_custkey, l.l_partkey FROM {lineitem} l "
+            f"JOIN {orders} o ON o.o_orderkey = l.l_orderkey "
+            f"WHERE o.o_orderkey % {NEG_ORDER_MOD} = 0"
+        )
+        allpos_from = (
+            f"SELECT DISTINCT o.o_custkey, l.l_partkey "
+            f"FROM {lineitem} l JOIN {orders} o ON o.o_orderkey = l.l_orderkey"
+        )
     if d.name == "spark":
         cand_src = f"SELECT o_custkey, l_partkey, i FROM pos {expl}"
     else:
@@ -2142,8 +2155,7 @@ cand AS (
          CAST(({h}) % m.max_pk + 1 AS BIGINT) AS neg_partkey
   FROM ({cand_src}) c CROSS JOIN mx m
 ),
-allpos AS (SELECT DISTINCT o.o_custkey, l.l_partkey
-           FROM {lineitem} l JOIN {orders} o ON o.o_orderkey = l.l_orderkey)
+allpos AS ({allpos_from})
 SELECT c.o_custkey, c.pos_partkey, c.neg_idx, c.neg_partkey
 FROM cand c
 LEFT JOIN allpos a
@@ -2167,6 +2179,10 @@ ORDER BY c.o_custkey, c.pos_partkey, c.neg_idx
     tags=("curation", "sampling", "training"),
 )
 def negative_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Examined r14 and kept the two-relation form: fusing pos/allpos into
+    # one tagged grouped pass + checkpoint measured SLOWER (1.95 -> 2.62 s
+    # same host) — the saved join is the CHEAP filtered one, while the
+    # checkpoint materializes the large unfiltered pair set.
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("sales_telegram_bot_data_pipeline_neg_l")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("sales_telegram_bot_data_pipeline_neg_o")
     load_table(spark, sf_dir, "part").createOrReplaceTempView("sales_telegram_bot_data_pipeline_neg_p")

@@ -2570,7 +2570,13 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # clustering coefficient over the near-dup graph
 # --------------------------------------------------------------------------
-def _clustering_coeff_sql(d: Dialect, table: str, pairs_rel: str | None = None) -> str:
+def _clustering_coeff_sql(
+    d: Dialect,
+    table: str,
+    pairs_rel: str | None = None,
+    deg_rel: str | None = None,
+    tcount_rel: str | None = None,
+) -> str:
     """Local clustering coefficient per node + global transitivity over the
     canonical (a<b) near-dup edge list — the density summary beside
     triangle counts (raw cliques), CC (reachability) and PageRank
@@ -2584,27 +2590,37 @@ def _clustering_coeff_sql(d: Dialect, table: str, pairs_rel: str | None = None) 
     from .similarity import _neardup_banded_sql
 
     pairs = pairs_rel or strip_order_by(_neardup_banded_sql(d, table))
-    return f"""
-WITH pairs AS ({pairs}),
-e AS (SELECT vec_a AS a, vec_b AS b FROM pairs),
-deg AS (
+    deg = (
+        f"SELECT node, degree FROM {deg_rel}"
+        if deg_rel
+        else """
   SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
     SELECT a AS node FROM e UNION ALL SELECT b FROM e
   ) m GROUP BY node
-),
+"""
+    )
+    tcount = (
+        f"SELECT node, n_triangles FROM {tcount_rel}"
+        if tcount_rel
+        else """
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) m GROUP BY node
+"""
+    )
+    return f"""
+WITH pairs AS ({pairs}),
+e AS (SELECT vec_a AS a, vec_b AS b FROM pairs),
+deg AS ({deg}),
 tri AS (
   SELECT e1.a, e1.b, e2.b AS c
   FROM e e1
   JOIN e e2 ON e2.a = e1.b
   JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
 ),
-tcount AS (
-  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
-    SELECT a AS node FROM tri
-    UNION ALL SELECT b FROM tri
-    UNION ALL SELECT c FROM tri
-  ) m GROUP BY node
-),
+tcount AS ({tcount}),
 tot AS (
   SELECT CAST(COALESCE((SELECT SUM(n_triangles) FROM tcount), 0) AS BIGINT)
            AS tri3,
@@ -2638,15 +2654,54 @@ ORDER BY vec_id
     tags=("dedup", "graph", "join"),
 )
 def clustering_coefficient_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import materialize_once
     from .similarity import _emb_view, _neardup_pairs_view
 
     view = _emb_view(spark, sf_dir)
     spark.table(_neardup_pairs_view(spark, sf_dir)).createOrReplaceTempView(
         "sales_telegram_bot_data_pipeline_cc_pairs"
     )
+    # Materialize the per-node degree and triangle-count aggregates once
+    # (guide §3.3): tot + the final projection re-ran the 3-way wedge
+    # join and the symmetric degree union per reference — 62 static
+    # Exchanges in one statement.  The bodies mirror the builder's
+    # default CTEs; the oracle runs the single-statement form, so any
+    # drift between the two fails the value compare.
+    e = "SELECT vec_a AS a, vec_b AS b FROM sales_telegram_bot_data_pipeline_cc_pairs"
+    deg = materialize_once(
+        spark,
+        f"SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM ("
+        f"  SELECT a AS node FROM ({e}) e1 UNION ALL SELECT b FROM ({e}) e2"
+        f") m GROUP BY node",
+        "ccoef_deg",
+        key=sf_dir,
+    )
+    tcount = materialize_once(
+        spark,
+        f"""
+WITH e AS ({e}),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+) m GROUP BY node
+""",
+        "ccoef_tc",
+        key=sf_dir,
+    )
     return spark.sql(
         _clustering_coeff_sql(
-            SPARK, view, pairs_rel="SELECT * FROM sales_telegram_bot_data_pipeline_cc_pairs"
+            SPARK,
+            view,
+            pairs_rel="SELECT * FROM sales_telegram_bot_data_pipeline_cc_pairs",
+            deg_rel=deg,
+            tcount_rel=tcount,
         )
     )
 

@@ -371,15 +371,28 @@ except ImportError:  # pragma: no cover
 # join_cardinality_sketch_audit, split_distribution_drift, graph_bfs_hops).
 # Parked round-13: the 20 round-12 swap-ins (driver-green r12) — their
 # families keep cover per the round-12 notes below.
-# Round-14 rotation candidates (never windowed, oldest families first from
-# the backlog below): misra_gries_topk, revenue_trend_ols,
-# kmeans_separation_audit, scd2_build_from_events, k_anonymity_audit,
-# ab_conversion_ztest, revenue_concentration_audit,
-# growth_accounting_weekly, time_weighted_average_value,
-# quality_gate_agreement_kappa, band_join_price_neighbors,
-# epoch_shuffle_plan, file_compaction_plan, t_closeness_audit,
-# control_chart_anomalies, asof_join_forward, multitouch_attribution_credit,
-# activity_heatmap_dow_hour, unpivot_doc_metrics, negative_sampling_plan.
+# Round-14 rotation history — in (all 20 never previously windowed; the
+# round-14 candidate list below, landed per VERDICT r13 task 6):
+# misra_gries_topk, revenue_trend_ols, kmeans_separation_audit,
+# scd2_build_from_events, k_anonymity_audit, ab_conversion_ztest,
+# revenue_concentration_audit, growth_accounting_weekly,
+# time_weighted_average_value, quality_gate_agreement_kappa,
+# band_join_price_neighbors, epoch_shuffle_plan, file_compaction_plan,
+# t_closeness_audit, control_chart_anomalies, asof_join_forward,
+# multitouch_attribution_credit, activity_heatmap_dow_hour,
+# unpivot_doc_metrics, negative_sampling_plan.  Parked round-14: the 20
+# round-13 swap-ins (driver-green r13; family cover in the window-list
+# comment below).
+# Round-15 rotation candidates (never windowed, oldest families first
+# from the backlog below): span_corruption_plan,
+# rendezvous_shard_stability, welch_ttest_sources, skyline_pareto_docs,
+# padding_waste_audit, stratified_kfold_plan, ppmi_window_cooccurrence,
+# retention_vacuum_plan, interval_overlap_join,
+# quantile_transform_uniformity, langid_eval_confusion,
+# vocab_novelty_by_source, churn_label_features, poisson_bootstrap_ci,
+# clustering_coefficient_neardup, markov_stationary_distribution,
+# anova_sources_doclen, psi_split_drift, acf_daily_revenue,
+# vocab_coverage_curve.
 # Round-11 rotation candidates at the time (historical): source_quality_ranksum,
 # cluster_balanced_sample, score_decile_lift,
 # join_cardinality_sketch_audit, split_distribution_drift, graph_bfs_hops,
@@ -511,34 +524,53 @@ _DRIVER_WINDOW = [
     "lateral_topk_orders",
     # round-6 swap-in retained (sketch family's only driver row)
     "countmin_heavy_hitters",
-    # round-13 rotation swap-ins (see policy comment above): the 14-name
-    # round-12 verdict priority list (the remaining round-10 families'
-    # first driver exposure) plus the 6 OLDEST never-windowed backlog
-    # names (round-6/7-era families: quality ranking, cluster-balanced
-    # sampling, lift curves, join-cardinality sketches, split drift, BFS).
-    # All 20 pre-verified vs DuckDB at sf0.01 before landing.  Parked:
-    # the 20 round-12 swap-ins (driver-green r12; families keep cover —
-    # see inline notes above).
-    "theil_inequality_decomposition",
-    "granger_lag_causality",
-    "ljung_box_whiteness",
-    "degree_assortativity",
-    "query_likelihood_dirichlet",
-    "mrr_retrieval_eval",
-    "curriculum_schedule_plan",
-    "cramers_v_bias_corrected",
-    "loso_source_influence",
-    "beta_binomial_shrinkage",
-    "hodges_lehmann_shift",
-    "cochran_armitage_trend",
-    "mantel_haenszel_or",
-    "binary_segmentation_split",
-    "source_quality_ranksum",
-    "cluster_balanced_sample",
-    "score_decile_lift",
-    "join_cardinality_sketch_audit",
-    "split_distribution_drift",
-    "graph_bfs_hops",
+    # round-14 rotation swap-ins (VERDICT r13 task 6): the 20 oldest
+    # never-windowed names from the round-14 candidate list — round-6/7-era
+    # families getting their first driver exposure (sketch top-k, trend
+    # OLS, Lloyd separation audit, SCD2 build, privacy pair, A/B z-test,
+    # concentration/growth accounting, time-weighted averages, rater
+    # agreement, band join, epoch/file layout plans, SPC charts, as-of
+    # forward join, attribution, heatmap, unpivot, negative sampling).
+    # All 20 pre-verified vs DuckDB at sf0.01 AND sf0.1 before landing
+    # (LOCAL_CORRECTNESS_r14*.json).  Parked: the 20 round-13 swap-ins
+    # (driver-green in CORRECTNESS_r13.json = standing cover); family
+    # cover for the parked set — inequality: revenue_concentration_audit
+    # in (Gini beside parked Theil); series diagnostics / changepoints:
+    # control_chart_anomalies + revenue_trend_ols in (beside parked
+    # granger/ljung_box/binary_segmentation); curriculum/ordering plans:
+    # epoch_shuffle_plan in (beside parked curriculum_schedule_plan);
+    # association/agreement: quality_gate_agreement_kappa in (beside
+    # parked cramers_v); testing: ab_conversion_ztest in (beside parked
+    # cochran_armitage/mantel_haenszel); clustering/sampling:
+    # kmeans_separation_audit in (beside parked cluster_balanced_sample);
+    # sketches: countmin_heavy_hitters stays (beside parked
+    # join_cardinality_sketch_audit); retrieval eval: bm25_topk_search
+    # stays (beside parked query_likelihood/mrr); splits:
+    # dataset_hash_split stays (beside parked split_distribution_drift);
+    # graph: curation_pipeline_end2end's gate->LSH->CC chain stays
+    # (beside parked degree_assortativity/graph_bfs_hops); quality/
+    # valuation: text_quality_stats stays (beside parked
+    # loso_source_influence/source_quality_ranksum).
+    "misra_gries_topk",
+    "revenue_trend_ols",
+    "kmeans_separation_audit",
+    "scd2_build_from_events",
+    "k_anonymity_audit",
+    "ab_conversion_ztest",
+    "revenue_concentration_audit",
+    "growth_accounting_weekly",
+    "time_weighted_average_value",
+    "quality_gate_agreement_kappa",
+    "band_join_price_neighbors",
+    "epoch_shuffle_plan",
+    "file_compaction_plan",
+    "t_closeness_audit",
+    "control_chart_anomalies",
+    "asof_join_forward",
+    "multitouch_attribution_credit",
+    "activity_heatmap_dow_hour",
+    "unpivot_doc_metrics",
+    "negative_sampling_plan",
 ]
 
 

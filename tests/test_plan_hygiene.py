@@ -168,6 +168,16 @@ _ONE_ROW_BNLJ_OK = {
     "join_cardinality_sketch_audit",  # one-row exact-join-size scalar
     #   beside the fixed sketch-grid axes
     "split_distribution_drift",  # 5x one-row per-split total scalars
+    # round-14 swap-ins (first driver-window exposure) — plan audit at
+    # this rotation (executed adaptive plans, sf0.001): 17 of the 20 are
+    # BNLJ-free; the three below carry only bounded Cross BuildRight
+    # sides:
+    "t_closeness_audit",  # 5-row market-segment axis + one-row
+    #   corpus-total scalar (the group x segment grid the docstring
+    #   documents as a bounded broadcast)
+    "activity_heatmap_dow_hour",  # one-row grand-total scalar beside
+    #   the fixed 168-cell (dow x hour) grid
+    "negative_sampling_plan",  # one-row MAX(p_partkey) domain scalar
 }
 
 # mapInPandas / pandas-UDF operators: Python stages are their design.
@@ -204,9 +214,10 @@ _UNPARTITIONED_WINDOW_OK = {
     "DRIFT_BUCKETS equi-width grid (fixed bucket count)",
     "window_distribution_ranks": "input filtered to o_custkey < 30 — a "
     "fixed key subset, O(orders of 30 customers) rows by construction",
-    "isotonic_calibration_bins": "prefix-sum window runs on the aggregated "
-    f"K-bin relation (fixed ISO_BINS=10 rows); the corpus itself is "
-    "touched once by the binning groupBy",
+    # isotonic_calibration_bins: its K-bin prefix-sum window (fixed
+    # ISO_BINS=10 rows) moved into the r14 materialize_once build — the
+    # main statement no longer plans an unpartitioned window, so the
+    # entry would be stale cover (this test enforces removal)
     "bh_fdr_source_audit": "rank / COUNT(*) / step-up MAX windows all run "
     "on the aggregated per-source relation — O(|sources|) rows (~20); the "
     "corpus collapses in one map-side-combinable groupBy first",
