@@ -1690,15 +1690,24 @@ ORDER BY contained_doc, container_doc
     tags=("dedup", "join", "text"),
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import materialize_once
+
     view = _containment_corpus(SPARK, _doc_view(spark, sf_dir))
     # Shingling is doc-local, so the md5-subset corpus's shingles are
     # EXACTLY the stored shingle table filtered by the same doc_id
     # predicate — production filters the written shingle table rather
     # than re-exploding the subset (the curation_pipeline_v2 move).
+    # The filtered subset materializes once per call (r14, guide §3.3):
+    # the statement references `shingles` five times (sdf, idx, counts,
+    # and both refine sides), and each reference re-filtered — and
+    # re-md5-hashed every doc_id of — the full stored shingle relation.
     sub = f"{SPARK.md5_prefix_int(SPARK.strcast('doc_id'))} % {CNT_SUBSET_MOD} = 0"
-    rel = (
+    rel = "SELECT doc_id, sh FROM " + materialize_once(
+        spark,
         f"SELECT doc_id, sh FROM ({_shingles_session_rel(spark, sf_dir)}) ss "
-        f"WHERE {sub}"
+        f"WHERE {sub}",
+        "cnt_shingles",
+        key=sf_dir,
     )
     return spark.sql(_containment_sql(SPARK, view, shingles_rel=rel))
 
@@ -2385,13 +2394,14 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         # degenerates (r13, same argument as the CC round-1 shortcut):
         # both survivor joins are total against that set — by symmetry
         # every src and every dst is in it — leaving one map-side-
-        # combining degree count.  The materialized initial-survivor
-        # checkpoint is gone; its count (the round-1 convergence
-        # reference) is one bounded count action over the checkpointed
-        # edges.
-        n_prev = (
-            edges.selectExpr("src AS node").distinct().count()
-        )
+        # combining degree count.  The round-1 convergence reference
+        # |distinct src| rides THAT aggregation as an Observation on its
+        # PRE-filter rows (one row per node before the deg >= K cut), so
+        # the former standalone distinct().count() action is gone
+        # (ADVICE r13; distinct aggregates are not observable, a
+        # pre-filter COUNT(*) is).
+        n_prev = None
+        obs_n0 = Observation()
         surv = None
         converged = False
         peels_left = KCORE_ROUNDS
@@ -2401,6 +2411,7 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 p1 = (
                     edges.groupBy(F.col("src").alias("node"))
                     .agg(F.count(F.lit(1)).alias("deg"))
+                    .observe(obs_n0, F.count(F.lit(1)).alias("n0"))
                     .where(F.col("deg") >= KCORE_K)
                     .select("node")
                 )
@@ -2413,6 +2424,8 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint()
             )
             n_now = obs.get["n"] or 0
+            if n_prev is None:
+                n_prev = obs_n0.get["n0"] or 0
             surv = nxt
             peels_left -= step
             if n_now == n_prev:

@@ -674,6 +674,59 @@ def _rank_partitions(spark: SparkSession) -> int:
         return 8
 
 
+def _range_parted(spark: SparkSession, df: DataFrame, cols) -> DataFrame:
+    """Shared head of the rank/prefix-sum primitives: range-partition on
+    the ordering key, checkpoint so the offset job and the window job see
+    identical partition assignments, tag rows with the partition id."""
+    nparts = _rank_partitions(spark)
+    return (
+        df.repartitionByRange(nparts, *cols)
+        .localCheckpoint(eager=False)
+        .withColumn("pid", F.spark_partition_id())
+    )
+
+
+def _partition_sums(frame: DataFrame, col: str) -> dict:
+    """One BIGINT sum per partition (bounded collect).  A partition whose
+    values are all NULL sums to NULL — coalesced to 0 here so the offset
+    accumulation never adds None (ADVICE r13: the non-null contract on
+    derived summands was implicit)."""
+    return {
+        r["pid"]: (r["s"] if r["s"] is not None else 0)
+        for r in frame.groupBy("pid")
+        .agg(F.sum(F.col(col).cast("bigint")).alias("s"))
+        .collect()
+    }
+
+
+def _offset_map_col(sums: dict) -> "F.Column":
+    """Cumulative per-partition offsets as a broadcastable map literal."""
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+    return F.create_map(
+        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+    )
+
+
+def _prefix_col(frame: DataFrame, cols, col: str, sums: dict, out: str) -> DataFrame:
+    """Exclusive prefix sum of ``col`` in ``cols`` order = per-partition
+    running sum (window partitioned by pid) + the partition offset."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return frame.withColumn(
+        out,
+        F.coalesce(F.sum(F.col(col).cast("bigint")).over(w), F.lit(0).cast("bigint"))
+        + F.element_at(_offset_map_col(sums), F.col("pid")),
+    )
+
+
 def range_ranked(spark: SparkSession, df: DataFrame, cols: list[str]):
     """Exact global 1-based rank over ``cols`` WITHOUT a single-partition
     sort — the distributed-ORDER-BY technique:
@@ -693,12 +746,7 @@ def range_ranked(spark: SparkSession, df: DataFrame, cols: list[str]):
     columns plus BIGINT ``r``; ``(None, 0)`` on empty input."""
     from pyspark.sql.window import Window
 
-    nparts = _rank_partitions(spark)
-    parted = (
-        df.repartitionByRange(nparts, *cols)
-        .localCheckpoint(eager=False)
-        .withColumn("pid", F.spark_partition_id())
-    )
+    parted = _range_parted(spark, df, cols)
     pcounts = {
         r["pid"]: r["n"]
         for r in parted.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -706,16 +754,11 @@ def range_ranked(spark: SparkSession, df: DataFrame, cols: list[str]):
     n_total = sum(pcounts.values())
     if n_total == 0:
         return None, 0
-    offsets, acc = {}, 0
-    for pid in sorted(pcounts):
-        offsets[pid] = acc
-        acc += pcounts[pid]
-    off_map = F.create_map(
-        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
-    )
     w = Window.partitionBy("pid").orderBy(*cols)
     ranked = parted.withColumn(
-        "r", F.row_number().over(w).cast("bigint") + F.element_at(off_map, F.col("pid"))
+        "r",
+        F.row_number().over(w).cast("bigint")
+        + F.element_at(_offset_map_col(pcounts), F.col("pid")),
     ).drop("pid")
     return ranked, n_total
 
@@ -736,40 +779,12 @@ def range_prefix_summed(spark: SparkSession, df: DataFrame, cols: list[str], sum
     ``cols`` order (ties impossible by contract: ``cols`` must be a key of
     ``df`` — e.g. the distinct-value relation of a CDF/rank computation).
     ``(None, 0)`` on empty input."""
-    from pyspark.sql.window import Window
-
-    nparts = _rank_partitions(spark)
-    parted = (
-        df.repartitionByRange(nparts, *cols)
-        .localCheckpoint(eager=False)
-        .withColumn("pid", F.spark_partition_id())
-    )
-    psums = {
-        r["pid"]: r["s"]
-        for r in parted.groupBy("pid")
-        .agg(F.sum(F.col(sum_col).cast("bigint")).alias("s"))
-        .collect()
-    }
+    parted = _range_parted(spark, df, cols)
+    psums = _partition_sums(parted, sum_col)
     if not psums:
         return None, 0
     grand_total = sum(psums.values())
-    offsets, acc = {}, 0
-    for pid in sorted(psums):
-        offsets[pid] = acc
-        acc += psums[pid]
-    off_map = F.create_map(
-        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
-    )
-    w = (
-        Window.partitionBy("pid")
-        .orderBy(*cols)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    out = parted.withColumn(
-        "cum_before",
-        F.coalesce(F.sum(F.col(sum_col).cast("bigint")).over(w), F.lit(0).cast("bigint"))
-        + F.element_at(off_map, F.col("pid")),
-    ).drop("pid")
+    out = _prefix_col(parted, cols, sum_col, psums, "cum_before").drop("pid")
     return out, grand_total
 
 
@@ -785,57 +800,21 @@ def range_prefix_summed_pair(spark: SparkSession, df: DataFrame, cols, sum_col: 
     repartitionByRange sampling job, checkpoint, or intermediate pin —
     the survival-curve pair (at-risk counts, then per-step increments)
     previously paid the full primitive twice plus a localCheckpoint
-    between.  Returns ``(frame2 + cum_before2, grand_total)``;
-    ``(None, 0)`` on empty input."""
-    from pyspark.sql.window import Window
-
-    nparts = _rank_partitions(spark)
-    parted = (
-        df.repartitionByRange(nparts, *cols)
-        .localCheckpoint(eager=False)
-        .withColumn("pid", F.spark_partition_id())
-    )
-    psums = {
-        r["pid"]: r["s"]
-        for r in parted.groupBy("pid")
-        .agg(F.sum(F.col(sum_col).cast("bigint")).alias("s"))
-        .collect()
-    }
+    between.  Shares the partition/offset machinery with
+    :func:`range_prefix_summed` (ADVICE r13: the ~40 duplicated lines
+    are now the `_range_parted`/`_partition_sums`/`_prefix_col`
+    helpers, and all-NULL partition sums coalesce to 0).  Returns
+    ``(frame2 + cum_before2, grand_total)``; ``(None, 0)`` on empty
+    input."""
+    parted = _range_parted(spark, df, cols)
+    psums = _partition_sums(parted, sum_col)
     if not psums:
         return None, 0
     grand_total = sum(psums.values())
-
-    def _off_map(sums: dict) -> "F.Column":
-        offsets, acc = {}, 0
-        for pid in sorted(sums):
-            offsets[pid] = acc
-            acc += sums[pid]
-        return F.create_map(
-            *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
-        )
-
-    w = (
-        Window.partitionBy("pid")
-        .orderBy(*cols)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    out1 = parted.withColumn(
-        "cum_before",
-        F.coalesce(F.sum(F.col(sum_col).cast("bigint")).over(w), F.lit(0).cast("bigint"))
-        + F.element_at(_off_map(psums), F.col("pid")),
-    )
+    out1 = _prefix_col(parted, cols, sum_col, psums, "cum_before")
     frame2, col2 = derive(out1, grand_total)
-    psums2 = {
-        r["pid"]: r["s"]
-        for r in frame2.groupBy("pid")
-        .agg(F.sum(F.col(col2).cast("bigint")).alias("s"))
-        .collect()
-    }
-    out2 = frame2.withColumn(
-        "cum_before2",
-        F.coalesce(F.sum(F.col(col2).cast("bigint")).over(w), F.lit(0).cast("bigint"))
-        + F.element_at(_off_map(psums2), F.col("pid")),
-    ).drop("pid")
+    psums2 = _partition_sums(frame2, col2)
+    out2 = _prefix_col(frame2, cols, col2, psums2, "cum_before2").drop("pid")
     return out2, grand_total
 
 

@@ -105,6 +105,31 @@ def test_range_prefix_sum_matches_serial(spark):
     assert total == acc
 
 
+def test_range_prefix_pair_null_partition_sums(spark):
+    """ADVICE r14: a derived pass-2 summand that is NULL for a whole
+    partition must coalesce to 0 in the offset accumulation (the old
+    _off_map raised TypeError on acc += None) and behave as SUM does —
+    NULLs contribute nothing to the prefix."""
+    from sales_telegram_bot_data_pipeline_spark.operators.scalars_extra import (
+        range_prefix_summed_pair,
+    )
+
+    df = spark.range(100).select(F.col("id").alias("v"), F.lit(1).alias("c"))
+
+    def derive(frame, total):
+        # NULL everywhere except the top 10 rows: with 8 range partitions
+        # every low partition's pass-2 sum is NULL
+        return frame.withColumn(
+            "c2", F.when(F.col("v") >= 90, F.lit(2)).otherwise(F.lit(None))
+        ), "c2"
+
+    out, total = range_prefix_summed_pair(spark, df, ["v"], "c", derive)
+    assert total == 100
+    got = {r["v"]: r["cum_before2"] for r in out.collect()}
+    for v in range(100):
+        assert got[v] == max(0, (v - 90)) * 2, v
+
+
 def test_rank_ops_empty_input(spark, tmp_path):
     d = str(tmp_path / "sf_empty")
     os.makedirs(d)
