@@ -2446,7 +2446,10 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # soft dedup: duplication-aware training weights instead of dropping
 # --------------------------------------------------------------------------
-def _softdedup_sql(d: Dialect, table: str, pairs_rel: str | None = None) -> str:
+def _softdedup_sql(
+    d: Dialect, table: str, pairs_rel: str | None = None,
+    window_copies: bool = False,
+) -> str:
     """SoftDeDup-style reweighting (He et al. 2024): rather than DROPPING
     duplicates, every document keeps a training weight inversely
     proportional to its "commonness" — here the exact-copy multiplicity
@@ -2463,14 +2466,26 @@ def _softdedup_sql(d: Dialect, table: str, pairs_rel: str | None = None) -> str:
     join strategy beyond what dedup_exact + dedup_minhash_lsh already pay."""
     pairs = pairs_rel or strip_order_by(_lsh_pairs_sql(d, table))
     h = d.md5_prefix_int("text")
-    return f"""
-WITH hashes AS (SELECT doc_id, {h} AS content_hash FROM {table}),
-copies AS (
+    copies = (
+        # Spark side (r14, guide §2.4): group size as a WINDOW over one
+        # hash pass — the groupBy + join-back form planned the md5(text)
+        # corpus projection TWICE; COUNT(*) OVER (PARTITION BY hash) is
+        # the same integer on every row of the group
+        f"""
+  SELECT doc_id, COUNT(*) OVER (PARTITION BY {h}) AS n_copies
+  FROM {table}
+"""
+        if window_copies
+        else f"""
   SELECT h.doc_id, g.n_copies
   FROM hashes h
   JOIN (SELECT content_hash, COUNT(*) AS n_copies FROM hashes GROUP BY content_hash) g
     ON g.content_hash = h.content_hash
-),
+"""
+    )
+    return f"""
+WITH hashes AS (SELECT doc_id, {h} AS content_hash FROM {table}),
+copies AS ({copies}),
 pairs AS ({pairs}),
 degree AS (
   SELECT node AS doc_id, COUNT(*) AS n_partners FROM (
@@ -2502,7 +2517,19 @@ ORDER BY c.doc_id
     tags=("dedup", "quality", "sampling"),
 )
 def softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(_softdedup_sql(SPARK, _doc_view(spark, sf_dir)))
+    # r14: window-form copy counts (one md5(text) corpus pass instead of
+    # two) and the STORED pair view (the lshp artifact every graph
+    # consumer reads; pair generation stays live-measured by its
+    # declared twin dedup_minhash_lsh).  12 -> 2 static scans.
+    view = _doc_view(spark, sf_dir)
+    return spark.sql(
+        _softdedup_sql(
+            SPARK,
+            view,
+            pairs_rel=f"SELECT doc_a, doc_b FROM {_lsh_pairs_view(spark, sf_dir)}",
+            window_copies=True,
+        )
+    )
 
 
 # --------------------------------------------------------------------------

@@ -523,19 +523,9 @@ PPMI_MIN_COUNT = 5
 PPMI_TOP_K = 40
 
 
-def _ppmi_window_sql(d: Dialect, table: str) -> str:
-    """Positive PMI over UNORDERED word pairs co-occurring within a
-    +-{PPMI_WINDOW}-token window — the co-occurrence-matrix builder behind
-    count-based word embeddings (GloVe / SVD-of-PPMI counts), one step
-    beyond collocation_pmi's adjacent ordered bigrams.
-
-    ONE corpus explode generates (position, distance) pairs — the distance
-    dimension rides a 2-element literal array, so cost is 2x the token
-    count, never quadratic; pairs canonicalize via LEAST/GREATEST,
-    same-word pairs drop; symmetric margins derive from the pair relation
-    itself (broadcast join-back).  Ranking is TakeOrdered on the
-    FLOOR-quantized PMI (libm LN crosses engines — same empirical
-    contract as collocation_pmi)."""
+def _ppmi_pairs_sql(d: Dialect, table: str) -> str:
+    """The windowed co-occurrence pair counts — the relation tot/marg/
+    scored all reference (12 static scans per statement, guide §3.3)."""
     w = d.splitws("lower(text)")
     if d.name == "spark":
         pairs = (
@@ -553,8 +543,29 @@ def _ppmi_window_sql(d: Dialect, table: str) -> str:
             f"CROSS JOIN (SELECT unnest([1, {PPMI_WINDOW}]) AS dd) ds "
             f"WHERE i + dd <= len(w) AND w[i] <> w[i+dd]"
         )
+    return f"SELECT w1, w2, COUNT(*) AS n_ab FROM ({pairs}) p GROUP BY w1, w2"
+
+
+def _ppmi_window_sql(d: Dialect, table: str, pr_rel: str | None = None) -> str:
+    """Positive PMI over UNORDERED word pairs co-occurring within a
+    +-{PPMI_WINDOW}-token window — the co-occurrence-matrix builder behind
+    count-based word embeddings (GloVe / SVD-of-PPMI counts), one step
+    beyond collocation_pmi's adjacent ordered bigrams.
+
+    ONE corpus explode generates (position, distance) pairs — the distance
+    dimension rides a 2-element literal array, so cost is 2x the token
+    count, never quadratic; pairs canonicalize via LEAST/GREATEST,
+    same-word pairs drop; symmetric margins derive from the pair relation
+    itself (broadcast join-back).  Ranking is TakeOrdered on the
+    FLOOR-quantized PMI (libm LN crosses engines — same empirical
+    contract as collocation_pmi)."""
+    pr = (
+        f"SELECT w1, w2, n_ab FROM {pr_rel}"
+        if pr_rel
+        else _ppmi_pairs_sql(d, table)
+    )
     return f"""
-WITH pr AS (SELECT w1, w2, COUNT(*) AS n_ab FROM ({pairs}) p GROUP BY w1, w2),
+WITH pr AS ({pr}),
 tot AS (SELECT SUM(n_ab) AS n FROM pr),
 marg AS (
   SELECT w, SUM(n_ab) AS n_w FROM (
@@ -594,7 +605,16 @@ LIMIT {PPMI_TOP_K}
     tags=("text", "agg", "embedding"),
 )
 def ppmi_window_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(_ppmi_window_sql(SPARK, _doc_view(spark, sf_dir)))
+    from ..session import materialize_once
+
+    view = _doc_view(spark, sf_dir)
+    # Materialize the co-occurrence pair counts once (guide §3.3): tot,
+    # both margin arms and the scoring join each re-ran the corpus
+    # explode + groupBy (12 static scans per statement).
+    pr = materialize_once(
+        spark, _ppmi_pairs_sql(SPARK, view), "ppmi_pr", key=sf_dir
+    )
+    return spark.sql(_ppmi_window_sql(SPARK, view, pr_rel=pr))
 
 
 # --------------------------------------------------------------------------
